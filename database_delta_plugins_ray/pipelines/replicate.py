@@ -1,0 +1,210 @@
+"""End-to-end CDC replication pipeline (the engine's main path).
+
+Ray-Data-native equivalent of the reference's replication runtime
+(SURVEY.md §3.1; MySqlEventReader.java:85-174 + MySqlRecordConsumer +
+the Delta app's ordered apply):
+
+    read_parquet(log segments, lsn > resume watermark)      # streaming
+      -> map_batches(Normalizer)                            # stateless, zero-copy Arrow,
+                                                            #   per-batch LWW combiner
+      -> groupby("part")                                    # THE one shuffle: salted PK hash
+      -> map_groups(PartitionMerger, concurrency=A)         # stateful actor pool:
+                                                            #   fence + LWW + fenced commit
+      -> summary rows (P rows, tiny)
+
+The schema registry (DDL history) is built on the driver from the log's DDL
+subset, broadcast via ``ray.put``, and persisted to the lake's checkpoint
+dir (DBSchemaHistory analog). Resume reads per-partition manifests and
+filters ``lsn > min watermark`` at the Parquet read (row-group pushdown),
+with the exact per-partition fence applied inside the merger.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow.dataset as pads
+import ray
+import ray.data
+
+from ..stages.merge import PartitionMerger
+from ..stages.normalize import Normalizer
+from ..state import checkpoint as ckpt
+from ..state.ddl import Registry, build_registry
+
+
+def log_max_lsn(log_dir: str) -> int:
+    """Max lsn across segments from Parquet footer statistics (no data read)."""
+    import pyarrow.parquet as pq
+
+    mx = 0
+    for f in log_files(log_dir):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index("lsn")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is not None and st.max is not None:
+                mx = max(mx, st.max)
+    return mx
+
+
+def log_files(log_dir: str) -> list[str]:
+    return [
+        os.path.join(log_dir, f)
+        for f in sorted(os.listdir(log_dir))
+        if f.startswith("seg-") and f.endswith(".parquet")
+    ]
+
+
+#: log columns the DML path needs (the ``ddl`` struct is only read by the
+#: driver-side registry scan — prune it at the read).
+_READ_COLUMNS = ["lsn", "tx_id", "op", "table", "before", "after", "ingest_ts"]
+
+
+def run_replication(
+    log_dir: str,
+    lake_dir: str,
+    *,
+    num_partitions: int = 32,
+    merge_concurrency: int | None = None,
+    batch_size: int = 32768,
+    upto_lsn: int | None = None,
+    table_filter: set[str] | None = None,
+    dml_blacklist: set[tuple[str, str]] | None = None,
+    columns: set[str] | None = None,
+    compute_sha: bool = True,
+    registry: Registry | None = None,
+    override_num_blocks: int | None = None,
+) -> dict:
+    """Replay the event log into the Parquet lake; returns a lineage summary.
+
+    Idempotent and resumable: partitions already at/beyond the log's max lsn
+    are skipped via their checkpoint manifests; re-running on the same log is
+    a no-op (exactly-once effect via offset fencing).
+    """
+    t0 = time.time()
+    os.makedirs(lake_dir, exist_ok=True)
+
+    if registry is None:
+        registry = build_registry(log_dir, upto_lsn)
+    reg_ref = ray.put(registry)
+
+    watermark = ckpt.min_watermark(lake_dir, num_partitions)
+    if watermark:
+        # fully caught up? footer-stats check — skips the whole job when an
+        # incremental poll finds no new events past every partition watermark
+        mx = log_max_lsn(log_dir)
+        if (upto_lsn is not None and watermark >= upto_lsn) or watermark >= mx:
+            ms = ckpt.all_manifests(lake_dir)
+            return {
+                "partitions": len(ms),
+                "events_in": 0,
+                "events_applied": 0,
+                "rows": sum(m["rows"] for m in ms.values()),
+                "live_rows": sum(m["live_rows"] for m in ms.values()),
+                "last_lsn": max((m["last_lsn"] for m in ms.values()), default=watermark),
+                "wall_s": time.time() - t0,
+                "events_per_s": 0.0,
+                "resume_watermark": watermark,
+            }
+    flt = None
+    if watermark:
+        flt = pads.field("lsn") > watermark
+    if upto_lsn is not None:
+        c = pads.field("lsn") <= upto_lsn
+        flt = c if flt is None else (flt & c)
+
+    ds = ray.data.read_parquet(
+        log_files(log_dir),
+        columns=_READ_COLUMNS,
+        filter=flt,
+        override_num_blocks=override_num_blocks,
+    )
+    # Normalize runs as STATELESS tasks (elastic, no reserved slots): the
+    # callable instance (registry included — it is tiny) is serialized once
+    # with the transform and cached per worker. An actor pool here would
+    # compete with the merger pool for CPU slots and can starve the read
+    # stage on small nodes.
+    norm = Normalizer(
+        registry,
+        num_partitions,
+        table_filter=table_filter,
+        dml_blacklist=dml_blacklist,
+        columns=columns,
+        compute_sha=compute_sha,
+    )
+    ds = ds.map_batches(
+        norm,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )
+
+    payload_columns = _payload_columns(registry, columns, compute_sha)
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    if merge_concurrency is None:
+        # leave headroom for read/normalize/shuffle tasks next to the pool
+        merge_concurrency = max(1, min(num_partitions, cpus - 1))
+    summary_ds = ds.groupby("part").map_groups(
+        PartitionMerger,
+        fn_constructor_args=(lake_dir, reg_ref, payload_columns),
+        batch_format="pyarrow",
+        concurrency=merge_concurrency,
+    )
+    rows = summary_ds.take_all()
+
+    registry.save(os.path.join(lake_dir, ckpt.CHECKPOINT_DIR, "schema_history.jsonl"))
+    wall = time.time() - t0
+    applied = sum(r["events_applied"] for r in rows)
+    return {
+        "partitions": len(rows),
+        "events_in": sum(r["events_in"] for r in rows),
+        "events_applied": applied,
+        "rows": sum(r["rows"] for r in rows),
+        "live_rows": sum(r["live_rows"] for r in rows),
+        "last_lsn": max((r["last_lsn"] for r in rows), default=watermark),
+        "wall_s": wall,
+        "events_per_s": applied / wall if wall > 0 else 0.0,
+        "resume_watermark": watermark,
+    }
+
+
+def _payload_columns(registry: Registry, columns, compute_sha: bool) -> list[str]:
+    # union of final columns over all tables with a schema (order: first table)
+    out: list[str] = []
+    for ts in registry.tables.values():
+        for c, _t in ts.columns:
+            if (columns is None or c in columns) and c not in out:
+                out.append(c)
+    if compute_sha and (columns is None or "content" in columns) and "content" in out:
+        out.append("content_sha")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# lake readers
+# ---------------------------------------------------------------------------
+
+
+def lake_files(lake_dir: str) -> list[str]:
+    return [m["file"] for m in ckpt.all_manifests(lake_dir).values()]
+
+
+def read_lake(lake_dir: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    """The lake as a Ray Dataset (includes soft-deleted rows, like the
+    reference target table — filter ``_is_deleted`` for final state)."""
+    files = lake_files(lake_dir)
+    if not files:
+        raise FileNotFoundError(f"no committed partitions under {lake_dir}")
+    return ray.data.read_parquet(files, columns=columns)
+
+
+def final_state(lake_dir: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    """Live rows only (the reference e2e comparison filters _is_deleted,
+    BQValidation.java:86-90)."""
+    ds = read_lake(lake_dir, columns=None if columns is None else columns + ["_is_deleted"])
+    ds = ds.filter(expr="_is_deleted == False")
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    return ds

@@ -1,0 +1,238 @@
+"""Partition merger: the stateful apply stage of the CDC pipeline.
+
+Ray-Data-native replacement for the Delta app's target-apply half (observed
+contract: ordered apply, last-writer-wins upsert by PK, soft-delete via
+``_is_deleted``, bookkeeping columns ``_row_id, _source_timestamp,
+_is_deleted, _sequence_num`` — mysql-delta-plugins/src/e2e-test/java/io/cdap/
+plugin/BQValidation.java:86-90).
+
+Used as an actor-pool callable for ``groupby("part").map_groups(...)``: one
+call receives ALL (pre-reduced) events of one key partition. Per partition it
+
+1. reduces to the max-lsn event per primary key (exact, hash-join based —
+   the per-batch combiner may over-keep on 64-bit hash collisions);
+2. fences duplicate replay: drops events with ``lsn <= watermark`` from the
+   partition checkpoint (SqlServerRecordConsumer.java:93-97 /
+   SqlServerOffset.isBeforeOrAt, SqlServerOffset.java:91-94);
+3. merges with the partition's existing lake state (prior rows behave as
+   events at their stored ``_sequence_num``);
+4. applies TRUNCATE/DROP lsn fences from the schema registry (§2.6);
+5. commits an offset-fenced, idempotent Parquet file + checkpoint manifest
+   (state/checkpoint.py) and returns a one-row lineage summary.
+
+Ordering note (SURVEY.md §4): order is only required per primary key; LWW by
+monotone lsn realizes it without any global sort.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..model import (
+    IS_DELETED,
+    OP_DELETE,
+    ROW_ID,
+    SEQUENCE_NUM,
+    SOURCE_TIMESTAMP,
+)
+from ..state import checkpoint as ckpt
+from ..state.ddl import Registry
+
+SUMMARY_SCHEMA = pa.schema(
+    [
+        pa.field("part", pa.int64()),
+        pa.field("events_in", pa.int64()),
+        pa.field("events_applied", pa.int64()),
+        pa.field("rows", pa.int64()),
+        pa.field("live_rows", pa.int64()),
+        pa.field("last_lsn", pa.int64()),
+        pa.field("skipped", pa.bool_()),
+    ]
+)
+
+
+def exact_lww_indices(tbl: pa.Table, key_cols: tuple[str, ...], lsn_col: str) -> np.ndarray:
+    """Indices of the max-``lsn_col`` row per key — exact (string equality via
+    pandas hash table), O(n), no full sort of payload columns."""
+    df = pd.DataFrame(
+        {c: tbl[c].to_numpy(zero_copy_only=False) for c in key_cols + (lsn_col,)}
+    )
+    df = df.sort_values(lsn_col, kind="stable")
+    idx = df.drop_duplicates(list(key_cols), keep="last").index.to_numpy()
+    idx.sort()
+    return idx
+
+
+class PartitionMerger:
+    """Actor-pool callable for ``groupby("part").map_groups``."""
+
+    def __init__(
+        self,
+        lake_dir: str,
+        registry: Registry,
+        payload_columns: list[str],
+        key_columns: tuple[str, ...] = ("table", "repo", "path"),
+        keep_tombstones: bool = True,
+    ) -> None:
+        import ray
+
+        if isinstance(registry, ray.ObjectRef):
+            registry = ray.get(registry)  # broadcast read, once per actor
+        self.lake_dir = lake_dir
+        self.registry = registry
+        self.payload_columns = payload_columns
+        self.key_columns = key_columns
+        self.keep_tombstones = keep_tombstones
+        self.fences = registry.fences()
+
+    # -- helpers ---------------------------------------------------------
+
+    def _events_to_state(self, ev: pa.Table) -> pa.Table:
+        """Shape incoming events like lake rows (bookkeeping columns)."""
+        cols = {c: ev[c] for c in ("part", *self.key_columns) if c in ev.column_names}
+        for c in self.payload_columns:
+            cols[c] = ev[c]
+        cols[ROW_ID] = ev["tx_id"]
+        cols[SOURCE_TIMESTAMP] = ev["ingest_ts"]
+        cols[IS_DELETED] = pc.equal(ev["op"], OP_DELETE)
+        cols[SEQUENCE_NUM] = ev["lsn"]
+        return pa.table(cols)
+
+    def _apply_fences(self, state: pa.Table) -> pa.Table:
+        """TRUNCATE/DROP: rows whose winning lsn predates the fence are dead."""
+        if not self.fences:
+            return state
+        dead = np.zeros(state.num_rows, dtype=bool)
+        seq = state[SEQUENCE_NUM].to_numpy(zero_copy_only=False)
+        for tname, fence in self.fences.items():
+            m = pc.equal(state["table"], tname).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            dead |= m & (seq < fence)
+        if dead.any():
+            i = state.schema.get_field_index(IS_DELETED)
+            new = pc.or_(state[IS_DELETED], pa.array(dead))
+            state = state.set_column(i, IS_DELETED, new)
+        return state
+
+    def _migrate_state(self, old: pa.Table) -> pa.Table:
+        """Cast/rename a previously-committed partition state to the CURRENT
+        registry schema (SURVEY.md §1.3: 'the merge actor casts/renames/widens
+        old-version batches to the current schema before upsert'). A state
+        file written before an ALTER may carry pre-rename column names or
+        narrower types; columns dropped from the schema are discarded."""
+        names = set(old.column_names)
+        cols: dict[str, pa.ChunkedArray] = {}
+        for c in ("part", *self.key_columns):
+            if c in names:
+                cols[c] = old[c]
+        # table -> coalesce plan (history names per final column)
+        plans = {}
+        for t in set(pc.unique(old["table"]).to_pylist()):
+            try:
+                plans[t] = {f: (hist, typ) for f, hist, typ in self.registry.coalesce_plan(t)}
+            except KeyError:
+                plans[t] = {}
+        # single-table fast path (the common case)
+        merged_plan: dict[str, tuple[list[str], pa.DataType]] = {}
+        for p in plans.values():
+            merged_plan.update(p)
+        for final in self.payload_columns:
+            if final == "content_sha":
+                if "content_sha" in names:
+                    cols[final] = old["content_sha"]
+                continue
+            hist, typ = merged_plan.get(final, ([final], None))
+            present = [h for h in hist if h in names]
+            if not present:
+                continue  # column added after this state was written -> null
+            arr = old[present[0]] if len(present) == 1 else pc.coalesce(
+                *[old[h] for h in present]
+            )
+            if typ is not None and arr.type != typ:
+                arr = pc.cast(arr, typ)
+            cols[final] = arr
+        for c in (ROW_ID, SOURCE_TIMESTAMP, IS_DELETED, SEQUENCE_NUM):
+            cols[c] = old[c]
+        return pa.table(cols)
+
+    # -- main ------------------------------------------------------------
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        part = int(group["part"][0].as_py())
+        events_in = group.num_rows
+
+        manifest = ckpt.read_manifest(self.lake_dir, part)
+        watermark = manifest["last_lsn"] if manifest else 0
+        prior_applied = manifest["events_applied"] if manifest else 0
+
+        # duplicate-replay fence (at-least-once -> effectively-once)
+        if watermark:
+            group = group.filter(pc.greater(group["lsn"], watermark))
+        if group.num_rows == 0:
+            return self._summary(part, events_in, 0, manifest, watermark, skipped=True)
+
+        new_state = self._events_to_state(group)
+        last_lsn = max(watermark, int(pc.max(group["lsn"]).as_py()))
+
+        # merge with existing partition state
+        if manifest:
+            old = self._migrate_state(pq.read_table(manifest["file"]))
+            state = pa.concat_tables([old, new_state], promote_options="default")
+        else:
+            state = new_state
+
+        idx = exact_lww_indices(state, self.key_columns, SEQUENCE_NUM)
+        state = state.take(pa.array(idx))
+        state = self._apply_fences(state)
+        if not self.keep_tombstones:
+            state = state.filter(pc.invert(state[IS_DELETED]))
+
+        live = state.num_rows - int(pc.sum(pc.cast(state[IS_DELETED], pa.int64())).as_py() or 0)
+
+        def write_fn(tbl, path):
+            pq.write_table(tbl, path)
+
+        ckpt.commit_partition(
+            self.lake_dir,
+            part,
+            state,
+            last_lsn,
+            write_fn,
+            {
+                "events_applied": prior_applied + group.num_rows,
+                "rows": state.num_rows,
+                "live_rows": live,
+                "tables": sorted(set(pc.unique(state["table"]).to_pylist())),
+            },
+        )
+        return pa.table(
+            {
+                "part": [part],
+                "events_in": [events_in],
+                "events_applied": [group.num_rows],
+                "rows": [state.num_rows],
+                "live_rows": [live],
+                "last_lsn": [last_lsn],
+                "skipped": [False],
+            },
+            schema=SUMMARY_SCHEMA,
+        )
+
+    def _summary(self, part, events_in, applied, manifest, last_lsn, skipped):
+        return pa.table(
+            {
+                "part": [part],
+                "events_in": [events_in],
+                "events_applied": [applied],
+                "rows": [manifest["rows"] if manifest else 0],
+                "live_rows": [manifest["live_rows"] if manifest else 0],
+                "last_lsn": [last_lsn],
+                "skipped": [skipped],
+            },
+            schema=SUMMARY_SCHEMA,
+        )

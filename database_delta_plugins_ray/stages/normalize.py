@@ -1,0 +1,256 @@
+"""Normalize stage: raw change events -> flat, final-schema, key-partitioned
+rows, with a per-batch last-writer-wins combiner.
+
+This is the Ray-Data-native analog of the reference's record consumer
+(MySqlRecordConsumer.java:115-225 / SqlServerRecordConsumer.java:88-222):
+op mapping (M6), before/after image selection (M7), table filter (M8),
+DML blacklist (M9), column projection (M4), type/rename normalization via
+the schema registry, plus validation (no-PK rejection, M18 —
+SqlServerRecordConsumer.java:129-133).
+
+Everything is vectorized pyarrow.compute over zero-copy Arrow batches; the
+only per-row Python is the optional sha256 of ``content`` (stdlib hashlib —
+no vectorized sha256 exists in pyarrow; the cost is spread across all
+map_batches workers).
+
+The combiner is the key scale lever: within each batch only the max-lsn
+event per primary key survives (LWW is associative, so per-batch reduction
+before the shuffle is lossless — SURVEY.md §2.6), shrinking the all-to-all
+exchange by the per-batch update ratio.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..model import OP_DDL, OP_DELETE, OP_INSERT, OP_UPDATE
+from ..state.ddl import DeltaFailure, Registry
+
+#: Debezium op codes -> engine ops (MySqlRecordConsumer.java:170-183:
+#: c/r -> INSERT, u -> UPDATE, d -> DELETE; unknown ops are skipped with a
+#: warning). Identity codes pass through.
+_OP_ALIASES = {
+    "c": OP_INSERT, "r": OP_INSERT, "u": OP_UPDATE, "d": OP_DELETE,
+    OP_INSERT: OP_INSERT, OP_UPDATE: OP_UPDATE, OP_DELETE: OP_DELETE,
+    OP_DDL: OP_DDL,
+}
+
+
+def map_ops(op: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Dictionary-style op normalization; unknown ops map to null (dropped)."""
+    vocab = pa.array(list(_OP_ALIASES))
+    repl = pa.array(list(_OP_ALIASES.values()))
+    idx = pc.index_in(op, vocab)
+    return pc.take(repl, idx)
+
+
+def hash_key(*cols: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit combined hash of string key columns."""
+    h = np.zeros(len(cols[0]), dtype=np.uint64)
+    for i, c in enumerate(cols):
+        hc = pd.util.hash_array(np.asarray(c), hash_key="cdc_part_hashkey")
+        h = h * np.uint64(0x100000001B3) + hc + np.uint64(i)
+    return h
+
+
+def sha256_hex(values: list) -> np.ndarray:
+    """Per-row sha256 hex (the BASELINE.json per-row invariant column)."""
+    sha = hashlib.sha256
+    return np.fromiter(
+        (sha(v.encode()).hexdigest() for v in values), dtype="<U64", count=len(values)
+    )
+
+
+def lww_combine(tbl: pa.Table, khash: np.ndarray) -> pa.Table:
+    """Per-batch LWW pre-reduction: keep the max-lsn row per key.
+
+    Sorts by (key hash, lsn) — numeric sort, much cheaper than sorting three
+    string columns — and keeps run-boundary rows, verifying real key columns
+    at the boundary so a hash collision can only OVER-keep (harmless: the
+    merge stage reduces again, exactly), never drop a key's last event.
+    """
+    n = tbl.num_rows
+    if n <= 1:
+        return tbl
+    order = np.lexsort((tbl["lsn"].to_numpy(zero_copy_only=False), khash))
+    t = tbl.take(pa.array(order))
+    keep = np.ones(n, dtype=bool)
+    hs = khash[order]
+    same_hash = hs[:-1] == hs[1:]
+    if same_hash.any():
+        same = same_hash
+        for col in ("table", "repo", "path"):
+            a = t[col]
+            eq = pc.equal(a.slice(0, n - 1), a.slice(1, n)).combine_chunks()
+            same = same & eq.to_numpy(zero_copy_only=False)
+        keep[:-1] = ~same
+    return t.filter(pa.array(keep))
+
+
+class Normalizer:
+    """Callable batch transform (usable as a stateless fn via closure or as
+    an actor-pool class). Holds the broadcast schema registry."""
+
+    def __init__(
+        self,
+        registry: Registry,
+        num_partitions: int,
+        table_filter: set[str] | None = None,
+        dml_blacklist: set[tuple[str, str]] | None = None,
+        columns: set[str] | None = None,
+        compute_sha: bool = True,
+        combine: bool = True,
+    ) -> None:
+        import ray
+
+        if isinstance(registry, ray.ObjectRef):
+            registry = ray.get(registry)
+        self.registry = registry
+        self.num_partitions = num_partitions
+        self.table_filter = table_filter
+        self.dml_blacklist = dml_blacklist or set()
+        self.columns = columns
+        self.compute_sha = compute_sha
+        self.combine = combine
+        # final output schema is identical for all batches
+        self._plans: dict[str, list] = {}
+
+    # -- helpers ---------------------------------------------------------
+
+    def _plan(self, table: str):
+        if table not in self._plans:
+            self._plans[table] = self.registry.coalesce_plan(table)
+        return self._plans[table]
+
+    def _normalize_table_slice(self, batch: pa.Table, table: str) -> pa.Table:
+        n = batch.num_rows
+        op = batch["op"]
+        is_del = pc.equal(op, OP_DELETE)
+
+        # before/after image selection (M7): DELETE carries the before image
+        def image(field_name: str) -> pa.ChunkedArray:
+            a = pc.struct_field(batch["after"], field_name)
+            b = pc.struct_field(batch["before"], field_name)
+            return pc.if_else(is_del, b, a)
+
+        plan = self._plan(table)
+        cols: dict[str, pa.ChunkedArray] = {}
+        for final_name, names, typ in plan:
+            if self.columns is not None and final_name not in self.columns:
+                continue  # column projection (M4, Records.java:123-148)
+            arrs = [image(nm) for nm in names]
+            arr = arrs[0] if len(arrs) == 1 else pc.coalesce(*arrs)
+            if arr.type != typ:
+                arr = pc.cast(arr, typ)
+            cols[final_name] = arr
+
+        ts = self.registry.final_table(table)
+        for pk in ts.primary_key:
+            if pk in cols and pc.any(pc.is_null(cols[pk])).as_py():
+                # no-PK rejection (SqlServerRecordConsumer.java:129-133)
+                raise DeltaFailure(f"null primary key value in table {table}")
+
+        out = pa.table(
+            {
+                "table": pa.array(np.full(n, ts.name)),
+                **cols,
+                "op": op,
+                "lsn": batch["lsn"],
+                "tx_id": batch["tx_id"],
+                "ingest_ts": batch["ingest_ts"],
+            }
+        )
+        return out
+
+    # -- main ------------------------------------------------------------
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # op normalization + drop DDL rows and unknown ops (M5/M6)
+        ops = map_ops(batch["op"])
+        batch = batch.set_column(
+            batch.schema.get_field_index("op"), "op", ops
+        ).filter(pc.and_kleene(pc.is_valid(ops), pc.not_equal(ops, OP_DDL)))
+        if batch.num_rows == 0:
+            return self._empty()
+
+        # table rename resolution + table filter (M8)
+        tables = batch["table"]
+        if self.registry.table_renames:
+            uniq = pc.unique(tables).to_pylist()
+            mapping = {t: self.registry.resolve_table(t) for t in uniq}
+            if any(k != v for k, v in mapping.items()):
+                tables = pc.take(
+                    pa.array([mapping[t] for t in uniq]),
+                    pc.index_in(tables, pa.array(uniq)),
+                )
+                i = batch.schema.get_field_index("table")
+                batch = batch.set_column(i, "table", tables)
+        if self.table_filter is not None:
+            batch = batch.filter(
+                pc.is_in(batch["table"], value_set=pa.array(sorted(self.table_filter)))
+            )
+            if batch.num_rows == 0:
+                return self._empty()
+
+        # DML blacklist (M9): drop (table, op) pairs
+        if self.dml_blacklist:
+            mask = np.ones(batch.num_rows, dtype=bool)
+            for t, o in self.dml_blacklist:
+                m = pc.and_(pc.equal(batch["table"], t), pc.equal(batch["op"], o))
+                mask &= ~m.to_numpy(zero_copy_only=False)
+            batch = batch.filter(pa.array(mask))
+            if batch.num_rows == 0:
+                return self._empty()
+
+        # per-table normalization (usually exactly one table per log)
+        uniq_tables = pc.unique(batch["table"]).to_pylist()
+        if len(uniq_tables) == 1:
+            out = self._normalize_table_slice(batch, uniq_tables[0])
+        else:
+            parts = []
+            for t in uniq_tables:
+                sl = batch.filter(pc.equal(batch["table"], t))
+                parts.append(self._normalize_table_slice(sl, t))
+            out = pa.concat_tables(parts, promote_options="default")
+
+        if self.compute_sha and "content" in out.column_names:
+            content = pc.fill_null(out["content"], "").to_pylist()
+            out = out.append_column("content_sha", pa.array(sha256_hex(content)))
+
+        repo = out["repo"].to_numpy(zero_copy_only=False)
+        path = out["path"].to_numpy(zero_copy_only=False)
+        tb = out["table"].to_numpy(zero_copy_only=False)
+        kh = hash_key(tb, repo, path)
+        out = out.append_column(
+            "part", pa.array((kh % np.uint64(self.num_partitions)).astype(np.int64))
+        )
+        if self.combine:
+            out = lww_combine(out, kh)
+        return out
+
+    def _empty(self) -> pa.Table:
+        # constant empty table with the output schema
+        plan_table = next(iter(self.registry.tables))
+        ts = self.registry.final_table(plan_table)
+        fields = [pa.field("table", pa.string())]
+        for name, _hist, typ in self._plan(ts.name):
+            if self.columns is not None and name not in self.columns:
+                continue
+            fields.append(pa.field(name, typ))
+        fields += [
+            pa.field("op", pa.string()),
+            pa.field("lsn", pa.int64()),
+            pa.field("tx_id", pa.string()),
+            pa.field("ingest_ts", pa.timestamp("ms")),
+        ]
+        if self.compute_sha and (self.columns is None or "content" in self.columns):
+            fields.append(pa.field("content_sha", pa.string()))
+        fields.append(pa.field("part", pa.int64()))
+        return pa.table(
+            {f.name: pa.array([], type=f.type) for f in fields}
+        )

@@ -1,0 +1,219 @@
+"""Schema-evolution registry.
+
+Replaces the reference's DDL machinery — the ANTLR DDL parser + in-memory
+``Tables`` model (MySqlRecordConsumer.java:230-318) and the persisted
+``DBSchemaHistory`` replayed on resume (delta-plugins-common/src/main/java/
+io/cdap/delta/plugin/common/DBSchemaHistory.java:41-128) — with structured
+DDL events and a pure transition function ``apply_ddl``.
+
+The registry is built once per run on the driver from the (tiny) DDL subset
+of the log, broadcast to normalize/merge workers via ``ray.put``, and
+persisted as JSON-lines in the lake's ``_checkpoints`` dir so a resumed run
+replays the same history (DBSchemaHistory.java:91-95 analog).
+
+Design assumption (documented scale contract): DDL events are rare relative
+to DML (thousands vs 10^10), so materializing them on the driver is safe.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field as dc_field
+
+import pyarrow as pa
+import pyarrow.dataset as pads
+
+from ..functions.types import arrow_type, can_widen
+from ..model import (
+    DDL_ALTER_TABLE,
+    DDL_CREATE_DATABASE,
+    DDL_CREATE_TABLE,
+    DDL_DROP_DATABASE,
+    DDL_DROP_TABLE,
+    DDL_RENAME_TABLE,
+    DDL_TRUNCATE_TABLE,
+    OP_DDL,
+)
+
+
+class DeltaFailure(RuntimeError):
+    """Fatal replication error (DeltaFailureRuntimeException analog,
+    SqlServerRecordConsumer.java:129-133)."""
+
+
+@dataclass
+class TableState:
+    """Evolving logical schema of one replicated table."""
+
+    name: str
+    #: ordered (column_name, type_name); current logical schema
+    columns: list[tuple[str, str]] = dc_field(default_factory=list)
+    primary_key: list[str] = dc_field(default_factory=list)
+    #: final_name -> all historical names (for coalesce in normalize)
+    history_names: dict[str, list[str]] = dc_field(default_factory=dict)
+    #: lsn fence: rows whose winning event lsn < fence are dead
+    fence_lsn: int = 0
+    version: int = 0
+    dropped: bool = False
+
+    def column_names(self) -> list[str]:
+        return [c for c, _ in self.columns]
+
+
+def apply_ddl(state: "Registry", lsn: int, ddl_op: str, table: str,
+              prev_table: str, payload: str) -> None:
+    """Pure state transition for one DDL event (MySqlRecordConsumer.java:238-318
+    event taxonomy). Mutates ``state`` in place; raises DeltaFailure on
+    contract violations (no-PK create, invalid widen)."""
+    doc = json.loads(payload) if payload else {}
+    if ddl_op == DDL_CREATE_TABLE:
+        cols = [(c, t) for c, t in doc.get("columns", [])]
+        pk = doc.get("primary_key", [])
+        if not pk:
+            # no-PK rejection (SqlServerRecordConsumer.java:129-133)
+            raise DeltaFailure(f"table {table} has no primary key")
+        ts = TableState(
+            name=table,
+            columns=cols,
+            primary_key=pk,
+            history_names={c: [c] for c, _ in cols},
+            version=0,
+        )
+        state.tables[table] = ts
+    elif ddl_op == DDL_ALTER_TABLE:
+        ts = state._require(table)
+        action = doc.get("action")
+        if action == "add":
+            col, typ = doc["column"], doc["type"]
+            ts.columns.append((col, typ))
+            ts.history_names[col] = [col]
+        elif action == "rename":
+            old, new = doc["column"], doc["new_name"]
+            ts.columns = [(new if c == old else c, t) for c, t in ts.columns]
+            hist = ts.history_names.pop(old, [old])
+            ts.history_names[new] = [new] + hist
+        elif action == "widen":
+            col, new_t = doc["column"], doc["type"]
+            cur = dict(ts.columns).get(col)
+            if cur is None:
+                raise DeltaFailure(f"widen of unknown column {col} in {table}")
+            if not can_widen(cur, new_t):
+                raise DeltaFailure(f"illegal type change {cur} -> {new_t} for {table}.{col}")
+            ts.columns = [(c, new_t if c == col else t) for c, t in ts.columns]
+        else:
+            raise DeltaFailure(f"unknown ALTER action {action!r}")
+        ts.version += 1
+    elif ddl_op == DDL_RENAME_TABLE:
+        new = doc.get("new_name") or table
+        old = prev_table
+        ts = state._require(old)
+        ts.name = new
+        state.tables[new] = ts
+        del state.tables[old]
+        state.table_renames[old] = new
+        # re-point older renames transitively
+        for k, v in list(state.table_renames.items()):
+            if v == old:
+                state.table_renames[k] = new
+    elif ddl_op in (DDL_TRUNCATE_TABLE, DDL_DROP_TABLE):
+        ts = state.tables.get(table)
+        if ts is not None:
+            ts.fence_lsn = max(ts.fence_lsn, lsn)
+            if ddl_op == DDL_DROP_TABLE:
+                ts.dropped = True
+        elif ddl_op == DDL_DROP_TABLE:
+            # pre-snapshot golden DROP of a not-yet-created table: no-op
+            state.tables.setdefault(table, TableState(name=table, fence_lsn=lsn))
+    elif ddl_op in (DDL_CREATE_DATABASE, DDL_DROP_DATABASE):
+        # database-level events carry no per-table schema consequence here
+        pass
+    else:
+        raise DeltaFailure(f"unknown DDL op {ddl_op!r}")
+
+
+class Registry:
+    """All table states + rename map, built by replaying DDL history in lsn
+    order. Picklable (broadcast with ``ray.put``)."""
+
+    def __init__(self) -> None:
+        self.tables: dict[str, TableState] = {}
+        self.table_renames: dict[str, str] = {}
+        self.history: list[dict] = []  # DDL records in lsn order
+
+    def _require(self, table: str) -> TableState:
+        t = self.table_renames.get(table, table)
+        ts = self.tables.get(t)
+        if ts is None:
+            raise DeltaFailure(f"DDL for unknown table {table}")
+        return ts
+
+    def apply(self, lsn: int, ddl_op: str, table: str, prev_table: str,
+              payload: str) -> None:
+        apply_ddl(self, lsn, ddl_op, table, prev_table, payload)
+        self.history.append(
+            {"lsn": lsn, "op": ddl_op, "table": table, "prev_table": prev_table,
+             "payload": payload}
+        )
+
+    # -- lookups used by the pipeline ------------------------------------
+
+    def resolve_table(self, name: str) -> str:
+        return self.table_renames.get(name, name)
+
+    def final_table(self, name: str) -> TableState:
+        return self.tables[self.resolve_table(name)]
+
+    def coalesce_plan(self, table: str) -> list[tuple[str, list[str], pa.DataType]]:
+        """Per final column: (final_name, [source names newest-first], type)."""
+        ts = self.final_table(table)
+        out = []
+        for col, typ in ts.columns:
+            out.append((col, ts.history_names.get(col, [col]), arrow_type(typ)))
+        return out
+
+    def fences(self) -> dict[str, int]:
+        """table -> lsn fence from TRUNCATE/DROP (rows older than fence are
+        dead; exact dedup/idempotency semantics SURVEY.md §2.6)."""
+        return {name: ts.fence_lsn for name, ts in self.tables.items() if ts.fence_lsn}
+
+    # -- persistence (DBSchemaHistory analog) ----------------------------
+
+    def save(self, path: str) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            for rec in self.history:
+                fh.write(json.dumps(rec) + "\n")
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "Registry":
+        reg = cls()
+        with open(path) as fh:
+            for line in fh:
+                rec = json.loads(line)
+                reg.apply(rec["lsn"], rec["op"], rec["table"],
+                          rec["prev_table"], rec["payload"])
+        return reg
+
+
+def build_registry(log_dir: str, upto_lsn: int | None = None) -> Registry:
+    """Scan the log's DDL rows (driver-side, tiny by assumption) and build
+    the registry. Reads only the DDL-relevant columns with a pushed-down
+    filter — never materializes DML payloads."""
+    ds = pads.dataset(
+        [os.path.join(log_dir, f) for f in sorted(os.listdir(log_dir))
+         if f.startswith("seg-")],
+        format="parquet",
+    )
+    flt = pads.field("op") == OP_DDL
+    if upto_lsn is not None:
+        flt = flt & (pads.field("lsn") <= upto_lsn)
+    tbl = ds.to_table(columns=["lsn", "table", "ddl"], filter=flt)
+    tbl = tbl.take(pa.compute.sort_indices(tbl, sort_keys=[("lsn", "ascending")]))
+    reg = Registry()
+    for row in tbl.to_pylist():
+        d = row["ddl"]
+        reg.apply(row["lsn"], d["op"], d["table"] or row["table"],
+                  d["prev_table"] or "", d["payload"] or "{}")
+    return reg

@@ -1,0 +1,95 @@
+"""End-to-end CDC replication: Ray pipeline vs pure-Python oracle replay.
+
+Covers the reference's e2e contract (final-state equality under per-row
+content sha256, BQValidation.java:86-90) plus the resume / exactly-once
+scenarios of FIXTURES.md §F6.
+"""
+
+import hashlib
+import os
+
+import pyarrow.compute as pc
+import pytest
+
+from database_delta_plugins_ray.pipelines.oracle import replay
+from database_delta_plugins_ray.pipelines.replicate import (
+    final_state,
+    run_replication,
+)
+
+
+def lake_as_dict(lake_dir):
+    ds = final_state(lake_dir)
+    rows = ds.take_all()
+    return {(r["table"], r["repo"], r["path"]): r for r in rows}
+
+
+def assert_parity(lake_dir, log_dir, upto_lsn=None):
+    oracle = replay(log_dir, upto_lsn=upto_lsn)
+    got = lake_as_dict(lake_dir)
+    assert set(got) == set(oracle)
+    for k, orow in oracle.items():
+        grow = got[k]
+        # per-row invariant: content sha256 equality (BASELINE.json)
+        assert grow["content_sha"] == orow["content_sha"], k
+        assert hashlib.sha256(grow["content"].encode()).hexdigest() == orow["content_sha"]
+        assert grow["commit"] == orow["commit"], k
+        # before the rename DDL the live column is still named `lang`
+        assert grow.get("language", grow.get("lang")) == orow["language"], k
+        assert grow.get("stars") == orow["stars"], k
+        assert grow["_sequence_num"] == orow["_sequence_num"], k
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_full_replay_parity(small_log, tmp_path):
+    log_dir, cfg, meta = small_log
+    lake = str(tmp_path / "lake")
+    s = run_replication(log_dir, lake, num_partitions=8)
+    assert s["events_applied"] > 0
+    assert s["last_lsn"] == meta["max_lsn"]
+    assert_parity(lake, log_dir)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_idempotent_rerun(small_log, tmp_path):
+    """Replaying the same log twice leaves identical state and applies 0 events
+    (exactly-once effect, F6.2)."""
+    log_dir, _, _ = small_log
+    lake = str(tmp_path / "lake")
+    run_replication(log_dir, lake, num_partitions=8)
+    before = lake_as_dict(lake)
+    s2 = run_replication(log_dir, lake, num_partitions=8)
+    assert s2["events_applied"] == 0
+    assert lake_as_dict(lake) == before
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_from_checkpoint(small_log, tmp_path):
+    """Kill after partial apply -> resume -> identical to one-shot replay
+    (F6.1: offset fence per partition)."""
+    log_dir, _, meta = small_log
+    lake = str(tmp_path / "lake")
+    half = meta["max_lsn"] // 2
+    s1 = run_replication(log_dir, lake, num_partitions=8, upto_lsn=half)
+    assert s1["last_lsn"] <= half
+    assert_parity(lake, log_dir, upto_lsn=half)
+    s2 = run_replication(log_dir, lake, num_partitions=8)
+    assert s2["resume_watermark"] > 0
+    assert_parity(lake, log_dir)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_soft_deletes_present(small_log, tmp_path):
+    """Deleted keys stay as tombstones with _is_deleted=true (target
+    bookkeeping contract, BQValidation.java:86-87)."""
+    from database_delta_plugins_ray.pipelines.replicate import read_lake
+
+    log_dir, _, _ = small_log
+    lake = str(tmp_path / "lake")
+    run_replication(log_dir, lake, num_partitions=8)
+    all_rows = read_lake(lake).take_all()
+    assert any(r["_is_deleted"] for r in all_rows)
+    for r in all_rows:
+        assert set(k for k in r if k.startswith("_")) == {
+            "_row_id", "_source_timestamp", "_is_deleted", "_sequence_num",
+        }
