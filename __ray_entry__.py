@@ -1,16 +1,10 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship CDC replication pipeline at sf0.001 scale;
+``queries()`` exposes one callable per implemented operator/pipeline
+(SURVEY.md §2); ``oracle_sql()`` gives the DuckDB-equivalent SQL for the
+SQL-expressible ones. Ray is initialised by the driver before this module
+is imported — nothing here calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -20,25 +14,36 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: full CDC replay -> final lake state (sf0.001)."""
+    from database_delta_plugins_ray.pipelines.queries import cdc_final_state
+
+    return cdc_final_state("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from database_delta_plugins_ray.pipelines.queries import CDC_QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    out.update(CDC_QUERIES)
+    try:
+        from database_delta_plugins_ray.pipelines.analytics import ANALYTICS_QUERIES
+
+        out.update(ANALYTICS_QUERIES)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from database_delta_plugins_ray.pipelines.queries import cdc_oracle_sql, ensure_log
+
+    # the driver compares at sf=0.01; make sure the log the SQL reads exists
+    ensure_log("/root/testdata/sf0.01")
+    out = dict(cdc_oracle_sql("0.01"))
+    try:
+        from database_delta_plugins_ray.pipelines.analytics import ANALYTICS_ORACLE_SQL
+
+        out.update(ANALYTICS_ORACLE_SQL)
+    except ImportError:
+        pass
+    return out

@@ -1,0 +1,237 @@
+"""Driver-facing query catalog.
+
+Each query is a callable ``(sf_dir) -> Dataset | pandas.DataFrame |
+pyarrow.Table`` paired (where SQL-expressible) with an ANSI-SQL oracle that
+DuckDB runs over the same inputs. CDC queries run over a deterministic
+synthetic event log derived from the scale factor (cached under /tmp), so
+the SQL oracle can replay the very same Parquet segments with window
+functions — the LWW replay is exactly ``row_number() OVER (PARTITION BY pk
+ORDER BY lsn DESC) = 1`` (reference contract BQValidation.java:86-90).
+
+Column names in the Ray results match the oracle SQL exactly (driver
+hashes values with columns sorted by name).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.gen import GenConfig, generate_log
+from .replicate import final_state, run_replication
+
+CACHE_ROOT = "/tmp/ddpr_cache"
+
+#: per-scale-factor log sizes (events scale ~linearly with sf)
+_SF_SIZES = {
+    "0.001": dict(n_keys=1_000, n_events=5_000, n_repos=16, n_segments=4),
+    "0.01": dict(n_keys=8_000, n_events=50_000, n_repos=32, n_segments=8),
+    "0.1": dict(n_keys=60_000, n_events=500_000, n_repos=64, n_segments=16),
+}
+
+
+def sf_tag(sf_dir: str) -> str:
+    m = re.search(r"sf([\d.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return m.group(1) if m else "0.01"
+
+
+def log_dir_for(sf_dir: str) -> str:
+    return os.path.join(CACHE_ROOT, f"sf{sf_tag(sf_dir)}", "log")
+
+
+def ensure_log(sf_dir: str) -> str:
+    """Generate (once, deterministic) the CDC log for this scale factor."""
+    tag = sf_tag(sf_dir)
+    sizes = _SF_SIZES.get(tag, _SF_SIZES["0.01"])
+    d = log_dir_for(sf_dir)
+    generate_log(d, GenConfig(seed=42, **sizes))
+    return d
+
+
+def fresh_lake(sf_dir: str, name: str) -> str:
+    lake = os.path.join(CACHE_ROOT, f"sf{sf_tag(sf_dir)}", name)
+    shutil.rmtree(lake, ignore_errors=True)
+    return lake
+
+
+FINAL_COLS = ["repo", "path", "commit", "language", "stars", "content_sha",
+              "_sequence_num"]
+
+
+# ---------------------------------------------------------------------------
+# CDC queries
+# ---------------------------------------------------------------------------
+
+
+def cdc_final_state(sf_dir: str):
+    """Full replay -> final lake table (the flagship pipeline)."""
+    log = ensure_log(sf_dir)
+    lake = fresh_lake(sf_dir, "lake_final")
+    run_replication(log, lake, num_partitions=16)
+    return final_state(lake, columns=FINAL_COLS)
+
+
+def cdc_resume_equivalence(sf_dir: str):
+    """Replay first half, checkpoint, resume rest -> must equal one-shot
+    replay (same oracle SQL as cdc_final_state; F6.1)."""
+    import json
+
+    log = ensure_log(sf_dir)
+    with open(os.path.join(log, "meta.json")) as fh:
+        half = json.load(fh)["max_lsn"] // 2
+    lake = fresh_lake(sf_dir, "lake_resume")
+    run_replication(log, lake, num_partitions=16, upto_lsn=half)
+    run_replication(log, lake, num_partitions=16)
+    return final_state(lake, columns=FINAL_COLS)
+
+
+def cdc_op_counts(sf_dir: str):
+    """Event counts by op over the raw log (M5/M6 routing sanity)."""
+    import ray.data
+
+    from .replicate import log_files
+
+    ds = ray.data.read_parquet(log_files(ensure_log(sf_dir)), columns=["op"])
+    return ds.groupby("op").count().rename_columns(["op", "n"])
+
+
+def cdc_events_per_repo(sf_dir: str):
+    """DML events per repo (shuffle-light: per-batch partial count then a
+    tiny groupby over partials — the pre-aggregation pattern)."""
+    import ray.data
+
+    from .replicate import log_files
+
+    ds = ray.data.read_parquet(
+        log_files(ensure_log(sf_dir)), columns=["op", "before", "after"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.not_equal(batch["op"], "DDL")
+        batch = batch.filter(m)
+        repo = pc.if_else(
+            pc.equal(batch["op"], "D"),
+            pc.struct_field(batch["before"], "repo"),
+            pc.struct_field(batch["after"], "repo"),
+        )
+        t = pa.table({"repo": repo})
+        g = t.group_by("repo").aggregate([("repo", "count")])
+        return pa.table({"repo": g["repo"], "partial_n": g["repo_count"]})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    from ray.data.aggregate import Sum
+
+    return partials.groupby("repo").aggregate(Sum("partial_n", alias_name="n"))
+
+
+def cdc_snapshot_ddl_sequence(sf_dir: str):
+    """The golden snapshot DDL prefix in log order
+    (MySqlEventReaderIntegrationTest.java:182-245)."""
+    import ray.data
+
+    from .replicate import log_files
+
+    ds = ray.data.read_parquet(log_files(ensure_log(sf_dir)), columns=["lsn", "op", "ddl"])
+    ds = ds.filter(expr="op == 'DDL'")
+
+    def flat(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lsn": batch["lsn"],
+                "ddl_op": pc.struct_field(batch["ddl"], "op"),
+                "ddl_table": pc.struct_field(batch["ddl"], "table"),
+            }
+        )
+
+    return ds.map_batches(flat, batch_format="pyarrow").sort("lsn")
+
+
+def cdc_tombstones(sf_dir: str):
+    """Soft-deleted keys in the lake (deleted and never re-inserted):
+    target bookkeeping contract (_is_deleted, BQValidation.java:86-87)."""
+    from .replicate import read_lake
+
+    log = ensure_log(sf_dir)
+    lake = os.path.join(CACHE_ROOT, f"sf{sf_tag(sf_dir)}", "lake_final")
+    if not os.path.isdir(os.path.join(lake, "_checkpoints")):
+        run_replication(log, lake, num_partitions=16)
+    ds = read_lake(lake, columns=["repo", "path", "_is_deleted", "_sequence_num"])
+    return ds.filter(expr="_is_deleted == True").select_columns(
+        ["repo", "path", "_sequence_num"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — parameterized on the sf0.01 cache path, which the
+# driver uses for side-by-side correctness runs
+# ---------------------------------------------------------------------------
+
+
+def _log_glob(sf: str = "0.01") -> str:
+    return os.path.join(CACHE_ROOT, f"sf{sf}", "log", "seg-*.parquet")
+
+
+_LWW_CTE = """
+WITH ev AS (
+  SELECT lsn, op,
+         coalesce(after.repo, before.repo)  AS k_repo,
+         coalesce(after.path, before.path)  AS k_path,
+         after."commit" AS "commit",
+         coalesce(after.language, after.lang) AS language,
+         after.stars AS stars,
+         sha256(after.content) AS content_sha
+  FROM read_parquet('{glob}')
+  WHERE op <> 'DDL'
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY k_repo, k_path ORDER BY lsn DESC) AS rn
+  FROM ev
+)
+"""
+
+
+def cdc_oracle_sql(sf: str = "0.01") -> dict[str, str]:
+    glob = _log_glob(sf)
+    lww = _LWW_CTE.format(glob=glob)
+    final_sql = (
+        lww
+        + """
+SELECT k_repo AS repo, k_path AS path, "commit", language, stars, content_sha,
+       lsn AS _sequence_num
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+    )
+    return {
+        "cdc_final_state": final_sql,
+        "cdc_resume_equivalence": final_sql,
+        "cdc_op_counts": f"""
+SELECT op, count(*) AS n FROM read_parquet('{glob}') GROUP BY op
+""",
+        "cdc_events_per_repo": f"""
+SELECT coalesce(after.repo, before.repo) AS repo, count(*) AS n
+FROM read_parquet('{glob}') WHERE op <> 'DDL' GROUP BY 1
+""",
+        "cdc_snapshot_ddl_sequence": f"""
+SELECT lsn, ddl.op AS ddl_op, ddl."table" AS ddl_table
+FROM read_parquet('{glob}') WHERE op = 'DDL' ORDER BY lsn
+""",
+        "cdc_tombstones": lww
+        + """
+SELECT k_repo AS repo, k_path AS path, lsn AS _sequence_num
+FROM ranked WHERE rn = 1 AND op = 'D'
+""",
+    }
+
+
+CDC_QUERIES = {
+    "cdc_final_state": cdc_final_state,
+    "cdc_resume_equivalence": cdc_resume_equivalence,
+    "cdc_op_counts": cdc_op_counts,
+    "cdc_events_per_repo": cdc_events_per_repo,
+    "cdc_snapshot_ddl_sequence": cdc_snapshot_ddl_sequence,
+    "cdc_tombstones": cdc_tombstones,
+}
