@@ -1,0 +1,360 @@
+"""Analytics / training-data query catalog over the driver testdata tables
+(lineitem, orders, events, documents, embeddings).
+
+Each SQL-expressible query has a DuckDB oracle with IDENTICAL column names;
+float aggregates are rounded identically on both sides. Non-SQL-expressible
+operators (LSH dedup, simhash, IVF-ANN, multimodal stubs, heuristic lang-id)
+are exposed rows-only.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+
+def _t(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
+    import ray
+
+    # cap read blocks near the CPU count: Ray's default ~200-block target
+    # makes every downstream sort/groupby latency-bound on small inputs
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns,
+        override_num_blocks=cpus,
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational / aggregate queries (SQL-oracled)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-style pricing summary with per-batch PARTIAL aggregation
+    before the (tiny) groupby — the canonical combine-then-shuffle shape."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+             "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        t = t.append_column("disc_price", disc_price)
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("l_quantity", "count")]
+        )
+        return pa.table(
+            {
+                "l_returnflag": g["l_returnflag"],
+                "l_linestatus": g["l_linestatus"],
+                "p_qty": g["l_quantity_sum"],
+                "p_base": g["l_extendedprice_sum"],
+                "p_disc": g["disc_price_sum"],
+                "p_n": g["l_quantity_count"],
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("p_qty", alias_name="sum_qty"),
+        Sum("p_base", alias_name="sum_base_price"),
+        Sum("p_disc", alias_name="sum_disc_price"),
+        Sum("p_n", alias_name="count_order"),
+    )
+    df = agg.to_pandas()  # a handful of groups — driver-side finish is fine
+    df["avg_qty"] = (df["sum_qty"] / df["count_order"]).round(4)
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        df[c] = df[c].round(2)
+    return df[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+               "sum_disc_price", "avg_qty", "count_order"]]
+
+
+def events_latest_per_user(sf_dir: str):
+    """Last event per user by (ts, event_id) — the LWW primitive applied to
+    the events stream (same semantics as the CDC merge, different key)."""
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts", "event_type", "value"])
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["ts", "event_id"]).tail(1)
+
+    return ds.groupby("user_id").map_groups(latest, batch_format="pandas")
+
+
+def top_users_by_value(sf_dir: str):
+    """Top-20 users by total event value (groupby-sum -> sort -> limit)."""
+    ds = _t(sf_dir, "events", ["user_id", "value"])
+    agg = ds.groupby("user_id").aggregate(Sum("value", alias_name="total_value"))
+    df = agg.to_pandas()
+    df["total_value"] = df["total_value"].round(2)
+    df = df.sort_values(["total_value", "user_id"], ascending=[False, True]).head(20)
+    return df.reset_index(drop=True)
+
+
+def filter_orders_high(sf_dir: str):
+    """Filter + projection with predicate pushdown at the read."""
+    import pyarrow.dataset as pads
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"],
+        filter=(pads.field("o_totalprice") > 200000.0),
+    )
+    ds = ds.filter(expr="o_orderstatus == 'O'")
+    return ds.select_columns(["o_orderkey", "o_custkey", "o_totalprice"])
+
+
+# ---------------------------------------------------------------------------
+# text / dedup queries
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_documents(sf_dir: str):
+    from ..stages.dedup import exact_dedup
+
+    return exact_dedup(_t(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def doc_token_stats(sf_dir: str):
+    """Per-document char/token counts (vectorized regex)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.text import token_counts
+
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chars": df["text"].str.len().astype("int64"),
+                "n_tokens": token_counts(df["text"]),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
+def doc_fingerprints(sf_dir: str):
+    """Rolling-hash-style document fingerprint (md5 of normalized text)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.text import fingerprint
+
+        return pd.DataFrame({"doc_id": df["doc_id"], "fp": fingerprint(df["text"])})
+
+    return ds.map_batches(fp, batch_format="pandas")
+
+
+def docs_per_lang_source(sf_dir: str):
+    ds = _t(sf_dir, "documents", ["lang", "source"])
+    return ds.groupby(["lang", "source"]).aggregate(Count(alias_name="n"))
+
+
+def lang_id_documents(sf_dir: str):
+    """Heuristic language ID (stopword/han-script n-gram heuristic) +
+    agreement with the labeled lang column. Rows-only (heuristic)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def ident(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.text import lang_id
+
+        pred = lang_id(df["text"])
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "lang": df["lang"], "lang_pred": pred,
+             "match": (pred == df["lang"]).astype("int64")}
+        )
+
+    return ds.map_batches(ident, batch_format="pandas")
+
+
+def quality_scores_documents(sf_dir: str):
+    """Per-document quality features + composite score. Rows-only."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    class Scorer:
+        def __init__(self):
+            from ..functions import text as textmod
+
+            self.mod = textmod  # regexes compiled at import, held per actor
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            out = self.mod.quality_scores(df["text"])
+            out.insert(0, "doc_id", df["doc_id"].to_numpy())
+            return out
+
+    return ds.map_batches(Scorer, batch_format="pandas", concurrency=2)
+
+
+def dedup_minhash_documents(sf_dir: str):
+    from ..stages.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
+    )
+
+
+def dedup_simhash_documents(sf_dir: str):
+    from ..stages.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _t(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3
+    )
+
+
+def dedup_ngram_documents(sf_dir: str):
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(sf_dir, "documents", ["doc_id", "text", "lang"]), threshold=0.5
+    )
+
+
+def dedup_embedding_vectors(sf_dir: str):
+    from ..stages.dedup import embedding_cosine_pairs
+
+    # the synthetic embeddings are isotropic (max pairwise cosine ~0.48), so
+    # the near-dup threshold is set where pairs exist; few/wide hyperplane
+    # tables keep LSH recall reasonable at this low similarity
+    return embedding_cosine_pairs(
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"]), dim=64,
+        threshold=0.40, n_planes=4, n_tables=8,
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    idx = pc.index(t["vec_id"], 0).as_py()
+    return np.asarray(t["embedding"][idx].as_py(), dtype=np.float64)
+
+
+def ann_topk_cosine(sf_dir: str):
+    """Exact brute-force top-10 cosine neighbours of vec_id=0."""
+    from ..stages.similarity import ann_topk_bruteforce
+
+    df = ann_topk_bruteforce(
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"]), _query_vec(sf_dir), k=10
+    )
+    df["score"] = df["score"].round(5)
+    return df
+
+
+def ann_topk_ivf_q(sf_dir: str):
+    """IVF-accelerated top-10 (approximate; rows-only check)."""
+    from ..stages.similarity import ann_topk_ivf
+
+    df = ann_topk_ivf(
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"]), _query_vec(sf_dir),
+        k=10, n_clusters=8, nprobe=4,
+    )
+    df["score"] = df["score"].round(5)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# multimodal (stubbed decode; real plumbing)
+# ---------------------------------------------------------------------------
+
+
+def multimodal_features(sf_dir: str):
+    from ..stages.multimodal import decode_pipeline, media_from_documents
+
+    media = media_from_documents(_t(sf_dir, "documents", ["doc_id", "text"]))
+    out = decode_pipeline(media, batch_size=256, concurrency=2)
+    return out.select_columns(["media_id", "width", "height", "channels"])
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+ANALYTICS_ORACLE_SQL = {
+    "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_quantity) / count(*), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+    "events_latest_per_user": """
+SELECT user_id, event_id, ts, event_type, value FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+""",
+    "top_users_by_value": """
+SELECT user_id, round(sum(value), 2) AS total_value
+FROM events GROUP BY user_id
+ORDER BY total_value DESC, user_id LIMIT 20
+""",
+    "filter_orders_high": """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_totalprice > 200000.0 AND o_orderstatus = 'O'
+""",
+    "dedup_exact_documents": """
+SELECT md5(text) AS text_md5, min(doc_id) AS doc_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+""",
+    "doc_token_stats": """
+SELECT doc_id, length(text) AS n_chars,
+       len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens
+FROM documents
+""",
+    "doc_fingerprints": """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+""",
+    "docs_per_lang_source": """
+SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source
+""",
+    "ann_topk_cosine": """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(list_cosine_similarity(embedding, (SELECT qv FROM q)), 5) AS score
+FROM embeddings ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC,
+                         vec_id LIMIT 10
+""",
+}
+
+ANALYTICS_QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "events_latest_per_user": events_latest_per_user,
+    "top_users_by_value": top_users_by_value,
+    "filter_orders_high": filter_orders_high,
+    "dedup_exact_documents": dedup_exact_documents,
+    "doc_token_stats": doc_token_stats,
+    "doc_fingerprints": doc_fingerprints,
+    "docs_per_lang_source": docs_per_lang_source,
+    "lang_id_documents": lang_id_documents,
+    "quality_scores_documents": quality_scores_documents,
+    "dedup_minhash_documents": dedup_minhash_documents,
+    "dedup_simhash_documents": dedup_simhash_documents,
+    "dedup_ngram_documents": dedup_ngram_documents,
+    "dedup_embedding_vectors": dedup_embedding_vectors,
+    "ann_topk_cosine": ann_topk_cosine,
+    "ann_topk_ivf": ann_topk_ivf_q,
+    "multimodal_features": multimodal_features,
+}
+
+#: subset timed by bench.py at sf0.1
+BENCH_QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "events_latest_per_user": events_latest_per_user,
+    "dedup_minhash_documents": dedup_minhash_documents,
+    "ann_topk_cosine": ann_topk_cosine,
+}

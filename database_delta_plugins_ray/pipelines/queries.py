@@ -30,7 +30,7 @@ CACHE_ROOT = "/tmp/ddpr_cache"
 _SF_SIZES = {
     "0.001": dict(n_keys=1_000, n_events=5_000, n_repos=16, n_segments=4),
     "0.01": dict(n_keys=8_000, n_events=50_000, n_repos=32, n_segments=8),
-    "0.1": dict(n_keys=60_000, n_events=500_000, n_repos=64, n_segments=16),
+    "0.1": dict(n_keys=200_000, n_events=2_000_000, n_repos=128, n_segments=32),
 }
 
 

@@ -115,8 +115,16 @@ def run_replication(
         c = pads.field("lsn") <= upto_lsn
         flt = c if flt is None else (flt & c)
 
+    files = log_files(log_dir)
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    if override_num_blocks is None:
+        # Ray's default targets ~200 read output blocks regardless of size;
+        # hundreds of tiny blocks make the sort shuffle latency-bound
+        # (observed 4x slowdown). Aim for ~2 blocks per CPU instead; large
+        # logs still split via target_max_block_size downstream.
+        override_num_blocks = max(2 * cpus, min(len(files), 4 * cpus))
     ds = ray.data.read_parquet(
-        log_files(log_dir),
+        files,
         columns=_READ_COLUMNS,
         filter=flt,
         override_num_blocks=override_num_blocks,
@@ -142,15 +150,17 @@ def run_replication(
     )
 
     payload_columns = _payload_columns(registry, columns, compute_sha)
-    cpus = int(ray.cluster_resources().get("CPU", 4))
     if merge_concurrency is None:
         # leave headroom for read/normalize/shuffle tasks next to the pool
         merge_concurrency = max(1, min(num_partitions, cpus - 1))
+    # autoscaling pool (1, N): a fixed pool would pre-start N actors that
+    # RESERVE N CPUs while idling behind the Sort barrier, starving the
+    # read/normalize stages (observed: 31 idle actors pinning 31/32 CPUs)
     summary_ds = ds.groupby("part").map_groups(
         PartitionMerger,
         fn_constructor_args=(lake_dir, reg_ref, payload_columns),
         batch_format="pyarrow",
-        concurrency=merge_concurrency,
+        concurrency=(1, merge_concurrency),
     )
     rows = summary_ds.take_all()
 

@@ -108,55 +108,67 @@ def _mix(key: np.ndarray, version: np.ndarray, salt: int) -> np.ndarray:
     return h
 
 
-def commit_hash(key: np.ndarray, version: np.ndarray) -> np.ndarray:
+def _join(*parts) -> pa.Array:
+    """Vectorized element-wise string concat (Arrow kernel; python str args
+    broadcast as scalars)."""
+    args = [p if isinstance(p, (pa.Array, pa.ChunkedArray)) else pa.scalar(p)
+            for p in parts]
+    return pa.compute.binary_join_element_wise(*args, "")
+
+
+def _int_str(a: np.ndarray, width: int = 0) -> pa.Array:
+    s = pa.compute.cast(pa.array(a.astype(np.int64)), pa.string())
+    if width:
+        s = pa.compute.utf8_lpad(s, width, padding="0")
+    return s
+
+
+def commit_hash(key: np.ndarray, version: np.ndarray) -> pa.Array:
     """Deterministic 40-hex 'commit sha' per (key, version)."""
-    h1 = _hex_u64(_mix(key, version, 1))
-    h2 = _hex_u64(_mix(key, version, 2))
-    h3 = _hex_u64(_mix(key, version, 3))
-    s = pd.Series(h1).str.cat(pd.Series(h2)).str.cat(pd.Series(h3).str[:8])
-    return s.to_numpy()
+    h1 = pa.array(_hex_u64(_mix(key, version, 1)))
+    h2 = pa.array(_hex_u64(_mix(key, version, 2)))
+    h3 = pa.compute.utf8_slice_codeunits(
+        pa.array(_hex_u64(_mix(key, version, 3))), 0, 8
+    )
+    return _join(h1, h2, h3)
 
 
-def key_repo_path(key: np.ndarray, n_repos: int, n_keys: int) -> tuple[np.ndarray, np.ndarray]:
+def key_repo_path(key: np.ndarray, n_repos: int, n_keys: int) -> tuple[pa.Array, pa.Array]:
     """Deterministic (repo, path) strings for key ids.
 
-    Repos are zipf-sized: repo index = floor(n_repos * sqrt(u)) biases keys
+    Repos are zipf-sized: repo index = floor(n_repos * u^2) biases keys
     toward low-index repos (hot repos), deterministically from the key id.
     """
     u = (_mix(key, np.zeros_like(key), 7).astype(np.float64) / 2**64)
     repo_idx = np.minimum((n_repos * u * u).astype(np.int64), n_repos - 1)
-    repo = pd.Series(repo_idx).map("repo-{:04d}".format).to_numpy()
+    repo = _join("repo-", _int_str(repo_idx, 4))
     k = key.astype(np.int64)
-    path = (
-        pd.Series(k // 64).map("src/pkg_{:04d}/".format)
-        + pd.Series(k).map("mod_{:07d}".format)
-        + "."
-        + pd.Series(LANGS[k % len(LANGS)])
-    ).to_numpy()
+    path = _join(
+        "src/pkg_", _int_str(k // 64, 4), "/mod_", _int_str(k, 7), ".",
+        pa.array(LANGS[k % len(LANGS)]),
+    )
     return repo, path
 
 
 def content_for(
-    repo: np.ndarray, path: np.ndarray, version: np.ndarray, key: np.ndarray, pad: int
-) -> np.ndarray:
+    repo: pa.Array, path: pa.Array, version: np.ndarray, key: np.ndarray, pad: int
+) -> pa.Array:
     """Deterministic content body per (key, version); ~pad bytes."""
     h = _mix(key, version, 11)
-    line = (
-        pd.Series(_hex_u64(h)).radd("x = 0x").str.cat(pd.Series((h % np.uint64(9973)).astype(str)), sep="\ndef f():\n    return ")
+    line = _join(
+        "x = 0x", pa.array(_hex_u64(h)), "\ndef f():\n    return ",
+        _int_str((h % np.uint64(9973)).astype(np.int64)),
     )
     reps = max(1, pad // 48)
-    body = line
-    for _ in range(reps - 1):
-        body = body.str.cat(line, sep="\n")
-    out = (
-        "// "
-        + pd.Series(repo)
-        + "/"
-        + pd.Series(path)
-        + pd.Series(version.astype(np.int64)).map(" @v{}\n".format)
-        + body
+    body_parts: list = []
+    for i in range(reps):
+        if i:
+            body_parts.append("\n")
+        body_parts.append(line)
+    return pa.compute.cast(
+        _join("// ", repo, "/", path, " @v", _int_str(version), "\n", *body_parts),
+        pa.large_string(),
     )
-    return out.to_numpy()
 
 
 def _segmented_state(key_ids: np.ndarray, del_flag: np.ndarray, in_base_k: np.ndarray):
@@ -222,27 +234,25 @@ def _payload_struct(
     Columns obey schema-version validity: ``stars`` only for sv>=1,
     ``language`` (renamed from ``lang``) only for sv>=2.
     """
-    n = len(key)
     repo, path = key_repo_path(key, cfg.n_repos, cfg.n_keys)
     commit = commit_hash(key, version)
-    lang_vals = LANGS[key.astype(np.int64) % len(LANGS)]
+    lang_vals = pa.array(LANGS[key.astype(np.int64) % len(LANGS)])
     content = content_for(repo, path, version, key, cfg.content_pad)
-    stars_np = (_mix(key, version, 5) % np.uint64(100_000)).astype(np.int64)
+    stars = pa.array((_mix(key, version, 5) % np.uint64(100_000)).astype(np.int64))
 
     has_stars = schema_version >= 1
     renamed = schema_version >= 2
 
     mask_invalid = ~valid  # True where struct is null
 
-    def col(values, null_extra=None, typ=None):
-        arr = pa.array(values, type=typ)
+    def col(arr: pa.Array, null_extra: np.ndarray | None = None) -> pa.Array:
         null_mask = mask_invalid if null_extra is None else (mask_invalid | null_extra)
         if null_mask.any():
-            arr = pa.array(
-                np.asarray(values, dtype=object) if not isinstance(values, np.ndarray) else values,
-                type=typ,
-                mask=null_mask,
+            arr = pa.compute.if_else(
+                pa.array(~null_mask), arr, pa.scalar(None, arr.type)
             )
+        if isinstance(arr, pa.ChunkedArray):  # string kernels chunk >2GiB
+            arr = arr.combine_chunks()
         return arr
 
     arrays = [
@@ -250,9 +260,9 @@ def _payload_struct(
         col(path),
         col(commit),
         col(lang_vals, null_extra=renamed),
-        pa.array(content, type=pa.large_string(), mask=mask_invalid),
-        col(stars_np, null_extra=~has_stars, typ=pa.int64()),
-        col(np.where(renamed, lang_vals, ""), null_extra=~renamed),
+        col(content),
+        col(stars, null_extra=~has_stars),
+        col(lang_vals, null_extra=~renamed),
     ]
     return pa.StructArray.from_arrays(
         arrays, fields=list(UNION_PAYLOAD_FIELDS), mask=pa.array(mask_invalid)
@@ -380,9 +390,7 @@ def generate_log(out_dir: str, cfg: GenConfig | None = None, **kw) -> dict:
                 pa.table(
                     {
                         "lsn": pa.array(lsns),
-                        "tx_id": pa.array(
-                            pd.Series(lsns).map("binlog.000001:{}".format).to_numpy()
-                        ),
+                        "tx_id": _join("binlog.000001:", _int_str(lsns)),
                         "op": pa.array(np.full(n_base, OP_INSERT)),
                         "table": pa.array(np.full(n_base, cfg.table)),
                         "before": _null_struct(n_base, PAYLOAD_STRUCT),
@@ -410,14 +418,11 @@ def generate_log(out_dir: str, cfg: GenConfig | None = None, **kw) -> dict:
     after = _payload_struct(key_ids, version, sv_stream, has_after, cfg)
     before = _payload_struct(key_ids, before_ver, sv_stream, has_before, cfg)
     seg_no = 2 + (lsn_stream * cfg.n_segments) // (lsn_stream.max() + 1) if n else lsn_stream
-    tx = (
-        pd.Series(seg_no).map("binlog.{:06d}:".format)
-        + pd.Series(lsn_stream).astype(str)
-    ).to_numpy() if n else np.array([], dtype=object)
+    tx = _join("binlog.", _int_str(seg_no, 6), ":", _int_str(lsn_stream))
     stream_tbl = pa.table(
         {
             "lsn": pa.array(lsn_stream),
-            "tx_id": pa.array(tx),
+            "tx_id": tx,
             "op": pa.array(op),
             "table": pa.array(np.full(n, cfg.table)),
             "before": before,

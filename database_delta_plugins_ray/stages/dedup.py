@@ -1,0 +1,307 @@
+"""Deduplication operators over a documents Dataset.
+
+Five families, each expressed Ray-Data-first (SURVEY.md mandate for
+training-data pipelines):
+
+* exact           — content-hash groupby, keep min id (hash-partition + first)
+* minhash_lsh     — shingle -> minhash -> band -> bucket groupby -> verify
+* simhash         — 64-bit simhash, banded buckets, hamming verify
+* ngram_jaccard   — exact n-gram Jaccard verification of candidate pairs
+* embedding_cosine— random-hyperplane LSH buckets + cosine verify
+
+Scale notes (documented partitioning assumptions):
+- the band/bucket groupby is the one shuffle; bucket keys are (band_id,
+  band_hash) so hot buckets are bounded by collision rate, not data size;
+- candidate verification joins each pair's shingle sets; pairs are
+  re-verified inside the bucket group (both docs' payloads are already
+  co-located by the shuffle) — no driver-side join;
+- pair output is deduplicated by a second tiny groupby on (id_a, id_b).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Min
+
+from ..functions.text import (
+    band_hashes,
+    hamming64,
+    jaccard,
+    minhash_params,
+    minhash_signature,
+    shingle_hashes,
+    simhash64,
+)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
+                id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Exact duplicate groups: md5(text) -> (keep = min id, n_dups).
+
+    hash-partition + per-group first, the canonical exact-dedup shape: the
+    shuffle moves (hash, id) pairs only — never the documents."""
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "text_md5": df[text_col].map(
+                    lambda s: hashlib.md5(s.encode()).hexdigest()
+                ),
+                id_col: df[id_col],
+            }
+        )
+
+    hashed = ds.map_batches(add_hash, batch_format="pandas")
+    return hashed.groupby("text_md5").aggregate(
+        Min(id_col, alias_name=id_col), Count(alias_name="n_dups")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+
+class MinHasher:
+    """Actor-pool stage: shingles + minhash signature per document; emits
+    exploded (band, band_hash, id, sig, shingles) rows for the bucket
+    shuffle. Permutation params are built ONCE per actor."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, ngram: int = 3,
+                 text_col: str = "text", id_col: str = "doc_id") -> None:
+        self.a, self.b = minhash_params(num_perm)
+        self.bands = bands
+        self.ngram = ngram
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, bands_col, bhash, sigs, shs = [], [], [], [], []
+        for i, txt in zip(batch[self.id_col], batch[self.text_col]):
+            sh = shingle_hashes(txt, self.ngram)
+            sig = minhash_signature(sh, self.a, self.b)
+            bh = band_hashes(sig, self.bands)
+            for bidx in range(self.bands):
+                ids.append(i)
+                bands_col.append(bidx)
+                bhash.append(bh[bidx])
+                sigs.append(sig.tobytes())
+                shs.append(sh.tobytes())
+        return pd.DataFrame(
+            {
+                "band": np.array(bands_col, dtype=np.int32),
+                "band_hash": np.array(bhash, dtype=np.uint64).astype(np.int64),
+                self.id_col: ids,
+                "sig": sigs,
+                "shingles": shs,
+            }
+        )
+
+
+def _verify_bucket(g: pd.DataFrame, id_col: str, threshold: float) -> pd.DataFrame:
+    """Within one LSH bucket: exact Jaccard over all pairs (bucket sizes are
+    small by construction; quadratic locally, never globally)."""
+    if len(g) < 2:
+        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    g = g.drop_duplicates(id_col).sort_values(id_col)
+    ids = g[id_col].to_numpy()
+    shs = [np.frombuffer(b, dtype=np.uint64) for b in g["shingles"]]
+    a_out, b_out, j_out = [], [], []
+    for i in range(len(ids)):
+        for k in range(i + 1, len(ids)):
+            j = jaccard(shs[i], shs[k])
+            if j >= threshold:
+                a_out.append(ids[i])
+                b_out.append(ids[k])
+                j_out.append(round(j, 6))
+    return pd.DataFrame({"id_a": a_out, "id_b": b_out, "jaccard": j_out})
+
+
+def minhash_lsh_pairs(
+    ds: "ray.data.Dataset",
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """Near-duplicate pairs via MinHash-LSH: shingle -> minhash -> band ->
+    bucket groupby -> exact-Jaccard verify -> pair dedup."""
+    exploded = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(
+            num_perm=num_perm, bands=bands, ngram=ngram,
+            text_col=text_col, id_col=id_col,
+        ),
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
+    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
+        lambda g: _verify_bucket(g, id_col, threshold), batch_format="pandas"
+    )
+    # a pair can surface from several bands -> dedup with a tiny groupby
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("jaccard", alias_name="jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+
+def simhash_pairs(
+    ds: "ray.data.Dataset",
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Near-dup pairs by 64-bit SimHash: band the hash into ``bands`` 16-bit
+    chunks (pigeonhole: any pair within hamming<=3 shares at least one of 4
+    chunks), bucket-groupby, verify hamming distance exactly."""
+
+    def add_sim(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        width = 64 // bands
+        mask = (1 << width) - 1
+        for i, txt in zip(df[id_col], df[text_col]):
+            h = simhash64(txt)
+            for bidx in range(bands):
+                out.append((bidx, (h >> (bidx * width)) & mask, i, h))
+        return pd.DataFrame(out, columns=["band", "chunk", id_col, "simhash"])
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(id_col).sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        hs = g["simhash"].to_numpy()
+        rows = []
+        for i in range(len(ids)):
+            for k in range(i + 1, len(ids)):
+                d = hamming64(int(hs[i]), int(hs[k]))
+                if d <= max_hamming:
+                    rows.append((ids[i], ids[k], d))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+
+    exploded = ds.map_batches(add_sim, batch_format="pandas")
+    pairs = exploded.groupby(["band", "chunk"]).map_groups(
+        verify, batch_format="pandas"
+    )
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (all-pairs within a partition key)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    ds: "ray.data.Dataset",
+    *,
+    ngram: int = 3,
+    threshold: float = 0.5,
+    partition_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Exact n-gram-Jaccard duplicate pairs, all-pairs WITHIN a partition
+    column (e.g. language) — the documented tractability assumption: cross-
+    partition duplicates are out of scope for the exact variant (use
+    minhash_lsh_pairs for unpartitioned near-dup search)."""
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        shs = [shingle_hashes(t, ngram) for t in g[text_col]]
+        rows = []
+        for i in range(len(ids)):
+            for k in range(i + 1, len(ids)):
+                j = jaccard(shs[i], shs[k])
+                if j >= threshold:
+                    rows.append((ids[i], ids[k], round(j, 6)))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+
+    return ds.select_columns([partition_col, id_col, text_col]).groupby(
+        partition_col
+    ).map_groups(verify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (random hyperplane LSH)
+# ---------------------------------------------------------------------------
+
+
+def embedding_cosine_pairs(
+    ds: "ray.data.Dataset",
+    *,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 99,
+) -> "ray.data.Dataset":
+    """Near-dup vector pairs: sign-LSH (random hyperplanes) buckets, then
+    exact cosine verification inside each bucket. ``n_tables`` independent
+    hash tables bound the miss rate; pair output deduplicated by groupby."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, dim, n_planes)).astype(np.float32)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(df[vec_col].to_numpy())
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        unit = vecs / np.maximum(norms, 1e-12)
+        rows_id, rows_tbl, rows_bkt, rows_vec = [], [], [], []
+        for t in range(n_tables):
+            bits = (unit @ planes[t]) > 0
+            codes = (bits * (1 << np.arange(n_planes))).sum(axis=1)
+            rows_id.extend(df[id_col].tolist())
+            rows_tbl.extend([t] * len(df))
+            rows_bkt.extend(codes.tolist())
+            rows_vec.extend([v.tobytes() for v in unit.astype(np.float32)])
+        return pd.DataFrame(
+            {"tbl": rows_tbl, "bucket": rows_bkt, id_col: rows_id, "unit": rows_vec}
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(id_col).sort_values(id_col)
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids = g[id_col].to_numpy()
+        m = np.stack([np.frombuffer(b, dtype=np.float32) for b in g["unit"]])
+        sims = m @ m.T
+        ii, kk = np.triu_indices(len(ids), k=1)
+        sel = sims[ii, kk] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[ii[sel]],
+                "id_b": ids[kk[sel]],
+                "cosine": np.round(sims[ii, kk][sel].astype(np.float64), 6),
+            }
+        )
+
+    exploded = ds.map_batches(bucketize, batch_format="pandas")
+    pairs = exploded.groupby(["tbl", "bucket"]).map_groups(
+        verify, batch_format="pandas"
+    )
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("cosine", alias_name="cosine")
+    )

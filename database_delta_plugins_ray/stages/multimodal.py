@@ -1,0 +1,161 @@
+"""Multimodal columns: images/audio/video as opaque ``binary`` columns with
+typed metadata, processed by actor-pool ``map_batches`` stages.
+
+The real decode libraries (PIL/opencv/librosa) are NOT in this container,
+so the decode kernels are STUBBED behind an import-try: when the library is
+missing, a clearly-marked deterministic fake decode produces stable feature
+values from the bytes themselves. The Ray-side plumbing — schema, batch
+sizing for large payloads, actor signature, output layout — is real and
+tested.
+
+Scale notes: binary payloads are large -> use small ``batch_size`` and keep
+``batch_format="pyarrow"`` (pandas would copy the buffers into object
+cells); feature extraction state (model weights in real life) loads once
+per actor in ``__init__``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("media", pa.large_binary()),
+        pa.field("mime", pa.string()),
+        pa.field("meta", pa.string()),  # JSON: source, capture info, ...
+    ]
+)
+
+
+def _fake_u64(b: bytes, salt: bytes) -> int:
+    return int.from_bytes(hashlib.blake2b(b, digest_size=8, key=salt).digest(), "big")
+
+
+class DecodeImageStub:
+    """Actor-pool image decode stage.
+
+    With PIL installed this would decode to (width, height, mode); in this
+    container it deterministically derives fake dimensions from the payload
+    bytes (STUB — see module docstring). Output schema is identical either
+    way, so downstream stages are real."""
+
+    def __init__(self) -> None:
+        try:  # pragma: no cover - PIL absent in this container
+            from PIL import Image  # noqa: F401
+
+            self._pil = Image
+        except ImportError:
+            self._pil = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        medias = batch["media"].to_pylist()
+        widths, heights, channels = [], [], []
+        for b in medias:
+            if self._pil is not None:  # pragma: no cover
+                import io
+
+                with self._pil.open(io.BytesIO(b)) as im:
+                    w, h = im.size
+                    c = len(im.getbands())
+            else:
+                # deterministic fake decode (STUB): stable pseudo-dimensions
+                w = _fake_u64(b, b"w") % 1920 + 1
+                h = _fake_u64(b, b"h") % 1080 + 1
+                c = 3
+            widths.append(w)
+            heights.append(h)
+            channels.append(c)
+        return (
+            batch.append_column("width", pa.array(widths, pa.int32()))
+            .append_column("height", pa.array(heights, pa.int32()))
+            .append_column("channels", pa.array(channels, pa.int32()))
+        )
+
+
+class ImageFeatureStub:
+    """Actor-pool feature extraction: in real life an embedding model loaded
+    once per actor; here an 8-dim deterministic byte-hash feature (STUB)."""
+
+    DIM = 8
+
+    def __init__(self) -> None:
+        # model-load analog: per-actor state built once
+        self._salts = [str(i).encode() for i in range(self.DIM)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        medias = batch["media"].to_pylist()
+        feats = np.empty((len(medias), self.DIM), dtype=np.float32)
+        for i, b in enumerate(medias):
+            for j, s in enumerate(self._salts):
+                feats[i, j] = (_fake_u64(b, s) % 10_000) / 10_000.0
+        return batch.drop_columns(["media"]).append_column(
+            "features", pa.array(list(feats), type=pa.list_(pa.float32()))
+        )
+
+
+class FrameSampleStub:
+    """Video frame sampling: emits ``n_frames`` pseudo-frames per media row
+    (flat_map-shaped: output rows > input rows). Real decoder would use
+    pyav/opencv; frame bytes are deterministic slices (STUB)."""
+
+    def __init__(self, n_frames: int = 4) -> None:
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_no, frames = [], [], []
+        for mid, b in zip(batch["media_id"].to_pylist(), batch["media"].to_pylist()):
+            step = max(1, len(b) // self.n_frames)
+            for f in range(self.n_frames):
+                ids.append(mid)
+                frame_no.append(f)
+                frames.append(b[f * step:(f + 1) * step])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_no": pa.array(frame_no, pa.int32()),
+                "frame": pa.array(frames, pa.large_binary()),
+            }
+        )
+
+
+def media_from_documents(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Adapter: wrap a text table as fake media rows (bytes payload) so the
+    multimodal plumbing is exercised on the synthetic corpus."""
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        enc = pc.cast(batch[text_col], pa.large_binary())
+        n = batch.num_rows
+        return pa.table(
+            {
+                "media_id": pc.cast(batch[id_col], pa.int64()),
+                "media": enc,
+                "mime": pa.array(["image/fake"] * n),
+                "meta": pa.array(["{}"] * n),
+            },
+            schema=MEDIA_SCHEMA,
+        )
+
+    return ds.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def decode_pipeline(media_ds, *, batch_size: int = 256, concurrency: int = 2):
+    """media -> decode (actor pool, small batches for large payloads) ->
+    features (actor pool). Returns dataset with width/height/channels +
+    8-dim features, media bytes dropped."""
+    decoded = media_ds.map_batches(
+        DecodeImageStub,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return decoded.map_batches(
+        ImageFeatureStub,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,141 @@
+"""Training-data operator tests (dedup families, ANN, multimodal plumbing)
+on small in-memory datasets under the shared Ray session."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        {"doc_id": 0, "lang": "en", "text": base},
+        {"doc_id": 1, "lang": "en", "text": base},  # exact dup of 0
+        {"doc_id": 2, "lang": "en", "text": base.replace("dog", "cat")},  # near-dup
+        {"doc_id": 3, "lang": "en",
+         "text": "completely different words about database shuffles and lakes"},
+        {"doc_id": 4, "lang": "de",
+         "text": "der hund und die katze laufen durch das haus in der stadt"},
+    ]
+    return ray.data.from_items(rows)
+
+
+def test_exact_dedup(docs):
+    from database_delta_plugins_ray.stages.dedup import exact_dedup
+
+    out = {r["doc_id"]: r["n_dups"] for r in exact_dedup(docs).take_all()}
+    assert out[0] == 2          # docs 0,1 collapse, min id kept
+    assert 1 not in out
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    from database_delta_plugins_ray.stages.dedup import minhash_lsh_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in minhash_lsh_pairs(docs, threshold=0.5).take_all()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_simhash_pairs(docs):
+    from database_delta_plugins_ray.stages.dedup import simhash_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_pairs(docs, max_hamming=10).take_all()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0
+
+
+def test_ngram_jaccard_partitioned(docs):
+    from database_delta_plugins_ray.stages.dedup import ngram_jaccard_pairs
+
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             ngram_jaccard_pairs(docs, threshold=0.4).take_all()}
+    assert (0, 1) in pairs and (0, 2) in pairs
+
+
+def test_ann_bruteforce_matches_numpy(ray_session):
+    from database_delta_plugins_ray.stages.similarity import ann_topk_bruteforce
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(300)]
+    )
+    q = vecs[7]
+    got = ann_topk_bruteforce(ds, q, k=5)
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qs = unit @ (q / np.linalg.norm(q))
+    want = sorted(range(300), key=lambda i: (-qs[i], i))[:5]
+    assert got["vec_id"].tolist() == want
+    assert got["vec_id"].iloc[0] == 7  # self
+
+
+def test_ann_ivf_reasonable_recall(ray_session):
+    from database_delta_plugins_ray.stages.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_ivf,
+    )
+
+    rng = np.random.default_rng(6)
+    centers = rng.standard_normal((8, 16)) * 4
+    vecs = (centers[rng.integers(0, 8, 600)] +
+            rng.standard_normal((600, 16))).astype(np.float32)
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(600)]
+    )
+    q = vecs[11]
+    exact = set(ann_topk_bruteforce(ds, q, k=10)["vec_id"])
+    approx = set(ann_topk_ivf(ds, q, k=10, n_clusters=8, nprobe=3)["vec_id"])
+    assert len(exact & approx) >= 7  # clustered data -> high recall
+
+
+def test_embedding_cosine_pairs(ray_session):
+    from database_delta_plugins_ray.stages.dedup import embedding_cosine_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(32).astype(np.float32)
+    rows = [{"vec_id": 0, "embedding": base.tolist()},
+            {"vec_id": 1, "embedding": (base + 0.05 * rng.standard_normal(32)
+                                        .astype(np.float32)).tolist()}]
+    rows += [{"vec_id": i, "embedding": rng.standard_normal(32).astype(np.float32).tolist()}
+             for i in range(2, 50)]
+    ds = ray.data.from_items(rows)
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             embedding_cosine_pairs(ds, dim=32, threshold=0.9).take_all()}
+    assert (0, 1) in pairs
+
+
+def test_multimodal_plumbing(ray_session):
+    from database_delta_plugins_ray.stages.multimodal import (
+        FrameSampleStub,
+        decode_pipeline,
+        media_from_documents,
+    )
+
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": f"payload {i} " * (i + 1)} for i in range(20)]
+    )
+    media = media_from_documents(docs)
+    out = decode_pipeline(media, batch_size=8, concurrency=2)
+    rows = out.take_all()
+    assert len(rows) == 20
+    for r in rows:
+        assert 1 <= r["width"] <= 1920 and 1 <= r["height"] <= 1080
+        assert len(r["features"]) == 8 and all(0 <= f <= 1 for f in r["features"])
+        assert "media" not in r  # payload dropped after feature extraction
+    # deterministic across runs
+    rows2 = decode_pipeline(media_from_documents(docs), batch_size=8,
+                            concurrency=2).take_all()
+    assert {r["media_id"]: r["width"] for r in rows} == \
+           {r["media_id"]: r["width"] for r in rows2}
+    # frame sampling explodes rows
+    frames = media.map_batches(FrameSampleStub, batch_format="pyarrow",
+                               concurrency=2,
+                               fn_constructor_kwargs={"n_frames": 3}).take_all()
+    assert len(frames) == 60
