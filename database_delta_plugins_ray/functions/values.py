@@ -1,0 +1,160 @@
+"""Runtime value-conversion kernels (SURVEY.md §2.3) — vectorized pyarrow /
+numpy implementations of the reference's MySQL/Connect value semantics:
+
+* logical time/date conversions (Records.java:186-271)
+* MySQL-specific converters (vendored MySqlValueConverters.java):
+  ENUM index -> label (:604-626), SET bitmask -> CSV labels (:642-653),
+  YEAR two-digit adjust (:571-589), unsigned widening (:270-300,801-901),
+  TIME signed-duration micros (:918-927), zero-date -> null (:195-229),
+  JSON binary -> JSON string (:485-507), BINARY(n) zero-pad (:783-790).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _arr(x) -> pa.Array | pa.ChunkedArray:
+    return x if isinstance(x, (pa.Array, pa.ChunkedArray)) else pa.array(x)
+
+
+# ---------------------------------------------------------------------------
+# logical date/time conversions (Records.java:186-271)
+# ---------------------------------------------------------------------------
+
+
+def epoch_days_to_date(a) -> pa.Array:
+    """V1: epoch-day int32 -> date32 (Records.java:187-189)."""
+    return pc.cast(pc.cast(_arr(a), pa.int32()), pa.date32())
+
+
+def epoch_to_datetime(a, unit: str) -> pa.Array:
+    """V2: ms/us/ns epoch -> timezone-less DATETIME at micros
+    (Records.java:191-216; DATETIME is local, Records.java:354-357)."""
+    factor = {"ms": 1_000, "us": 1, "ns": None}[unit]
+    x = pc.cast(_arr(a), pa.int64())
+    if unit == "ns":
+        x = pc.divide(x, 1_000)
+    elif factor != 1:
+        x = pc.multiply(x, factor)
+    return pc.cast(x, pa.timestamp("us"))
+
+
+def epoch_to_timestamp_utc(a, unit: str) -> pa.Array:
+    """V3: epoch ms/us -> TIMESTAMP_MICROS UTC (Records.java:218-229)."""
+    x = pc.cast(_arr(a), pa.int64())
+    if unit == "ms":
+        x = pc.multiply(x, 1_000)
+    return pc.cast(x, pa.timestamp("us", tz="UTC"))
+
+
+def iso8601_to_timestamp(a) -> pa.Array:
+    """V4: ISO-8601 / ZonedTimestamp string -> TIMESTAMP_MICROS UTC
+    (Records.java:226-229, RecordsTest.java:56-71)."""
+    return pc.cast(
+        pc.assume_timezone(
+            pc.strptime(_arr(a), format="%Y-%m-%dT%H:%M:%SZ", unit="us"), "UTC"
+        ),
+        pa.timestamp("us", tz="UTC"),
+    )
+
+
+def micros_past_midnight_to_time(a) -> pa.Array:
+    """V5: micros past midnight -> time64('us') (Records.java:231-246)."""
+    return pc.cast(pc.cast(_arr(a), pa.int64()), pa.time64("us"))
+
+
+# ---------------------------------------------------------------------------
+# MySQL-specific converters
+# ---------------------------------------------------------------------------
+
+
+def enum_decode(indices, options: list[str]) -> pa.Array:
+    """V8a: ENUM 1-based index -> label; 0 -> '' (MySqlValueConverters.java:604-626)."""
+    table = pa.array([""] + list(options))
+    idx = pc.cast(_arr(indices), pa.int64())
+    n = len(options)
+    idx = pc.if_else(pc.and_(pc.greater_equal(idx, 0), pc.less_equal(idx, n)),
+                     idx, pa.scalar(None, pa.int64()))
+    return pc.take(table, idx)
+
+
+def set_decode(bitmasks, options: list[str]) -> pa.Array:
+    """V8b: SET bitmask -> comma-joined labels
+    (MySqlValueConverters.java:642-653,695-718)."""
+    m = np.asarray(pc.cast(_arr(bitmasks), pa.int64()).to_numpy(zero_copy_only=False),
+                   dtype=np.int64)
+    parts = []
+    for bit, opt in enumerate(options):
+        has = (m >> bit) & 1
+        parts.append(np.where(has == 1, opt, ""))
+    out = []
+    for i in range(len(m)):
+        out.append(",".join(p[i] for p in parts if p[i]))
+    return pa.array(out, pa.string())
+
+
+def year_adjust(years) -> pa.Array:
+    """V9: YEAR 2-digit adjust 00-69 -> 2000s, 70-99 -> 1900s
+    (MySqlValueConverters.java:155-165; MySqlEventReader.java:215-225)."""
+    y = pc.cast(_arr(years), pa.int32())
+    two = pc.and_(pc.greater_equal(y, 0), pc.less(y, 100))
+    adj = pc.if_else(pc.less(y, 70), pc.add(y, 2000), pc.add(y, 1900))
+    return pc.if_else(two, adj, y)
+
+
+def unsigned_widen(a, source_type: str) -> pa.Array:
+    """V10: unsigned integer widening (MySqlValueConverters.java:270-300):
+    TINYINT U -> int32, SMALLINT U -> int32, INT U -> int64,
+    BIGINT U -> decimal(20,0)."""
+    t = source_type.upper()
+    x = _arr(a)
+    if t in ("TINYINT", "SMALLINT", "MEDIUMINT"):
+        return pc.cast(x, pa.int32())
+    if t in ("INT", "INTEGER"):
+        return pc.cast(x, pa.int64())
+    if t == "BIGINT":
+        return pc.cast(x, pa.decimal128(20, 0))
+    raise ValueError(f"not an unsigned-widening source type: {source_type}")
+
+
+def time_duration_micros(a) -> pa.Array:
+    """V11: TIME as signed micros duration, range +/-838:59:59
+    (MySqlValueConverters.java:918-927). Out-of-range -> null."""
+    x = pc.cast(_arr(a), pa.int64())
+    lim = (838 * 3600 + 59 * 60 + 59) * 1_000_000
+    ok = pc.and_(pc.greater_equal(x, -lim), pc.less_equal(x, lim))
+    return pc.if_else(ok, x, pa.scalar(None, pa.int64()))
+
+
+def zero_date_to_null(date_strings) -> pa.Array:
+    """V13: '0000-00-00...' zero-dates -> null (MySqlValueConverters.java:195-229)."""
+    s = _arr(date_strings)
+    is_zero = pc.starts_with(s, "0000-00-00")
+    return pc.if_else(is_zero, pa.scalar(None, pa.string()), s)
+
+
+def json_text(a) -> pa.Array:
+    """V7: MySQL JSON binary -> JSON string; empty -> '{}'
+    (MySqlValueConverters.java:485-507)."""
+    s = pc.cast(_arr(a), pa.string())
+    empty = pc.or_kleene(
+        pc.is_null(s), pc.equal(pc.utf8_length(pc.utf8_trim_whitespace(s)), 0)
+    )
+    return pc.if_else(empty, pa.scalar("{}"), s)
+
+
+def binary_zero_pad(a, length: int) -> pa.Array:
+    """V12b: fixed-length BINARY(n) right-padded with 0x00
+    (MySqlValueConverters.java:783-790)."""
+    vals = _arr(a).to_pylist()
+    out = [None if v is None else (bytes(v) + b"\x00" * (length - len(v)))[:length]
+           for v in vals]
+    return pa.array(out, pa.binary(length))
+
+
+def int16_widen(a) -> pa.Array:
+    """INT16 -> int widening (Records.java:289-290)."""
+    return pc.cast(_arr(a), pa.int32())

@@ -24,6 +24,7 @@ from __future__ import annotations
 import os
 import time
 
+import numpy as np
 import pyarrow.dataset as pads
 import ray
 import ray.data
@@ -76,6 +77,8 @@ def run_replication(
     compute_sha: bool = True,
     registry: Registry | None = None,
     override_num_blocks: int | None = None,
+    partition_mode: str = "key_hash",
+    repo_salt: dict[str, int] | None = None,
 ) -> dict:
     """Replay the event log into the Parquet lake; returns a lineage summary.
 
@@ -134,6 +137,8 @@ def run_replication(
     # with the transform and cached per worker. An actor pool here would
     # compete with the merger pool for CPU slots and can starve the read
     # stage on small nodes.
+    if partition_mode == "repo_salted" and repo_salt is None:
+        repo_salt = compute_repo_salt(log_dir, num_partitions)
     norm = Normalizer(
         registry,
         num_partitions,
@@ -141,6 +146,8 @@ def run_replication(
         dml_blacklist=dml_blacklist,
         columns=columns,
         compute_sha=compute_sha,
+        partition_mode=partition_mode,
+        repo_salt=repo_salt,
     )
     ds = ds.map_batches(
         norm,
@@ -190,6 +197,39 @@ def _payload_columns(registry: Registry, columns, compute_sha: bool) -> list[str
     if compute_sha and (columns is None or "content" in columns) and "content" in out:
         out.append("content_sha")
     return out
+
+
+def compute_repo_salt(log_dir: str, num_partitions: int) -> dict[str, int]:
+    """Per-repo salt factor from event-count stats (SURVEY.md §4 skew rule):
+    a repo that would overflow its fair share of a partition is split across
+    ``k = ceil(share / fair_share)`` sub-partitions by path hash. A small
+    Ray pre-pass: per-batch partial counts -> tiny groupby."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(log_files(log_dir), columns=["op", "before", "after"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.not_equal(batch["op"], "DDL"))
+        repo = pc.if_else(
+            pc.equal(batch["op"], "D"),
+            pc.struct_field(batch["before"], "repo"),
+            pc.struct_field(batch["after"], "repo"),
+        )
+        g = pa.table({"repo": repo}).group_by("repo").aggregate([("repo", "count")])
+        return pa.table({"repo": g["repo"], "n": g["repo_count"]})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("repo")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    total = sum(r["n"] for r in agg) or 1
+    fair = total / num_partitions
+    return {r["repo"]: int(np.ceil(r["n"] / fair)) for r in agg if r["n"] > fair}
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,103 @@
+"""Source SPI facade — the engine's analog of the reference's plugin
+surface (DeltaSource SPI: configure / createReader / createTableRegistry /
+createTableAssessor — MySqlDeltaSource.java:41-86, SqlServerDeltaSource.java:42-84),
+plus the runtime-argument passthrough (RuntimeArguments.extractPrefixed,
+delta-plugins-common/src/main/java/io/cdap/delta/plugin/common/RuntimeArguments.java:37-45).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from ..state.ddl import Registry, build_registry
+from .gen import GenConfig, generate_log
+
+#: runtime args with this prefix are forwarded verbatim to the source
+#: connector (MySqlEventReader.java:135-138 applies them to Debezium)
+CONNECTOR_PREFIX = "source.connector."
+
+
+def extract_prefixed(prefix: str, args: dict[str, str]) -> dict[str, str]:
+    """RuntimeArguments.extractPrefixed analog: keep keys with the prefix,
+    stripped of it."""
+    plen = len(prefix)
+    return {k[plen:]: v for k, v in args.items() if k.startswith(prefix)}
+
+
+@dataclass
+class SourceConfig:
+    """Config surface of the reference source plugin (MySqlConfig.java:30-64
+    widgets), re-expressed for the simulated-log source. Unused JDBC fields
+    are kept for drop-in config parity."""
+
+    consumer_id: str = "cdc"
+    instance_id: int = 0
+    database: str = "inventory"
+    replicate_existing_data: bool = True  # snapshot.mode initial vs schema_only
+    host: str = ""  # n/a for the simulated log
+    port: int = 0
+    user: str = ""
+    password: str = ""
+    server_timezone: str = "UTC"
+    runtime_args: dict[str, str] = field(default_factory=dict)
+
+    def connector_args(self) -> dict[str, str]:
+        return extract_prefixed(CONNECTOR_PREFIX, self.runtime_args)
+
+
+@dataclass
+class SourceTableSpec:
+    """Replication selection (SourceTable analog): table id + selected
+    columns + per-table DML/DDL blacklists (MySqlRecordConsumer.java:185,352-356)."""
+
+    table: str
+    columns: set[str] | None = None
+    dml_blacklist: set[str] = field(default_factory=set)  # {"I","U","D"}
+    ddl_blacklist: set[str] = field(default_factory=set)
+
+
+class SimulatedBinlogSource:
+    """DeltaSource analog for the deterministic simulated binlog.
+
+    ``create_reader`` materializes/locates the log segments; the actual
+    tailing is the Ray Data read in pipelines/replicate.py (S1 mapping).
+    """
+
+    def __init__(self, config: SourceConfig, log_dir: str,
+                 gen_config: GenConfig | None = None) -> None:
+        self.config = config
+        self.log_dir = log_dir
+        self.gen_config = gen_config
+
+    def create_reader(self) -> str:
+        """Ensure the log exists (snapshot honoring replicate_existing_data)
+        and return its path — the Ray pipeline's source handle."""
+        if self.gen_config is not None:
+            cfg = self.gen_config
+            cfg.snapshot = self.config.replicate_existing_data
+            generate_log(self.log_dir, cfg)
+        return self.log_dir
+
+    def create_table_registry(self) -> Registry:
+        """Design-time schema discovery over the log (S4/S5; runtime lake
+        catalog lives in sources/registry.py)."""
+        return build_registry(self.log_dir)
+
+    def create_table_assessor(self):
+        from ..functions import types
+
+        return types
+
+    def tables(self, specs: list[SourceTableSpec]):
+        """Convert SourceTableSpec selections into the normalize-stage
+        filter arguments (table_filter / dml_blacklist / columns)."""
+        table_filter = {s.table for s in specs} or None
+        dml_blacklist = {
+            (s.table, op) for s in specs for op in s.dml_blacklist
+        }
+        columns: set[str] | None = None
+        col_sets = [s.columns for s in specs if s.columns is not None]
+        if col_sets:
+            columns = set().union(*col_sets)
+        return table_filter, dml_blacklist, columns

@@ -66,6 +66,26 @@ def sha256_hex(values: list) -> np.ndarray:
     )
 
 
+def _lww_keep_indices(khash: np.ndarray, lsn: np.ndarray, tb: np.ndarray,
+                      repo: np.ndarray, path: np.ndarray) -> np.ndarray:
+    """Indices of the max-lsn row per key (sorted by (hash, lsn), boundary
+    rows kept; hash collisions verified on real key columns so collisions
+    can only over-keep, never drop)."""
+    n = len(khash)
+    order = np.lexsort((lsn, khash))
+    hs = khash[order]
+    keep = np.ones(n, dtype=bool)
+    same = hs[:-1] == hs[1:]
+    if same.any():
+        for col in (tb, repo, path):
+            c = col[order]
+            same = same & (c[:-1] == c[1:])
+        keep[:-1] = ~same
+    idx = order[keep]
+    idx.sort()
+    return idx
+
+
 def lww_combine(tbl: pa.Table, khash: np.ndarray) -> pa.Table:
     """Per-batch LWW pre-reduction: keep the max-lsn row per key.
 
@@ -105,7 +125,20 @@ class Normalizer:
         columns: set[str] | None = None,
         compute_sha: bool = True,
         combine: bool = True,
+        partition_mode: str = "key_hash",
+        repo_salt: dict[str, int] | None = None,
     ) -> None:
+        """``partition_mode`` controls the shuffle key (SURVEY.md §4 skew):
+
+        - ``key_hash`` (default): hash(table, repo, path) — fully salted;
+          per-key order preserved, hot repos spread across all partitions.
+        - ``repo``: hash(table, repo) — repo-local partitions (cheap
+          per-repo scans later) but zipf-hot repos skew a partition.
+        - ``repo_salted``: hash(table, repo) + hash(path) % salt_k(repo) —
+          per-repo salt factor from ``repo_salt`` (default 1, i.e. = repo
+          mode; hot repos get k>1). Each (repo, path) still maps to exactly
+          one partition, so per-key LWW order is preserved.
+        """
         import ray
 
         if isinstance(registry, ray.ObjectRef):
@@ -117,6 +150,8 @@ class Normalizer:
         self.columns = columns
         self.compute_sha = compute_sha
         self.combine = combine
+        self.partition_mode = partition_mode
+        self.repo_salt = repo_salt or {}
         # final output schema is identical for all batches
         self._plans: dict[str, list] = {}
 
@@ -207,6 +242,34 @@ class Normalizer:
             if batch.num_rows == 0:
                 return self._empty()
 
+        # --- key extraction FIRST (2 string columns only), then the LWW
+        # pre-reduction, and only THEN the full payload materialization for
+        # the ~surviving rows. Building all payload columns before reducing
+        # would churn every content byte of every superseded event (the
+        # dominant cost at high update ratios).
+        is_del = pc.equal(batch["op"], OP_DELETE)
+        repo_arr = pc.if_else(is_del, pc.struct_field(batch["before"], "repo"),
+                              pc.struct_field(batch["after"], "repo"))
+        path_arr = pc.if_else(is_del, pc.struct_field(batch["before"], "path"),
+                              pc.struct_field(batch["after"], "path"))
+        repo = repo_arr.to_numpy(zero_copy_only=False)
+        path = path_arr.to_numpy(zero_copy_only=False)
+        tb = batch["table"].to_numpy(zero_copy_only=False)
+        if (repo == None).any() or (path == None).any():  # noqa: E711
+            # no-PK rejection (SqlServerRecordConsumer.java:129-133)
+            raise DeltaFailure("null primary key value in change stream")
+
+        kh = hash_key(tb, repo, path)
+        part = self._partition(tb, repo, path, kh)
+
+        if self.combine and batch.num_rows > 1:
+            lsn = batch["lsn"].to_numpy(zero_copy_only=False)
+            keep = _lww_keep_indices(kh, lsn, tb, repo, path)
+            if len(keep) < batch.num_rows:
+                batch = batch.take(pa.array(keep))
+                repo, path, tb = repo[keep], path[keep], tb[keep]
+                part = part[keep]
+
         # per-table normalization (usually exactly one table per log)
         uniq_tables = pc.unique(batch["table"]).to_pylist()
         if len(uniq_tables) == 1:
@@ -214,24 +277,38 @@ class Normalizer:
         else:
             parts = []
             for t in uniq_tables:
-                sl = batch.filter(pc.equal(batch["table"], t))
+                m = pc.equal(batch["table"], t)
+                sl = batch.filter(m)
                 parts.append(self._normalize_table_slice(sl, t))
             out = pa.concat_tables(parts, promote_options="default")
+            # re-derive part for the reordered multi-table concat
+            repo = out["repo"].to_numpy(zero_copy_only=False)
+            path = out["path"].to_numpy(zero_copy_only=False)
+            tb = out["table"].to_numpy(zero_copy_only=False)
+            part = self._partition(tb, repo, path, hash_key(tb, repo, path))
 
         if self.compute_sha and "content" in out.column_names:
             content = pc.fill_null(out["content"], "").to_pylist()
             out = out.append_column("content_sha", pa.array(sha256_hex(content)))
 
-        repo = out["repo"].to_numpy(zero_copy_only=False)
-        path = out["path"].to_numpy(zero_copy_only=False)
-        tb = out["table"].to_numpy(zero_copy_only=False)
-        kh = hash_key(tb, repo, path)
-        out = out.append_column(
-            "part", pa.array((kh % np.uint64(self.num_partitions)).astype(np.int64))
-        )
-        if self.combine:
-            out = lww_combine(out, kh)
+        out = out.append_column("part", pa.array(part.astype(np.int64)))
         return out
+
+    def _partition(self, tb: np.ndarray, repo: np.ndarray, path: np.ndarray,
+                   kh: np.ndarray) -> np.ndarray:
+        if self.partition_mode == "key_hash":
+            return kh % np.uint64(self.num_partitions)
+        rh = hash_key(tb, repo)
+        if self.partition_mode == "repo":
+            return rh % np.uint64(self.num_partitions)
+        if self.partition_mode == "repo_salted":
+            ph = hash_key(path)
+            salt_k = np.ones(len(repo), dtype=np.uint64)
+            if self.repo_salt:
+                ks = pd.Series(repo).map(self.repo_salt).fillna(1).to_numpy()
+                salt_k = ks.astype(np.uint64)
+            return (rh + ph % np.maximum(salt_k, 1)) % np.uint64(self.num_partitions)
+        raise ValueError(f"unknown partition_mode {self.partition_mode!r}")
 
     def _empty(self) -> pa.Table:
         # constant empty table with the output schema

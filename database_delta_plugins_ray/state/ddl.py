@@ -197,10 +197,31 @@ class Registry:
         return reg
 
 
-def build_registry(log_dir: str, upto_lsn: int | None = None) -> Registry:
+def synthesize_table(reg: Registry, table: str, payload_schema: pa.Schema,
+                     primary_key: list[str], lsn: int = 0) -> None:
+    """First-seen DDL synthesis (SQL Server mode): the source emits no DDL
+    stream, so a CREATE_TABLE is synthesized from the first DML's record
+    schema + key (SqlServerRecordConsumer.java:154-202; the synthesized set
+    is carried in the offset, SqlServerOffset.java:76-78 — here it lands in
+    the persisted registry history, which a resume replays)."""
+    from ..functions.types import type_name
+
+    cols = [[f.name, type_name(f.type)] for f in payload_schema]
+    reg.apply(lsn, DDL_CREATE_TABLE, table, "",
+              json.dumps({"columns": cols, "primary_key": primary_key}))
+
+
+def build_registry(log_dir: str, upto_lsn: int | None = None,
+                   synthesize_missing: bool = True,
+                   primary_key: list[str] | None = None,
+                   ddl_blacklist: set[tuple[str, str]] | None = None) -> Registry:
     """Scan the log's DDL rows (driver-side, tiny by assumption) and build
     the registry. Reads only the DDL-relevant columns with a pushed-down
-    filter — never materializes DML payloads."""
+    filter — never materializes DML payloads.
+
+    With ``synthesize_missing`` (default), tables that appear in DML but
+    have no CREATE_TABLE in the log get a synthesized schema from the log's
+    payload struct (M17 first-seen DDL synthesis)."""
     ds = pads.dataset(
         [os.path.join(log_dir, f) for f in sorted(os.listdir(log_dir))
          if f.startswith("seg-")],
@@ -214,6 +235,23 @@ def build_registry(log_dir: str, upto_lsn: int | None = None) -> Registry:
     reg = Registry()
     for row in tbl.to_pylist():
         d = row["ddl"]
-        reg.apply(row["lsn"], d["op"], d["table"] or row["table"],
-                  d["prev_table"] or "", d["payload"] or "{}")
+        t = d["table"] or row["table"]
+        if ddl_blacklist and (t, d["op"]) in ddl_blacklist:
+            # per-table DDL blacklist (M10, MySqlRecordConsumer.java:347-356)
+            continue
+        reg.apply(row["lsn"], d["op"], t, d["prev_table"] or "", d["payload"] or "{}")
+    if synthesize_missing:
+        # distinct DML table ids (column stats scan; no payload read)
+        dml = ds.to_table(columns=["table"], filter=pads.field("op") != OP_DDL)
+        seen = set(pa.compute.unique(dml["table"]).to_pylist())
+        missing = {t for t in seen
+                   if reg.resolve_table(t) not in reg.tables
+                   or not reg.tables[reg.resolve_table(t)].columns}
+        if missing:
+            payload_schema = pa.schema(
+                list(ds.schema.field("after").type)
+            )
+            for t in sorted(missing):
+                synthesize_table(reg, t, payload_schema,
+                                 primary_key or ["repo", "path"])
     return reg

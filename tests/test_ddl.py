@@ -83,3 +83,21 @@ def test_history_roundtrip(tmp_path):
     reg2 = Registry.load(p)
     assert [c for c, _ in reg2.tables["db.t"].columns] == ["id", "name", "n"]
     assert reg2.tables["db.t"].version == 1
+
+
+def test_ddl_blacklist_skips_events(tmp_path):
+    # M10: per-table DDL-kind suppression (MySqlRecordConsumer.java:347-356)
+    from database_delta_plugins_ray.sources.gen import GenConfig, generate_log
+    from database_delta_plugins_ray.state.ddl import build_registry
+
+    d = str(tmp_path / "log")
+    generate_log(d, GenConfig(n_keys=30, n_events=200, n_repos=2, seed=4,
+                              ddl_plan=True, n_segments=1))
+    reg_all = build_registry(d)
+    t = "inventory.code_files"
+    assert reg_all.tables[t].version == 3
+    reg_bl = build_registry(
+        d, ddl_blacklist={(t, "ALTER_TABLE")})
+    assert reg_bl.tables[t].version == 0
+    assert [c for c, _ in reg_bl.tables[t].columns] == [
+        "repo", "path", "commit", "lang", "content"]
