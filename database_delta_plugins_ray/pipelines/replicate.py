@@ -188,13 +188,8 @@ def run_replication(
 
 
 def _payload_columns(registry: Registry, columns, compute_sha: bool) -> list[str]:
-    # union of final columns over all tables with a schema (order: first table)
-    out: list[str] = []
-    for ts in registry.tables.values():
-        for c, _t in ts.columns:
-            if (columns is None or c in columns) and c not in out:
-                out.append(c)
-    if compute_sha and (columns is None or "content" in columns) and "content" in out:
+    out = [c for c, _t in registry.union_columns(columns)]
+    if compute_sha and "content" in out:
         out.append("content_sha")
     return out
 

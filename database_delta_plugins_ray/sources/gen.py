@@ -76,7 +76,11 @@ class GenConfig:
     truncate_frac: float | None = None  # stream fraction where TRUNCATE fires
     n_segments: int = 8
     table: str = DEFAULT_TABLE
+    n_tables: int = 1  # keys spread over N tables: <table>, <table>_1, ...
     content_pad: int = 160  # approximate bytes of content body
+
+    def table_names(self) -> list[str]:
+        return [self.table] + [f"{self.table}_{i}" for i in range(1, self.n_tables)]
 
     def resolved_base(self) -> int:
         return self.n_keys // 2 if self.n_base is None else self.n_base
@@ -328,9 +332,13 @@ def generate_log(out_dir: str, cfg: GenConfig | None = None, **kw) -> dict:
         )
     ddl_rows.sort(key=lambda r: r[0])
 
-    # schema_version per stream event = # ALTERs at position <= event position
+    # schema_version per stream event = # ALTERs at position <= event
+    # position; the ALTER plan targets table 0 only, so events of other
+    # tables stay at schema_version 0
     alter_pos = np.array([p for p, o, *_ in ddl_rows if o == DDL_ALTER_TABLE], dtype=np.int64)
     sv_stream = np.searchsorted(alter_pos, np.arange(n), side="right").astype(np.int32)
+    if cfg.n_tables > 1:
+        sv_stream = np.where((key_ids % cfg.n_tables) == 0, sv_stream, 0).astype(np.int32)
 
     # --- assemble global log: prefix DDL, snapshot inserts, stream(+DDL) ---
     tables: list[pa.Table] = []
@@ -360,8 +368,14 @@ def generate_log(out_dir: str, cfg: GenConfig | None = None, **kw) -> dict:
             schema=event_log_schema(),
         )
 
+    tnames = cfg.table_names()
+    tname_arr = np.array(tnames)
+    key_table = tname_arr[np.arange(cfg.n_keys, dtype=np.int64) % cfg.n_tables]
+
     if cfg.snapshot:
-        # golden DDL prefix (MySqlEventReaderIntegrationTest.java:182-245)
+        # golden DDL prefix (MySqlEventReaderIntegrationTest.java:182-245):
+        # DROP_TABLE per table, DROP/CREATE_DATABASE once, CREATE_TABLE per
+        # table (with schema + PK)
         schema_json = json.dumps(
             {
                 "columns": [["repo", "string"], ["path", "string"], ["commit", "string"],
@@ -369,17 +383,24 @@ def generate_log(out_dir: str, cfg: GenConfig | None = None, **kw) -> dict:
                 "primary_key": ["repo", "path"],
             }
         )
+        T = cfg.n_tables
+        prefix_ops = ([DDL_DROP_TABLE] * T
+                      + [DDL_DROP_DATABASE, DDL_CREATE_DATABASE]
+                      + [DDL_CREATE_TABLE] * T)
+        prefix_tbls = (tnames + [DEFAULT_DATABASE, DEFAULT_DATABASE] + tnames)
+        prefix_payloads = (["{}"] * (T + 2) + [schema_json] * T)
+        m = len(prefix_ops)
         tables.append(
             ddl_table(
-                [1, 2, 3, 4],
-                [DDL_DROP_TABLE, DDL_DROP_DATABASE, DDL_CREATE_DATABASE, DDL_CREATE_TABLE],
-                [cfg.table, DEFAULT_DATABASE, DEFAULT_DATABASE, cfg.table],
-                ["", "", "", ""],
-                ["{}", "{}", "{}", schema_json],
-                [0, 0, 0, 0],
+                list(range(1, m + 1)),
+                prefix_ops,
+                prefix_tbls,
+                [""] * m,
+                prefix_payloads,
+                [0] * m,
             )
         )
-        lsn_cursor = 5
+        lsn_cursor = m + 1
         if n_base:
             bkeys = np.arange(n_base, dtype=np.int64)
             bver = np.ones(n_base, dtype=np.int64)
@@ -392,7 +413,7 @@ def generate_log(out_dir: str, cfg: GenConfig | None = None, **kw) -> dict:
                         "lsn": pa.array(lsns),
                         "tx_id": _join("binlog.000001:", _int_str(lsns)),
                         "op": pa.array(np.full(n_base, OP_INSERT)),
-                        "table": pa.array(np.full(n_base, cfg.table)),
+                        "table": pa.array(key_table[bkeys]),
                         "before": _null_struct(n_base, PAYLOAD_STRUCT),
                         "after": after,
                         "ddl": _null_struct(n_base, DDL_STRUCT),
@@ -424,7 +445,7 @@ def generate_log(out_dir: str, cfg: GenConfig | None = None, **kw) -> dict:
             "lsn": pa.array(lsn_stream),
             "tx_id": tx,
             "op": pa.array(op),
-            "table": pa.array(np.full(n, cfg.table)),
+            "table": pa.array(key_table[key_ids]),
             "before": before,
             "after": after,
             "ddl": _null_struct(n, DDL_STRUCT),

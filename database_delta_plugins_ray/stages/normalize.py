@@ -152,7 +152,10 @@ class Normalizer:
         self.combine = combine
         self.partition_mode = partition_mode
         self.repo_salt = repo_salt or {}
-        # final output schema is identical for all batches
+        # final output schema is identical for all batches: the ordered
+        # union of payload columns across all registry tables (a table
+        # lacking a column emits nulls there)
+        self.union_cols: list[tuple[str, pa.DataType]] = registry.union_columns(columns)
         self._plans: dict[str, list] = {}
 
     # -- helpers ---------------------------------------------------------
@@ -193,7 +196,14 @@ class Normalizer:
         out = pa.table(
             {
                 "table": pa.array(np.full(n, ts.name)),
-                **cols,
+                **{
+                    name: (
+                        pc.cast(cols[name], typ)
+                        if name in cols and cols[name].type != typ
+                        else cols.get(name, pa.nulls(n, type=typ))
+                    )
+                    for name, typ in self.union_cols
+                },
                 "op": op,
                 "lsn": batch["lsn"],
                 "tx_id": batch["tx_id"],
@@ -312,12 +322,8 @@ class Normalizer:
 
     def _empty(self) -> pa.Table:
         # constant empty table with the output schema
-        plan_table = next(iter(self.registry.tables))
-        ts = self.registry.final_table(plan_table)
         fields = [pa.field("table", pa.string())]
-        for name, _hist, typ in self._plan(ts.name):
-            if self.columns is not None and name not in self.columns:
-                continue
+        for name, typ in self.union_cols:
             fields.append(pa.field(name, typ))
         fields += [
             pa.field("op", pa.string()),

@@ -172,6 +172,20 @@ class Registry:
             out.append((col, ts.history_names.get(col, [col]), arrow_type(typ)))
         return out
 
+    def union_columns(self, columns: set[str] | None = None) -> list[tuple[str, pa.DataType]]:
+        """Ordered union of final (column, type) across all tables — the
+        constant output schema of the normalize stage and the lake payload
+        layout (multi-table logs share one lake file schema with nulls for
+        columns a table lacks)."""
+        out: list[tuple[str, pa.DataType]] = []
+        seen: set[str] = set()
+        for ts in self.tables.values():
+            for c, t in ts.columns:
+                if c not in seen and (columns is None or c in columns):
+                    seen.add(c)
+                    out.append((c, arrow_type(t)))
+        return out
+
     def fences(self) -> dict[str, int]:
         """table -> lsn fence from TRUNCATE/DROP (rows older than fence are
         dead; exact dedup/idempotency semantics SURVEY.md §2.6)."""
