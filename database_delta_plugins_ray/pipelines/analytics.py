@@ -113,6 +113,59 @@ def filter_orders_high(sf_dir: str):
     return ds.select_columns(["o_orderkey", "o_custkey", "o_totalprice"])
 
 
+def events_tumbling_window(sf_dir: str):
+    """Tumbling 1-hour window aggregate per event_type (streaming-shaped
+    workload, SURVEY.md §2.7: event-time windows as bucketed groupby).
+    Partial aggregation inside map_batches, tiny groupby over partials."""
+    ds = _t(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(t["ts"], unit="hour")
+        g = (
+            pa.table({"window_start": w, "event_type": t["event_type"],
+                      "value": t["value"]})
+            .group_by(["window_start", "event_type"])
+            .aggregate([("value", "sum"), ("value", "count")])
+        )
+        return pa.table({
+            "window_start": g["window_start"],
+            "event_type": g["event_type"],
+            "p_sum": g["value_sum"],
+            "p_n": g["value_count"],
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby(["window_start", "event_type"]).aggregate(
+        Sum("p_sum", alias_name="total_value"), Sum("p_n", alias_name="n_events")
+    )
+    df = agg.to_pandas()
+    df["total_value"] = df["total_value"].round(2)
+    return df
+
+
+def events_session_windows(sf_dir: str):
+    """Session windows per user (gap > 2h starts a new session) — sorted
+    per-group pandas inside map_groups; ordering assumption: all events of
+    one user fit one group (keyed shuffle co-locates them)."""
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    gap = pd.Timedelta(hours=2)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        new = (g["ts"].diff() > gap).cumsum()
+        out = g.groupby(new).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("event_id", "count"),
+            total_value=("value", "sum"),
+        )
+        out["total_value"] = out["total_value"].round(2)
+        return out.reset_index(drop=True)
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # text / dedup queries
 # ---------------------------------------------------------------------------
@@ -298,6 +351,25 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 SELECT user_id, event_id, ts, event_type, value FROM events
 QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
 """,
+    "events_tumbling_window": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       round(sum(value), 2) AS total_value, count(*) AS n_events
+FROM events GROUP BY 1, 2
+""",
+    "events_session_windows": """
+WITH gaps AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM sess GROUP BY user_id, sid
+""",
     "top_users_by_value": """
 SELECT user_id, round(sum(value), 2) AS total_value
 FROM events GROUP BY user_id
@@ -334,6 +406,8 @@ FROM embeddings ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) D
 ANALYTICS_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "events_latest_per_user": events_latest_per_user,
+    "events_tumbling_window": events_tumbling_window,
+    "events_session_windows": events_session_windows,
     "top_users_by_value": top_users_by_value,
     "filter_orders_high": filter_orders_high,
     "dedup_exact_documents": dedup_exact_documents,

@@ -1,0 +1,85 @@
+"""Lake maintenance: tombstone pruning ("vacuum") and lake statistics.
+
+Tombstones (soft-deleted rows, the reference target's ``_is_deleted``
+contract) accumulate forever without maintenance. Pruning a tombstone is
+safe once every partition's watermark has passed its ``_sequence_num``:
+any replay of the delete is fenced by the watermark, and any NEWER event
+for the key applies regardless of the tombstone's presence.
+
+Each partition compacts independently (one Ray task per partition, no
+shuffle); the rewrite keeps the offset-fenced filename so resume semantics
+are untouched.
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray
+
+from ..model import IS_DELETED, SEQUENCE_NUM
+from ..state import checkpoint as ckpt
+
+
+@ray.remote
+def _compact_partition(lake_dir: str, part: int, prune_below: int) -> dict:
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    manifest = ckpt.read_manifest(lake_dir, part)
+    if manifest is None:
+        return {"part": part, "pruned": 0, "rows": 0}
+    tbl = pq.read_table(manifest["file"])
+    dead = pc.and_(
+        tbl[IS_DELETED], pc.less_equal(tbl[SEQUENCE_NUM], prune_below)
+    )
+    n_dead = int(pc.sum(pc.cast(dead, "int64")).as_py() or 0)
+    if n_dead == 0:
+        return {"part": part, "pruned": 0, "rows": tbl.num_rows}
+    kept = tbl.filter(pc.invert(dead))
+
+    def write_fn(t, path):
+        pq.write_table(t, path)
+
+    ckpt.commit_partition(
+        lake_dir, part, kept, manifest["last_lsn"], write_fn,
+        dict(manifest, rows=kept.num_rows,
+             live_rows=manifest["live_rows"]),
+    )
+    return {"part": part, "pruned": n_dead, "rows": kept.num_rows}
+
+
+def vacuum_lake(lake_dir: str, prune_below: int | None = None) -> dict:
+    """Prune tombstones with ``_sequence_num <= prune_below`` (default: the
+    global min watermark — always safe). Returns totals."""
+    manifests = ckpt.all_manifests(lake_dir)
+    if not manifests:
+        return {"partitions": 0, "pruned": 0}
+    if prune_below is None:
+        prune_below = min(m["last_lsn"] for m in manifests.values())
+    results = ray.get(
+        [_compact_partition.remote(lake_dir, p, prune_below) for p in manifests]
+    )
+    return {
+        "partitions": len(results),
+        "pruned": sum(r["pruned"] for r in results),
+        "rows": sum(r["rows"] for r in results),
+        "prune_below": prune_below,
+    }
+
+
+def lake_stats(lake_dir: str) -> dict:
+    """Lineage/metrics rollup from the checkpoint manifests (the engine's
+    health surface, M19 analog: events applied, watermarks, row counts)."""
+    manifests = ckpt.all_manifests(lake_dir)
+    if not manifests:
+        return {"partitions": 0}
+    return {
+        "partitions": len(manifests),
+        "rows": sum(m["rows"] for m in manifests.values()),
+        "live_rows": sum(m["live_rows"] for m in manifests.values()),
+        "events_applied": sum(m["events_applied"] for m in manifests.values()),
+        "min_watermark": min(m["last_lsn"] for m in manifests.values()),
+        "max_watermark": max(m["last_lsn"] for m in manifests.values()),
+        "tables": sorted({t for m in manifests.values() for t in m.get("tables", [])}),
+    }

@@ -1,0 +1,116 @@
+"""Lake maintenance tests: vacuum (tombstone pruning), stats, and
+RENAME_TABLE end-to-end (hand-built log)."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from database_delta_plugins_ray.model import (
+    DDL_STRUCT,
+    PAYLOAD_STRUCT,
+    event_log_schema,
+)
+from database_delta_plugins_ray.pipelines.maintenance import lake_stats, vacuum_lake
+from database_delta_plugins_ray.pipelines.oracle import replay
+from database_delta_plugins_ray.pipelines.replicate import (
+    final_state,
+    read_lake,
+    run_replication,
+)
+from database_delta_plugins_ray.sources.gen import GenConfig, generate_log
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_vacuum_prunes_tombstones(small_log, tmp_path):
+    log_dir, _, meta = small_log
+    lake = str(tmp_path / "lake")
+    run_replication(log_dir, lake, num_partitions=6)
+    before = read_lake(lake).take_all()
+    n_tomb = sum(1 for r in before if r["_is_deleted"])
+    assert n_tomb > 0
+    live_before = {(r["table"], r["repo"], r["path"]) for r in before
+                   if not r["_is_deleted"]}
+
+    s = vacuum_lake(lake)
+    # only tombstones at/below the GLOBAL min watermark are prunable; a
+    # tombstone newer than another partition's watermark must survive
+    assert 0 < s["pruned"] <= n_tomb
+    mid = read_lake(lake).take_all()
+    for r in mid:
+        if r["_is_deleted"]:
+            assert r["_sequence_num"] > s["prune_below"]
+    # explicit bound at the log head prunes the rest
+    vacuum_lake(lake, prune_below=meta["max_lsn"])
+    after = read_lake(lake).take_all()
+    assert not any(r["_is_deleted"] for r in after)
+    assert {(r["table"], r["repo"], r["path"]) for r in after} == live_before
+
+    # replication after vacuum is still a no-op (watermarks intact)
+    s2 = run_replication(log_dir, lake, num_partitions=6)
+    assert s2["events_applied"] == 0
+
+    stats = lake_stats(lake)
+    assert stats["rows"] == stats["live_rows"] == len(live_before)
+    assert stats["max_watermark"] == meta["max_lsn"]
+
+
+def _event(lsn, op, table, after=None, before=None, ddl=None):
+    def img(d):
+        if d is None:
+            return None
+        return {"repo": d["repo"], "path": d["path"],
+                "commit": d.get("commit", "c" * 40), "lang": d.get("lang", "py"),
+                "content": d.get("content", f"content-{lsn}"),
+                "stars": None, "language": None}
+
+    return {
+        "lsn": lsn, "tx_id": f"tx{lsn}", "op": op, "table": table,
+        "before": img(before), "after": img(after),
+        "ddl": ddl, "is_snapshot": False,
+        "ingest_ts": 1_700_000_000_000 + lsn, "schema_version": 0,
+    }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rename_table_end_to_end(tmp_path):
+    """RENAME_TABLE mid-stream: events before the rename land under the old
+    name, the registry re-points them, final state lives under the new name
+    (MySqlRecordConsumer.java:254-257 RENAME via prevTableName)."""
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    create = {"op": "CREATE_TABLE", "table": "db.old", "prev_table": "",
+              "payload": json.dumps({
+                  "columns": [["repo", "string"], ["path", "string"],
+                              ["commit", "string"], ["lang", "string"],
+                              ["content", "large_string"]],
+                  "primary_key": ["repo", "path"]})}
+    rename = {"op": "RENAME_TABLE", "table": "db.new", "prev_table": "db.old",
+              "payload": json.dumps({"new_name": "db.new"})}
+    rows = [
+        _event(1, "DDL", "db.old", ddl=create),
+        _event(2, "I", "db.old", after={"repo": "r", "path": "a"}),
+        _event(3, "I", "db.old", after={"repo": "r", "path": "b"}),
+        _event(4, "DDL", "db.new", ddl=rename),
+        # post-rename traffic arrives under the new table id
+        _event(5, "U", "db.new", after={"repo": "r", "path": "a",
+                                        "content": "v2"},
+               before={"repo": "r", "path": "a"}),
+        _event(6, "D", "db.new", before={"repo": "r", "path": "b"}),
+        _event(7, "I", "db.new", after={"repo": "r", "path": "c"}),
+    ]
+    schema = event_log_schema()
+    tbl = pa.Table.from_pylist(rows, schema=schema)
+    pq.write_table(tbl, os.path.join(log_dir, "seg-00000.parquet"))
+
+    lake = str(tmp_path / "lake")
+    run_replication(log_dir, lake, num_partitions=2)
+    got = {(r["table"], r["repo"], r["path"]): r
+           for r in final_state(lake).take_all()}
+    oracle = replay(log_dir)
+    assert set(got) == set(oracle)
+    assert all(k[0] == "db.new" for k in got)
+    assert got[("db.new", "r", "a")]["content"] == "v2"
+    assert ("db.new", "r", "b") not in got

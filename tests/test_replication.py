@@ -93,3 +93,28 @@ def test_soft_deletes_present(small_log, tmp_path):
         assert set(k for k in r if k.startswith("_")) == {
             "_row_id", "_source_timestamp", "_is_deleted", "_sequence_num",
         }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_segment_arrival(small_log, tmp_path):
+    """Streaming-tail simulation: new binlog segments appear between runs;
+    each run applies only the new events (S3 resume contract)."""
+    import shutil
+
+    log_dir, _, meta = small_log
+    segs = sorted(f for f in os.listdir(log_dir) if f.startswith("seg-"))
+    inc = str(tmp_path / "inc_log")
+    os.makedirs(inc)
+    for f in segs[:2]:
+        shutil.copy(os.path.join(log_dir, f), os.path.join(inc, f))
+
+    lake = str(tmp_path / "lake")
+    s1 = run_replication(inc, lake, num_partitions=8)
+    assert s1["events_applied"] > 0
+
+    for f in segs[2:]:
+        shutil.copy(os.path.join(log_dir, f), os.path.join(inc, f))
+    s2 = run_replication(inc, lake, num_partitions=8)
+    assert s2["resume_watermark"] > 0
+    assert s2["last_lsn"] == meta["max_lsn"]
+    assert_parity(lake, log_dir)
