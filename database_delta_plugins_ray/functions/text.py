@@ -119,7 +119,8 @@ def quality_scores(texts: pd.Series) -> pd.DataFrame:
 
 
 def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Sorted unique 64-bit hashes of word n-gram shingles."""
+    """Sorted unique 64-bit hashes of word n-gram shingles (vectorized
+    siphash over the gram strings)."""
     toks = TOKEN_RE.findall(text.lower())
     if len(toks) < n:
         grams = [" ".join(toks)] if toks else []
@@ -127,11 +128,7 @@ def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
         grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
     if not grams:
         return np.array([], dtype=np.uint64)
-    h = np.fromiter(
-        (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
-         for g in grams),
-        dtype=np.uint64, count=len(grams),
-    )
+    h = pd.util.hash_array(np.array(grams, dtype=object), hash_key="shingle_hashkey0")
     return np.unique(h)
 
 
@@ -150,22 +147,57 @@ def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarra
     modulo a Mersenne prime)."""
     if len(sh) == 0:
         return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
-    x = sh.astype(np.uint64)[:, None]
     with np.errstate(over="ignore"):
-        hv = (x * a[None, :] + b[None, :]) % _MERSENNE
+        hv = sh.astype(np.uint64)[:, None] * a[None, :]
+        hv += b[None, :]
+        hv %= _MERSENNE
     return hv.min(axis=0)
 
 
 def band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
     """LSH band hashes: split the signature into ``bands`` rows-per-band
     groups and hash each group to 64 bits."""
-    r = len(sig) // bands
-    out = np.empty(bands, dtype=np.uint64)
-    for i in range(bands):
-        seg = sig[i * r:(i + 1) * r].tobytes()
-        out[i] = int.from_bytes(
-            hashlib.blake2b(seg, digest_size=8).digest(), "big"
-        )
+    return band_hashes_matrix(sig.reshape(1, -1), bands)[0]
+
+
+def band_hashes_matrix(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """Vectorized band hashes for a (n_docs, num_perm) signature matrix ->
+    (n_docs, bands) uint64 (polynomial mix over each band's values)."""
+    n, p = sigs.shape
+    r = p // bands
+    s = sigs[:, : bands * r].reshape(n, bands, r).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        acc = np.full((n, bands), np.uint64(0xCBF29CE484222325))
+        for j in range(r):
+            acc = (acc ^ s[:, :, j]) * np.uint64(0x100000001B3)
+            acc ^= acc >> np.uint64(29)
+    return acc
+
+
+def minhash_signature_many(
+    shingle_sets: list[np.ndarray], a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """Vectorized minhash for many documents at once: one matmul-shaped
+    pass over the concatenated shingles + segmented min (np.minimum.reduceat)
+    instead of a per-document loop."""
+    num_perm = len(a)
+    n_docs = len(shingle_sets)
+    lens = np.array([len(s) for s in shingle_sets], dtype=np.int64)
+    out = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    nonempty = lens > 0
+    if not nonempty.any():
+        return out
+    cat = np.concatenate([s for s in shingle_sets if len(s)]).astype(np.uint64)
+    # in-place ops: the naive expression allocates large temporaries, which
+    # is pathologically slow on this host (allocation-bound, 100x+)
+    with np.errstate(over="ignore"):
+        hv = cat[:, None] * a[None, :]
+        hv += b[None, :]
+        hv %= _MERSENNE
+    offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+    np.cumsum(lens[nonempty][:-1], out=offsets[1:])
+    mins = np.minimum.reduceat(hv, offsets, axis=0)
+    out[nonempty] = mins
     return out
 
 

@@ -87,24 +87,24 @@ class MinHasher:
         self.id_col = id_col
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids, bands_col, bhash, sigs, shs = [], [], [], [], []
-        for i, txt in zip(batch[self.id_col], batch[self.text_col]):
-            sh = shingle_hashes(txt, self.ngram)
-            sig = minhash_signature(sh, self.a, self.b)
-            bh = band_hashes(sig, self.bands)
-            for bidx in range(self.bands):
-                ids.append(i)
-                bands_col.append(bidx)
-                bhash.append(bh[bidx])
-                sigs.append(sig.tobytes())
-                shs.append(sh.tobytes())
+        from ..functions.text import band_hashes_matrix, minhash_signature_many
+
+        n = len(batch)
+        shingle_sets = [shingle_hashes(t, self.ngram) for t in batch[self.text_col]]
+        sigs = minhash_signature_many(shingle_sets, self.a, self.b)
+        bh = band_hashes_matrix(sigs, self.bands)  # (n, bands)
+
+        ids = np.repeat(batch[self.id_col].to_numpy(), self.bands)
+        bands_col = np.tile(np.arange(self.bands, dtype=np.int32), n)
+        sig_bytes = [sigs[i].tobytes() for i in range(n)]
+        sh_bytes = [s.tobytes() for s in shingle_sets]
         return pd.DataFrame(
             {
-                "band": np.array(bands_col, dtype=np.int32),
-                "band_hash": np.array(bhash, dtype=np.uint64).astype(np.int64),
+                "band": bands_col,
+                "band_hash": bh.reshape(-1).astype(np.int64),
                 self.id_col: ids,
-                "sig": sigs,
-                "shingles": shs,
+                "sig": np.repeat(np.array(sig_bytes, dtype=object), self.bands),
+                "shingles": np.repeat(np.array(sh_bytes, dtype=object), self.bands),
             }
         )
 

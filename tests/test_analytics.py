@@ -35,8 +35,12 @@ def test_exact_dedup(docs):
 def test_minhash_lsh_finds_near_dups(docs):
     from database_delta_plugins_ray.stages.dedup import minhash_lsh_pairs
 
+    # num_perm/bands high enough that the 0.58-jaccard planted pair has
+    # >99% bucket-collision probability (the default 64/16 leaves ~15%
+    # miss chance at this similarity — a flaky test otherwise)
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
-             for r in minhash_lsh_pairs(docs, threshold=0.5).take_all()}
+             for r in minhash_lsh_pairs(docs, threshold=0.5, num_perm=128,
+                                        bands=64).take_all()}
     assert pairs[(0, 1)] == 1.0
     assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
     assert not any(3 in p or 4 in p for p in pairs)
