@@ -89,11 +89,21 @@ def run_replication(
     t0 = time.time()
     os.makedirs(lake_dir, exist_ok=True)
 
-    if registry is None:
-        registry = build_registry(log_dir, upto_lsn)
-    reg_ref = ray.put(registry)
-
     watermark = ckpt.min_watermark(lake_dir, num_partitions)
+    if registry is None:
+        # incremental registry on resume: replay the persisted DDL history
+        # (DBSchemaHistory.java:91-95 analog) and scan only segments newer
+        # than the watermark for further DDLs — no full-log rescan
+        hist = os.path.join(lake_dir, ckpt.CHECKPOINT_DIR, "schema_history.jsonl")
+        if watermark and os.path.exists(hist):
+            base = Registry.load(hist)
+            hist_lsn = max((r["lsn"] for r in base.history), default=0)
+            registry = build_registry(
+                log_dir, upto_lsn, base=base, after_lsn=max(watermark, hist_lsn)
+            )
+        else:
+            registry = build_registry(log_dir, upto_lsn)
+    reg_ref = ray.put(registry)
     if watermark:
         # fully caught up? footer-stats check — skips the whole job when an
         # incremental poll finds no new events past every partition watermark

@@ -228,25 +228,47 @@ def synthesize_table(reg: Registry, table: str, payload_schema: pa.Schema,
 def build_registry(log_dir: str, upto_lsn: int | None = None,
                    synthesize_missing: bool = True,
                    primary_key: list[str] | None = None,
-                   ddl_blacklist: set[tuple[str, str]] | None = None) -> Registry:
+                   ddl_blacklist: set[tuple[str, str]] | None = None,
+                   base: Registry | None = None,
+                   after_lsn: int = 0) -> Registry:
     """Scan the log's DDL rows (driver-side, tiny by assumption) and build
     the registry. Reads only the DDL-relevant columns with a pushed-down
     filter — never materializes DML payloads.
 
     With ``synthesize_missing`` (default), tables that appear in DML but
     have no CREATE_TABLE in the log get a synthesized schema from the log's
-    payload struct (M17 first-seen DDL synthesis)."""
-    ds = pads.dataset(
-        [os.path.join(log_dir, f) for f in sorted(os.listdir(log_dir))
-         if f.startswith("seg-")],
-        format="parquet",
-    )
+    payload struct (M17 first-seen DDL synthesis).
+
+    ``base``/``after_lsn`` support incremental builds on resume: start from
+    a persisted history (DBSchemaHistory replay analog) and only scan
+    segments whose footer max-lsn exceeds ``after_lsn`` for NEW DDLs."""
+    files = [os.path.join(log_dir, f) for f in sorted(os.listdir(log_dir))
+             if f.startswith("seg-")]
+    if after_lsn:
+        import pyarrow.parquet as pq
+
+        def seg_max(f):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index("lsn")
+            mx = 0
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.max is not None:
+                    mx = max(mx, st.max)
+            return mx
+
+        files = [f for f in files if seg_max(f) > after_lsn]
+        if not files:
+            return base or Registry()
+    ds = pads.dataset(files, format="parquet")
     flt = pads.field("op") == OP_DDL
     if upto_lsn is not None:
         flt = flt & (pads.field("lsn") <= upto_lsn)
+    if after_lsn:
+        flt = flt & (pads.field("lsn") > after_lsn)
     tbl = ds.to_table(columns=["lsn", "table", "ddl"], filter=flt)
     tbl = tbl.take(pa.compute.sort_indices(tbl, sort_keys=[("lsn", "ascending")]))
-    reg = Registry()
+    reg = base if base is not None else Registry()
     for row in tbl.to_pylist():
         d = row["ddl"]
         t = d["table"] or row["table"]
