@@ -89,6 +89,38 @@ def run_replication(
     t0 = time.time()
     os.makedirs(lake_dir, exist_ok=True)
 
+    # pin the partitioning config per lake: per-partition watermarks are
+    # only valid under the SAME key->partition mapping; silently changing
+    # num_partitions or partition_mode between runs would mis-fence events
+    import json as _json
+
+    cfg_path = os.path.join(lake_dir, ckpt.CHECKPOINT_DIR, "lake_config.json")
+    if partition_mode == "repo_salted" and repo_salt is None and os.path.exists(cfg_path):
+        with open(cfg_path) as fh:
+            repo_salt = _json.load(fh).get("repo_salt")
+    if partition_mode == "repo_salted" and repo_salt is None:
+        # salt factors are part of the key->partition mapping: compute once
+        # per lake and pin them (recomputing on a grown log would remap keys)
+        repo_salt = compute_repo_salt(log_dir, num_partitions)
+    lake_cfg = {"num_partitions": num_partitions, "partition_mode": partition_mode}
+    if partition_mode == "repo_salted":
+        lake_cfg["repo_salt"] = repo_salt
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as fh:
+            stored = _json.load(fh)
+        if stored != lake_cfg:
+            raise ValueError(
+                f"lake at {lake_dir} was written with partitioning config "
+                f"{stored}, got {lake_cfg}; use the stored config or a new "
+                "lake directory (re-partitioning requires a full rebuild)"
+            )
+    else:
+        os.makedirs(os.path.dirname(cfg_path), exist_ok=True)
+        tmp = cfg_path + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            _json.dump(lake_cfg, fh)
+        os.replace(tmp, cfg_path)
+
     watermark = ckpt.min_watermark(lake_dir, num_partitions)
     if registry is None:
         # incremental registry on resume: replay the persisted DDL history
@@ -147,8 +179,6 @@ def run_replication(
     # with the transform and cached per worker. An actor pool here would
     # compete with the merger pool for CPU slots and can starve the read
     # stage on small nodes.
-    if partition_mode == "repo_salted" and repo_salt is None:
-        repo_salt = compute_repo_salt(log_dir, num_partitions)
     norm = Normalizer(
         registry,
         num_partitions,

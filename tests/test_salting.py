@@ -67,3 +67,18 @@ def test_repo_salt_factors(skewed_log):
     salt = compute_repo_salt(skewed_log, num_partitions=8)
     # at least the hottest repo exceeds its fair share and gets k > 1
     assert salt and max(salt.values()) > 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partition_config_pinned(skewed_log, tmp_path):
+    """Changing num_partitions or partition_mode on an existing lake is
+    rejected (the watermark fence is only valid under one key mapping)."""
+    lake = str(tmp_path / "lake")
+    run_replication(skewed_log, lake, num_partitions=8)
+    with pytest.raises(ValueError, match="partitioning config"):
+        run_replication(skewed_log, lake, num_partitions=16)
+    with pytest.raises(ValueError, match="partitioning config"):
+        run_replication(skewed_log, lake, num_partitions=8, partition_mode="repo")
+    # same config still fine (no-op)
+    s = run_replication(skewed_log, lake, num_partitions=8)
+    assert s["events_applied"] == 0
