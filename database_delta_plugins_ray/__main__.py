@@ -1,0 +1,133 @@
+"""CLI entry points: ``python -m database_delta_plugins_ray <cmd>``.
+
+Commands
+--------
+replicate  --log DIR --lake DIR [--partitions N] [--mode key_hash|repo|repo_salted]
+gen        --out DIR [--keys N] [--events N] [--seed S] ...
+vacuum     --lake DIR [--prune-below LSN]
+stats      --lake DIR
+catalog    --lake DIR [--table NAME]
+
+Owns its Ray session (scripts may init; the driver-facing module
+``__ray_entry__`` never does).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_init(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kw = dict(address="local", include_dashboard=False,
+                  ignore_reinit_error=True, logging_level="ERROR")
+        if num_cpus:
+            kw["num_cpus"] = num_cpus
+        ray.init(**kw)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="database_delta_plugins_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("replicate")
+    pr.add_argument("--log", required=True)
+    pr.add_argument("--lake", required=True)
+    pr.add_argument("--partitions", type=int, default=32)
+    pr.add_argument("--mode", default="key_hash",
+                    choices=["key_hash", "repo", "repo_salted"])
+    pr.add_argument("--upto-lsn", type=int, default=None)
+
+    pg = sub.add_parser("gen")
+    pg.add_argument("--out", required=True)
+    pg.add_argument("--keys", type=int, default=2000)
+    pg.add_argument("--events", type=int, default=10000)
+    pg.add_argument("--repos", type=int, default=24)
+    pg.add_argument("--tables", type=int, default=1)
+    pg.add_argument("--seed", type=int, default=42)
+    pg.add_argument("--segments", type=int, default=8)
+    pg.add_argument("--no-snapshot", action="store_true")
+    pg.add_argument("--no-ddl", action="store_true")
+
+    pv = sub.add_parser("vacuum")
+    pv.add_argument("--lake", required=True)
+    pv.add_argument("--prune-below", type=int, default=None)
+
+    ps = sub.add_parser("stats")
+    ps.add_argument("--lake", required=True)
+
+    pc = sub.add_parser("catalog")
+    pc.add_argument("--lake", required=True)
+    pc.add_argument("--table", default=None)
+
+    a = p.parse_args(argv)
+
+    if a.cmd == "gen":
+        from .sources.gen import GenConfig, generate_log
+
+        meta = generate_log(a.out, GenConfig(
+            n_keys=a.keys, n_events=a.events, n_repos=a.repos,
+            n_tables=a.tables, seed=a.seed, n_segments=a.segments,
+            snapshot=not a.no_snapshot, ddl_plan=not a.no_ddl,
+        ))
+        print(json.dumps({k: v for k, v in meta.items() if k != "config"}))
+        return 0
+
+    if a.cmd == "replicate":
+        _ray_init(a.num_cpus)
+        from .pipelines.replicate import run_replication
+
+        s = run_replication(a.log, a.lake, num_partitions=a.partitions,
+                            partition_mode=a.mode, upto_lsn=a.upto_lsn)
+        print(json.dumps(s))
+        import ray
+
+        ray.shutdown()
+        return 0
+
+    if a.cmd == "vacuum":
+        _ray_init(a.num_cpus)
+        from .pipelines.maintenance import vacuum_lake
+
+        print(json.dumps(vacuum_lake(a.lake, a.prune_below)))
+        import ray
+
+        ray.shutdown()
+        return 0
+
+    if a.cmd == "stats":
+        from .pipelines.maintenance import lake_stats
+
+        print(json.dumps(lake_stats(a.lake)))
+        return 0
+
+    if a.cmd == "catalog":
+        from .sources.registry import LakeCatalog
+
+        cat = LakeCatalog(a.lake)
+        if a.table:
+            d = cat.describe_table(a.table)
+            print(json.dumps({
+                "table": d.table, "primary_key": d.primary_key,
+                "schema_version": d.schema_version,
+                "columns": [[c.name, c.type_name, c.nullable] for c in d.columns],
+                "live_rows": d.live_rows, "total_rows": d.total_rows,
+                "partitions": d.partitions,
+            }))
+        else:
+            print(json.dumps({"tables": cat.list_tables()}))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -114,3 +114,34 @@ def test_rename_table_end_to_end(tmp_path):
     assert all(k[0] == "db.new" for k in got)
     assert got[("db.new", "r", "a")]["content"] == "v2"
     assert ("db.new", "r", "b") not in got
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_drop_table_end_to_end(tmp_path):
+    """DROP_TABLE mid-stream fences every earlier row; later re-inserts
+    revive the table; catalog marks it dropped only if never recreated."""
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    create = {"op": "CREATE_TABLE", "table": "db.t", "prev_table": "",
+              "payload": json.dumps({
+                  "columns": [["repo", "string"], ["path", "string"],
+                              ["commit", "string"], ["lang", "string"],
+                              ["content", "large_string"]],
+                  "primary_key": ["repo", "path"]})}
+    drop = {"op": "DROP_TABLE", "table": "db.t", "prev_table": "",
+            "payload": "{}"}
+    rows = [
+        _event(1, "DDL", "db.t", ddl=create),
+        _event(2, "I", "db.t", after={"repo": "r", "path": "a"}),
+        _event(3, "I", "db.t", after={"repo": "r", "path": "b"}),
+        _event(4, "DDL", "db.t", ddl=drop),
+        _event(5, "I", "db.t", after={"repo": "r", "path": "c"}),
+    ]
+    tbl = pa.Table.from_pylist(rows, schema=event_log_schema())
+    pq.write_table(tbl, os.path.join(log_dir, "seg-00000.parquet"))
+
+    lake = str(tmp_path / "lake")
+    run_replication(log_dir, lake, num_partitions=2)
+    got = {(r["repo"], r["path"]) for r in final_state(lake).take_all()}
+    oracle = {(k[1], k[2]) for k in replay(log_dir)}
+    assert got == oracle == {("r", "c")}
