@@ -126,6 +126,20 @@ class PartitionMerger:
         file written before an ALTER may carry pre-rename column names or
         narrower types; columns dropped from the schema are discarded."""
         names = set(old.column_names)
+        # re-point renamed tables: state rows written before a RENAME_TABLE
+        # still carry the old id; the LWW key includes `table`, so without
+        # this rewrite a resume across the rename would split keys
+        if self.registry.table_renames:
+            uniq = pc.unique(old["table"]).to_pylist()
+            mapping = {t: self.registry.resolve_table(t) for t in uniq}
+            if any(k != v for k, v in mapping.items()):
+                new_tables = pc.take(
+                    pa.array([mapping[t] for t in uniq]),
+                    pc.index_in(old["table"], pa.array(uniq)),
+                )
+                old = old.set_column(
+                    old.schema.get_field_index("table"), "table", new_tables
+                )
         cols: dict[str, pa.ChunkedArray] = {}
         for c in ("part", *self.key_columns):
             if c in names:

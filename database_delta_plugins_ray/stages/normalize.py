@@ -269,8 +269,16 @@ class Normalizer:
             # no-PK rejection (SqlServerRecordConsumer.java:129-133)
             raise DeltaFailure("null primary key value in change stream")
 
-        kh = hash_key(tb, repo, path)
-        part = self._partition(tb, repo, path, kh)
+        # partition hashing uses the rename-chain ROOT table id so a key's
+        # partition never moves across RENAME_TABLE (display name stays
+        # current; old lake state was hashed under the root too)
+        hash_tb = tb
+        if self.registry.table_roots:
+            roots = {t: self.registry.root_table(t) for t in np.unique(tb)}
+            if any(k != v for k, v in roots.items()):
+                hash_tb = pd.Series(tb).map(roots).to_numpy()
+        kh = hash_key(hash_tb, repo, path)
+        part = self._partition(hash_tb, repo, path, kh)
 
         if self.combine and batch.num_rows > 1:
             lsn = batch["lsn"].to_numpy(zero_copy_only=False)
@@ -295,7 +303,12 @@ class Normalizer:
             repo = out["repo"].to_numpy(zero_copy_only=False)
             path = out["path"].to_numpy(zero_copy_only=False)
             tb = out["table"].to_numpy(zero_copy_only=False)
-            part = self._partition(tb, repo, path, hash_key(tb, repo, path))
+            hash_tb = tb
+            if self.registry.table_roots:
+                roots = {t: self.registry.root_table(t) for t in np.unique(tb)}
+                if any(k != v for k, v in roots.items()):
+                    hash_tb = pd.Series(tb).map(roots).to_numpy()
+            part = self._partition(hash_tb, repo, path, hash_key(hash_tb, repo, path))
 
         if self.compute_sha and "content" in out.column_names:
             content = pc.fill_null(out["content"], "").to_pylist()

@@ -112,6 +112,7 @@ def apply_ddl(state: "Registry", lsn: int, ddl_op: str, table: str,
         state.tables[new] = ts
         del state.tables[old]
         state.table_renames[old] = new
+        state.table_roots[new] = state.table_roots.pop(old, old)
         # re-point older renames transitively
         for k, v in list(state.table_renames.items()):
             if v == old:
@@ -139,6 +140,9 @@ class Registry:
     def __init__(self) -> None:
         self.tables: dict[str, TableState] = {}
         self.table_renames: dict[str, str] = {}
+        #: current name -> FIRST name in its rename chain; partition hashing
+        #: uses the root so a key's partition never moves across renames
+        self.table_roots: dict[str, str] = {}
         self.history: list[dict] = []  # DDL records in lsn order
 
     def _require(self, table: str) -> TableState:
@@ -160,6 +164,11 @@ class Registry:
 
     def resolve_table(self, name: str) -> str:
         return self.table_renames.get(name, name)
+
+    def root_table(self, name: str) -> str:
+        """Stable partition-hash identity: the first name in the table's
+        rename chain (old names are already roots; new names map back)."""
+        return self.table_roots.get(name, name)
 
     def final_table(self, name: str) -> TableState:
         return self.tables[self.resolve_table(name)]

@@ -145,3 +145,47 @@ def test_drop_table_end_to_end(tmp_path):
     got = {(r["repo"], r["path"]) for r in final_state(lake).take_all()}
     oracle = {(k[1], k[2]) for k in replay(log_dir)}
     assert got == oracle == {("r", "c")}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rename_table_across_resume(tmp_path):
+    """Resume ACROSS a RENAME_TABLE: lake state written under the old name
+    must merge with post-rename events (root-stable partition hashing +
+    state migration), never duplicate keys."""
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    create = {"op": "CREATE_TABLE", "table": "db.old", "prev_table": "",
+              "payload": json.dumps({
+                  "columns": [["repo", "string"], ["path", "string"],
+                              ["commit", "string"], ["lang", "string"],
+                              ["content", "large_string"]],
+                  "primary_key": ["repo", "path"]})}
+    rename = {"op": "RENAME_TABLE", "table": "db.new", "prev_table": "db.old",
+              "payload": json.dumps({"new_name": "db.new"})}
+    rows = [
+        _event(1, "DDL", "db.old", ddl=create),
+        _event(2, "I", "db.old", after={"repo": "r", "path": "a"}),
+        _event(3, "I", "db.old", after={"repo": "r", "path": "b"}),
+        _event(4, "DDL", "db.new", ddl=rename),
+        _event(5, "U", "db.new", after={"repo": "r", "path": "a",
+                                        "content": "v2"},
+               before={"repo": "r", "path": "a"}),
+        _event(6, "D", "db.new", before={"repo": "r", "path": "b"}),
+    ]
+    tbl = pa.Table.from_pylist(rows, schema=event_log_schema())
+    pq.write_table(tbl, os.path.join(log_dir, "seg-00000.parquet"))
+
+    lake = str(tmp_path / "lake")
+    # phase 1: stop BEFORE the rename -> state committed under db.old
+    run_replication(log_dir, lake, num_partitions=4, upto_lsn=3)
+    got1 = {(r["table"], r["repo"], r["path"])
+            for r in final_state(lake).take_all()}
+    assert got1 == {("db.old", "r", "a"), ("db.old", "r", "b")}
+    # phase 2: resume across the rename
+    run_replication(log_dir, lake, num_partitions=4)
+    rows2 = final_state(lake).take_all()
+    got2 = {(r["table"], r["repo"], r["path"]): r for r in rows2}
+    oracle = replay(log_dir)
+    assert set(got2) == set(oracle) == {("db.new", "r", "a")}
+    assert got2[("db.new", "r", "a")]["content"] == "v2"
+    assert len(rows2) == 1  # no duplicate/stale rows under db.old
