@@ -113,6 +113,43 @@ def filter_orders_high(sf_dir: str):
     return ds.select_columns(["o_orderkey", "o_custkey", "o_totalprice"])
 
 
+def revenue_by_segment(sf_dir: str):
+    """Broadcast hash join: the small customer dimension is ``ray.put`` once
+    and looked up per batch inside map_batches — no shuffle (the canonical
+    small-side join; shuffle joins are reserved for two large sides)."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    lookup = dict(zip(cust["c_custkey"].to_pylist(),
+                      cust["c_mktsegment"].to_pylist()))
+    ref = ray.put(lookup)
+
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def enrich(df: pd.DataFrame) -> pd.DataFrame:
+        seg = df["o_custkey"].map(ray.get(ref))
+        g = (
+            pd.DataFrame({"c_mktsegment": seg, "p": df["o_totalprice"]})
+            .groupby("c_mktsegment", as_index=False)
+            .agg(p_sum=("p", "sum"), p_n=("p", "count"))
+        )
+        return g
+
+    partials = ds.map_batches(enrich, batch_format="pandas")
+    agg = partials.groupby("c_mktsegment").aggregate(
+        Sum("p_sum", alias_name="total_revenue"),
+        Sum("p_n", alias_name="n_orders"),
+    )
+    df = agg.to_pandas()
+    df["total_revenue"] = df["total_revenue"].round(2)
+    return df
+
+
 def events_tumbling_window(sf_dir: str):
     """Tumbling 1-hour window aggregate per event_type (streaming-shaped
     workload, SURVEY.md §2.7: event-time windows as bucketed groupby).
@@ -379,6 +416,12 @@ ORDER BY total_value DESC, user_id LIMIT 20
 SELECT o_orderkey, o_custkey, o_totalprice FROM orders
 WHERE o_totalprice > 200000.0 AND o_orderstatus = 'O'
 """,
+    "revenue_by_segment": """
+SELECT c.c_mktsegment, round(sum(o.o_totalprice), 2) AS total_revenue,
+       count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
     "dedup_exact_documents": """
 SELECT md5(text) AS text_md5, min(doc_id) AS doc_id, count(*) AS n_dups
 FROM documents GROUP BY md5(text)
@@ -410,6 +453,7 @@ ANALYTICS_QUERIES = {
     "events_session_windows": events_session_windows,
     "top_users_by_value": top_users_by_value,
     "filter_orders_high": filter_orders_high,
+    "revenue_by_segment": revenue_by_segment,
     "dedup_exact_documents": dedup_exact_documents,
     "doc_token_stats": doc_token_stats,
     "doc_fingerprints": doc_fingerprints,
