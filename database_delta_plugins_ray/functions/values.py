@@ -52,18 +52,32 @@ def epoch_to_timestamp_utc(a, unit: str) -> pa.Array:
 
 def iso8601_to_timestamp(a) -> pa.Array:
     """V4: ISO-8601 / ZonedTimestamp string -> TIMESTAMP_MICROS UTC
-    (Records.java:226-229, RecordsTest.java:56-71)."""
-    return pc.cast(
-        pc.assume_timezone(
-            pc.strptime(_arr(a), format="%Y-%m-%dT%H:%M:%SZ", unit="us"), "UTC"
-        ),
-        pa.timestamp("us", tz="UTC"),
-    )
+    (Records.java:226-229). Handles fractional seconds and non-UTC offsets —
+    the reference's own fixture is ``2011-12-03T10:15:30.030431+01:00``
+    (RecordsTest.java:56-71); Arrow's ISO parser normalizes the offset to
+    UTC. Offset-less strings (defensive; Debezium always emits one) are
+    interpreted as UTC."""
+    arr = _arr(a)
+    try:
+        return pc.cast(arr, pa.timestamp("us", tz="UTC"))
+    except pa.ArrowInvalid:
+        return pc.cast(
+            pc.assume_timezone(pc.cast(arr, pa.timestamp("us")), "UTC"),
+            pa.timestamp("us", tz="UTC"),
+        )
 
 
 def micros_past_midnight_to_time(a) -> pa.Array:
-    """V5: micros past midnight -> time64('us') (Records.java:231-246)."""
+    """V5a: micros past midnight -> time64('us') (Records.java:231-240)."""
     return pc.cast(pc.cast(_arr(a), pa.int64()), pa.time64("us"))
+
+
+def nanos_past_midnight_to_time(a) -> pa.Array:
+    """V5b: SQL Server TIME(7) nanos past midnight -> time64('us'), nanos
+    truncated toward zero (Records.java:241-246; scale>6 is PARTIAL support,
+    'precision reduced to microseconds', SqlServerTableAssessor.java:107-119)."""
+    ns = pc.cast(_arr(a), pa.int64())
+    return pc.cast(pc.divide(ns, 1_000), pa.time64("us"))
 
 
 # ---------------------------------------------------------------------------
@@ -148,11 +162,16 @@ def json_text(a) -> pa.Array:
 
 def binary_zero_pad(a, length: int) -> pa.Array:
     """V12b: fixed-length BINARY(n) right-padded with 0x00
-    (MySqlValueConverters.java:783-790)."""
-    vals = _arr(a).to_pylist()
-    out = [None if v is None else (bytes(v) + b"\x00" * (length - len(v)))[:length]
-           for v in vals]
-    return pa.array(out, pa.binary(length))
+    (MySqlValueConverters.java:783-790). Vectorized: append a full-length
+    zero pad to every value, slice back to n, cast to fixed_size_binary."""
+    arr = _arr(a)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.cast(arr, pa.binary())
+    padded = pc.binary_join_element_wise(
+        arr, pa.scalar(b"\x00" * length, pa.binary()), pa.scalar(b"", pa.binary())
+    )
+    return pc.cast(pc.binary_slice(padded, 0, length), pa.binary(length))
 
 
 def int16_widen(a) -> pa.Array:

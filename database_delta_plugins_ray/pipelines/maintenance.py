@@ -23,18 +23,30 @@ from ..state import checkpoint as ckpt
 
 @ray.remote
 def _compact_partition(lake_dir: str, part: int, prune_below: int) -> dict:
+    import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
+
+    from ..stages.merge import exact_lww_indices
 
     manifest = ckpt.read_manifest(lake_dir, part)
     if manifest is None:
         return {"part": part, "pruned": 0, "rows": 0}
-    tbl = pq.read_table(manifest["file"])
+    files = manifest.get("files") or [manifest["file"]]
+    tbl = pa.concat_tables(
+        [pq.read_table(f) for f in files], promote_options="default"
+    )
+    if len(files) > 1:
+        # fold delta commits into the base while we're rewriting anyway
+        keys = tuple(manifest.get("key_columns") or ("table", "repo", "path"))
+        idx = exact_lww_indices(tbl, keys, SEQUENCE_NUM)
+        if len(idx) < tbl.num_rows:
+            tbl = tbl.take(pa.array(idx))
     dead = pc.and_(
         tbl[IS_DELETED], pc.less_equal(tbl[SEQUENCE_NUM], prune_below)
     )
     n_dead = int(pc.sum(pc.cast(dead, "int64")).as_py() or 0)
-    if n_dead == 0:
+    if n_dead == 0 and len(files) == 1:
         return {"part": part, "pruned": 0, "rows": tbl.num_rows}
     kept = tbl.filter(pc.invert(dead))
 

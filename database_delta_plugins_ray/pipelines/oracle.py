@@ -53,7 +53,13 @@ def replay(log_dir: str, upto_lsn: int | None = None) -> dict:
                         del state[k]
                 elif ddl["op"] == DDL_RENAME_TABLE:
                     new = json.loads(ddl["payload"]).get("new_name") or ddl["table"]
-                    table_renames[ddl["prev_table"]] = new
+                    prev = ddl["prev_table"]
+                    # re-point earlier chain entries (A->B then B->C must
+                    # leave A->C), mirroring state/ddl.py apply_ddl
+                    for k, v in list(table_renames.items()):
+                        if v == prev:
+                            table_renames[k] = new
+                    table_renames[prev] = new
                     for k in [k for k in state if k[0] == ddl["prev_table"]]:
                         row = state.pop(k)
                         state[(new, k[1], k[2])] = row

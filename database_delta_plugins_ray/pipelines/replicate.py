@@ -25,6 +25,7 @@ import os
 import time
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.dataset as pads
 import ray
 import ray.data
@@ -79,6 +80,8 @@ def run_replication(
     override_num_blocks: int | None = None,
     partition_mode: str = "key_hash",
     repo_salt: dict[str, int] | None = None,
+    primary_key: tuple[str, ...] = ("repo", "path"),
+    max_delta_files: int = 4,
 ) -> dict:
     """Replay the event log into the Parquet lake; returns a lineage summary.
 
@@ -179,6 +182,13 @@ def run_replication(
     # with the transform and cached per worker. An actor pool here would
     # compete with the merger pool for CPU slots and can starve the read
     # stage on small nodes.
+    if columns is not None:
+        # force-include every table's primary-key columns: a projection that
+        # dropped a PK column would break the LWW key downstream (the
+        # reference always retains PK columns under projection,
+        # Records.java:123-148)
+        pks = {pk for ts in registry.tables.values() for pk in ts.primary_key}
+        columns = set(columns) | pks
     norm = Normalizer(
         registry,
         num_partitions,
@@ -188,6 +198,7 @@ def run_replication(
         compute_sha=compute_sha,
         partition_mode=partition_mode,
         repo_salt=repo_salt,
+        primary_key=primary_key,
     )
     ds = ds.map_batches(
         norm,
@@ -206,21 +217,37 @@ def run_replication(
     summary_ds = ds.groupby("part").map_groups(
         PartitionMerger,
         fn_constructor_args=(lake_dir, reg_ref, payload_columns),
+        fn_constructor_kwargs=dict(
+            key_columns=("table", *primary_key), max_delta_files=max_delta_files
+        ),
         batch_format="pyarrow",
         concurrency=(1, merge_concurrency),
     )
     rows = summary_ds.take_all()
 
     registry.save(os.path.join(lake_dir, ckpt.CHECKPOINT_DIR, "schema_history.jsonl"))
+    # lake-level consumed-log watermark: every event <= this is now applied,
+    # including in partitions that received no events (no manifest). Lets
+    # the next poll's read pushdown skip the whole consumed prefix.
+    consumed = upto_lsn if upto_lsn is not None else log_max_lsn(log_dir)
+    ckpt.write_global_watermark(lake_dir, max(watermark, consumed))
+
+    # partitions with no new events this run emit no group: fold their
+    # manifest totals in so rows/live_rows report the whole lake
+    seen_parts = {r["part"] for r in rows}
+    absent = [m for p, m in ckpt.all_manifests(lake_dir).items() if p not in seen_parts]
     wall = time.time() - t0
     applied = sum(r["events_applied"] for r in rows)
     return {
-        "partitions": len(rows),
+        "partitions": len(rows) + len(absent),
         "events_in": sum(r["events_in"] for r in rows),
         "events_applied": applied,
-        "rows": sum(r["rows"] for r in rows),
-        "live_rows": sum(r["live_rows"] for r in rows),
-        "last_lsn": max((r["last_lsn"] for r in rows), default=watermark),
+        "rows": sum(r["rows"] for r in rows) + sum(m["rows"] for m in absent),
+        "live_rows": sum(r["live_rows"] for r in rows) + sum(m["live_rows"] for m in absent),
+        "last_lsn": max(
+            max((r["last_lsn"] for r in rows), default=watermark),
+            max((m["last_lsn"] for m in absent), default=0),
+        ),
         "wall_s": wall,
         "events_per_s": applied / wall if wall > 0 else 0.0,
         "resume_watermark": watermark,
@@ -273,16 +300,63 @@ def compute_repo_salt(log_dir: str, num_partitions: int) -> dict[str, int]:
 
 
 def lake_files(lake_dir: str) -> list[str]:
-    return [m["file"] for m in ckpt.all_manifests(lake_dir).values()]
+    return [f for m in ckpt.all_manifests(lake_dir).values()
+            for f in (m.get("files") or [m["file"]])]
 
 
 def read_lake(lake_dir: str, columns: list[str] | None = None) -> "ray.data.Dataset":
     """The lake as a Ray Dataset (includes soft-deleted rows, like the
-    reference target table — filter ``_is_deleted`` for final state)."""
-    files = lake_files(lake_dir)
-    if not files:
+    reference target table — filter ``_is_deleted`` for final state).
+
+    Partitions carrying delta commits (manifest lists base + delta files)
+    are reduced at read time: one task per partition reads its files and
+    keeps the max-``_sequence_num`` row per key — no shuffle, the commit
+    layout already co-locates each key's files."""
+    manifests = ckpt.all_manifests(lake_dir)
+    if not manifests:
         raise FileNotFoundError(f"no committed partitions under {lake_dir}")
-    return ray.data.read_parquet(files, columns=columns)
+    multi = [m for m in manifests.values() if len(m.get("files") or ()) > 1]
+    if not multi:
+        return ray.data.read_parquet(
+            [m["file"] for m in manifests.values()], columns=columns
+        )
+
+    from ..model import SEQUENCE_NUM
+    from ..stages.merge import exact_lww_indices
+
+    items = [
+        {
+            "files": m.get("files") or [m["file"]],
+            "key_columns": m.get("key_columns") or ["table", "repo", "path"],
+        }
+        for m in manifests.values()
+    ]
+
+    def load(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        out = []
+        for row in batch.to_pylist():
+            keys = tuple(row["key_columns"])
+            read_cols = None
+            if columns is not None:
+                read_cols = list(dict.fromkeys([*columns, *keys, SEQUENCE_NUM]))
+            t = pa.concat_tables(
+                [pq.read_table(f, columns=read_cols) for f in row["files"]],
+                promote_options="default",
+            )
+            if len(row["files"]) > 1:
+                idx = exact_lww_indices(t, keys, SEQUENCE_NUM)
+                if len(idx) < t.num_rows:
+                    t = t.take(pa.array(idx))
+            if columns is not None:
+                t = t.select(columns)
+            out.append(t)
+        return pa.concat_tables(out, promote_options="default")
+
+    return ray.data.from_items(items).map_batches(
+        load, batch_format="pyarrow", batch_size=1
+    )
 
 
 def final_state(lake_dir: str, columns: list[str] | None = None) -> "ray.data.Dataset":

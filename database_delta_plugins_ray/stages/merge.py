@@ -22,6 +22,16 @@ call receives ALL (pre-reduced) events of one key partition. Per partition it
 
 Ordering note (SURVEY.md §4): order is only required per primary key; LWW by
 monotone lsn realizes it without any global sort.
+
+Write amplification (100-TB scale): an incremental run does NOT rewrite the
+whole partition state. When the incoming events are small relative to the
+base, the merger commits a *delta* file holding only the changed keys' new
+rows (LWW guarantees new events supersede base rows: their lsn is past the
+watermark); the manifest lists base + deltas, and readers/compaction reduce
+across files by max ``_sequence_num`` per key. Once ``max_delta_files``
+deltas accumulate — or a fence / schema change arrives — the partition is
+compacted back to a single file. The delta decision only reads the base's
+narrow key columns (Parquet column pruning), never its payload.
 """
 
 from __future__ import annotations
@@ -67,6 +77,13 @@ def exact_lww_indices(tbl: pa.Table, key_cols: tuple[str, ...], lsn_col: str) ->
     return idx
 
 
+def schema_sig(tbl: pa.Table) -> list[str]:
+    """Stable schema fingerprint stored in the manifest; a delta commit is
+    only legal when the new rows' schema matches the base file's exactly
+    (schema evolution between commits forces a compaction)."""
+    return [f"{f.name}:{f.type}" for f in tbl.schema]
+
+
 class PartitionMerger:
     """Actor-pool callable for ``groupby("part").map_groups``."""
 
@@ -77,6 +94,7 @@ class PartitionMerger:
         payload_columns: list[str],
         key_columns: tuple[str, ...] = ("table", "repo", "path"),
         keep_tombstones: bool = True,
+        max_delta_files: int = 4,
     ) -> None:
         import ray
 
@@ -87,6 +105,7 @@ class PartitionMerger:
         self.payload_columns = payload_columns
         self.key_columns = key_columns
         self.keep_tombstones = keep_tombstones
+        self.max_delta_files = max(1, max_delta_files)
         self.fences = registry.fences()
 
     # -- helpers ---------------------------------------------------------
@@ -193,9 +212,56 @@ class PartitionMerger:
         new_state = self._events_to_state(group)
         last_lsn = max(watermark, int(pc.max(group["lsn"]).as_py()))
 
-        # merge with existing partition state
+        # reduce the NEW events per key first (cheap, no base read): LWW over
+        # the incoming events alone — every surviving row supersedes any base
+        # row of the same key because its lsn is past the watermark
+        idx = exact_lww_indices(new_state, self.key_columns, SEQUENCE_NUM)
+        if len(idx) < new_state.num_rows:
+            new_state = new_state.take(pa.array(idx))
+
+        base_files = (manifest.get("files") or [manifest["file"]]) if manifest else []
+
+        def write_fn(tbl, path):
+            pq.write_table(tbl, path)
+
+        # a delta is legal only when nothing about the base needs rewriting:
+        # same schema, no UNAPPLIED fence (a fence the base commit already
+        # applied doesn't block), and no table rename since the base commit
+        # (base rows under a pre-rename name would split LWW keys)
+        fmax = max(self.fences.values(), default=0)
+        base_tables = set(manifest.get("tables", [])) if manifest else set()
+        can_delta = (
+            manifest is not None
+            and fmax <= manifest.get("fence_max_applied", 0)
+            and all(self.registry.resolve_table(t) == t for t in base_tables)
+            and self.keep_tombstones
+            and len(base_files) < self.max_delta_files
+            and manifest.get("schema_sig") == schema_sig(new_state)
+        )
+        if can_delta:
+            rows, live = self._delta_counts(base_files, new_state, manifest)
+            ckpt.commit_partition(
+                self.lake_dir, part, new_state, last_lsn, write_fn,
+                {
+                    "events_applied": prior_applied + group.num_rows,
+                    "rows": rows,
+                    "live_rows": live,
+                    "tables": sorted(base_tables
+                                     | set(pc.unique(new_state["table"]).to_pylist())),
+                    "schema_sig": manifest["schema_sig"],
+                    "key_columns": list(self.key_columns),
+                    "fence_max_applied": manifest.get("fence_max_applied", 0),
+                },
+                extra_files=base_files,
+            )
+            return self._result(part, events_in, group.num_rows, rows, live, last_lsn)
+
+        # compaction path: full merge with the existing partition state
         if manifest:
-            old = self._migrate_state(pq.read_table(manifest["file"]))
+            old = pa.concat_tables(
+                [self._migrate_state(pq.read_table(f)) for f in base_files],
+                promote_options="default",
+            )
             state = pa.concat_tables([old, new_state], promote_options="default")
         else:
             state = new_state
@@ -208,9 +274,6 @@ class PartitionMerger:
 
         live = state.num_rows - int(pc.sum(pc.cast(state[IS_DELETED], pa.int64())).as_py() or 0)
 
-        def write_fn(tbl, path):
-            pq.write_table(tbl, path)
-
         ckpt.commit_partition(
             self.lake_dir,
             part,
@@ -222,14 +285,51 @@ class PartitionMerger:
                 "rows": state.num_rows,
                 "live_rows": live,
                 "tables": sorted(set(pc.unique(state["table"]).to_pylist())),
+                "schema_sig": schema_sig(state),
+                "key_columns": list(self.key_columns),
+                "fence_max_applied": max(
+                    max(self.fences.values(), default=0),
+                    (manifest or {}).get("fence_max_applied", 0),
+                ),
             },
         )
+        return self._result(part, events_in, group.num_rows, state.num_rows, live, last_lsn)
+
+    def _delta_counts(self, base_files: list[str], new_state: pa.Table,
+                      manifest: dict) -> tuple[int, int]:
+        """Row/live-row counts after a delta commit, reading ONLY the base's
+        key + _is_deleted + _sequence_num columns (Parquet column pruning —
+        the payload, i.e. content, is never read on the delta path)."""
+        narrow = list(self.key_columns) + [IS_DELETED, SEQUENCE_NUM]
+        base = pa.concat_tables([pq.read_table(f, columns=narrow) for f in base_files])
+        # base may itself contain superseded rows (prior deltas): reduce keys
+        bidx = exact_lww_indices(base, self.key_columns, SEQUENCE_NUM)
+        if len(bidx) < base.num_rows:
+            base = base.take(pa.array(bidx))
+        bdf = pd.DataFrame(
+            {c: base[c].to_numpy(zero_copy_only=False) for c in self.key_columns}
+        )
+        bdf["_del"] = base[IS_DELETED].to_numpy(zero_copy_only=False)
+        ndf = pd.DataFrame(
+            {c: new_state[c].to_numpy(zero_copy_only=False) for c in self.key_columns}
+        )
+        ndf["_del"] = new_state[IS_DELETED].to_numpy(zero_copy_only=False)
+        merged = bdf.merge(ndf, on=list(self.key_columns), how="outer",
+                           suffixes=("_b", "_n"), indicator=True)
+        rows = len(merged)
+        win_del = merged["_del_n"].where(
+            merged["_merge"] != "left_only", merged["_del_b"]
+        ).astype(bool)
+        live = int((~win_del).sum())
+        return rows, live
+
+    def _result(self, part, events_in, applied, rows, live, last_lsn):
         return pa.table(
             {
                 "part": [part],
                 "events_in": [events_in],
-                "events_applied": [group.num_rows],
-                "rows": [state.num_rows],
+                "events_applied": [applied],
+                "rows": [rows],
                 "live_rows": [live],
                 "last_lsn": [last_lsn],
                 "skipped": [False],

@@ -66,8 +66,8 @@ def sha256_hex(values: list) -> np.ndarray:
     )
 
 
-def _lww_keep_indices(khash: np.ndarray, lsn: np.ndarray, tb: np.ndarray,
-                      repo: np.ndarray, path: np.ndarray) -> np.ndarray:
+def _lww_keep_indices(khash: np.ndarray, lsn: np.ndarray,
+                      key_arrays: tuple[np.ndarray, ...]) -> np.ndarray:
     """Indices of the max-lsn row per key (sorted by (hash, lsn), boundary
     rows kept; hash collisions verified on real key columns so collisions
     can only over-keep, never drop)."""
@@ -77,7 +77,7 @@ def _lww_keep_indices(khash: np.ndarray, lsn: np.ndarray, tb: np.ndarray,
     keep = np.ones(n, dtype=bool)
     same = hs[:-1] == hs[1:]
     if same.any():
-        for col in (tb, repo, path):
+        for col in key_arrays:
             c = col[order]
             same = same & (c[:-1] == c[1:])
         keep[:-1] = ~same
@@ -127,6 +127,7 @@ class Normalizer:
         combine: bool = True,
         partition_mode: str = "key_hash",
         repo_salt: dict[str, int] | None = None,
+        primary_key: tuple[str, ...] = ("repo", "path"),
     ) -> None:
         """``partition_mode`` controls the shuffle key (SURVEY.md §4 skew):
 
@@ -152,6 +153,12 @@ class Normalizer:
         self.combine = combine
         self.partition_mode = partition_mode
         self.repo_salt = repo_salt or {}
+        self.primary_key = tuple(primary_key)
+        if partition_mode in ("repo", "repo_salted") and len(self.primary_key) < 2:
+            raise ValueError(
+                f"partition_mode {partition_mode!r} needs a composite primary "
+                "key (coarse column + remainder); use key_hash for single-column PKs"
+            )
         # final output schema is identical for all batches: the ordered
         # union of payload columns across all registry tables (a table
         # lacking a column emits nulls there)
@@ -258,16 +265,16 @@ class Normalizer:
         # would churn every content byte of every superseded event (the
         # dominant cost at high update ratios).
         is_del = pc.equal(batch["op"], OP_DELETE)
-        repo_arr = pc.if_else(is_del, pc.struct_field(batch["before"], "repo"),
-                              pc.struct_field(batch["after"], "repo"))
-        path_arr = pc.if_else(is_del, pc.struct_field(batch["before"], "path"),
-                              pc.struct_field(batch["after"], "path"))
-        repo = repo_arr.to_numpy(zero_copy_only=False)
-        path = path_arr.to_numpy(zero_copy_only=False)
+        pk_arrays: list[np.ndarray] = []
+        for pk_col in self.primary_key:
+            arr = pc.if_else(is_del, pc.struct_field(batch["before"], pk_col),
+                             pc.struct_field(batch["after"], pk_col))
+            a = arr.to_numpy(zero_copy_only=False)
+            if (a == None).any():  # noqa: E711
+                # no-PK rejection (SqlServerRecordConsumer.java:129-133)
+                raise DeltaFailure("null primary key value in change stream")
+            pk_arrays.append(a)
         tb = batch["table"].to_numpy(zero_copy_only=False)
-        if (repo == None).any() or (path == None).any():  # noqa: E711
-            # no-PK rejection (SqlServerRecordConsumer.java:129-133)
-            raise DeltaFailure("null primary key value in change stream")
 
         # partition hashing uses the rename-chain ROOT table id so a key's
         # partition never moves across RENAME_TABLE (display name stays
@@ -277,15 +284,14 @@ class Normalizer:
             roots = {t: self.registry.root_table(t) for t in np.unique(tb)}
             if any(k != v for k, v in roots.items()):
                 hash_tb = pd.Series(tb).map(roots).to_numpy()
-        kh = hash_key(hash_tb, repo, path)
-        part = self._partition(hash_tb, repo, path, kh)
+        kh = hash_key(hash_tb, *pk_arrays)
+        part = self._partition(hash_tb, pk_arrays, kh)
 
         if self.combine and batch.num_rows > 1:
             lsn = batch["lsn"].to_numpy(zero_copy_only=False)
-            keep = _lww_keep_indices(kh, lsn, tb, repo, path)
+            keep = _lww_keep_indices(kh, lsn, (tb, *pk_arrays))
             if len(keep) < batch.num_rows:
                 batch = batch.take(pa.array(keep))
-                repo, path, tb = repo[keep], path[keep], tb[keep]
                 part = part[keep]
 
         # per-table normalization (usually exactly one table per log)
@@ -300,15 +306,14 @@ class Normalizer:
                 parts.append(self._normalize_table_slice(sl, t))
             out = pa.concat_tables(parts, promote_options="default")
             # re-derive part for the reordered multi-table concat
-            repo = out["repo"].to_numpy(zero_copy_only=False)
-            path = out["path"].to_numpy(zero_copy_only=False)
+            pk_arrays = [out[c].to_numpy(zero_copy_only=False) for c in self.primary_key]
             tb = out["table"].to_numpy(zero_copy_only=False)
             hash_tb = tb
             if self.registry.table_roots:
                 roots = {t: self.registry.root_table(t) for t in np.unique(tb)}
                 if any(k != v for k, v in roots.items()):
                     hash_tb = pd.Series(tb).map(roots).to_numpy()
-            part = self._partition(hash_tb, repo, path, hash_key(hash_tb, repo, path))
+            part = self._partition(hash_tb, pk_arrays, hash_key(hash_tb, *pk_arrays))
 
         if self.compute_sha and "content" in out.column_names:
             content = pc.fill_null(out["content"], "").to_pylist()
@@ -317,18 +322,23 @@ class Normalizer:
         out = out.append_column("part", pa.array(part.astype(np.int64)))
         return out
 
-    def _partition(self, tb: np.ndarray, repo: np.ndarray, path: np.ndarray,
+    def _partition(self, tb: np.ndarray, pk_arrays: list[np.ndarray] | tuple,
                    kh: np.ndarray) -> np.ndarray:
+        """Shuffle partition per event. ``repo``/``repo_salted`` modes use the
+        FIRST primary-key column as the coarse locality key and the remaining
+        PK columns as the salt remainder (for the default (repo, path) PK
+        that is exactly per-repo partitioning with path-hash salting)."""
         if self.partition_mode == "key_hash":
             return kh % np.uint64(self.num_partitions)
-        rh = hash_key(tb, repo)
+        coarse = pk_arrays[0]
+        rh = hash_key(tb, coarse)
         if self.partition_mode == "repo":
             return rh % np.uint64(self.num_partitions)
         if self.partition_mode == "repo_salted":
-            ph = hash_key(path)
-            salt_k = np.ones(len(repo), dtype=np.uint64)
+            ph = hash_key(*pk_arrays[1:])
+            salt_k = np.ones(len(coarse), dtype=np.uint64)
             if self.repo_salt:
-                ks = pd.Series(repo).map(self.repo_salt).fillna(1).to_numpy()
+                ks = pd.Series(coarse).map(self.repo_salt).fillna(1).to_numpy()
                 salt_k = ks.astype(np.uint64)
             return (rh + ph % np.maximum(salt_k, 1)) % np.uint64(self.num_partitions)
         raise ValueError(f"unknown partition_mode {self.partition_mode!r}")

@@ -59,14 +59,42 @@ def all_manifests(lake_dir: str) -> dict[int, dict]:
     return out
 
 
+def global_watermark_path(lake_dir: str) -> str:
+    return os.path.join(lake_dir, CHECKPOINT_DIR, "log_watermark.json")
+
+
+def read_global_watermark(lake_dir: str) -> int:
+    """Lake-level consumed-log watermark, written after a fully successful
+    run: every event with lsn <= this has been routed to its partition and
+    committed (including partitions that received no events at all, which
+    have no manifest). Purely a read-pushdown optimization — per-partition
+    fences inside the merger keep correctness even when this lags."""
+    p = global_watermark_path(lake_dir)
+    if not os.path.exists(p):
+        return 0
+    with open(p) as fh:
+        return json.load(fh).get("lsn", 0)
+
+
+def write_global_watermark(lake_dir: str, lsn: int) -> None:
+    p = global_watermark_path(lake_dir)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = p + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump({"lsn": int(lsn)}, fh)
+    os.replace(tmp, p)
+
+
 def min_watermark(lake_dir: str, num_partitions: int) -> int:
     """Coarse resume fence for the log read: events with lsn <= this are
-    guaranteed already applied in EVERY partition. 0 when any partition has
-    no checkpoint yet."""
+    guaranteed already applied in EVERY partition. Uses the lake-level
+    watermark (covers never-hit partitions); falls back to the min of
+    per-partition manifests when a crash interrupted the last run."""
+    g = read_global_watermark(lake_dir)
     ms = all_manifests(lake_dir)
     if len(ms) < num_partitions:
-        return 0
-    return min(m["last_lsn"] for m in ms.values())
+        return g
+    return max(g, min(m["last_lsn"] for m in ms.values()))
 
 
 def data_file(lake_dir: str, part: int, last_lsn: int) -> str:
@@ -74,20 +102,33 @@ def data_file(lake_dir: str, part: int, last_lsn: int) -> str:
 
 
 def commit_partition(lake_dir: str, part: int, table, last_lsn: int,
-                     write_fn, manifest: dict) -> str:
+                     write_fn, manifest: dict, extra_files: list[str] | None = None) -> str:
     """Fenced atomic commit: write parquet to tmp, rename to the fenced name,
-    drop superseded data files, then commit the manifest. ``write_fn(table,
-    path)`` performs the actual parquet write (injected to keep this module
-    IO-library-agnostic)."""
+    commit the manifest, and only THEN drop superseded data files. A crash
+    between the data rename and the manifest write leaves the old manifest
+    pointing at data files that still exist (resume re-applies and
+    overwrites); a crash after the manifest write leaves stale extra files
+    that the next commit's cleanup removes — never a manifest pointing at a
+    deleted file. ``write_fn(table, path)`` performs the actual parquet write
+    (injected to keep this module IO-library-agnostic).
+
+    ``extra_files`` lists additional live data files (delta commits) that the
+    manifest should reference alongside the newly written one; files not in
+    the live set are garbage-collected after the manifest commit."""
     d = part_dir(lake_dir, part)
     os.makedirs(d, exist_ok=True)
     final = data_file(lake_dir, part, last_lsn)
     tmp = final + f".tmp.{os.getpid()}"
     write_fn(table, tmp)
     os.replace(tmp, final)
-    for old in glob.glob(os.path.join(d, "data-*.parquet")):
-        if old != final:
-            os.remove(old)
-    manifest = dict(manifest, part=part, last_lsn=last_lsn, file=final)
+    live = {final, *(extra_files or ())}
+    manifest = dict(manifest, part=part, last_lsn=last_lsn, file=final,
+                    files=sorted(live))
     write_manifest(lake_dir, part, manifest)
+    for old in glob.glob(os.path.join(d, "data-*.parquet")):
+        if old not in live:
+            os.remove(old)
+    for stale_tmp in glob.glob(os.path.join(d, "data-*.parquet.tmp.*")):
+        if stale_tmp != tmp:
+            os.remove(stale_tmp)
     return final

@@ -203,7 +203,7 @@ class Registry:
     # -- persistence (DBSchemaHistory analog) ----------------------------
 
     def save(self, path: str) -> None:
-        tmp = path + ".tmp"
+        tmp = path + f".tmp.{os.getpid()}"
         with open(tmp, "w") as fh:
             for rec in self.history:
                 fh.write(json.dumps(rec) + "\n")
@@ -232,6 +232,41 @@ def synthesize_table(reg: Registry, table: str, payload_schema: pa.Schema,
     cols = [[f.name, type_name(f.type)] for f in payload_schema]
     reg.apply(lsn, DDL_CREATE_TABLE, table, "",
               json.dumps({"columns": cols, "primary_key": primary_key}))
+
+
+def _distinct_dml_tables(ds: "pads.Dataset", files: list[str]) -> set[str]:
+    """Distinct ``table`` values across the log's DML rows WITHOUT
+    materializing the column on the driver. Distributed per-file distinct
+    via Ray tasks when Ray is up (each task returns a handful of strings);
+    otherwise a streaming scanner that accumulates per-batch uniques —
+    either way driver memory is O(#tables), never O(#events)."""
+    try:
+        import ray
+
+        ray_up = ray.is_initialized()
+    except ImportError:
+        ray_up = False
+    if ray_up and len(files) > 1:
+        import ray
+
+        @ray.remote(num_cpus=1)
+        def file_tables(f: str) -> list[str]:
+            import pyarrow.dataset as _pads
+            import pyarrow.compute as _pc
+
+            out: set[str] = set()
+            d = _pads.dataset(f, format="parquet")
+            for b in d.to_batches(columns=["table"],
+                                  filter=_pads.field("op") != OP_DDL):
+                out.update(_pc.unique(b.column(0)).to_pylist())
+            return sorted(out)
+
+        parts = ray.get([file_tables.remote(f) for f in files])
+        return {t for p in parts for t in p}
+    seen: set[str] = set()
+    for b in ds.to_batches(columns=["table"], filter=pads.field("op") != OP_DDL):
+        seen.update(pa.compute.unique(b.column(0)).to_pylist())
+    return seen
 
 
 def build_registry(log_dir: str, upto_lsn: int | None = None,
@@ -286,9 +321,7 @@ def build_registry(log_dir: str, upto_lsn: int | None = None,
             continue
         reg.apply(row["lsn"], d["op"], t, d["prev_table"] or "", d["payload"] or "{}")
     if synthesize_missing:
-        # distinct DML table ids (column stats scan; no payload read)
-        dml = ds.to_table(columns=["table"], filter=pads.field("op") != OP_DDL)
-        seen = set(pa.compute.unique(dml["table"]).to_pylist())
+        seen = _distinct_dml_tables(ds, files)
         missing = {t for t in seen
                    if reg.resolve_table(t) not in reg.tables
                    or not reg.tables[reg.resolve_table(t)].columns}
