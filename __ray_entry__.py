@@ -35,10 +35,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from database_delta_plugins_ray.pipelines.queries import cdc_oracle_sql, ensure_log
+    from database_delta_plugins_ray.pipelines.queries import (
+        cdc_oracle_sql,
+        ensure_log,
+        ensure_typed_log,
+    )
 
-    # the driver compares at sf=0.01; make sure the log the SQL reads exists
+    # the driver compares at sf=0.01; make sure the logs the SQL reads exist
     ensure_log("/root/testdata/sf0.01")
+    ensure_typed_log("/root/testdata/sf0.01")
     out = dict(cdc_oracle_sql("0.01"))
     try:
         from database_delta_plugins_ray.pipelines.analytics import ANALYTICS_ORACLE_SQL

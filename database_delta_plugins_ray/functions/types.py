@@ -45,6 +45,7 @@ _SIMPLE = {
 }
 
 _DECIMAL_RE = re.compile(r"decimal\((\d+),\s*(\d+)\)")
+_FIXED_BINARY_RE = re.compile(r"binary\((\d+)\)")
 
 
 def arrow_type(name: str) -> pa.DataType:
@@ -55,6 +56,9 @@ def arrow_type(name: str) -> pa.DataType:
     m = _DECIMAL_RE.fullmatch(n)
     if m:
         return pa.decimal128(int(m.group(1)), int(m.group(2)))
+    m = _FIXED_BINARY_RE.fullmatch(n)
+    if m:
+        return pa.binary(int(m.group(1)))
     raise ValueError(f"unknown type name: {name!r}")
 
 
@@ -64,6 +68,8 @@ def type_name(t: pa.DataType) -> str:
             return name
     if pa.types.is_decimal(t):
         return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_fixed_size_binary(t):
+        return f"binary({t.byte_width})"
     raise ValueError(f"no portable name for {t}")
 
 

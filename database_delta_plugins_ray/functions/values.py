@@ -97,17 +97,22 @@ def enum_decode(indices, options: list[str]) -> pa.Array:
 
 def set_decode(bitmasks, options: list[str]) -> pa.Array:
     """V8b: SET bitmask -> comma-joined labels
-    (MySqlValueConverters.java:642-653,695-718)."""
-    m = np.asarray(pc.cast(_arr(bitmasks), pa.int64()).to_numpy(zero_copy_only=False),
-                   dtype=np.int64)
-    parts = []
-    for bit, opt in enumerate(options):
-        has = (m >> bit) & 1
-        parts.append(np.where(has == 1, opt, ""))
-    out = []
-    for i in range(len(m)):
-        out.append(",".join(p[i] for p in parts if p[i]))
-    return pa.array(out, pa.string())
+    (MySqlValueConverters.java:642-653,695-718). Null-safe and vectorized:
+    per-bit label-or-empty arrays joined with Arrow's element-wise concat,
+    then the spurious separators collapsed."""
+    arr = pc.cast(_arr(bitmasks), pa.int64())
+    null_mask = pc.is_null(arr)
+    m = pc.fill_null(arr, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    # label when the bit is set, '' otherwise; join all with ',' then strip
+    # the runs of separators left by unset bits
+    parts = [
+        pa.array(np.where((m >> bit) & 1 == 1, opt, ""))
+        for bit, opt in enumerate(options)
+    ]
+    joined = pc.binary_join_element_wise(*parts, ",") if len(parts) > 1 else parts[0]
+    joined = pc.replace_substring_regex(joined, pattern=",{2,}", replacement=",")
+    joined = pc.replace_substring_regex(joined, pattern="^,|,$", replacement="")
+    return pc.if_else(null_mask, pa.scalar(None, pa.string()), joined)
 
 
 def year_adjust(years) -> pa.Array:
@@ -177,3 +182,41 @@ def binary_zero_pad(a, length: int) -> pa.Array:
 def int16_widen(a) -> pa.Array:
     """INT16 -> int widening (Records.java:289-290)."""
     return pc.cast(_arr(a), pa.int32())
+
+
+# ---------------------------------------------------------------------------
+# converter dispatch (declared per column in CREATE_TABLE DDL; applied by the
+# normalize stage — the analog of Debezium logical-type decoding, where the
+# wire carries raw encodings and the schema names the logical type,
+# Records.java:186-271)
+# ---------------------------------------------------------------------------
+
+_CONVERTERS = {
+    "epoch_days_date": lambda a, arg: epoch_days_to_date(a),
+    "epoch_ms_datetime": lambda a, arg: epoch_to_datetime(a, "ms"),
+    "epoch_us_datetime": lambda a, arg: epoch_to_datetime(a, "us"),
+    "epoch_ns_datetime": lambda a, arg: epoch_to_datetime(a, "ns"),
+    "epoch_ms_ts_utc": lambda a, arg: epoch_to_timestamp_utc(a, "ms"),
+    "epoch_us_ts_utc": lambda a, arg: epoch_to_timestamp_utc(a, "us"),
+    "iso8601_ts": lambda a, arg: iso8601_to_timestamp(a),
+    "micros_time": lambda a, arg: micros_past_midnight_to_time(a),
+    "nanos_time": lambda a, arg: nanos_past_midnight_to_time(a),
+    "enum": lambda a, arg: enum_decode(a, arg.split(",")),
+    "set": lambda a, arg: set_decode(a, arg.split(",")),
+    "year": lambda a, arg: year_adjust(a),
+    "unsigned": lambda a, arg: unsigned_widen(a, arg),
+    "time_duration": lambda a, arg: time_duration_micros(a),
+    "zero_date_null": lambda a, arg: zero_date_to_null(a),
+    "json": lambda a, arg: json_text(a),
+    "binary_pad": lambda a, arg: binary_zero_pad(a, int(arg)),
+    "int16_widen": lambda a, arg: int16_widen(a),
+}
+
+
+def apply_converter(a, spec: str) -> pa.Array:
+    """Apply a converter spec ``name`` or ``name:arg`` (see _CONVERTERS)."""
+    name, _, arg = spec.partition(":")
+    fn = _CONVERTERS.get(name)
+    if fn is None:
+        raise ValueError(f"unknown value converter {spec!r}")
+    return fn(a, arg)

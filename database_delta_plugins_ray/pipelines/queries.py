@@ -33,6 +33,14 @@ _SF_SIZES = {
     "0.1": dict(n_keys=200_000, n_events=2_000_000, n_repos=128, n_segments=32),
 }
 
+#: all-datatypes log sizes (narrow rows; fewer events needed to exercise
+#: every type through normalize -> merge -> lake)
+_SF_TYPED_SIZES = {
+    "0.001": dict(n_keys=300, n_events=1_500, n_segments=4),
+    "0.01": dict(n_keys=2_000, n_events=12_000, n_segments=6),
+    "0.1": dict(n_keys=20_000, n_events=120_000, n_segments=12),
+}
+
 
 def sf_tag(sf_dir: str) -> str:
     m = re.search(r"sf([\d.]+)", os.path.basename(os.path.normpath(sf_dir)))
@@ -49,6 +57,17 @@ def ensure_log(sf_dir: str) -> str:
     sizes = _SF_SIZES.get(tag, _SF_SIZES["0.01"])
     d = log_dir_for(sf_dir)
     generate_log(d, GenConfig(seed=42, **sizes))
+    return d
+
+
+def ensure_typed_log(sf_dir: str) -> str:
+    """Generate (once) the all-datatypes CDC log for this scale factor."""
+    from ..sources.gen_typed import TypedGenConfig, generate_typed_log
+
+    tag = sf_tag(sf_dir)
+    sizes = _SF_TYPED_SIZES.get(tag, _SF_TYPED_SIZES["0.01"])
+    d = os.path.join(CACHE_ROOT, f"sf{tag}", "typed_log")
+    generate_typed_log(d, TypedGenConfig(seed=77, **sizes))
     return d
 
 
@@ -165,6 +184,26 @@ def cdc_tombstones(sf_dir: str):
     )
 
 
+def cdc_all_datatypes(sf_dir: str):
+    """End-to-end replication of the ALL-DATATYPES table: the reference's
+    type-conformance core (33-column e2e fixture, pluginParameters.
+    properties:28-58 / BQValidation.java:104-213). The log carries RAW
+    source encodings; the V1-V13 converter kernels run inside normalize;
+    the lake stores the real Arrow types (decimal/date/time/timestamp tz+
+    naive/fixed-binary/enum/set/...); the result is projected to canonical
+    comparison columns matching the DuckDB oracle's decode expressions."""
+    from ..sources.gen_typed import canonical_batch, typed_columns
+
+    log = ensure_typed_log(sf_dir)
+    lake = fresh_lake(sf_dir, "lake_typed")
+    run_replication(log, lake, num_partitions=8, primary_key=("id",),
+                    compute_sha=False)
+    names = [c.name for c in typed_columns()] + ["_sequence_num"]
+    ds = final_state(lake, columns=names)
+    return ds.map_batches(canonical_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB) — parameterized on the sf0.01 cache path, which the
 # driver uses for side-by-side correctness runs
@@ -194,7 +233,13 @@ ranked AS (
 """
 
 
+def _typed_log_glob(sf: str = "0.01") -> str:
+    return os.path.join(CACHE_ROOT, f"sf{sf}", "typed_log", "seg-*.parquet")
+
+
 def cdc_oracle_sql(sf: str = "0.01") -> dict[str, str]:
+    from ..sources.gen_typed import typed_oracle_sql
+
     glob = _log_glob(sf)
     lww = _LWW_CTE.format(glob=glob)
     final_sql = (
@@ -224,6 +269,7 @@ FROM read_parquet('{glob}') WHERE op = 'DDL' ORDER BY lsn
 SELECT k_repo AS repo, k_path AS path, lsn AS _sequence_num
 FROM ranked WHERE rn = 1 AND op = 'D'
 """,
+        "cdc_all_datatypes": typed_oracle_sql(_typed_log_glob(sf)),
     }
 
 
@@ -234,4 +280,5 @@ CDC_QUERIES = {
     "cdc_events_per_repo": cdc_events_per_repo,
     "cdc_snapshot_ddl_sequence": cdc_snapshot_ddl_sequence,
     "cdc_tombstones": cdc_tombstones,
+    "cdc_all_datatypes": cdc_all_datatypes,
 }

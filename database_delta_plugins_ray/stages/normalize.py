@@ -184,12 +184,20 @@ class Normalizer:
             return pc.if_else(is_del, b, a)
 
         plan = self._plan(table)
+        convs = self.registry.final_table(table).converters
         cols: dict[str, pa.ChunkedArray] = {}
         for final_name, names, typ in plan:
             if self.columns is not None and final_name not in self.columns:
                 continue  # column projection (M4, Records.java:123-148)
             arrs = [image(nm) for nm in names]
             arr = arrs[0] if len(arrs) == 1 else pc.coalesce(*arrs)
+            if final_name in convs:
+                # logical-value decode (V1-V13 kernels; Records.java:186-271):
+                # the log carries the raw source encoding, the registry the
+                # declared converter + target type
+                from ..functions.values import apply_converter
+
+                arr = apply_converter(arr, convs[final_name])
             if arr.type != typ:
                 arr = pc.cast(arr, typ)
             cols[final_name] = arr

@@ -52,6 +52,11 @@ class TableState:
     primary_key: list[str] = dc_field(default_factory=list)
     #: final_name -> all historical names (for coalesce in normalize)
     history_names: dict[str, list[str]] = dc_field(default_factory=dict)
+    #: final_name -> value-converter spec applied by the normalizer
+    #: (functions/values.py apply_converter; e.g. "epoch_days_date",
+    #: "enum:red,green,blue") — the Debezium-logical-type analog: the LOG
+    #: carries raw encodings, the declared schema carries target types
+    converters: dict[str, str] = dc_field(default_factory=dict)
     #: lsn fence: rows whose winning event lsn < fence are dead
     fence_lsn: int = 0
     version: int = 0
@@ -68,7 +73,9 @@ def apply_ddl(state: "Registry", lsn: int, ddl_op: str, table: str,
     contract violations (no-PK create, invalid widen)."""
     doc = json.loads(payload) if payload else {}
     if ddl_op == DDL_CREATE_TABLE:
-        cols = [(c, t) for c, t in doc.get("columns", [])]
+        # column entries are [name, type] or [name, type, converter]
+        cols = [(c[0], c[1]) for c in doc.get("columns", [])]
+        convs = {c[0]: c[2] for c in doc.get("columns", []) if len(c) > 2 and c[2]}
         pk = doc.get("primary_key", [])
         if not pk:
             # no-PK rejection (SqlServerRecordConsumer.java:129-133)
@@ -78,6 +85,7 @@ def apply_ddl(state: "Registry", lsn: int, ddl_op: str, table: str,
             columns=cols,
             primary_key=pk,
             history_names={c: [c] for c, _ in cols},
+            converters=convs,
             version=0,
         )
         state.tables[table] = ts
@@ -88,11 +96,15 @@ def apply_ddl(state: "Registry", lsn: int, ddl_op: str, table: str,
             col, typ = doc["column"], doc["type"]
             ts.columns.append((col, typ))
             ts.history_names[col] = [col]
+            if doc.get("converter"):
+                ts.converters[col] = doc["converter"]
         elif action == "rename":
             old, new = doc["column"], doc["new_name"]
             ts.columns = [(new if c == old else c, t) for c, t in ts.columns]
             hist = ts.history_names.pop(old, [old])
             ts.history_names[new] = [new] + hist
+            if old in ts.converters:
+                ts.converters[new] = ts.converters.pop(old)
         elif action == "widen":
             col, new_t = doc["column"], doc["type"]
             cur = dict(ts.columns).get(col)
