@@ -184,6 +184,41 @@ def int16_widen(a) -> pa.Array:
     return pc.cast(_arr(a), pa.int32())
 
 
+def hex_string(a) -> pa.Array:
+    """binary.handling.mode=hex (Debezium; applied via connector args,
+    MySqlEventReader.java:135-138): binary values -> lowercase hex strings.
+    Vectorized: one C-level hex of the whole data buffer, then per-row
+    slicing by offsets — no per-byte Python."""
+    arr = _arr(a)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_fixed_size_binary(arr.type):
+        arr = pc.cast(arr, pa.binary())
+    null_mask = pc.is_null(arr)
+    filled = pc.fill_null(arr, b"")
+    offs = np.frombuffer(filled.buffers()[1], dtype=np.int32,
+                         count=len(filled) + 1) - filled.offset
+    data = filled.buffers()[2]
+    full = (data.to_pybytes().hex() if data is not None else "")
+    out = pa.array(
+        [full[2 * offs[i]:2 * offs[i + 1]] for i in range(len(filled))],
+        pa.string(),
+    )
+    return pc.if_else(null_mask, pa.scalar(None, pa.string()), out)
+
+
+def base64_string(a) -> pa.Array:
+    """binary.handling.mode=base64: binary values -> base64 strings."""
+    import base64
+
+    arr = _arr(a)
+    vals = arr.to_pylist()
+    return pa.array(
+        [None if v is None else base64.b64encode(bytes(v)).decode() for v in vals],
+        pa.string(),
+    )
+
+
 # ---------------------------------------------------------------------------
 # converter dispatch (declared per column in CREATE_TABLE DDL; applied by the
 # normalize stage — the analog of Debezium logical-type decoding, where the
@@ -210,13 +245,19 @@ _CONVERTERS = {
     "json": lambda a, arg: json_text(a),
     "binary_pad": lambda a, arg: binary_zero_pad(a, int(arg)),
     "int16_widen": lambda a, arg: int16_widen(a),
+    "hex_string": lambda a, arg: hex_string(a),
+    "base64_string": lambda a, arg: base64_string(a),
 }
 
 
 def apply_converter(a, spec: str) -> pa.Array:
-    """Apply a converter spec ``name`` or ``name:arg`` (see _CONVERTERS)."""
-    name, _, arg = spec.partition(":")
-    fn = _CONVERTERS.get(name)
-    if fn is None:
-        raise ValueError(f"unknown value converter {spec!r}")
-    return fn(a, arg)
+    """Apply a converter spec: ``name``, ``name:arg``, or a ``|``-chain
+    (e.g. ``binary_pad:8|hex_string`` when binary.handling.mode=hex is
+    layered on a fixed-length column)."""
+    for part in spec.split("|"):
+        name, _, arg = part.partition(":")
+        fn = _CONVERTERS.get(name)
+        if fn is None:
+            raise ValueError(f"unknown value converter {part!r}")
+        a = fn(a, arg)
+    return a

@@ -82,6 +82,7 @@ def run_replication(
     repo_salt: dict[str, int] | None = None,
     primary_key: tuple[str, ...] = ("repo", "path"),
     max_delta_files: int = 4,
+    connector_args: dict[str, str] | None = None,
 ) -> dict:
     """Replay the event log into the Parquet lake; returns a lineage summary.
 
@@ -138,6 +139,12 @@ def run_replication(
             )
         else:
             registry = build_registry(log_dir, upto_lsn)
+    if connector_args:
+        # pass-through connector knobs (binary.handling.mode etc.) rewrite
+        # column types/converters before broadcast (MySqlEventReader.java:135-138)
+        from ..sources.source import apply_connector_args
+
+        apply_connector_args(registry, connector_args)
     reg_ref = ray.put(registry)
     if watermark:
         # fully caught up? footer-stats check — skips the whole job when an

@@ -41,9 +41,78 @@ class SourceConfig:
     password: str = ""
     server_timezone: str = "UTC"
     runtime_args: dict[str, str] = field(default_factory=dict)
+    #: simulated SHOW GRANTS result for the replication user (the analog of
+    #: the reference's permission probe input, MySqlTableAssessor.java:164-206)
+    grants: set[str] = field(default_factory=lambda: {"ALL PRIVILEGES"})
 
     def connector_args(self) -> dict[str, str]:
         return extract_prefixed(CONNECTOR_PREFIX, self.runtime_args)
+
+
+#: privileges the reference requires of the replication user
+#: (MySqlTableAssessor.java:169-176: SELECT for snapshot, REPLICATION
+#: SLAVE + REPLICATION CLIENT for the binlog stream)
+REQUIRED_PRIVILEGES = ("SELECT", "REPLICATION SLAVE", "REPLICATION CLIENT")
+
+
+@dataclass
+class Problem:
+    """Assessment problem (io.cdap.delta.api.assessment.Problem analog —
+    name / description / suggestion / impact, as built at
+    MySqlTableAssessor.java:186-205)."""
+
+    name: str
+    description: str
+    suggestion: str
+    impact: str
+
+
+def assess_replication_permissions(config: SourceConfig) -> list["Problem"]:
+    """Permission probe (MySqlTableAssessor.java:164-206): check the
+    replication user's grants cover snapshot + binlog access; one Problem
+    per missing privilege. 'ALL PRIVILEGES' satisfies everything."""
+    grants = {g.upper() for g in config.grants}
+    if "ALL PRIVILEGES" in grants:
+        return []
+    out = []
+    for priv in REQUIRED_PRIVILEGES:
+        if priv not in grants:
+            out.append(Problem(
+                name="Missing Privilege",
+                description=(f"user {config.user or '<replication user>'} "
+                             f"lacks the {priv} privilege"),
+                suggestion=f"GRANT {priv} ON *.* TO the replication user",
+                impact=("table snapshot will fail" if priv == "SELECT"
+                        else "change stream cannot be read"),
+            ))
+    return out
+
+
+def apply_connector_args(registry, args: dict[str, str]) -> None:
+    """Apply pass-through connector args to the built registry — the analog
+    of Debezium consuming ``binary.handling.mode`` etc.
+    (MySqlEventReader.java:135-138; HEX mode exercised at
+    MySqlEventReaderIntegrationTest.java:286). ``hex``/``base64`` rewrite
+    every binary column to a string column whose converter chain ends in
+    the matching encode, exactly like Debezium emitting STRING schemas for
+    binary columns under those modes."""
+    mode = args.get("binary.handling.mode", "bytes").lower()
+    if mode == "bytes":
+        return
+    if mode not in ("hex", "base64"):
+        raise ValueError(f"unknown binary.handling.mode {mode!r}")
+    suffix = "hex_string" if mode == "hex" else "base64_string"
+    for ts in registry.tables.values():
+        new_cols = []
+        for c, t in ts.columns:
+            tl = t.lower()
+            if tl in ("bytes", "binary") or tl.startswith("binary("):
+                prev = ts.converters.get(c)
+                ts.converters[c] = f"{prev}|{suffix}" if prev else suffix
+                new_cols.append((c, "string"))
+            else:
+                new_cols.append((c, t))
+        ts.columns = new_cols
 
 
 @dataclass

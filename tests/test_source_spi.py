@@ -1,6 +1,11 @@
 """Source SPI facade tests (config passthrough, table specs; mirrors
 RuntimeArgumentsTest + DeltaSource SPI shape)."""
 
+import os
+
+import pyarrow as pa
+import pytest
+
 from database_delta_plugins_ray.sources.source import (
     CONNECTOR_PREFIX,
     SimulatedBinlogSource,
@@ -48,3 +53,76 @@ def test_source_spi_shape(tmp_path):
     assert tf == {"inventory.code_files"}
     assert bl == {("inventory.code_files", "D")}
     assert cols == {"repo", "path", "commit"}
+
+
+def test_permission_probe():
+    """Permission assessment analog of MySqlTableAssessor.java:164-206:
+    SHOW GRANTS -> one Problem per missing required privilege."""
+    from database_delta_plugins_ray.sources.source import (
+        Problem,
+        SourceConfig,
+        assess_replication_permissions,
+    )
+
+    ok = SourceConfig(user="repl", grants={"ALL PRIVILEGES"})
+    assert assess_replication_permissions(ok) == []
+
+    full = SourceConfig(user="repl", grants={"SELECT", "REPLICATION SLAVE",
+                                             "REPLICATION CLIENT"})
+    assert assess_replication_permissions(full) == []
+
+    partial = SourceConfig(user="repl", grants={"SELECT"})
+    probs = assess_replication_permissions(partial)
+    assert [p.name for p in probs] == ["Missing Privilege"] * 2
+    descs = " ".join(p.description for p in probs)
+    assert "REPLICATION SLAVE" in descs and "REPLICATION CLIENT" in descs
+    assert all(isinstance(p, Problem) and p.suggestion for p in probs)
+
+    none = SourceConfig(user="repl", grants=set())
+    assert len(assess_replication_permissions(none)) == 3
+    assert any("snapshot" in p.impact for p in assess_replication_permissions(none))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_binary_handling_mode_hex(tmp_path):
+    """binary.handling.mode=HEX pass-through (MySqlEventReader.java:135-138;
+    MySqlEventReaderIntegrationTest.java:286): binary columns replicate as
+    lowercase hex STRINGS; values must equal .hex() of the bytes-mode run."""
+    from database_delta_plugins_ray.pipelines.replicate import (
+        final_state,
+        run_replication,
+    )
+    from database_delta_plugins_ray.sources.gen_typed import (
+        TypedGenConfig,
+        generate_typed_log,
+    )
+    from database_delta_plugins_ray.sources.source import (
+        CONNECTOR_PREFIX,
+        SourceConfig,
+    )
+
+    log = str(tmp_path / "log")
+    generate_typed_log(log, TypedGenConfig(n_keys=80, n_events=400, n_segments=2))
+
+    cfg = SourceConfig(runtime_args={CONNECTOR_PREFIX + "binary.handling.mode": "hex"})
+
+    lake_b = str(tmp_path / "lake_bytes")
+    run_replication(log, lake_b, num_partitions=2, primary_key=("id",),
+                    compute_sha=False)
+    lake_h = str(tmp_path / "lake_hex")
+    run_replication(log, lake_h, num_partitions=2, primary_key=("id",),
+                    compute_sha=False, connector_args=cfg.connector_args())
+
+    cols = ["id", "c_binary8", "c_varbinary"]
+    by = {r["id"]: r for r in final_state(lake_b, columns=cols).take_all()}
+    hx = {r["id"]: r for r in final_state(lake_h, columns=cols).take_all()}
+    assert set(by) == set(hx)
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    sch = pq.read_schema(_glob.glob(os.path.join(lake_h, "part=*", "*.parquet"))[0])
+    assert sch.field("c_binary8").type == pa.string()
+    assert sch.field("c_varbinary").type == pa.string()
+    for k, r in by.items():
+        assert hx[k]["c_binary8"] == r["c_binary8"].hex()
+        assert hx[k]["c_varbinary"] == r["c_varbinary"].hex()
