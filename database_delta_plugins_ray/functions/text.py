@@ -52,24 +52,31 @@ def fingerprint(texts: pd.Series) -> pd.Series:
     return norm.map(lambda s: hashlib.md5(s.encode()).hexdigest())
 
 
+_LANG_PATTERNS = {
+    l: r"\b(?:" + "|".join(sorted(ws)) + r")\b"
+    for l, ws in STOPWORDS.items() if ws
+}
+
+
 def lang_id(texts: pd.Series) -> pd.Series:
     """Heuristic language ID: han-script ratio -> zh; else argmax stopword
-    hit-rate over the per-language tables; 'und' when nothing matches."""
-    toks = texts.str.lower().str.findall(TOKEN_RE)
-    han = texts.str.count(r"[一-鿿]")
-    out = []
-    langs = [l for l in STOPWORDS if l != "zh"]
-    for ts, h in zip(toks, han):
-        if h and h >= max(1, len(ts)):
-            out.append("zh")
-            continue
-        n = max(1, len(ts))
-        best, best_r = "und", 0.0
-        for l in langs:
-            r = sum(1 for t in ts if t in STOPWORDS[l]) / n
-            if r > best_r:
-                best, best_r = l, r
-        out.append(best if best_r >= 0.05 else "und")
+    hit-rate over the per-language tables; 'und' when nothing matches.
+    Fully vectorized: one ``str.count`` per language over the batch (the
+    stopword alternation regex), no per-document Python loop."""
+    low = texts.str.lower()
+    n_tokens = low.str.count(TOKEN_RE.pattern).to_numpy(dtype=np.int64)
+    n = np.maximum(1, n_tokens)
+    han = texts.str.count(r"[一-鿿]").to_numpy(dtype=np.int64)
+    langs = list(_LANG_PATTERNS)
+    rates = np.stack(
+        [low.str.count(_LANG_PATTERNS[l]).to_numpy(dtype=np.float64) / n
+         for l in langs]
+    )  # (langs, docs)
+    best_idx = rates.argmax(axis=0)  # first max wins, same as the scan order
+    best_r = rates[best_idx, np.arange(rates.shape[1])]
+    best_lang = np.array(langs, dtype=object)[best_idx]
+    out = np.where(best_r >= 0.05, best_lang, "und")
+    out = np.where((han > 0) & (han >= n), "zh", out)
     return pd.Series(out, index=texts.index)
 
 
@@ -81,15 +88,14 @@ def quality_scores(texts: pd.Series) -> pd.DataFrame:
     n_tokens = token_counts(texts)
     n_punct = texts.str.count(r"[^\w\s]").to_numpy(dtype=np.int64)
     n_alpha = texts.str.count(r"[A-Za-z]").to_numpy(dtype=np.int64)
-    toks = texts.str.lower().str.findall(TOKEN_RE)
-    sw = STOPWORDS["en"]
-    stop_ratio = np.array(
-        [sum(1 for t in ts if t in sw) / max(1, len(ts)) for ts in toks]
-    )
+    low = texts.str.lower()
     safe_tokens = np.maximum(1, n_tokens)
-    mean_word_len = np.array(
-        [np.mean([len(t) for t in ts]) if ts else 0.0 for ts in toks]
-    )
+    # vectorized: stopword hits via one alternation-regex count; mean word
+    # length = total word chars / token count (tokens are maximal \w+ runs)
+    stop_ratio = (low.str.count(_LANG_PATTERNS["en"]).to_numpy(dtype=np.float64)
+                  / safe_tokens)
+    word_chars = texts.str.count(r"[A-Za-z0-9_]").to_numpy(dtype=np.int64)
+    mean_word_len = np.where(n_tokens > 0, word_chars / safe_tokens, 0.0)
     punct_ratio = n_punct / np.maximum(1, n_chars)
     alpha_ratio = n_alpha / np.maximum(1, n_chars)
     score = (
@@ -142,15 +148,27 @@ def minhash_params(num_perm: int, seed: int = 1234) -> tuple[np.ndarray, np.ndar
     return a, b
 
 
+def _mersenne_fold(hv: np.ndarray) -> np.ndarray:
+    """x mod (2^61 - 1) without division: fold high bits onto low bits.
+    Integer division/modulo on uint64 is pathologically slow on this host
+    (software div + steal time, 100x+ the cost of shifts); the fold is
+    exact for the Mersenne modulus and all-shift/add. In-place on ``hv``."""
+    lo = hv & _MERSENNE
+    hv >>= np.uint64(61)
+    hv += lo
+    np.subtract(hv, _MERSENNE, out=hv, where=hv >= _MERSENNE)
+    return hv
+
+
 def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """num_perm minhash values over the shingle hash set (universal hashing
-    modulo a Mersenne prime)."""
+    modulo a Mersenne prime, division-free)."""
     if len(sh) == 0:
         return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
     with np.errstate(over="ignore"):
         hv = sh.astype(np.uint64)[:, None] * a[None, :]
         hv += b[None, :]
-        hv %= _MERSENNE
+        hv = _mersenne_fold(hv)
     return hv.min(axis=0)
 
 
@@ -175,30 +193,47 @@ def band_hashes_matrix(sigs: np.ndarray, bands: int) -> np.ndarray:
 
 
 def minhash_signature_many(
-    shingle_sets: list[np.ndarray], a: np.ndarray, b: np.ndarray
+    shingle_sets: list[np.ndarray], num_perm_or_a=64, _b=None
 ) -> np.ndarray:
-    """Vectorized minhash for many documents at once: one matmul-shaped
-    pass over the concatenated shingles + segmented min (np.minimum.reduceat)
-    instead of a per-document loop."""
-    num_perm = len(a)
+    """Batch minhash signatures via One-Permutation Hashing (Li et al.,
+    NIPS 2012) with rotation densification (Shrivastava & Li, ICML 2014):
+    each shingle's single 64-bit hash selects a bin by its top bits; the
+    signature is the per-bin minimum; empty bins borrow the nearest
+    non-empty bin to their right (cyclic).
+
+    O(total_shingles) shifts/mins — NO per-permutation multiply. The
+    classic (a*x+b) K-permutation scheme costs num_perm uint64 multiplies
+    per shingle, and uint64 multiply is pathologically slow on this host
+    (~100x; measured 16s for 12M ops); OPH removes that term entirely.
+    The bin-match rate between two signatures estimates Jaccard exactly
+    like K-permutation agreement does.
+
+    Accepts ``num_perm_or_a`` as an int or (back-compat) the ``a`` param
+    array whose length is num_perm."""
+    num_perm = (len(num_perm_or_a) if hasattr(num_perm_or_a, "__len__")
+                else int(num_perm_or_a))
+    assert num_perm & (num_perm - 1) == 0, "num_perm must be a power of two"
     n_docs = len(shingle_sets)
+    FULL = np.iinfo(np.uint64).max
+    sig = np.full((n_docs, num_perm), FULL, dtype=np.uint64)
     lens = np.array([len(s) for s in shingle_sets], dtype=np.int64)
-    out = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
-    nonempty = lens > 0
-    if not nonempty.any():
-        return out
+    if lens.sum() == 0:
+        return sig
     cat = np.concatenate([s for s in shingle_sets if len(s)]).astype(np.uint64)
-    # in-place ops: the naive expression allocates large temporaries, which
-    # is pathologically slow on this host (allocation-bound, 100x+)
-    with np.errstate(over="ignore"):
-        hv = cat[:, None] * a[None, :]
-        hv += b[None, :]
-        hv %= _MERSENNE
-    offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
-    np.cumsum(lens[nonempty][:-1], out=offsets[1:])
-    mins = np.minimum.reduceat(hv, offsets, axis=0)
-    out[nonempty] = mins
-    return out
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    shift = np.uint64(64 - int(np.log2(num_perm)))
+    bins = (cat >> shift).astype(np.int64)
+    np.minimum.at(sig.reshape(-1), doc_idx * num_perm + bins, cat)
+    empty = sig == FULL
+    if empty.any():
+        for k in range(1, num_perm):
+            rolled = np.roll(sig, -k, axis=1)
+            fill = empty & (rolled != FULL)
+            sig[fill] = rolled[fill]
+            empty &= ~fill
+            if not empty.any():
+                break
+    return sig
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -210,23 +245,44 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word tokens (unweighted)."""
-    toks = TOKEN_RE.findall(text.lower())
-    if not toks:
-        return 0
-    acc = np.zeros(64, dtype=np.int64)
+    """64-bit SimHash of one document (unweighted unique word tokens)."""
+    return int(simhash64_many(pd.Series([text]))[0])
+
+
+def simhash64_many(texts: pd.Series) -> np.ndarray:
+    """Vectorized 64-bit SimHash for a batch of documents: hash every
+    (doc, unique-token) pair in ONE pd.util.hash_array call, expand to a
+    sign matrix with numpy bit ops, and segment-sum per document with
+    np.add.reduceat — no per-token Python in the hash or accumulate path."""
+    toks = texts.str.lower().str.findall(TOKEN_RE)
+    lens = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
+    total = int(lens.sum())
+    out = np.zeros(len(texts), dtype=np.uint64)
+    if total == 0:
+        return out
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for ts in toks:
+        k = len(ts)
+        if k:
+            flat[pos:pos + k] = ts
+        pos += k
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    hashed = pd.util.hash_array(flat, hash_key="simhash_hashkey0")  # 16 bytes
+    # unique tokens per document (SimHash over the token SET)
+    uniq = pd.DataFrame({"d": doc_idx, "h": hashed}).drop_duplicates()
+    d = uniq["d"].to_numpy()
+    h = uniq["h"].to_numpy(dtype=np.uint64)
     shifts = np.arange(64, dtype=np.uint64)
-    for t in set(toks):
-        h = np.uint64(int.from_bytes(
-            hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
-        ))
-        bits = (h >> shifts) & np.uint64(1)
-        acc += np.where(bits == 1, 1, -1)
-    v = 0
-    for i in range(64):
-        if acc[i] > 0:
-            v |= 1 << i
-    return v
+    bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+    signs = 2 * bits - 1  # (tokens, 64)
+    # segment boundaries: d is sorted (doc order preserved)
+    starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+    acc = np.add.reduceat(signs, starts, axis=0)  # (docs_with_tokens, 64)
+    vals = (np.where(acc > 0, 1, 0).astype(np.uint64)
+            << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    out[d[starts]] = vals
+    return out
 
 
 def hamming64(a: int, b: int) -> int:

@@ -30,13 +30,9 @@ import ray.data
 from ray.data.aggregate import Count, Min
 
 from ..functions.text import (
-    band_hashes,
-    hamming64,
     jaccard,
     minhash_params,
-    minhash_signature,
     shingle_hashes,
-    simhash64,
 )
 
 
@@ -75,8 +71,15 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
 
 class MinHasher:
     """Actor-pool stage: shingles + minhash signature per document; emits
-    exploded (band, band_hash, id, sig, shingles) rows for the bucket
-    shuffle. Permutation params are built ONCE per actor."""
+    exploded (band, band_hash, id, sig) rows for the bucket shuffle.
+    Permutation params are built ONCE per actor.
+
+    Scale note: the shuffle payload is the SIGNATURE only (num_perm x 8
+    bytes), never the shingle sets — the raw shingles would be replicated
+    once per band (16x) through the all-to-all exchange. Candidate pairs
+    are verified with the signature-estimated Jaccard (unbiased; std
+    ~= sqrt(j(1-j)/num_perm), ~0.06 at num_perm=64), the standard
+    large-scale MinHash-LSH shape."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, ngram: int = 3,
                  text_col: str = "text", id_col: str = "doc_id") -> None:
@@ -91,41 +94,49 @@ class MinHasher:
 
         n = len(batch)
         shingle_sets = [shingle_hashes(t, self.ngram) for t in batch[self.text_col]]
-        sigs = minhash_signature_many(shingle_sets, self.a, self.b)
+        sigs = minhash_signature_many(shingle_sets, len(self.a))
         bh = band_hashes_matrix(sigs, self.bands)  # (n, bands)
 
         ids = np.repeat(batch[self.id_col].to_numpy(), self.bands)
         bands_col = np.tile(np.arange(self.bands, dtype=np.int32), n)
         sig_bytes = [sigs[i].tobytes() for i in range(n)]
-        sh_bytes = [s.tobytes() for s in shingle_sets]
         return pd.DataFrame(
             {
                 "band": bands_col,
                 "band_hash": bh.reshape(-1).astype(np.int64),
                 self.id_col: ids,
                 "sig": np.repeat(np.array(sig_bytes, dtype=object), self.bands),
-                "shingles": np.repeat(np.array(sh_bytes, dtype=object), self.bands),
             }
         )
 
 
 def _verify_bucket(g: pd.DataFrame, id_col: str, threshold: float) -> pd.DataFrame:
-    """Within one LSH bucket: exact Jaccard over all pairs (bucket sizes are
-    small by construction; quadratic locally, never globally)."""
+    """Within one LSH bucket: signature-estimated Jaccard over all pairs,
+    fully vectorized (bucket sizes are small by construction; quadratic
+    locally, never globally)."""
     if len(g) < 2:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
     g = g.drop_duplicates(id_col).sort_values(id_col)
     ids = g[id_col].to_numpy()
-    shs = [np.frombuffer(b, dtype=np.uint64) for b in g["shingles"]]
+    sigs = np.stack([np.frombuffer(b, dtype=np.uint64) for b in g["sig"]])
+    n = len(ids)
     a_out, b_out, j_out = [], [], []
-    for i in range(len(ids)):
-        for k in range(i + 1, len(ids)):
-            j = jaccard(shs[i], shs[k])
-            if j >= threshold:
-                a_out.append(ids[i])
-                b_out.append(ids[k])
-                j_out.append(round(j, 6))
-    return pd.DataFrame({"id_a": a_out, "id_b": b_out, "jaccard": j_out})
+    blk = 256  # bound the (blk, n, num_perm) comparison temporary
+    for i0 in range(0, n, blk):
+        i1 = min(i0 + blk, n)
+        est = (sigs[i0:i1, None, :] == sigs[None, :, :]).mean(axis=-1)
+        ii, kk = np.nonzero(est >= threshold)
+        keep = (ii + i0) < kk  # upper triangle only
+        a_out.append(ids[ii[keep] + i0])
+        b_out.append(ids[kk[keep]])
+        j_out.append(np.round(est[ii[keep], kk[keep]], 6))
+    return pd.DataFrame(
+        {
+            "id_a": np.concatenate(a_out) if a_out else [],
+            "id_b": np.concatenate(b_out) if b_out else [],
+            "jaccard": np.concatenate(j_out) if j_out else [],
+        }
+    )
 
 
 def minhash_lsh_pairs(
@@ -164,39 +175,98 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _sim_chunk_bounds(n_chunks: int) -> list[int]:
+    return [round(64 * i / n_chunks) for i in range(n_chunks + 1)]
+
+
+def _sim_chunks(h: np.ndarray, n_chunks: int) -> np.ndarray:
+    """(n, n_chunks) uint64 chunk values of a uint64 simhash array."""
+    bounds = _sim_chunk_bounds(n_chunks)
+    out = np.empty((len(h), n_chunks), dtype=np.uint64)
+    for j in range(n_chunks):
+        lo, hi = bounds[j], bounds[j + 1]
+        out[:, j] = (h >> np.uint64(lo)) & np.uint64((1 << (hi - lo)) - 1)
+    return out
+
+
+def _sim_band_keys(hs: np.ndarray, max_hamming: int) -> np.ndarray:
+    """(n, n_bands) int64 LSH keys for the given hamming radius.
+
+    max_hamming <= 3: 5 chunks, C(5,2)=10 chunk-PAIR keys (~26 bits) — any
+    pair within the radius leaves >= 2 chunks intact, so some pair-key
+    matches; wide keys keep bucket sizes bounded at 10^9 docs.
+    Larger radii: classic single-chunk banding with max_hamming+1 chunks
+    (pigeonhole), with correspondingly narrower keys — inherent to loose
+    radii; documented partitioning assumption."""
+    if max_hamming <= 3:
+        chunks = _sim_chunks(hs, 5)
+        pairs = [(i, k) for i in range(5) for k in range(i + 1, 5)]
+        keys = np.empty((len(hs), len(pairs)), dtype=np.int64)
+        for b, (i, k) in enumerate(pairs):
+            keys[:, b] = (chunks[:, i] | (chunks[:, k] << np.uint64(14))).astype(np.int64)
+        return keys
+    c = max_hamming + 1
+    return _sim_chunks(hs, c).astype(np.int64)
+
+
+def _popcount64(v: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (numpy<2 has no bitwise_count)."""
+    return np.unpackbits(v.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+
+
 def simhash_pairs(
     ds: "ray.data.Dataset",
     *,
     max_hamming: int = 3,
-    bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> "ray.data.Dataset":
-    """Near-dup pairs by 64-bit SimHash: band the hash into ``bands`` 16-bit
-    chunks (pigeonhole: any pair within hamming<=3 shares at least one of 4
-    chunks), bucket-groupby, verify hamming distance exactly."""
+    """Near-dup pairs by 64-bit SimHash: chunk-PAIR LSH buckets (wide keys,
+    bounded buckets — see _SIM_CHUNK_PAIRS), exact vectorized hamming
+    verification inside each bucket. SimHash itself is batch-vectorized
+    (functions/text.py simhash64_many)."""
 
     def add_sim(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        width = 64 // bands
-        mask = (1 << width) - 1
-        for i, txt in zip(df[id_col], df[text_col]):
-            h = simhash64(txt)
-            for bidx in range(bands):
-                out.append((bidx, (h >> (bidx * width)) & mask, i, h))
-        return pd.DataFrame(out, columns=["band", "chunk", id_col, "simhash"])
+        from ..functions.text import simhash64_many
+
+        n = len(df)
+        hs = simhash64_many(df[text_col])
+        keys = _sim_band_keys(hs, max_hamming)
+        n_bands = keys.shape[1]
+        return pd.DataFrame(
+            {
+                "band": np.tile(np.arange(n_bands, dtype=np.int32), n),
+                "chunk": keys.reshape(-1),
+                id_col: np.repeat(df[id_col].to_numpy(), n_bands),
+                "simhash": np.repeat(hs.astype(np.int64), n_bands),
+            }
+        )
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(id_col).sort_values(id_col)
         ids = g[id_col].to_numpy()
-        hs = g["simhash"].to_numpy()
-        rows = []
-        for i in range(len(ids)):
-            for k in range(i + 1, len(ids)):
-                d = hamming64(int(hs[i]), int(hs[k]))
-                if d <= max_hamming:
-                    rows.append((ids[i], ids[k], d))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        a_out, b_out, d_out = [], [], []
+        blk = 512
+        for i0 in range(0, n, blk):
+            i1 = min(i0 + blk, n)
+            x = hs[i0:i1, None] ^ hs[None, :]
+            dist = _popcount64(x.ravel()).reshape(i1 - i0, n)
+            ii, kk = np.nonzero(dist <= max_hamming)
+            keep = (ii + i0) < kk
+            a_out.append(ids[ii[keep] + i0])
+            b_out.append(ids[kk[keep]])
+            d_out.append(dist[ii[keep], kk[keep]])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(a_out) if a_out else [],
+                "id_b": np.concatenate(b_out) if b_out else [],
+                "hamming": np.concatenate(d_out) if d_out else [],
+            }
+        )
 
     exploded = ds.map_batches(add_sim, batch_format="pandas")
     pairs = exploded.groupby(["band", "chunk"]).map_groups(

@@ -4,14 +4,17 @@
   matmul against a broadcast query matrix (``ray.put`` once, read per
   actor/task), per-batch partial top-k, tiny final reduce. The dataset
   streams; only k rows per batch reach the driver.
-* ``ann_topk_ivf`` — the scale path: IVF — k-means centroids trained once
-  on a sample (driver-side numpy, seeded), assignment inside map_batches,
-  probe only the ``nprobe`` closest clusters. Same output contract.
+* ``ann_topk_ivf`` / ``IVFDiskIndex`` — the scale path: a PERSISTED IVF
+  index. One bucketing pass writes vectors partitioned by nearest centroid
+  (``cluster=`` Parquet directories); every query then reads only the
+  ``nprobe`` bucket directories — pruned IO, not scan-and-mask. Centroids
+  from seeded k-means on a driver-side sample. Same output contract.
 """
 
 from __future__ import annotations
 
 import heapq
+import os
 
 import numpy as np
 import pandas as pd
@@ -87,11 +90,86 @@ class IVFIndex:
         return np.argsort(-scores)[:nprobe]
 
 
+class IVFDiskIndex:
+    """Persisted IVF index — the scale path for repeated ANN queries.
+
+    ``build`` runs ONE bucketing pass: assign every vector to its nearest
+    centroid inside ``map_batches`` and write Parquet partitioned by
+    ``cluster=`` directory (one shuffle-free partitioned write). ``search``
+    reads ONLY the ``nprobe`` bucket directories closest to the query — a
+    pruned ``read_parquet`` over a strict subset of the data, unlike a
+    scan-and-mask pseudo-index. Recall is governed by nprobe/n_clusters."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+
+    @classmethod
+    def build(
+        cls,
+        ds: "ray.data.Dataset",
+        index_dir: str,
+        *,
+        n_clusters: int = 16,
+        sample_size: int = 2048,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        seed: int = 1,
+    ) -> "IVFDiskIndex":
+        sample = _as_matrix(pd.DataFrame(ds.limit(sample_size).take_all())[vec_col])
+        trained = IVFIndex.train(sample, n_clusters=n_clusters, seed=seed)
+        c_ref = ray.put(trained.centroids)
+
+        def assign(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(c_ref)
+            m = _unit(_as_matrix(df[vec_col]).astype(np.float32))
+            out = pd.DataFrame(
+                {
+                    id_col: df[id_col].to_numpy(),
+                    vec_col: list(m.astype(np.float32)),
+                    "cluster": np.argmax(m @ c.T, axis=1).astype(np.int32),
+                }
+            )
+            return out
+
+        os.makedirs(index_dir, exist_ok=True)
+        data_dir = os.path.join(index_dir, "data")
+        ds.map_batches(assign, batch_format="pandas").write_parquet(
+            data_dir, partition_cols=["cluster"]
+        )
+        np.save(os.path.join(index_dir, "centroids.npy"), trained.centroids)
+        return cls(index_dir)
+
+    def search(
+        self,
+        query: np.ndarray,
+        k: int = 10,
+        *,
+        nprobe: int = 4,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> pd.DataFrame:
+        import glob as _glob
+
+        q = _unit(query.reshape(1, -1).astype(np.float32))[0]
+        probe = IVFIndex(self.centroids).probe_clusters(query, nprobe)
+        files = [
+            f
+            for c in probe
+            for f in _glob.glob(
+                os.path.join(self.index_dir, "data", f"cluster={int(c)}", "*.parquet")
+            )
+        ]
+        sub = ray.data.read_parquet(files, columns=[id_col, vec_col])
+        return ann_topk_bruteforce(sub, q, k, vec_col=vec_col, id_col=id_col)
+
+
 def ann_topk_ivf(
     ds: "ray.data.Dataset",
     query: np.ndarray,
     k: int = 10,
     *,
+    index_dir: str,
     n_clusters: int = 16,
     nprobe: int = 4,
     sample_size: int = 2048,
@@ -99,36 +177,13 @@ def ann_topk_ivf(
     id_col: str = "vec_id",
     seed: int = 1,
 ) -> pd.DataFrame:
-    """IVF-accelerated top-k: assign batches to centroids, search only the
-    ``nprobe`` clusters closest to the query. Approximate by construction —
-    recall governed by nprobe/n_clusters."""
-    sample = _as_matrix(
-        pd.DataFrame(ds.limit(sample_size).take_all())[vec_col]
-    )
-    index = IVFIndex.train(sample, n_clusters=n_clusters, seed=seed)
-    probe = set(index.probe_clusters(query, nprobe).tolist())
-    c_ref = ray.put(index.centroids)
-    q = _unit(query.reshape(1, -1).astype(np.float32))[0]
-    q_ref = ray.put(q)
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        c = ray.get(c_ref)
-        qq = ray.get(q_ref)
-        m = _unit(_as_matrix(df[vec_col]).astype(np.float32))
-        assign = np.argmax(m @ c.T, axis=1)
-        mask = np.isin(assign, list(probe))
-        if not mask.any():
-            return pd.DataFrame({id_col: [], "score": []})
-        sub = m[mask]
-        scores = sub @ qq
-        ids = df[id_col].to_numpy()[mask]
-        if len(scores) > k:
-            sel = np.argpartition(-scores, k)[:k]
-        else:
-            sel = np.arange(len(scores))
-        return pd.DataFrame({id_col: ids[sel], "score": scores[sel].astype(np.float64)})
-
-    partials = ds.map_batches(partial, batch_format="pandas").take_all()
-    rows = [(r[id_col], r["score"]) for r in partials]
-    top = heapq.nsmallest(k, rows, key=lambda t: (-t[1], t[0]))
-    return pd.DataFrame(top, columns=[id_col, "score"])
+    """IVF top-k over a persisted bucketed index (built once per
+    ``index_dir``, reused across queries); reads only ``nprobe`` buckets."""
+    if os.path.exists(os.path.join(index_dir, "centroids.npy")):
+        index = IVFDiskIndex(index_dir)
+    else:
+        index = IVFDiskIndex.build(
+            ds, index_dir, n_clusters=n_clusters, sample_size=sample_size,
+            vec_col=vec_col, id_col=id_col, seed=seed,
+        )
+    return index.search(query, k, nprobe=nprobe, vec_col=vec_col, id_col=id_col)

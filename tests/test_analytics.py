@@ -80,8 +80,13 @@ def test_ann_bruteforce_matches_numpy(ray_session):
     assert got["vec_id"].iloc[0] == 7  # self
 
 
-def test_ann_ivf_reasonable_recall(ray_session):
+def test_ann_ivf_reasonable_recall(ray_session, tmp_path):
+    """Persisted IVF index: recall on clustered data AND a pruned read —
+    the search must touch only the nprobe bucket directories."""
+    import glob
+
     from database_delta_plugins_ray.stages.similarity import (
+        IVFDiskIndex,
         ann_topk_bruteforce,
         ann_topk_ivf,
     )
@@ -94,9 +99,18 @@ def test_ann_ivf_reasonable_recall(ray_session):
         [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(600)]
     )
     q = vecs[11]
+    idx_dir = str(tmp_path / "ivf")
     exact = set(ann_topk_bruteforce(ds, q, k=10)["vec_id"])
-    approx = set(ann_topk_ivf(ds, q, k=10, n_clusters=8, nprobe=3)["vec_id"])
-    assert len(exact & approx) >= 7  # clustered data -> high recall
+    approx = set(ann_topk_ivf(ds, q, k=10, index_dir=idx_dir,
+                              n_clusters=8, nprobe=3)["vec_id"])
+    assert len(exact & approx) >= 9  # clustered data -> high recall
+
+    # index persisted: bucket dirs on disk; a second search reuses them
+    clusters = glob.glob(str(tmp_path / "ivf" / "data" / "cluster=*"))
+    assert len(clusters) >= 4
+    idx = IVFDiskIndex(idx_dir)
+    again = set(idx.search(q, k=10, nprobe=3)["vec_id"])
+    assert again == approx
 
 
 def test_embedding_cosine_pairs(ray_session):

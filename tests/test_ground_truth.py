@@ -1,0 +1,178 @@
+"""Planted ground truth for the heuristic / approximate operators that have
+no SQL oracle (VERDICT round 1 item 6): near-dup families get a corpus with
+KNOWN duplicate pairs and recall/precision assertions; lang-id gets
+known-language docs; quality scoring gets property bounds; IVF gets a
+recall-vs-brute-force bound (also covered at query level in
+test_analytics.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+_STEMS = [
+    "alpha", "bridge", "candle", "dragon", "ember", "forest", "granite",
+    "harbor", "island", "jungle", "kernel", "lantern", "meadow", "nectar",
+    "orbit", "prairie", "quartz", "ridge", "summit", "timber", "umbra",
+    "valley", "willow", "zenith", "anchor", "beacon", "cipher", "delta",
+    "echo", "fathom", "glacier", "horizon",
+]
+#: wide vocabulary (stem+suffix combinations) so unrelated noise docs have
+#: genuinely disjoint token sets — a tiny vocab makes every doc similar
+#: under SimHash and the ground truth meaningless
+_WORDS = [f"{s}{i}" for s in _STEMS for i in range(16)]
+
+
+def _planted_corpus(n_groups=20, n_noise=40, doc_len=60, seed=13):
+    """Docs 2i and 2i+1 are planted near-dups (one word changed); docs
+    >= 2*n_groups are unrelated random-word noise."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    expected = set()
+    for g in range(n_groups):
+        words = [_WORDS[i] for i in rng.integers(0, len(_WORDS), doc_len)]
+        a = " ".join(words)
+        words_b = list(words)
+        words_b[int(rng.integers(0, doc_len))] = "changedword"
+        b = " ".join(words_b)
+        rows.append({"doc_id": 2 * g, "lang": "en", "text": a})
+        rows.append({"doc_id": 2 * g + 1, "lang": "en", "text": b})
+        expected.add((2 * g, 2 * g + 1))
+    for j in range(n_noise):
+        words = [_WORDS[i] for i in rng.integers(0, len(_WORDS), doc_len)]
+        rows.append({"doc_id": 2 * n_groups + j, "lang": "en",
+                     "text": " ".join(words)})
+    return rows, expected
+
+
+@pytest.fixture(scope="module")
+def planted(ray_session):
+    rows, expected = _planted_corpus()
+    return ray.data.from_items(rows), expected, len(rows)
+
+
+def _recall_precision(found: set, expected: set):
+    tp = len(found & expected)
+    recall = tp / len(expected)
+    precision = tp / max(1, len(found))
+    return recall, precision
+
+
+def test_minhash_planted_recall_precision(planted):
+    from database_delta_plugins_ray.stages.dedup import minhash_lsh_pairs
+
+    ds, expected, _ = planted
+    pairs = {(r["id_a"], r["id_b"])
+             for r in minhash_lsh_pairs(ds, threshold=0.5, num_perm=128,
+                                        bands=32).take_all()}
+    recall, precision = _recall_precision(pairs, expected)
+    assert recall >= 0.95, (recall, len(pairs))
+    assert precision >= 0.95, (precision, pairs - expected)
+
+
+def test_simhash_planted_recall_precision(planted):
+    from database_delta_plugins_ray.stages.dedup import simhash_pairs
+
+    ds, expected, _ = planted
+    pairs = {(r["id_a"], r["id_b"])
+             for r in simhash_pairs(ds, max_hamming=8).take_all()}
+    recall, precision = _recall_precision(pairs, expected)
+    assert recall >= 0.9, (recall, len(pairs))
+    assert precision >= 0.9, (precision, pairs - expected)
+
+
+def test_ngram_planted_exact(planted):
+    from database_delta_plugins_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds, expected, _ = planted
+    pairs = {(r["id_a"], r["id_b"])
+             for r in ngram_jaccard_pairs(ds, threshold=0.5).take_all()}
+    # exact Jaccard: every planted pair (1-word edit => jaccard ~0.9) found,
+    # and nothing else at threshold 0.5
+    assert pairs == expected, (pairs ^ expected)
+
+
+def test_embedding_planted_recall_precision(ray_session):
+    from database_delta_plugins_ray.stages.dedup import embedding_cosine_pairs
+
+    rng = np.random.default_rng(17)
+    rows, expected = [], set()
+    vid = 0
+    for g in range(15):
+        base = rng.standard_normal(32).astype(np.float32)
+        pert = base + 0.1 * rng.standard_normal(32).astype(np.float32)
+        rows.append({"vec_id": vid, "embedding": base.tolist()})
+        rows.append({"vec_id": vid + 1, "embedding": pert.tolist()})
+        expected.add((vid, vid + 1))
+        vid += 2
+    for _ in range(60):
+        rows.append({"vec_id": vid,
+                     "embedding": rng.standard_normal(32).astype(np.float32).tolist()})
+        vid += 1
+    ds = ray.data.from_items(rows)
+    pairs = {(r["id_a"], r["id_b"])
+             for r in embedding_cosine_pairs(ds, dim=32, threshold=0.9,
+                                             n_planes=8, n_tables=8).take_all()}
+    recall, precision = _recall_precision(pairs, expected)
+    assert recall >= 0.9, (recall, len(pairs))
+    assert precision == 1.0, pairs - expected  # cosine verify is exact
+
+
+LANG_FIXTURE = [
+    ("en", "the cat sat on the mat and it was happy to be in the sun for a while"),
+    ("en", "this is a test of the language identifier that should be easy"),
+    ("de", "der hund und die katze sind nicht in dem haus mit den kindern"),
+    ("de", "das ist ein test der mit der sprache und den worten arbeitet"),
+    ("es", "el perro y el gato se fueron por la calle con los vecinos del barrio"),
+    ("es", "esto es una prueba de la lengua que se hace con las palabras"),
+    ("fr", "le chien et le chat sont dans la maison avec les enfants pour la nuit"),
+    ("fr", "ceci est un test de la langue qui est fait avec les mots et des phrases"),
+    ("zh", "这是一个中文句子用来测试语言识别"),
+    ("und", "xyzzy plugh qwerty asdf zxcv"),
+]
+
+
+def test_lang_id_known_languages():
+    from database_delta_plugins_ray.functions.text import lang_id
+
+    texts = pd.Series([t for _, t in LANG_FIXTURE])
+    got = lang_id(texts).tolist()
+    want = [l for l, _ in LANG_FIXTURE]
+    assert got == want, list(zip(want, got))
+
+
+def test_quality_scores_properties():
+    from database_delta_plugins_ray.functions.text import quality_scores
+
+    good = ("The quick brown fox jumps over the lazy dog while the farmer "
+            "watches from the field and thinks about the harvest this year.")
+    garbage = "!!! ??? ,,, ;;; ### $$$ %%% @@@ ^^^ &&&"
+    empty = ""
+    df = quality_scores(pd.Series([good, garbage, empty]))
+    for c in ("punct_ratio", "stop_ratio", "alpha_ratio", "quality_score"):
+        assert ((df[c] >= 0) & (df[c] <= 1)).all(), c
+    assert df.loc[0, "quality_score"] > df.loc[1, "quality_score"]
+    assert df.loc[0, "stop_ratio"] > 0.2
+    assert df.loc[1, "alpha_ratio"] == 0.0
+    assert df.loc[2, "n_tokens"] == 0 and df.loc[2, "quality_score"] <= 0.5
+
+
+def test_ivf_query_recall_vs_bruteforce(ray_session):
+    """Query-level IVF (persisted index) vs exact brute force on the driver
+    testdata: recall@10 >= 0.9 while reading a strict subset of buckets."""
+    import glob
+    import shutil
+
+    from database_delta_plugins_ray.pipelines.analytics import (
+        ann_topk_cosine,
+        ann_topk_ivf_q,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    shutil.rmtree("/tmp/ddpr_cache/sf0.001/ivf_index", ignore_errors=True)
+    exact = set(ann_topk_cosine(sf)["vec_id"])
+    approx = set(ann_topk_ivf_q(sf)["vec_id"])
+    assert len(exact & approx) >= 9
+    clusters = glob.glob("/tmp/ddpr_cache/sf0.001/ivf_index/data/cluster=*")
+    assert len(clusters) == 16  # 12 of 16 probed -> strict subset read
