@@ -39,11 +39,16 @@ def oracle_sql() -> dict[str, str]:
         cdc_oracle_sql,
         ensure_log,
         ensure_typed_log,
+        ensure_variant_log,
     )
 
     # the driver compares at sf=0.01; make sure the logs the SQL reads exist
     ensure_log("/root/testdata/sf0.01")
     ensure_typed_log("/root/testdata/sf0.01")
+    ensure_variant_log("/root/testdata/sf0.01", "mt_log", n_tables=2,
+                       ddl_plan=False)
+    ensure_variant_log("/root/testdata/sf0.01", "trunc_log",
+                       truncate_frac=0.5, ddl_plan=False)
     out = dict(cdc_oracle_sql("0.01"))
     try:
         from database_delta_plugins_ray.pipelines.analytics import ANALYTICS_ORACLE_SQL

@@ -22,6 +22,9 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+#: exchange strategy for the replay: "fragment" (hash-partitioned write,
+#: no sort barrier — the default; see run_replication docstring) or "sort"
+EXCHANGE = os.environ.get("RAY_GRAFT_EXCHANGE", "fragment")
 
 
 def run_bench() -> dict:
@@ -82,7 +85,8 @@ def run_bench() -> dict:
     # headline: one-shot full replay
     lake = fresh_lake(SF_DIR, f"bench_lake_{NUM_CPUS}")
     t0 = time.time()
-    s = run_replication(log, lake, num_partitions=max(32, NUM_CPUS * 2))
+    s = run_replication(log, lake, num_partitions=max(32, NUM_CPUS * 2),
+                        exchange=EXCHANGE)
     timings["cdc_replay"] = time.time() - t0
     # throughput counts every log event replayed end-to-end (the per-batch
     # LWW combiner reduces what reaches the shuffle, but each event was
@@ -93,7 +97,8 @@ def run_bench() -> dict:
 
     # incremental no-op poll (checkpoint fast path)
     t0 = time.time()
-    run_replication(log, lake, num_partitions=max(32, NUM_CPUS * 2))
+    run_replication(log, lake, num_partitions=max(32, NUM_CPUS * 2),
+                    exchange=EXCHANGE)
     timings["cdc_incremental_noop"] = time.time() - t0
 
     # other query benches (analytics module, if present); skipped in

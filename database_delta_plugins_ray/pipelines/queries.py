@@ -184,6 +184,69 @@ def cdc_tombstones(sf_dir: str):
     )
 
 
+def ensure_variant_log(sf_dir: str, name: str, **overrides) -> str:
+    """Generate (once) a variant CDC log (multi-table / truncate / ...) at
+    ~1/4 the main log's size, cached per scale factor."""
+    tag = sf_tag(sf_dir)
+    base = dict(_SF_SIZES.get(tag, _SF_SIZES["0.01"]))
+    base["n_keys"] = max(200, base["n_keys"] // 4)
+    base["n_events"] = max(1_000, base["n_events"] // 4)
+    base["n_segments"] = max(2, base["n_segments"] // 2)
+    d = os.path.join(CACHE_ROOT, f"sf{tag}", name)
+    generate_log(d, GenConfig(seed=52, **{**base, **overrides}))
+    return d
+
+
+def cdc_projection(sf_dir: str):
+    """Column projection (M4, Records.java:123-148): replicate only
+    (repo, path, commit) — unselected columns never reach the lake."""
+    log = ensure_log(sf_dir)
+    lake = fresh_lake(sf_dir, "lake_proj")
+    run_replication(log, lake, num_partitions=8,
+                    columns={"repo", "path", "commit"}, compute_sha=False)
+    return final_state(lake, columns=["repo", "path", "commit", "_sequence_num"])
+
+
+def cdc_dml_blacklist(sf_dir: str):
+    """DML blacklist (M9, MySqlRecordConsumer.java:352-356): DELETE events
+    of the table are dropped at normalize — a deleted key keeps its last
+    insert/update image."""
+    from ..model import DEFAULT_TABLE
+
+    log = ensure_log(sf_dir)
+    lake = fresh_lake(sf_dir, "lake_dmlblk")
+    run_replication(log, lake, num_partitions=8,
+                    dml_blacklist={(DEFAULT_TABLE, "D")})
+    return final_state(lake, columns=FINAL_COLS)
+
+
+def cdc_table_filter(sf_dir: str):
+    """Table filter (M8, SourceTable selection): a 2-table log replicated
+    with only the first table selected."""
+    from ..model import DEFAULT_TABLE
+
+    log = ensure_variant_log(sf_dir, "mt_log", n_tables=2, ddl_plan=False)
+    lake = fresh_lake(sf_dir, "lake_tfilter")
+    run_replication(log, lake, num_partitions=8, table_filter={DEFAULT_TABLE})
+    return final_state(
+        lake, columns=["repo", "path", "commit", "lang", "content_sha",
+                       "_sequence_num"]
+    )
+
+
+def cdc_truncate_fence(sf_dir: str):
+    """TRUNCATE fence (M13 / §2.6): rows whose winning event predates the
+    mid-stream TRUNCATE are dead in the final state."""
+    log = ensure_variant_log(sf_dir, "trunc_log", truncate_frac=0.5,
+                             ddl_plan=False)
+    lake = fresh_lake(sf_dir, "lake_trunc")
+    run_replication(log, lake, num_partitions=8)
+    return final_state(
+        lake, columns=["repo", "path", "commit", "lang", "content_sha",
+                       "_sequence_num"]
+    )
+
+
 def cdc_all_datatypes(sf_dir: str):
     """End-to-end replication of the ALL-DATATYPES table: the reference's
     type-conformance core (33-column e2e fixture, pluginParameters.
@@ -237,6 +300,10 @@ def _typed_log_glob(sf: str = "0.01") -> str:
     return os.path.join(CACHE_ROOT, f"sf{sf}", "typed_log", "seg-*.parquet")
 
 
+def _variant_glob(sf: str, name: str) -> str:
+    return os.path.join(CACHE_ROOT, f"sf{sf}", name, "seg-*.parquet")
+
+
 def cdc_oracle_sql(sf: str = "0.01") -> dict[str, str]:
     from ..sources.gen_typed import typed_oracle_sql
 
@@ -270,6 +337,64 @@ SELECT k_repo AS repo, k_path AS path, lsn AS _sequence_num
 FROM ranked WHERE rn = 1 AND op = 'D'
 """,
         "cdc_all_datatypes": typed_oracle_sql(_typed_log_glob(sf)),
+        "cdc_projection": lww
+        + """
+SELECT k_repo AS repo, k_path AS path, "commit", lsn AS _sequence_num
+FROM ranked WHERE rn = 1 AND op <> 'D'
+""",
+        # blacklisted DELETEs are dropped BEFORE ranking: the key keeps its
+        # last insert/update image
+        "cdc_dml_blacklist": lww.replace("WHERE op <> 'DDL'",
+                                         "WHERE op NOT IN ('DDL', 'D')")
+        + """
+SELECT k_repo AS repo, k_path AS path, "commit", language, stars, content_sha,
+       lsn AS _sequence_num
+FROM ranked WHERE rn = 1
+""",
+        "cdc_table_filter": f"""
+WITH ev AS (
+  SELECT lsn, op,
+         coalesce(after.repo, before.repo)  AS k_repo,
+         coalesce(after.path, before.path)  AS k_path,
+         after."commit" AS "commit",
+         after.lang AS lang,
+         sha256(after.content) AS content_sha
+  FROM read_parquet('{_variant_glob(sf, "mt_log")}')
+  WHERE op <> 'DDL' AND "table" = 'inventory.code_files'
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY k_repo, k_path ORDER BY lsn DESC) AS rn
+  FROM ev
+)
+SELECT k_repo AS repo, k_path AS path, "commit", lang, content_sha,
+       lsn AS _sequence_num
+FROM ranked WHERE rn = 1 AND op <> 'D'
+""",
+        "cdc_truncate_fence": f"""
+WITH fence AS (
+  SELECT coalesce(max(lsn), 0) AS f
+  FROM read_parquet('{_variant_glob(sf, "trunc_log")}')
+  WHERE op = 'DDL' AND ddl.op = 'TRUNCATE_TABLE'
+),
+ev AS (
+  SELECT lsn, op,
+         coalesce(after.repo, before.repo)  AS k_repo,
+         coalesce(after.path, before.path)  AS k_path,
+         after."commit" AS "commit",
+         after.lang AS lang,
+         sha256(after.content) AS content_sha
+  FROM read_parquet('{_variant_glob(sf, "trunc_log")}')
+  WHERE op <> 'DDL'
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY k_repo, k_path ORDER BY lsn DESC) AS rn
+  FROM ev
+)
+SELECT k_repo AS repo, k_path AS path, "commit", lang, content_sha,
+       lsn AS _sequence_num
+FROM ranked
+WHERE rn = 1 AND op <> 'D' AND lsn > (SELECT f FROM fence)
+""",
     }
 
 
@@ -281,4 +406,8 @@ CDC_QUERIES = {
     "cdc_snapshot_ddl_sequence": cdc_snapshot_ddl_sequence,
     "cdc_tombstones": cdc_tombstones,
     "cdc_all_datatypes": cdc_all_datatypes,
+    "cdc_projection": cdc_projection,
+    "cdc_dml_blacklist": cdc_dml_blacklist,
+    "cdc_table_filter": cdc_table_filter,
+    "cdc_truncate_fence": cdc_truncate_fence,
 }

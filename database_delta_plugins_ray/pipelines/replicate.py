@@ -83,12 +83,27 @@ def run_replication(
     primary_key: tuple[str, ...] = ("repo", "path"),
     max_delta_files: int = 4,
     connector_args: dict[str, str] | None = None,
+    exchange: str = "sort",
 ) -> dict:
     """Replay the event log into the Parquet lake; returns a lineage summary.
 
     Idempotent and resumable: partitions already at/beyond the log's max lsn
     are skipped via their checkpoint manifests; re-running on the same log is
     a no-op (exactly-once effect via offset fencing).
+
+    ``exchange`` selects how normalized events reach their partition merger:
+
+    - ``sort`` (default): ``groupby("part").map_groups`` — Ray Data's
+      sort-based all-to-all. One barrier; payload moves through the object
+      store.
+    - ``fragment``: hash-partitioned WRITE — each normalize task appends its
+      rows for partition p as a Parquet fragment under
+      ``lake/_fragments/part=p/``, then one Ray task per partition merges
+      its fragments into the state file. No sort barrier, no object-store
+      all-to-all; on a cluster the fragment store is the shared lake
+      filesystem (the Delta/Hudi-style ingest shape). Duplicate fragments
+      from a crashed/restarted run are harmless: per-key LWW collapses
+      identical rows, and the per-partition watermark fences replays.
     """
     t0 = time.time()
     os.makedirs(lake_dir, exist_ok=True)
@@ -218,19 +233,26 @@ def run_replication(
     if merge_concurrency is None:
         # leave headroom for read/normalize/shuffle tasks next to the pool
         merge_concurrency = max(1, min(num_partitions, cpus - 1))
-    # autoscaling pool (1, N): a fixed pool would pre-start N actors that
-    # RESERVE N CPUs while idling behind the Sort barrier, starving the
-    # read/normalize stages (observed: 31 idle actors pinning 31/32 CPUs)
-    summary_ds = ds.groupby("part").map_groups(
-        PartitionMerger,
-        fn_constructor_args=(lake_dir, reg_ref, payload_columns),
-        fn_constructor_kwargs=dict(
-            key_columns=("table", *primary_key), max_delta_files=max_delta_files
-        ),
-        batch_format="pyarrow",
-        concurrency=(1, merge_concurrency),
-    )
-    rows = summary_ds.take_all()
+    if exchange == "fragment":
+        rows = _fragment_exchange(
+            ds, lake_dir, reg_ref, payload_columns,
+            key_columns=("table", *primary_key),
+            max_delta_files=max_delta_files,
+        )
+    else:
+        # autoscaling pool (1, N): a fixed pool would pre-start N actors that
+        # RESERVE N CPUs while idling behind the Sort barrier, starving the
+        # read/normalize stages (observed: 31 idle actors pinning 31/32 CPUs)
+        summary_ds = ds.groupby("part").map_groups(
+            PartitionMerger,
+            fn_constructor_args=(lake_dir, reg_ref, payload_columns),
+            fn_constructor_kwargs=dict(
+                key_columns=("table", *primary_key), max_delta_files=max_delta_files
+            ),
+            batch_format="pyarrow",
+            concurrency=(1, merge_concurrency),
+        )
+        rows = summary_ds.take_all()
 
     registry.save(os.path.join(lake_dir, ckpt.CHECKPOINT_DIR, "schema_history.jsonl"))
     # lake-level consumed-log watermark: every event <= this is now applied,
@@ -259,6 +281,85 @@ def run_replication(
         "events_per_s": applied / wall if wall > 0 else 0.0,
         "resume_watermark": watermark,
     }
+
+
+def _fragment_exchange(ds, lake_dir: str, reg_ref, payload_columns,
+                       key_columns: tuple[str, ...],
+                       max_delta_files: int) -> list[dict]:
+    """Hash-partitioned-write exchange: normalized batches append per-
+    partition Parquet fragments (parallel, barrier-free), then one Ray task
+    per partition folds its fragments into the fenced partition state.
+
+    Fragment names are derived from the batch's lsn range, so a replayed
+    batch overwrites rather than duplicates; duplicates that DO survive a
+    crash are collapsed by the merger's exact per-key LWW (identical rows),
+    and rows at-or-below the partition watermark are fenced — the
+    effectively-once contract is unchanged."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    frag_root = os.path.join(lake_dir, "_fragments")
+
+    def write_frags(batch: "pa.Table") -> "pa.Table":
+        if batch.num_rows == 0:
+            return pa.table({"part": pa.array([], pa.int64()),
+                             "rows": pa.array([], pa.int64())})
+        parts, rows = [], []
+        lsn_lo = int(pc.min(batch["lsn"]).as_py())
+        lsn_hi = int(pc.max(batch["lsn"]).as_py())
+        for p in pc.unique(batch["part"]).to_pylist():
+            sl = batch.filter(pc.equal(batch["part"], p))
+            d = os.path.join(frag_root, f"part={int(p):05d}")
+            os.makedirs(d, exist_ok=True)
+            name = f"frag-{lsn_lo:020d}-{lsn_hi:020d}-{sl.num_rows}.parquet"
+            tmp = os.path.join(d, name + f".tmp.{os.getpid()}")
+            pq.write_table(sl, tmp)
+            os.replace(tmp, os.path.join(d, name))
+            parts.append(int(p))
+            rows.append(sl.num_rows)
+        return pa.table({"part": pa.array(parts, pa.int64()),
+                         "rows": pa.array(rows, pa.int64())})
+
+    # leftover fragments from a crashed run must be folded in too (their
+    # rows are fence-filtered or re-applied idempotently)
+    import glob as _glob0
+
+    leftovers = {
+        int(os.path.basename(d).split("=")[1])
+        for d in _glob0.glob(os.path.join(frag_root, "part=*"))
+        if _glob0.glob(os.path.join(d, "frag-*.parquet"))
+    }
+
+    frag_counts = ds.map_batches(
+        write_frags, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    touched = sorted({r["part"] for r in frag_counts} | leftovers)
+
+    @ray.remote(num_cpus=1)
+    def merge_part(part: int) -> dict:
+        import glob as _glob
+
+        merger = PartitionMerger(
+            lake_dir, reg_ref, payload_columns,
+            key_columns=key_columns, max_delta_files=max_delta_files,
+        )
+        d = os.path.join(frag_root, f"part={part:05d}")
+        files = sorted(_glob.glob(os.path.join(d, "frag-*.parquet")))
+        group = pa.concat_tables([pq.read_table(f) for f in files])
+        out = merger(group).to_pylist()[0]
+        for f in files:
+            os.remove(f)
+        return out
+
+    rows = ray.get([merge_part.remote(p) for p in touched])
+    # fragment dirs are consumed; drop empties (ignore races on re-entry)
+    for p in touched:
+        try:
+            os.rmdir(os.path.join(frag_root, f"part={p:05d}"))
+        except OSError:
+            pass
+    return rows
 
 
 def _payload_columns(registry: Registry, columns, compute_sha: bool) -> list[str]:
