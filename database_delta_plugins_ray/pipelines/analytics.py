@@ -389,11 +389,25 @@ def ann_topk_ivf_q(sf_dir: str):
 
 
 def multimodal_features(sf_dir: str):
+    """Multimodal decode+feature pipeline over fake media payloads. The stub
+    decode derives every value from md5(payload||salt), so the DuckDB
+    oracle recomputes the identical values in SQL — the actor-pool
+    plumbing (schema, small batches, per-actor state) is correctness-gated
+    end-to-end. Features flattened to f0..f7 for the value-hash compare."""
     from ..stages.multimodal import decode_pipeline, media_from_documents
 
     media = media_from_documents(_t(sf_dir, "documents", ["doc_id", "text"]))
     out = decode_pipeline(media, batch_size=256, concurrency=2)
-    return out.select_columns(["media_id", "width", "height", "channels"])
+
+    def flatten(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in ("media_id", "width", "height", "channels")}
+        feats = t["features"].combine_chunks()
+        flat = feats.flatten().to_numpy(zero_copy_only=False).reshape(-1, 8)
+        for j in range(8):
+            cols[f"f{j}"] = pa.array(np.round(flat[:, j].astype(np.float64), 4))
+        return pa.table(cols)
+
+    return out.map_batches(flatten, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -470,7 +484,118 @@ SELECT vec_id, round(list_cosine_similarity(embedding, (SELECT qv FROM q)), 5) A
 FROM embeddings ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC,
                          vec_id LIMIT 10
 """,
+    # exact n-gram Jaccard recomputed in SQL over the raw gram strings
+    # (the Ray side hashes grams to 64 bits first — intersection counts are
+    # identical barring negligible 64-bit collisions)
+    "dedup_ngram_documents": """
+WITH t AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, lang,
+         list_distinct(CASE
+           WHEN len(toks) = 0 THEN []
+           WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+           ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks)-2)]
+         END) AS grams
+  FROM t
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CASE WHEN len(a.grams)+len(b.grams) = 0 THEN 1.0
+               ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / (len(a.grams)+len(b.grams)-len(list_intersect(a.grams,b.grams)))
+               END, 6) AS jaccard
+  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT * FROM pairs WHERE jaccard >= 0.5
+""",
+    # md5-derived stub decode recomputed in SQL (stages/multimodal.py)
+    "multimodal_features": """
+SELECT doc_id AS media_id,
+       (('0x' || substr(md5(text || 'w'), 1, 8))::BIGINT % 1920) + 1 AS width,
+       (('0x' || substr(md5(text || 'h'), 1, 8))::BIGINT % 1080) + 1 AS height,
+       3 AS channels,
+"""
+    + ",\n".join(
+        f"       round(((('0x' || substr(md5(text || '{j}'), 1, 8))::BIGINT "
+        f"% 10000) / 10000.0), 4) AS f{j}"
+        for j in range(8)
+    )
+    + "\nFROM documents\n",
 }
+
+def _stopword_alt(lang: str) -> str:
+    from ..functions.text import STOPWORDS
+
+    return "|".join(sorted(STOPWORDS[lang]))
+
+
+# lang-id heuristic recomputed in SQL: per-language stopword hit rates via
+# alternation regexes, argmax with the same first-max-wins tie order, han
+# override, 0.05 threshold (functions/text.py lang_id)
+ANALYTICS_ORACLE_SQL["lang_id_documents"] = r"""
+WITH b AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(lower(text), '[a-zA-Z0-9_]+')) AS n_tokens,
+         len(regexp_extract_all(text, '[一-鿿]')) AS han,
+         len(regexp_extract_all(lower(text), '\b(?:@EN@)\b')) AS c_en,
+         len(regexp_extract_all(lower(text), '\b(?:@DE@)\b')) AS c_de,
+         len(regexp_extract_all(lower(text), '\b(?:@ES@)\b')) AS c_es,
+         len(regexp_extract_all(lower(text), '\b(?:@FR@)\b')) AS c_fr
+  FROM documents
+), r AS (
+  SELECT doc_id, lang, han, n_tokens,
+         CAST(c_en AS DOUBLE)/greatest(1,n_tokens) AS r_en,
+         CAST(c_de AS DOUBLE)/greatest(1,n_tokens) AS r_de,
+         CAST(c_es AS DOUBLE)/greatest(1,n_tokens) AS r_es,
+         CAST(c_fr AS DOUBLE)/greatest(1,n_tokens) AS r_fr
+  FROM b
+)
+SELECT doc_id, lang,
+       CASE WHEN han > 0 AND han >= greatest(1, n_tokens) THEN 'zh'
+            WHEN r_en >= r_de AND r_en >= r_es AND r_en >= r_fr AND r_en >= 0.05 THEN 'en'
+            WHEN r_de >= r_es AND r_de >= r_fr AND r_de >= 0.05 THEN 'de'
+            WHEN r_es >= r_fr AND r_es >= 0.05 THEN 'es'
+            WHEN r_fr >= 0.05 THEN 'fr'
+            ELSE 'und' END AS lang_pred,
+       CASE WHEN lang_pred = lang THEN 1 ELSE 0 END AS "match"
+FROM r
+""".replace("@EN@", _stopword_alt("en")).replace("@DE@", _stopword_alt("de")) \
+   .replace("@ES@", _stopword_alt("es")).replace("@FR@", _stopword_alt("fr"))
+
+# quality features recomputed in SQL; round_even matches numpy's banker's
+# rounding (DuckDB round() is half-away and diverges at exact .xxxx5)
+ANALYTICS_ORACLE_SQL["quality_scores_documents"] = r"""
+WITH b AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens,
+         len(regexp_extract_all(text, '[^\p{L}\p{N}_\s]')) AS n_punct,
+         len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+         len(regexp_extract_all(lower(text), '\b(?:@EN@)\b')) AS n_stop,
+         len(regexp_extract_all(text, '[A-Za-z0-9_]')) AS word_chars
+  FROM documents
+), c AS (
+  SELECT doc_id, n_chars, n_tokens,
+         CASE WHEN n_tokens > 0 THEN CAST(word_chars AS DOUBLE)/greatest(1, n_tokens) ELSE 0.0 END AS mwl,
+         CAST(n_punct AS DOUBLE)/greatest(1, n_chars) AS pr,
+         CAST(n_stop AS DOUBLE)/greatest(1, n_tokens) AS sr,
+         CAST(n_alpha AS DOUBLE)/greatest(1, n_chars) AS ar
+  FROM b
+)
+SELECT doc_id, n_chars, n_tokens,
+       round_even(mwl, 4) AS mean_word_len,
+       round_even(pr, 4) AS punct_ratio,
+       round_even(sr, 4) AS stop_ratio,
+       round_even(ar, 4) AS alpha_ratio,
+       round_even(least(n_tokens/50.0, 1.0)*0.3
+             + least(greatest((mwl-2)/6.0, 0.0), 1.0)*0.2
+             + (1 - least(pr*4, 1.0))*0.2
+             + least(ar*1.2, 1.0)*0.2
+             + least(sr*5, 1.0)*0.1, 4) AS quality_score
+FROM c
+""".replace("@EN@", _stopword_alt("en"))
+
 
 ANALYTICS_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,

@@ -33,7 +33,11 @@ MEDIA_SCHEMA = pa.schema(
 
 
 def _fake_u64(b: bytes, salt: bytes) -> int:
-    return int.from_bytes(hashlib.blake2b(b, digest_size=8, key=salt).digest(), "big")
+    """Deterministic stub value: first 8 hex chars of md5(payload || salt).
+    md5 (not blake2b) so the SAME value is expressible in the DuckDB oracle
+    (``('0x' || substr(md5(x || salt), 1, 8))::BIGINT``) — the stub decode
+    is fully correctness-gated, not just rows-only."""
+    return int(hashlib.md5(b + salt).hexdigest()[:8], 16)
 
 
 class DecodeImageStub:
