@@ -128,6 +128,13 @@ def run_bench() -> dict:
     except ImportError:
         pass
 
+    # all-datatypes replication (the type-conformance core, end to end)
+    from database_delta_plugins_ray.pipelines.queries import cdc_all_datatypes
+
+    t0 = time.time()
+    cdc_all_datatypes(SF_DIR).materialize()
+    timings["cdc_all_datatypes"] = time.time() - t0
+
     ray.shutdown()
     return {
         "metric": "cdc_replay_sec",

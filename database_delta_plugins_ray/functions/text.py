@@ -193,7 +193,7 @@ def band_hashes_matrix(sigs: np.ndarray, bands: int) -> np.ndarray:
 
 
 def minhash_signature_many(
-    shingle_sets: list[np.ndarray], num_perm_or_a=64, _b=None
+    shingle_sets: list[np.ndarray], num_perm: int = 64
 ) -> np.ndarray:
     """Batch minhash signatures via One-Permutation Hashing (Li et al.,
     NIPS 2012) with rotation densification (Shrivastava & Li, ICML 2014):
@@ -206,12 +206,10 @@ def minhash_signature_many(
     per shingle, and uint64 multiply is pathologically slow on this host
     (~100x; measured 16s for 12M ops); OPH removes that term entirely.
     The bin-match rate between two signatures estimates Jaccard exactly
-    like K-permutation agreement does.
-
-    Accepts ``num_perm_or_a`` as an int or (back-compat) the ``a`` param
-    array whose length is num_perm."""
-    num_perm = (len(num_perm_or_a) if hasattr(num_perm_or_a, "__len__")
-                else int(num_perm_or_a))
+    like K-permutation agreement does. NOTE: NOT row-compatible with the
+    per-doc K-permutation ``minhash_signature`` — use one scheme per
+    pipeline (MinHasher uses this one)."""
+    num_perm = int(num_perm)
     assert num_perm & (num_perm - 1) == 0, "num_perm must be a power of two"
     n_docs = len(shingle_sets)
     FULL = np.iinfo(np.uint64).max

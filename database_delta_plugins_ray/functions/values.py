@@ -58,13 +58,14 @@ def iso8601_to_timestamp(a) -> pa.Array:
     UTC. Offset-less strings (defensive; Debezium always emits one) are
     interpreted as UTC."""
     arr = _arr(a)
-    try:
-        return pc.cast(arr, pa.timestamp("us", tz="UTC"))
-    except pa.ArrowInvalid:
-        return pc.cast(
-            pc.assume_timezone(pc.cast(arr, pa.timestamp("us")), "UTC"),
-            pa.timestamp("us", tz="UTC"),
-        )
+    # normalize offset-less strings to 'Z' FIRST so a mixed batch (some
+    # values with offsets, some without) casts in one pass
+    s = pc.cast(arr, pa.string())
+    has_off = pc.match_substring_regex(s, r"(Z|[+-]\d{2}:?\d{2})$")
+    fixed = pc.if_else(
+        has_off, s, pc.binary_join_element_wise(s, pa.scalar("Z"), "")
+    )
+    return pc.cast(fixed, pa.timestamp("us", tz="UTC"))
 
 
 def micros_past_midnight_to_time(a) -> pa.Array:
@@ -196,8 +197,10 @@ def hex_string(a) -> pa.Array:
         arr = pc.cast(arr, pa.binary())
     null_mask = pc.is_null(arr)
     filled = pc.fill_null(arr, b"")
+    # offsets buffer entries are ABSOLUTE byte positions in the data buffer;
+    # a sliced array's elements start at entry `filled.offset`
     offs = np.frombuffer(filled.buffers()[1], dtype=np.int32,
-                         count=len(filled) + 1) - filled.offset
+                         count=len(filled) + 1, offset=filled.offset * 4)
     data = filled.buffers()[2]
     full = (data.to_pybytes().hex() if data is not None else "")
     out = pa.array(
@@ -208,15 +211,28 @@ def hex_string(a) -> pa.Array:
 
 
 def base64_string(a) -> pa.Array:
-    """binary.handling.mode=base64: binary values -> base64 strings."""
+    """binary.handling.mode=base64: binary values -> base64 strings.
+    Per-row b64 is inherent (3-byte blocks don't decompose across rows);
+    rows are sliced as zero-copy memoryviews of the data buffer."""
     import base64
 
     arr = _arr(a)
-    vals = arr.to_pylist()
-    return pa.array(
-        [None if v is None else base64.b64encode(bytes(v)).decode() for v in vals],
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_fixed_size_binary(arr.type):
+        arr = pc.cast(arr, pa.binary())
+    null_mask = pc.is_null(arr)
+    filled = pc.fill_null(arr, b"")
+    offs = np.frombuffer(filled.buffers()[1], dtype=np.int32,
+                         count=len(filled) + 1, offset=filled.offset * 4)
+    buf = filled.buffers()[2]
+    mv = memoryview(buf) if buf is not None else memoryview(b"")
+    out = pa.array(
+        [base64.b64encode(mv[offs[i]:offs[i + 1]]).decode()
+         for i in range(len(filled))],
         pa.string(),
     )
+    return pc.if_else(null_mask, pa.scalar(None, pa.string()), out)
 
 
 # ---------------------------------------------------------------------------

@@ -359,26 +359,19 @@ def ann_topk_ivf_q(sf_dir: str):
     """IVF top-10 over the persisted bucketed index (built once per sf,
     reused across queries; reads only nprobe bucket dirs)."""
     import re as _re
-    import shutil as _shutil
 
     from ..stages.similarity import ann_topk_ivf
 
     tag = _re.search(r"sf([\d.]+)", sf_dir)
     idx_dir = f"/tmp/ddpr_cache/sf{tag.group(1) if tag else 'x'}/ivf_index"
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    stamp = os.path.join(idx_dir, "source.txt")
-    if os.path.exists(stamp) and open(stamp).read() != src:
-        _shutil.rmtree(idx_dir, ignore_errors=True)
     df = ann_topk_ivf(
         _t(sf_dir, "embeddings", ["vec_id", "embedding"]), _query_vec(sf_dir),
         # the synthetic embeddings are isotropic (no real cluster structure),
         # so a high nprobe/n_clusters ratio is needed for recall>=0.9; the
         # pruned-read design is unchanged — real embedding corpora cluster
         k=10, index_dir=idx_dir, n_clusters=16, nprobe=12,
+        source_tag=os.path.join(sf_dir, "embeddings.parquet"),
     )
-    if not os.path.exists(stamp):
-        with open(stamp, "w") as fh:
-            fh.write(src)
     df["score"] = df["score"].round(5)
     return df
 
@@ -501,7 +494,7 @@ WITH t AS (
   FROM t
 ), pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         round(CASE WHEN len(a.grams)+len(b.grams) = 0 THEN 1.0
+         round_even(CASE WHEN len(a.grams)+len(b.grams) = 0 THEN 1.0
                ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                     / (len(a.grams)+len(b.grams)-len(list_intersect(a.grams,b.grams)))
                END, 6) AS jaccard

@@ -290,11 +290,26 @@ def ngram_jaccard_pairs(
     partition_col: str = "lang",
     text_col: str = "text",
     id_col: str = "doc_id",
+    method: str = "allpairs",
 ) -> "ray.data.Dataset":
-    """Exact n-gram-Jaccard duplicate pairs, all-pairs WITHIN a partition
-    column (e.g. language) — the documented tractability assumption: cross-
-    partition duplicates are out of scope for the exact variant (use
-    minhash_lsh_pairs for unpartitioned near-dup search)."""
+    """Exact n-gram-Jaccard duplicate pairs.
+
+    ``method="allpairs"`` (default, exact and SQL-oracled): all pairs
+    WITHIN a partition column (e.g. language). Documented tractability
+    assumption — O(n^2) per partition, fine for modest partitions, a
+    scale-killer when one partition holds half the corpus.
+
+    ``method="lsh"`` (the 100-TB path): MinHash-LSH proposes candidate
+    pairs (signatures only through the shuffle), then a SECOND narrow
+    stage fetches just the candidate documents' shingle sets and verifies
+    EXACT Jaccard. Cost is O(corpus) + O(candidates); recall is the LSH
+    band recall at the chosen threshold (>=1-(1-t^r)^b). Candidate pairs
+    are assumed small relative to the corpus (near-dup fraction), the
+    standard production assumption."""
+    if method == "lsh":
+        return _ngram_jaccard_lsh(ds, ngram=ngram, threshold=threshold,
+                                  partition_col=partition_col,
+                                  text_col=text_col, id_col=id_col)
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col)
@@ -311,6 +326,61 @@ def ngram_jaccard_pairs(
     return ds.select_columns([partition_col, id_col, text_col]).groupby(
         partition_col
     ).map_groups(verify, batch_format="pandas")
+
+
+def _ngram_jaccard_lsh(ds, *, ngram: int, threshold: float,
+                       partition_col: str | None, text_col: str, id_col: str):
+    """LSH-candidates -> exact-Jaccard verify (see ngram_jaccard_pairs).
+    Honors ``partition_col``: cross-partition candidate pairs are dropped,
+    matching the exact route's within-partition semantics."""
+    import ray
+
+    # stage 1: candidate pairs from MinHash-LSH at a PERMISSIVE estimate
+    # threshold (margin absorbs signature-estimation noise; exact verify
+    # prunes below)
+    margin = 0.15
+    cand = minhash_lsh_pairs(
+        ds, num_perm=128, bands=32, ngram=ngram,
+        threshold=max(0.0, threshold - margin),
+        text_col=text_col, id_col=id_col,
+    ).take_all()
+    wanted_ids = sorted({r["id_a"] for r in cand} | {r["id_b"] for r in cand})
+    if not wanted_ids:
+        return ray.data.from_items([]).map_batches(
+            lambda df: pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []}),
+            batch_format="pandas",
+        )
+    ids_ref = ray.put(set(wanted_ids))
+
+    # stage 2: narrow fetch — shingle sets (+ partition value) ONLY for
+    # candidate documents
+    def grab(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        want = _ray.get(ids_ref)
+        sub = df[df[id_col].isin(want)]
+        out = {
+            id_col: sub[id_col].to_numpy(),
+            "sh": [shingle_hashes(t, ngram).tobytes() for t in sub[text_col]],
+        }
+        if partition_col is not None:
+            out["pcol"] = sub[partition_col].to_numpy()
+        return pd.DataFrame(out)
+
+    fetched = ds.map_batches(grab, batch_format="pandas").take_all()
+    shs = {r[id_col]: np.frombuffer(r["sh"], dtype=np.uint64) for r in fetched}
+    pvals = {r[id_col]: r.get("pcol") for r in fetched}
+
+    rows = []
+    for r in cand:
+        a, b = r["id_a"], r["id_b"]
+        if partition_col is not None and pvals[a] != pvals[b]:
+            continue
+        j = jaccard(shs[a], shs[b])
+        if j >= threshold:
+            rows.append((a, b, round(j, 6)))
+    out = pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+    return ray.data.from_pandas(out)
 
 
 # ---------------------------------------------------------------------------

@@ -277,11 +277,11 @@ class Normalizer:
         for pk_col in self.primary_key:
             arr = pc.if_else(is_del, pc.struct_field(batch["before"], pk_col),
                              pc.struct_field(batch["after"], pk_col))
-            a = arr.to_numpy(zero_copy_only=False)
-            if (a == None).any():  # noqa: E711
-                # no-PK rejection (SqlServerRecordConsumer.java:129-133)
+            # arrow-level null check: numpy object-equality misses NaN from
+            # nullable numeric PKs (SqlServerRecordConsumer.java:129-133)
+            if pc.any(pc.is_null(arr)).as_py():
                 raise DeltaFailure("null primary key value in change stream")
-            pk_arrays.append(a)
+            pk_arrays.append(arr.to_numpy(zero_copy_only=False))
         tb = batch["table"].to_numpy(zero_copy_only=False)
 
         # partition hashing uses the rename-chain ROOT table id so a key's
@@ -307,21 +307,18 @@ class Normalizer:
         if len(uniq_tables) == 1:
             out = self._normalize_table_slice(batch, uniq_tables[0])
         else:
+            # carry the PRE-computed partition through the per-table split
+            # (re-deriving from normalized output would hash post-converter
+            # PK values — a different partition than raw-keyed batches)
             parts = []
+            part_chunks = []
             for t in uniq_tables:
-                m = pc.equal(batch["table"], t)
-                sl = batch.filter(m)
-                parts.append(self._normalize_table_slice(sl, t))
+                m = pc.equal(batch["table"], t).combine_chunks()
+                mnp = m.to_numpy(zero_copy_only=False).astype(bool)
+                parts.append(self._normalize_table_slice(batch.filter(m), t))
+                part_chunks.append(part[mnp])
             out = pa.concat_tables(parts, promote_options="default")
-            # re-derive part for the reordered multi-table concat
-            pk_arrays = [out[c].to_numpy(zero_copy_only=False) for c in self.primary_key]
-            tb = out["table"].to_numpy(zero_copy_only=False)
-            hash_tb = tb
-            if self.registry.table_roots:
-                roots = {t: self.registry.root_table(t) for t in np.unique(tb)}
-                if any(k != v for k, v in roots.items()):
-                    hash_tb = pd.Series(tb).map(roots).to_numpy()
-            part = self._partition(hash_tb, pk_arrays, hash_key(hash_tb, *pk_arrays))
+            part = np.concatenate(part_chunks)
 
         if self.compute_sha and "content" in out.column_names:
             content = pc.fill_null(out["content"], "").to_pylist()

@@ -115,7 +115,14 @@ class IVFDiskIndex:
         vec_col: str = "embedding",
         id_col: str = "vec_id",
         seed: int = 1,
+        source_tag: str = "",
     ) -> "IVFDiskIndex":
+        """Build into a tmp dir and atomically rename: a crash mid-build
+        leaves no half-index (nor can a rebuild APPEND into surviving
+        cluster dirs). ``source_tag`` is stamped inside the index before
+        the rename so callers can invalidate on source change."""
+        import shutil
+
         sample = _as_matrix(pd.DataFrame(ds.limit(sample_size).take_all())[vec_col])
         trained = IVFIndex.train(sample, n_clusters=n_clusters, seed=seed)
         c_ref = ray.put(trained.centroids)
@@ -132,12 +139,18 @@ class IVFDiskIndex:
             )
             return out
 
-        os.makedirs(index_dir, exist_ok=True)
-        data_dir = os.path.join(index_dir, "data")
+        tmp_dir = index_dir + f".tmp.{os.getpid()}"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        os.makedirs(tmp_dir, exist_ok=True)
         ds.map_batches(assign, batch_format="pandas").write_parquet(
-            data_dir, partition_cols=["cluster"]
+            os.path.join(tmp_dir, "data"), partition_cols=["cluster"]
         )
-        np.save(os.path.join(index_dir, "centroids.npy"), trained.centroids)
+        if source_tag:
+            with open(os.path.join(tmp_dir, "source.txt"), "w") as fh:
+                fh.write(source_tag)
+        np.save(os.path.join(tmp_dir, "centroids.npy"), trained.centroids)
+        shutil.rmtree(index_dir, ignore_errors=True)
+        os.rename(tmp_dir, index_dir)
         return cls(index_dir)
 
     def search(
@@ -176,14 +189,21 @@ def ann_topk_ivf(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 1,
+    source_tag: str = "",
 ) -> pd.DataFrame:
     """IVF top-k over a persisted bucketed index (built once per
-    ``index_dir``, reused across queries); reads only ``nprobe`` buckets."""
-    if os.path.exists(os.path.join(index_dir, "centroids.npy")):
+    ``index_dir``, reused across queries); reads only ``nprobe`` buckets.
+    A ``source_tag`` mismatch with the stamped index forces a rebuild."""
+    stamp = os.path.join(index_dir, "source.txt")
+    valid = os.path.exists(os.path.join(index_dir, "centroids.npy"))
+    if valid and source_tag:
+        stored = open(stamp).read() if os.path.exists(stamp) else None
+        valid = stored == source_tag
+    if valid:
         index = IVFDiskIndex(index_dir)
     else:
         index = IVFDiskIndex.build(
             ds, index_dir, n_clusters=n_clusters, sample_size=sample_size,
-            vec_col=vec_col, id_col=id_col, seed=seed,
+            vec_col=vec_col, id_col=id_col, seed=seed, source_tag=source_tag,
         )
     return index.search(query, k, nprobe=nprobe, vec_col=vec_col, id_col=id_col)

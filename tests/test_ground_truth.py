@@ -176,3 +176,17 @@ def test_ivf_query_recall_vs_bruteforce(ray_session):
     assert len(exact & approx) >= 9
     clusters = glob.glob("/tmp/ddpr_cache/sf0.001/ivf_index/data/cluster=*")
     assert len(clusters) == 16  # 12 of 16 probed -> strict subset read
+
+
+def test_ngram_lsh_route_matches_exact(planted):
+    """The LSH-candidates + exact-verify route (the 100-TB path) must find
+    the same pairs as the exact all-pairs route on the planted corpus."""
+    from database_delta_plugins_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds, expected, _ = planted
+    exact = {(r["id_a"], r["id_b"], r["jaccard"])
+             for r in ngram_jaccard_pairs(ds, threshold=0.5).take_all()}
+    lsh = {(r["id_a"], r["id_b"], r["jaccard"])
+           for r in ngram_jaccard_pairs(ds, threshold=0.5,
+                                        method="lsh").take_all()}
+    assert lsh == exact
