@@ -45,6 +45,12 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--mode", default="key_hash",
                     choices=["key_hash", "repo", "repo_salted"])
     pr.add_argument("--upto-lsn", type=int, default=None)
+    pr.add_argument("--exchange", default="sort",
+                    choices=["sort", "fragment"],
+                    help="sort = Ray Data groupby shuffle; fragment = "
+                         "hash-partitioned fragment write (no sort barrier)")
+    pr.add_argument("--primary-key", default="repo,path",
+                    help="comma-separated PK columns")
 
     pg = sub.add_parser("gen")
     pg.add_argument("--out", required=True)
@@ -86,7 +92,9 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.replicate import run_replication
 
         s = run_replication(a.log, a.lake, num_partitions=a.partitions,
-                            partition_mode=a.mode, upto_lsn=a.upto_lsn)
+                            partition_mode=a.mode, upto_lsn=a.upto_lsn,
+                            exchange=a.exchange,
+                            primary_key=tuple(a.primary_key.split(",")))
         print(json.dumps(s))
         import ray
 
