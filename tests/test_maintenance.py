@@ -189,3 +189,50 @@ def test_rename_table_across_resume(tmp_path):
     assert set(got2) == set(oracle) == {("db.new", "r", "a")}
     assert got2[("db.new", "r", "a")]["content"] == "v2"
     assert len(rows2) == 1  # no duplicate/stale rows under db.old
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chained_rename_across_resume(tmp_path):
+    """A -> B -> C rename chain with a resume between the renames: events
+    under every historical name merge into one key space under the final
+    name; the pure-Python oracle (transitive re-pointing) agrees."""
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    create = {"op": "CREATE_TABLE", "table": "db.a", "prev_table": "",
+              "payload": json.dumps({
+                  "columns": [["repo", "string"], ["path", "string"],
+                              ["commit", "string"], ["lang", "string"],
+                              ["content", "large_string"]],
+                  "primary_key": ["repo", "path"]})}
+    ren_ab = {"op": "RENAME_TABLE", "table": "db.b", "prev_table": "db.a",
+              "payload": json.dumps({"new_name": "db.b"})}
+    ren_bc = {"op": "RENAME_TABLE", "table": "db.c", "prev_table": "db.b",
+              "payload": json.dumps({"new_name": "db.c"})}
+    rows = [
+        _event(1, "DDL", "db.a", ddl=create),
+        _event(2, "I", "db.a", after={"repo": "r", "path": "x", "content": "v1"}),
+        _event(3, "DDL", "db.b", ddl=ren_ab),
+        _event(4, "U", "db.b", after={"repo": "r", "path": "x", "content": "v2"},
+               before={"repo": "r", "path": "x"}),
+        _event(5, "I", "db.b", after={"repo": "r", "path": "y", "content": "w1"}),
+        _event(6, "DDL", "db.c", ddl=ren_bc),
+        _event(7, "U", "db.c", after={"repo": "r", "path": "x", "content": "v3"},
+               before={"repo": "r", "path": "x"}),
+        _event(8, "D", "db.c", before={"repo": "r", "path": "y"}),
+    ]
+    schema = event_log_schema()
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                   os.path.join(log_dir, "seg-00000.parquet"))
+
+    lake = str(tmp_path / "lake")
+    # resume mid-chain: stop after the FIRST rename's traffic
+    run_replication(log_dir, lake, num_partitions=2, upto_lsn=5)
+    run_replication(log_dir, lake, num_partitions=2)
+
+    got = {(r["table"], r["repo"], r["path"]): r
+           for r in final_state(lake).take_all()}
+    oracle = replay(log_dir)
+    assert set(got) == set(oracle)
+    assert set(got) == {("db.c", "r", "x")}
+    assert got[("db.c", "r", "x")]["content"] == "v3"
+    assert got[("db.c", "r", "x")]["_sequence_num"] == 7

@@ -1,0 +1,166 @@
+"""Property-based tests (hypothesis) for the pure kernels: the LWW
+reduction's associativity (the correctness backbone of both the per-batch
+combiner and the delta-commit/fragment designs), the division-free Mersenne
+fold, and the value-conversion kernels' reference semantics."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from database_delta_plugins_ray.stages.merge import exact_lww_indices
+from database_delta_plugins_ray.stages.normalize import _lww_keep_indices, hash_key
+
+
+# ---------------------------------------------------------------------------
+# LWW associativity: reducing per batch then reducing the concatenation is
+# identical to one global reduction — the invariant that makes the per-batch
+# combiner, delta commits, and duplicate fragments all safe
+# ---------------------------------------------------------------------------
+
+events = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 5)),  # (key_a, key_b) ids
+    min_size=1, max_size=60,
+)
+
+
+def _mk_table(pairs, lsn_start=1):
+    n = len(pairs)
+    return pa.table(
+        {
+            "table": pa.array(["t"] * n),
+            "repo": pa.array([f"r{a}" for a, _ in pairs]),
+            "path": pa.array([f"p{b}" for _, b in pairs]),
+            "_sequence_num": pa.array(
+                list(range(lsn_start, lsn_start + n)), pa.int64()
+            ),
+        }
+    )
+
+
+def _winners(tbl):
+    idx = exact_lww_indices(tbl, ("table", "repo", "path"), "_sequence_num")
+    t = tbl.take(pa.array(idx))
+    return {
+        (r["repo"], r["path"]): r["_sequence_num"] for r in t.to_pylist()
+    }
+
+
+@settings(max_examples=50, deadline=None)
+@given(events, st.integers(1, 5))
+def test_lww_reduce_is_associative(pairs, n_splits):
+    tbl = _mk_table(pairs)
+    direct = _winners(tbl)
+
+    # arbitrary contiguous splits, reduce each, reduce the concat
+    bounds = np.linspace(0, tbl.num_rows, n_splits + 1).astype(int)
+    parts = []
+    for i in range(n_splits):
+        sl = tbl.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+        if sl.num_rows == 0:
+            continue
+        idx = exact_lww_indices(sl, ("table", "repo", "path"), "_sequence_num")
+        parts.append(sl.take(pa.array(idx)))
+    merged = _winners(pa.concat_tables(parts))
+    assert merged == direct
+
+
+@settings(max_examples=50, deadline=None)
+@given(events)
+def test_combiner_never_drops_winner(pairs):
+    """The hash-based per-batch combiner may over-keep on collisions but
+    must NEVER drop a key's max-lsn row."""
+    tbl = _mk_table(pairs)
+    tb = tbl["table"].to_numpy(zero_copy_only=False)
+    repo = tbl["repo"].to_numpy(zero_copy_only=False)
+    path = tbl["path"].to_numpy(zero_copy_only=False)
+    lsn = tbl["_sequence_num"].to_numpy(zero_copy_only=False)
+    kh = hash_key(tb, repo, path)
+    keep = _lww_keep_indices(kh, lsn, (tb, repo, path))
+    kept = tbl.take(pa.array(keep))
+    assert _winners(kept) == _winners(tbl)
+
+
+# ---------------------------------------------------------------------------
+# Mersenne fold == true modulo
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(0, 2**64 - 1), min_size=1, max_size=64))
+def test_mersenne_fold_equals_modulo(vals):
+    from database_delta_plugins_ray.functions.text import _MERSENNE, _mersenne_fold
+
+    x = np.array(vals, dtype=np.uint64)
+    got = _mersenne_fold(x.copy())
+    want = np.array([v % int(_MERSENNE) for v in vals], dtype=np.uint64)
+    assert (got == want).all()
+
+
+# ---------------------------------------------------------------------------
+# value kernels vs direct reference semantics
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(0, (1 << 4) - 1), min_size=1, max_size=32))
+def test_set_decode_matches_reference(masks):
+    from database_delta_plugins_ray.functions.values import set_decode
+
+    opts = ["a", "bb", "ccc", "dddd"]
+    got = set_decode(masks, opts).to_pylist()
+    want = [
+        ",".join(o for i, o in enumerate(opts) if (m >> i) & 1) for m in masks
+    ]
+    assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=8), min_size=1, max_size=32))
+def test_binary_pad_and_hex_roundtrip(vals):
+    from database_delta_plugins_ray.functions.values import (
+        binary_zero_pad,
+        hex_string,
+    )
+
+    padded = binary_zero_pad(vals, 8)
+    assert all(len(v) == 8 for v in padded.to_pylist())
+    assert [v[: len(o)] for v, o in zip(padded.to_pylist(), vals)] == vals
+    hx = hex_string(padded).to_pylist()
+    assert hx == [v.hex() for v in padded.to_pylist()]
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(0, 200), min_size=1, max_size=32))
+def test_year_adjust_reference(years):
+    from database_delta_plugins_ray.functions.values import year_adjust
+
+    got = year_adjust(years).to_pylist()
+    want = [y + 2000 if 0 <= y < 70 else y + 1900 if y < 100 else y
+            for y in years]
+    assert got == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(-(4 * 10**12), 4 * 10**12), min_size=1, max_size=16))
+def test_time_duration_bounds(vals):
+    from database_delta_plugins_ray.functions.values import time_duration_micros
+
+    lim = (838 * 3600 + 59 * 60 + 59) * 1_000_000
+    got = time_duration_micros(vals).to_pylist()
+    for v, g in zip(vals, got):
+        assert g == (v if -lim <= v <= lim else None)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.text(alphabet="abcdefg h", min_size=0, max_size=40),
+                min_size=1, max_size=16))
+def test_simhash_batch_matches_single(texts):
+    from database_delta_plugins_ray.functions.text import (
+        simhash64,
+        simhash64_many,
+    )
+
+    many = simhash64_many(pd.Series(texts))
+    for t, h in zip(texts, many):
+        assert simhash64(t) == int(h)
