@@ -409,6 +409,10 @@ def embedding_cosine_pairs(
         vecs = np.stack(df[vec_col].to_numpy())
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         unit = vecs / np.maximum(norms, 1e-12)
+        # the unit vector is replicated n_tables times through the shuffle:
+        # ship float16 (half the payload; cosine error ~1e-3, far below any
+        # sensible near-dup threshold margin)
+        half = unit.astype(np.float16)
         rows_id, rows_tbl, rows_bkt, rows_vec = [], [], [], []
         for t in range(n_tables):
             bits = (unit @ planes[t]) > 0
@@ -416,7 +420,7 @@ def embedding_cosine_pairs(
             rows_id.extend(df[id_col].tolist())
             rows_tbl.extend([t] * len(df))
             rows_bkt.extend(codes.tolist())
-            rows_vec.extend([v.tobytes() for v in unit.astype(np.float32)])
+            rows_vec.extend([v.tobytes() for v in half])
         return pd.DataFrame(
             {"tbl": rows_tbl, "bucket": rows_bkt, id_col: rows_id, "unit": rows_vec}
         )
@@ -426,7 +430,8 @@ def embedding_cosine_pairs(
         if len(g) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         ids = g[id_col].to_numpy()
-        m = np.stack([np.frombuffer(b, dtype=np.float32) for b in g["unit"]])
+        m = np.stack([np.frombuffer(b, dtype=np.float16).astype(np.float32)
+                      for b in g["unit"]])
         sims = m @ m.T
         ii, kk = np.triu_indices(len(ids), k=1)
         sel = sims[ii, kk] >= threshold

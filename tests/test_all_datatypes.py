@@ -173,3 +173,29 @@ def test_projection_keeps_primary_key(typed_lake, tmp_path):
                     columns={"c_int", "c_char"})
     rows = final_state(lake3, columns=["id", "c_int", "c_char"]).take_all()
     assert rows and all(r["id"] for r in rows)
+
+
+def test_typed_fragment_exchange_parity(typed_lake, tmp_path):
+    """The all-datatypes table through the FRAGMENT exchange (parquet
+    fragment round-trip of decimals / fixed binary / tz timestamps) must
+    equal the sort-exchange lake byte-for-byte."""
+    from database_delta_plugins_ray.pipelines.replicate import (
+        final_state,
+        run_replication,
+    )
+    from database_delta_plugins_ray.sources.gen_typed import (
+        canonical_batch,
+        typed_columns,
+    )
+
+    lake_f = str(tmp_path / "lake_frag")
+    run_replication(typed_lake["log"], lake_f, num_partitions=4,
+                    primary_key=("id",), compute_sha=False,
+                    exchange="fragment")
+    names = [c.name for c in typed_columns()] + ["_sequence_num"]
+
+    def canon(lake):
+        ds = final_state(lake, columns=names)
+        return ds.map_batches(canonical_batch, batch_format="pyarrow").to_pandas()
+
+    assert _value_hash(canon(typed_lake["lake"])) == _value_hash(canon(lake_f))
