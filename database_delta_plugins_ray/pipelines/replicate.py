@@ -238,6 +238,7 @@ def run_replication(
             ds, lake_dir, reg_ref, payload_columns,
             key_columns=("table", *primary_key),
             max_delta_files=max_delta_files,
+            upto_lsn=upto_lsn,
         )
     else:
         # autoscaling pool (1, N): a fixed pool would pre-start N actors that
@@ -285,7 +286,8 @@ def run_replication(
 
 def _fragment_exchange(ds, lake_dir: str, reg_ref, payload_columns,
                        key_columns: tuple[str, ...],
-                       max_delta_files: int) -> list[dict]:
+                       max_delta_files: int,
+                       upto_lsn: int | None = None) -> list[dict]:
     """Hash-partitioned-write exchange: normalized batches append per-
     partition Parquet fragments (parallel, barrier-free), then one Ray task
     per partition folds its fragments into the fenced partition state.
@@ -346,13 +348,22 @@ def _fragment_exchange(ds, lake_dir: str, reg_ref, payload_columns,
         )
         d = os.path.join(frag_root, f"part={part:05d}")
         files = sorted(_glob.glob(os.path.join(d, "frag-*.parquet")))
-        group = pa.concat_tables([pq.read_table(f) for f in files])
-        out = merger(group).to_pylist()[0]
+        # promote: leftover fragments from a crashed run may carry a
+        # different column order / schema vintage
+        group = pa.concat_tables([pq.read_table(f) for f in files],
+                                 promote_options="default")
+        if upto_lsn is not None:
+            # leftover fragments from a crashed FULLER run may carry events
+            # past this run's requested horizon — honor upto_lsn strictly
+            # (dropped rows re-enter via the log read once the horizon moves)
+            group = group.filter(pc.less_equal(group["lsn"], upto_lsn))
+        out = merger(group).to_pylist()[0] if group.num_rows else None
         for f in files:
             os.remove(f)
         return out
 
-    rows = ray.get([merge_part.remote(p) for p in touched])
+    rows = [r for r in ray.get([merge_part.remote(p) for p in touched])
+            if r is not None]
     # fragment dirs are consumed; drop empties (ignore races on re-entry)
     for p in touched:
         try:
