@@ -105,15 +105,24 @@ def quality_scores(texts: pd.Series) -> pd.DataFrame:
         + np.clip(alpha_ratio * 1.2, 0, 1) * 0.2
         + np.clip(stop_ratio * 5, 0, 1) * 0.1
     )
+
+    def r4(x: np.ndarray) -> np.ndarray:
+        # explicit half-up on the double (floor(x*1e4+0.5)/1e4): the SQL
+        # oracle uses the LITERAL same expression, so both sides make the
+        # identical representability-edge decisions — np.round (scaled
+        # rint) and DuckDB round_even diverge on values like 0.65975 whose
+        # double sits just below the true decimal half
+        return np.floor(x * 10000.0 + 0.5) / 10000.0
+
     return pd.DataFrame(
         {
             "n_chars": n_chars,
             "n_tokens": n_tokens,
-            "mean_word_len": mean_word_len.round(4),
-            "punct_ratio": punct_ratio.round(4),
-            "stop_ratio": stop_ratio.round(4),
-            "alpha_ratio": alpha_ratio.round(4),
-            "quality_score": score.round(4),
+            "mean_word_len": r4(mean_word_len),
+            "punct_ratio": r4(punct_ratio),
+            "stop_ratio": r4(stop_ratio),
+            "alpha_ratio": r4(alpha_ratio),
+            "quality_score": r4(score),
         },
         index=texts.index,
     )

@@ -556,8 +556,9 @@ FROM r
 """.replace("@EN@", _stopword_alt("en")).replace("@DE@", _stopword_alt("de")) \
    .replace("@ES@", _stopword_alt("es")).replace("@FR@", _stopword_alt("fr"))
 
-# quality features recomputed in SQL; round_even matches numpy's banker's
-# rounding (DuckDB round() is half-away and diverges at exact .xxxx5)
+# quality features recomputed in SQL; rounding is the LITERAL half-up
+# expression floor(x*1e4+0.5)/1e4 on both sides (np.round / round_even
+# make different representability-edge decisions, e.g. at 0.65975)
 ANALYTICS_ORACLE_SQL["quality_scores_documents"] = r"""
 WITH b AS (
   SELECT doc_id,
@@ -577,15 +578,15 @@ WITH b AS (
   FROM b
 )
 SELECT doc_id, n_chars, n_tokens,
-       round_even(mwl, 4) AS mean_word_len,
-       round_even(pr, 4) AS punct_ratio,
-       round_even(sr, 4) AS stop_ratio,
-       round_even(ar, 4) AS alpha_ratio,
-       round_even(least(n_tokens/50.0, 1.0)*0.3
+       floor(mwl*10000.0 + 0.5)/10000.0 AS mean_word_len,
+       floor(pr*10000.0 + 0.5)/10000.0 AS punct_ratio,
+       floor(sr*10000.0 + 0.5)/10000.0 AS stop_ratio,
+       floor(ar*10000.0 + 0.5)/10000.0 AS alpha_ratio,
+       floor((least(n_tokens/50.0, 1.0)*0.3
              + least(greatest((mwl-2)/6.0, 0.0), 1.0)*0.2
              + (1 - least(pr*4, 1.0))*0.2
              + least(ar*1.2, 1.0)*0.2
-             + least(sr*5, 1.0)*0.1, 4) AS quality_score
+             + least(sr*5, 1.0)*0.1)*10000.0 + 0.5)/10000.0 AS quality_score
 FROM c
 """.replace("@EN@", _stopword_alt("en"))
 
