@@ -150,6 +150,96 @@ def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
+def _rot64(x: np.ndarray, k: int) -> np.ndarray:
+    k = np.uint64(k)
+    with np.errstate(over="ignore"):
+        return (x << k) | (x >> (np.uint64(64) - k))
+
+
+def shingle_hashes_concat(
+    texts: pd.Series, n: int = 3
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Batch shingling with NO per-document hashing calls: tokenize the
+    whole batch, hash every token in ONE pd.util.hash_array pass, and
+    combine each length-``n`` window with xor-of-rotations (no uint64
+    multiplies — the slow op class on this host). Returns
+    ``(gram_hashes, gram_doc_idx, n_docs)`` in concatenated form for the
+    OPH signature kernel. Docs shorter than ``n`` contribute one gram over
+    all their tokens (shingle_hashes' short-doc rule); empty docs none."""
+    toks = texts.str.lower().str.findall(TOKEN_RE)
+    lens = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
+    n_docs = len(texts)
+    total = int(lens.sum())
+    if total == 0:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64), n_docs)
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for ts in toks:
+        k = len(ts)
+        if k:
+            flat[pos:pos + k] = ts
+        pos += k
+    th = pd.util.hash_array(flat, hash_key="shingle_hashkey0").astype(np.uint64)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    if n <= 1:
+        return th, doc_idx, n_docs
+    m = total - n + 1
+    if m > 0:
+        g = _rot64(th[:m], 17)
+        for j in range(1, n):
+            g = g ^ _rot64(th[j:j + m], (17 * (j + 1)) % 63 + 1)
+        valid = doc_idx[:m] == doc_idx[n - 1:]
+        grams = [g[valid]]
+        gram_doc = [doc_idx[:m][valid]]
+    else:
+        grams, gram_doc = [], []
+    # short docs (0 < len < n): one gram over all their tokens
+    short = np.flatnonzero((lens > 0) & (lens < n))
+    if len(short):
+        starts = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(lens, out=starts[1:])
+        sg = np.empty(len(short), dtype=np.uint64)
+        for i, di in enumerate(short):
+            seg = th[starts[di]:starts[di + 1]]
+            acc = _rot64(seg[:1], 17)[0]
+            for j in range(1, len(seg)):
+                acc ^= _rot64(seg[j:j + 1], (17 * (j + 1)) % 63 + 1)[0]
+            sg[i] = acc
+        grams.append(sg)
+        gram_doc.append(short)
+    gh = np.concatenate(grams) if grams else np.empty(0, np.uint64)
+    gd = np.concatenate(gram_doc) if gram_doc else np.empty(0, np.int64)
+    order = np.argsort(gd, kind="stable")
+    return gh[order], gd[order], n_docs
+
+
+def oph_signatures_concat(
+    gram_hashes: np.ndarray, gram_doc: np.ndarray, n_docs: int,
+    num_perm: int = 64,
+) -> np.ndarray:
+    """One-Permutation-Hashing signatures straight from concatenated gram
+    hashes (see minhash_signature_many for the scheme); min over a multiset
+    equals min over the set, so no per-doc dedup is needed."""
+    assert num_perm & (num_perm - 1) == 0, "num_perm must be a power of two"
+    FULL = np.iinfo(np.uint64).max
+    sig = np.full((n_docs, num_perm), FULL, dtype=np.uint64)
+    if len(gram_hashes) == 0:
+        return sig
+    shift = np.uint64(64 - int(np.log2(num_perm)))
+    bins = (gram_hashes >> shift).astype(np.int64)
+    np.minimum.at(sig.reshape(-1), gram_doc * num_perm + bins, gram_hashes)
+    empty = sig == FULL
+    if empty.any():
+        for k in range(1, num_perm):
+            rolled = np.roll(sig, -k, axis=1)
+            fill = empty & (rolled != FULL)
+            sig[fill] = rolled[fill]
+            empty &= ~fill
+            if not empty.any():
+                break
+    return sig
+
+
 def minhash_params(num_perm: int, seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)

@@ -90,11 +90,15 @@ class MinHasher:
         self.id_col = id_col
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        from ..functions.text import band_hashes_matrix, minhash_signature_many
+        from ..functions.text import (
+            band_hashes_matrix,
+            oph_signatures_concat,
+            shingle_hashes_concat,
+        )
 
         n = len(batch)
-        shingle_sets = [shingle_hashes(t, self.ngram) for t in batch[self.text_col]]
-        sigs = minhash_signature_many(shingle_sets, len(self.a))
+        gh, gd, _ = shingle_hashes_concat(batch[self.text_col], self.ngram)
+        sigs = oph_signatures_concat(gh, gd, n, len(self.a))
         bh = band_hashes_matrix(sigs, self.bands)  # (n, bands)
 
         ids = np.repeat(batch[self.id_col].to_numpy(), self.bands)
