@@ -319,12 +319,28 @@ def ngram_jaccard_pairs(
         g = g.sort_values(id_col)
         ids = g[id_col].to_numpy()
         shs = [shingle_hashes(t, ngram) for t in g[text_col]]
-        rows = []
-        for i in range(len(ids)):
-            for k in range(i + 1, len(ids)):
-                j = jaccard(shs[i], shs[k])
-                if j >= threshold:
-                    rows.append((ids[i], ids[k], round(j, 6)))
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        # exact all-pairs intersection counts via ONE doc x gram incidence
+        # matmul (BLAS) instead of n^2 per-pair set intersections; counts
+        # <= |grams| per doc are exact in float32
+        sizes = np.array([len(s) for s in shs], dtype=np.int64)
+        cat = (np.concatenate([s for s in shs if len(s)])
+               if sizes.sum() else np.empty(0, np.uint64))
+        uniq, inv = np.unique(cat, return_inverse=True)
+        M = np.zeros((n, max(1, len(uniq))), dtype=np.float32)
+        M[np.repeat(np.arange(n), sizes), inv] = 1.0
+        inter = (M @ M.T).astype(np.int64)
+        union = sizes[:, None] + sizes[None, :] - inter
+        with np.errstate(invalid="ignore", divide="ignore"):
+            j = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        ii, kk = np.nonzero(j >= threshold)
+        keep = ii < kk
+        rows = [
+            (ids[a], ids[b], round(float(j[a, b]), 6))
+            for a, b in zip(ii[keep], kk[keep])
+        ]
         return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
 
     return ds.select_columns([partition_col, id_col, text_col]).groupby(
