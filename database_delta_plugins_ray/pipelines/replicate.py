@@ -327,11 +327,16 @@ def _fragment_exchange(ds, lake_dir: str, reg_ref, payload_columns,
     # rows are fence-filtered or re-applied idempotently)
     import glob as _glob0
 
-    leftovers = {
-        int(os.path.basename(d).split("=")[1])
-        for d in _glob0.glob(os.path.join(frag_root, "part=*"))
-        if _glob0.glob(os.path.join(d, "frag-*.parquet"))
-    }
+    leftovers = set()
+    for d in _glob0.glob(os.path.join(frag_root, "part=*")):
+        # half-written tmp files from a killed run are dead by definition
+        for t in _glob0.glob(os.path.join(d, "*.tmp.*")):
+            try:
+                os.remove(t)
+            except OSError:
+                pass
+        if _glob0.glob(os.path.join(d, "frag-*.parquet")):
+            leftovers.add(int(os.path.basename(d).split("=")[1]))
 
     frag_counts = ds.map_batches(
         write_frags, batch_format="pyarrow", zero_copy_batch=True
@@ -380,17 +385,26 @@ def _payload_columns(registry: Registry, columns, compute_sha: bool) -> list[str
     return out
 
 
-def compute_repo_salt(log_dir: str, num_partitions: int) -> dict[str, int]:
+def compute_repo_salt(log_dir: str, num_partitions: int,
+                      sample_rows: int = 200_000) -> dict[str, int]:
     """Per-repo salt factor from event-count stats (SURVEY.md §4 skew rule):
     a repo that would overflow its fair share of a partition is split across
     ``k = ceil(share / fair_share)`` sub-partitions by path hash. A small
-    Ray pre-pass: per-batch partial counts -> tiny groupby."""
+    Ray pre-pass: per-batch partial counts -> tiny groupby.
+
+    The pre-pass SAMPLES ``sample_rows`` events rather than scanning the
+    whole log — hot-key detection only needs approximate shares, and repo
+    popularity is assumed stationary across the log (documented
+    assumption; pass ``sample_rows=0`` for an exact full scan). The salt
+    is computed once per lake and pinned in lake_config."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     from ray.data.aggregate import Sum
 
     ds = ray.data.read_parquet(log_files(log_dir), columns=["op", "before", "after"])
+    if sample_rows:
+        ds = ds.limit(sample_rows)
 
     def partial(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.not_equal(batch["op"], "DDL"))
