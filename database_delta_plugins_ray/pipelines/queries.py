@@ -119,29 +119,40 @@ def cdc_op_counts(sf_dir: str):
 
 
 def cdc_events_per_repo(sf_dir: str):
-    """DML events per repo (shuffle-light: per-batch partial count then a
-    tiny groupby over partials — the pre-aggregation pattern)."""
+    """DML events per repo (shuffle-light: per-FILE partial count then a
+    tiny groupby over partials — the pre-aggregation pattern).
+
+    The read is NESTED-column pruned: each task scans only ``op`` and the
+    two ``repo`` struct fields via pyarrow's dotted projection — the
+    content payload never leaves storage (ray.data.read_parquet can't
+    express nested projection, so tasks over file items do the read)."""
     import ray.data
 
     from .replicate import log_files
 
-    ds = ray.data.read_parquet(
-        log_files(ensure_log(sf_dir)), columns=["op", "before", "after"]
+    files = log_files(ensure_log(sf_dir))
+
+    def per_file(batch: pa.Table) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        parts = []
+        for f in batch["file"].to_pylist():
+            t = pads.dataset(f, format="parquet").to_table(
+                columns={"op": pads.field("op"),
+                         "b_repo": pads.field("before", "repo"),
+                         "a_repo": pads.field("after", "repo")}
+            )
+            t = t.filter(pc.not_equal(t["op"], "DDL"))
+            repo = pc.if_else(pc.equal(t["op"], "D"), t["b_repo"], t["a_repo"])
+            g = pa.table({"repo": repo}).group_by("repo").aggregate(
+                [("repo", "count")]
+            )
+            parts.append(pa.table({"repo": g["repo"], "partial_n": g["repo_count"]}))
+        return pa.concat_tables(parts)
+
+    partials = ray.data.from_items([{"file": f} for f in files]).map_batches(
+        per_file, batch_format="pyarrow", batch_size=1
     )
-
-    def partial(batch: pa.Table) -> pa.Table:
-        m = pc.not_equal(batch["op"], "DDL")
-        batch = batch.filter(m)
-        repo = pc.if_else(
-            pc.equal(batch["op"], "D"),
-            pc.struct_field(batch["before"], "repo"),
-            pc.struct_field(batch["after"], "repo"),
-        )
-        t = pa.table({"repo": repo})
-        g = t.group_by("repo").aggregate([("repo", "count")])
-        return pa.table({"repo": g["repo"], "partial_n": g["repo_count"]})
-
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     from ray.data.aggregate import Sum
 
     return partials.groupby("repo").aggregate(Sum("partial_n", alias_name="n"))

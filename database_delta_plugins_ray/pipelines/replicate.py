@@ -402,22 +402,33 @@ def compute_repo_salt(log_dir: str, num_partitions: int,
 
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(log_files(log_dir), columns=["op", "before", "after"])
-    if sample_rows:
-        ds = ds.limit(sample_rows)
+    files = log_files(log_dir)
+    per_file_cap = max(1, sample_rows // max(1, len(files))) if sample_rows else 0
 
-    def partial(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.not_equal(batch["op"], "DDL"))
-        repo = pc.if_else(
-            pc.equal(batch["op"], "D"),
-            pc.struct_field(batch["before"], "repo"),
-            pc.struct_field(batch["after"], "repo"),
-        )
-        g = pa.table({"repo": repo}).group_by("repo").aggregate([("repo", "count")])
-        return pa.table({"repo": g["repo"], "n": g["repo_count"]})
+    def per_file(batch: pa.Table) -> pa.Table:
+        # nested-column pruned read: only op + the repo struct fields leave
+        # storage (dotted projection; content is never read)
+        import pyarrow.dataset as pads
+
+        parts = []
+        for f in batch["file"].to_pylist():
+            scanner = pads.dataset(f, format="parquet").scanner(
+                columns={"op": pads.field("op"),
+                         "b_repo": pads.field("before", "repo"),
+                         "a_repo": pads.field("after", "repo")}
+            )
+            t = scanner.head(per_file_cap) if per_file_cap else scanner.to_table()
+            t = t.filter(pc.not_equal(t["op"], "DDL"))
+            repo = pc.if_else(pc.equal(t["op"], "D"), t["b_repo"], t["a_repo"])
+            g = pa.table({"repo": repo}).group_by("repo").aggregate(
+                [("repo", "count")]
+            )
+            parts.append(pa.table({"repo": g["repo"], "n": g["repo_count"]}))
+        return pa.concat_tables(parts)
 
     agg = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        ray.data.from_items([{"file": f} for f in files])
+        .map_batches(per_file, batch_format="pyarrow", batch_size=1)
         .groupby("repo")
         .aggregate(Sum("n", alias_name="n"))
         .take_all()
