@@ -104,6 +104,15 @@ def run_replication(
       filesystem (the Delta/Hudi-style ingest shape). Duplicate fragments
       from a crashed/restarted run are harmless: per-key LWW collapses
       identical rows, and the per-partition watermark fences replays.
+
+    Scale trade-off: fragments-per-partition grows with the number of
+    normalize output batches, so the fragment mode is ideal for
+    INCREMENTAL polls (small increments -> few fragments, no barrier);
+    for one-shot bulk backfills of the full 10^10-event log either keep
+    the sort exchange (one amortized all-to-all) or raise ``batch_size``
+    so fragment count stays O(blocks). Measured on this box the fragment
+    mode wins both regimes at sf0.1 (~2x), but the file-count asymptote
+    is the documented constraint.
     """
     t0 = time.time()
     os.makedirs(lake_dir, exist_ok=True)
