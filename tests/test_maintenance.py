@@ -64,7 +64,7 @@ def _event(lsn, op, table, after=None, before=None, ddl=None):
         return {"repo": d["repo"], "path": d["path"],
                 "commit": d.get("commit", "c" * 40), "lang": d.get("lang", "py"),
                 "content": d.get("content", f"content-{lsn}"),
-                "stars": None, "language": None}
+                "stars": d.get("stars"), "language": None}
 
     return {
         "lsn": lsn, "tx_id": f"tx{lsn}", "op": op, "table": table,
@@ -236,3 +236,59 @@ def test_chained_rename_across_resume(tmp_path):
     assert set(got) == {("db.c", "r", "x")}
     assert got[("db.c", "r", "x")]["content"] == "v3"
     assert got[("db.c", "r", "x")]["_sequence_num"] == 7
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_widen_migrates_committed_state(tmp_path):
+    """ALTER widen (int32 -> int64) across a RESUME: the lake committed
+    pre-widen stores the narrow type; the post-widen resume must CAST the
+    old partition state to the widened schema before merging (north_star:
+    'widens ... exactly as the reference's assessor tests dictate';
+    SURVEY.md §1.3 migration contract)."""
+    import glob as _glob
+
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    create = {"op": "CREATE_TABLE", "table": "db.w", "prev_table": "",
+              "payload": json.dumps({
+                  "columns": [["repo", "string"], ["path", "string"],
+                              ["commit", "string"], ["lang", "string"],
+                              ["content", "large_string"],
+                              ["stars", "int32"]],
+                  "primary_key": ["repo", "path"]})}
+    widen = {"op": "ALTER_TABLE", "table": "db.w", "prev_table": "",
+             "payload": json.dumps({"action": "widen", "column": "stars",
+                                    "type": "int64", "from_type": "int32"})}
+    rows = [
+        _event(1, "DDL", "db.w", ddl=create),
+        _event(2, "I", "db.w", after={"repo": "r", "path": "a", "stars": 7}),
+        _event(3, "I", "db.w", after={"repo": "r", "path": "b", "stars": 9}),
+        _event(4, "DDL", "db.w", ddl=widen),
+        # post-widen value outside int32 range
+        _event(5, "U", "db.w", after={"repo": "r", "path": "a",
+                                      "stars": 5_000_000_000},
+               before={"repo": "r", "path": "a"}),
+        _event(6, "I", "db.w", after={"repo": "r", "path": "c", "stars": 1}),
+    ]
+    pq.write_table(pa.Table.from_pylist(rows, schema=event_log_schema()),
+                   os.path.join(log_dir, "seg-00000.parquet"))
+
+    lake = str(tmp_path / "lake")
+    # phase 1: commit pre-widen -> lake stores int32 stars
+    run_replication(log_dir, lake, num_partitions=2, upto_lsn=3)
+    f = _glob.glob(os.path.join(lake, "part=*", "data-*.parquet"))[0]
+    assert pq.read_schema(f).field("stars").type == pa.int32()
+
+    # phase 2: resume past the widen. Migration is LAZY (migrate-on-touch:
+    # an untouched partition keeps its narrow file — rewriting every
+    # partition on DDL would be full-lake write amplification); partitions
+    # that received post-widen events must be rewritten as int64, and the
+    # read path promotes across vintages so the logical schema and values
+    # are uniformly widened.
+    run_replication(log_dir, lake, num_partitions=2)
+    types = {pq.read_schema(f).field("stars").type
+             for f in _glob.glob(os.path.join(lake, "part=*", "data-*.parquet"))}
+    assert pa.int64() in types  # touched partitions migrated
+    got = {(r["repo"], r["path"]): r["stars"] for r in final_state(lake).take_all()}
+    assert got == {("r", "a"): 5_000_000_000, ("r", "b"): 9, ("r", "c"): 1}
+    assert all(isinstance(v, int) for v in got.values())
