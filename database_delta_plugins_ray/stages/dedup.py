@@ -49,12 +49,15 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
     shuffle moves (hash, id) pairs only — never the documents."""
 
     def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df[text_col].to_numpy()
+        md5 = hashlib.md5
         return pd.DataFrame(
             {
-                "text_md5": df[text_col].map(
-                    lambda s: hashlib.md5(s.encode()).hexdigest()
+                "text_md5": np.fromiter(
+                    (md5(s.encode()).hexdigest() for s in vals),
+                    dtype="<U32", count=len(vals),
                 ),
-                id_col: df[id_col],
+                id_col: df[id_col].to_numpy(),
             }
         )
 
