@@ -94,6 +94,7 @@ def run_bench() -> dict:
     extras["log_events"] = log_meta["total_events"]
     extras["events_applied"] = s["events_applied"]
     extras["events_per_s"] = log_meta["total_events"] / timings["cdc_replay"]
+    extras["phases"] = s.get("phases", {})
 
     # incremental no-op poll (checkpoint fast path)
     t0 = time.time()
@@ -152,6 +153,109 @@ def run_bench() -> dict:
     }
 
 
+def run_control(kind: str) -> dict:
+    """Host-calibration control jobs for the scaling measurement — NO engine
+    code, NO shuffle, embarrassingly parallel by construction:
+
+    - ``scan``: ``read_parquet`` over the SAME event-log bytes the replay
+      reads, one cheap Arrow kernel per batch (sum of content byte lengths),
+      per-batch partials to the driver. Mirrors the replay's memory/IO
+      traffic profile; any efficiency it loses at higher num_cpus is the
+      HOST's ceiling (ambient daemon cores, shared memory bandwidth), not
+      engine serialism.
+    - ``compute``: fixed-flop numpy loop on an L2-resident array per task,
+      near-zero data movement. Shows what Ray task scheduling alone scales
+      like on this box (the upper bound any job could reach).
+
+    Efficiency(engine) / efficiency(scan-control) ~= 1.0 is the evidence
+    that the replay adds no serial stage beyond what a bare parallel scan
+    of the same bytes exhibits on this host."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from database_delta_plugins_ray.pipelines.queries import ensure_log, sf_tag
+    from database_delta_plugins_ray.pipelines.replicate import log_files
+
+    log = ensure_log(SF_DIR)
+    files = log_files(log)
+    for f in files:  # same page-cache warmup as the replay bench
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
+    def _warm(batch):
+        import numpy  # noqa: F401
+        import pyarrow.compute  # noqa: F401
+
+        return batch
+
+    ray.data.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 8).map_batches(
+        _warm
+    ).materialize()
+
+    if kind == "scan":
+        def partial(b):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            content = pc.struct_field(b["after"], "content")
+            return pa.table({
+                "bytes": pa.array(
+                    [pc.sum(pc.binary_length(content)).as_py() or 0]),
+                "lsn_max": pa.array([pc.max(b["lsn"]).as_py() or 0]),
+            })
+
+        t0 = time.time()
+        parts = (
+            ray.data.read_parquet(
+                files, columns=["lsn", "after"],
+                override_num_blocks=max(2 * NUM_CPUS, min(len(files), 4 * NUM_CPUS)),
+            )
+            .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .take_all()
+        )
+        wall = time.time() - t0
+        checksum = sum(r["bytes"] for r in parts)
+    else:  # compute
+        n_tasks = int(os.environ.get("RAY_GRAFT_CONTROL_TASKS", "64"))
+
+        def burn(b):
+            import numpy as np
+
+            x = np.arange(1 << 14, dtype=np.float64)
+            for _ in range(1500):
+                x = np.sqrt(x * 1.000001 + 1.0)
+            return {"acc": np.array([float(x.sum())])}
+
+        t0 = time.time()
+        res = (
+            ray.data.range(n_tasks, override_num_blocks=n_tasks)
+            .map_batches(burn)
+            .take_all()
+        )
+        wall = time.time() - t0
+        checksum = round(sum(r["acc"] for r in res), 3)
+    ray.shutdown()
+    return {
+        "metric": f"control_{kind}_sec",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "sf": sf_tag(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "checksum": checksum,
+    }
+
+
 def run_scaling() -> dict:
     """Same input, fresh process per parallelism level; efficiency =
     (t_N / t_4N) / 4 (1.0 = linear).
@@ -163,13 +267,15 @@ def run_scaling() -> dict:
     8-vs-32 pair is reported alongside for transparency; override with
     RAY_GRAFT_SCALING_CPUS="lo,hi"."""
 
-    def one(ncpu: int) -> dict:
+    def one(ncpu: int, control: str | None = None) -> dict:
         # ARROW_IO_THREADS=1: pyarrow's parquet scanner decodes on its own
         # 8-thread-per-process IO pool, which escapes Ray's CPU accounting
         # and makes num_cpus=2 read as fast as num_cpus=32 on one box.
         # Capping it makes num_cpus a faithful proxy for cluster size.
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    RAY_GRAFT_HEADLINE_ONLY="1", ARROW_IO_THREADS="1")
+        if control:
+            env["RAY_GRAFT_CONTROL"] = control
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
@@ -209,11 +315,52 @@ def run_scaling() -> dict:
         out["events_per_s_32"] = r_32.get("events_per_s")
         out["note"] = ("single-box memory bandwidth saturates near 8-16 "
                        "cores; 32-CPU time shows the plateau")
+    if os.environ.get("RAY_GRAFT_SCALING_CONTROLS", "1") != "0":
+        out["controls"] = run_controls(lo, hi, rounds)
     return out
 
 
+def run_controls(lo: int, hi: int, rounds: int = 2) -> dict:
+    """Measure the two calibration controls (see run_control) at the same
+    lo/hi parallelism pair with the same interleaved-min protocol. The
+    ``scan`` control's efficiency is the host's structural ceiling for any
+    job that moves these bytes; ``engine_vs_scan_ceiling`` near 1.0 means
+    the replay scales as well as a bare parallel scan of its own input."""
+
+    def one(ncpu: int, control: str) -> float:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   RAY_GRAFT_CONTROL=control, ARROW_IO_THREADS="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])["value"]
+
+    res: dict = {}
+    for control in ("scan", "compute"):
+        lo_s, hi_s = [], []
+        for _ in range(rounds):
+            lo_s.append(one(lo, control))
+            hi_s.append(one(hi, control))
+        t_lo, t_hi = min(lo_s), min(hi_s)
+        res[control] = {
+            f"sec_{lo}": t_lo, f"sec_{hi}": t_hi,
+            f"samples_{lo}": lo_s, f"samples_{hi}": hi_s,
+            "efficiency": round((t_lo / t_hi) / (hi / lo), 3),
+        }
+    return res
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if os.environ.get("RAY_GRAFT_CONTROL"):
+        print(json.dumps(run_control(os.environ["RAY_GRAFT_CONTROL"])))
+    elif "--controls" in sys.argv:
+        pair = os.environ.get("RAY_GRAFT_SCALING_CPUS", "2,8")
+        lo, hi = (int(x) for x in pair.split(","))
+        print(json.dumps(run_controls(
+            lo, hi, int(os.environ.get("RAY_GRAFT_SCALING_ROUNDS", "2")))))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))

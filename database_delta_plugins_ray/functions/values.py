@@ -20,6 +20,14 @@ def _arr(x) -> pa.Array | pa.ChunkedArray:
     return x if isinstance(x, (pa.Array, pa.ChunkedArray)) else pa.array(x)
 
 
+def _fsb_to_binary(arr: pa.Array) -> pa.Array:
+    """fixed_size_binary -> binary. pyarrow 16 SEGFAULTS casting a SLICED
+    fixed_size_binary array (non-zero offset); compact via take first."""
+    if arr.offset:
+        arr = arr.take(pa.array(np.arange(len(arr), dtype=np.int64)))
+    return pc.cast(arr, pa.binary())
+
+
 # ---------------------------------------------------------------------------
 # logical date/time conversions (Records.java:186-271)
 # ---------------------------------------------------------------------------
@@ -194,7 +202,7 @@ def hex_string(a) -> pa.Array:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if pa.types.is_fixed_size_binary(arr.type):
-        arr = pc.cast(arr, pa.binary())
+        arr = _fsb_to_binary(arr)
     null_mask = pc.is_null(arr)
     filled = pc.fill_null(arr, b"")
     # offsets buffer entries are ABSOLUTE byte positions in the data buffer;
@@ -220,7 +228,7 @@ def base64_string(a) -> pa.Array:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if pa.types.is_fixed_size_binary(arr.type):
-        arr = pc.cast(arr, pa.binary())
+        arr = _fsb_to_binary(arr)
     null_mask = pc.is_null(arr)
     filled = pc.fill_null(arr, b"")
     offs = np.frombuffer(filled.buffers()[1], dtype=np.int32,
@@ -232,6 +240,72 @@ def base64_string(a) -> pa.Array:
          for i in range(len(filled))],
         pa.string(),
     )
+    return pc.if_else(null_mask, pa.scalar(None, pa.string()), out)
+
+
+#: MySQL charset name -> Python codec — the CharsetMapping analog the
+#: reference resolves reflectively from the JDBC driver
+#: (MySqlValueConverters.java:421-474 charsetFor). Mapping per public MySQL
+#: docs; notably MySQL's "latin1" IS Windows cp1252, not ISO-8859-1.
+_MYSQL_CHARSETS: dict[str, str] = {
+    "latin1": "cp1252", "latin2": "iso8859-2", "latin5": "iso8859-9",
+    "latin7": "iso8859-13", "ascii": "ascii",
+    "utf8": "utf-8", "utf8mb3": "utf-8", "utf8mb4": "utf-8",
+    "ucs2": "utf-16-be", "utf16": "utf-16-be", "utf16le": "utf-16-le",
+    "utf32": "utf-32-be",
+    "cp1250": "cp1250", "cp1251": "cp1251", "cp1256": "cp1256",
+    "cp1257": "cp1257", "greek": "iso8859-7", "hebrew": "iso8859-8",
+    "koi8r": "koi8-r", "koi8u": "koi8-u", "tis620": "tis-620",
+    "macroman": "mac-roman",
+    "sjis": "shift_jis", "cp932": "cp932", "gbk": "gbk",
+    "gb2312": "gb2312", "big5": "big5", "euckr": "euc-kr", "ujis": "euc-jp",
+}
+
+#: codecs where one byte decodes to exactly one character — enables the
+#: whole-buffer decode fast path (byte offsets == char offsets)
+_SINGLE_BYTE_CODECS = {
+    "cp1252", "iso8859-2", "iso8859-9", "iso8859-13", "ascii", "cp1250",
+    "cp1251", "cp1256", "cp1257", "iso8859-7", "iso8859-8", "koi8-r",
+    "koi8-u", "tis-620", "mac-roman",
+}
+
+
+def charset_decode(a, mysql_charset: str) -> pa.Array:
+    """V12a: column-charset-aware bytes -> string
+    (MySqlValueConverters.java:381-399 convertString + :421-474 charsetFor).
+    Malformed bytes become U+FFFD, matching Java's ``new String(bytes, cs)``.
+
+    Single-byte charsets (the common MySQL legacy case) decode the whole
+    Arrow data buffer in ONE codec call and re-slice by the existing offsets
+    buffer — valid because 1 byte == 1 decoded char, so byte offsets are
+    character offsets in the decoded text. UTF-8 family is a zero-copy Arrow
+    cast; multi-byte legacy codecs fall back to per-row decode."""
+    codec = _MYSQL_CHARSETS.get(mysql_charset.lower())
+    if codec is None:
+        raise ValueError(f"unmapped MySQL charset: {mysql_charset!r}")
+    arr = _arr(a)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        return arr
+    if pa.types.is_fixed_size_binary(arr.type):
+        arr = _fsb_to_binary(arr)
+    if codec == "utf-8":
+        return pc.cast(arr, pa.string())
+    null_mask = pc.is_null(arr)
+    filled = pc.fill_null(arr, b"")
+    offs = np.frombuffer(filled.buffers()[1], dtype=np.int32,
+                         count=len(filled) + 1, offset=filled.offset * 4)
+    data = filled.buffers()[2]
+    if codec in _SINGLE_BYTE_CODECS:
+        full = (data.to_pybytes().decode(codec, errors="replace")
+                if data is not None else "")
+        vals = [full[offs[i]:offs[i + 1]] for i in range(len(filled))]
+    else:
+        mv = memoryview(data) if data is not None else memoryview(b"")
+        vals = [bytes(mv[offs[i]:offs[i + 1]]).decode(codec, errors="replace")
+                for i in range(len(filled))]
+    out = pa.array(vals, pa.string())
     return pc.if_else(null_mask, pa.scalar(None, pa.string()), out)
 
 
@@ -263,6 +337,7 @@ _CONVERTERS = {
     "int16_widen": lambda a, arg: int16_widen(a),
     "hex_string": lambda a, arg: hex_string(a),
     "base64_string": lambda a, arg: base64_string(a),
+    "charset": lambda a, arg: charset_decode(a, arg),
 }
 
 

@@ -115,6 +115,10 @@ def run_replication(
     is the documented constraint.
     """
     t0 = time.time()
+    #: coarse stage-level wall timings (registry build / read+normalize+
+    #: scatter / fold+commit) — reported in the summary so scaling runs can
+    #: show a per-stage breakdown at each parallelism level
+    phases: dict = {}
     os.makedirs(lake_dir, exist_ok=True)
 
     # pin the partitioning config per lake: per-partition watermarks are
@@ -150,6 +154,7 @@ def run_replication(
         os.replace(tmp, cfg_path)
 
     watermark = ckpt.min_watermark(lake_dir, num_partitions)
+    t_reg = time.time()
     if registry is None:
         # incremental registry on resume: replay the persisted DDL history
         # (DBSchemaHistory.java:91-95 analog) and scan only segments newer
@@ -169,6 +174,7 @@ def run_replication(
         from ..sources.source import apply_connector_args
 
         apply_connector_args(registry, connector_args)
+    phases["registry_build_s"] = round(time.time() - t_reg, 3)
     reg_ref = ray.put(registry)
     if watermark:
         # fully caught up? footer-stats check — skips the whole job when an
@@ -248,6 +254,7 @@ def run_replication(
             key_columns=("table", *primary_key),
             max_delta_files=max_delta_files,
             upto_lsn=upto_lsn,
+            phases=phases,
         )
     else:
         # autoscaling pool (1, N): a fixed pool would pre-start N actors that
@@ -290,13 +297,15 @@ def run_replication(
         "wall_s": wall,
         "events_per_s": applied / wall if wall > 0 else 0.0,
         "resume_watermark": watermark,
+        "phases": phases,
     }
 
 
 def _fragment_exchange(ds, lake_dir: str, reg_ref, payload_columns,
                        key_columns: tuple[str, ...],
                        max_delta_files: int,
-                       upto_lsn: int | None = None) -> list[dict]:
+                       upto_lsn: int | None = None,
+                       phases: dict | None = None) -> list[dict]:
     """Hash-partitioned-write exchange: normalized batches append per-
     partition Parquet fragments (parallel, barrier-free), then one Ray task
     per partition folds its fragments into the fenced partition state.
@@ -347,10 +356,13 @@ def _fragment_exchange(ds, lake_dir: str, reg_ref, payload_columns,
         if _glob0.glob(os.path.join(d, "frag-*.parquet")):
             leftovers.add(int(os.path.basename(d).split("=")[1]))
 
+    t_scatter = time.time()
     frag_counts = ds.map_batches(
         write_frags, batch_format="pyarrow", zero_copy_batch=True
     ).take_all()
     touched = sorted({r["part"] for r in frag_counts} | leftovers)
+    if phases is not None:
+        phases["read_normalize_scatter_s"] = round(time.time() - t_scatter, 3)
 
     @ray.remote(num_cpus=1)
     def merge_part(part: int) -> dict:
@@ -376,8 +388,11 @@ def _fragment_exchange(ds, lake_dir: str, reg_ref, payload_columns,
             os.remove(f)
         return out
 
+    t_fold = time.time()
     rows = [r for r in ray.get([merge_part.remote(p) for p in touched])
             if r is not None]
+    if phases is not None:
+        phases["fold_commit_s"] = round(time.time() - t_fold, 3)
     # fragment dirs are consumed; drop empties (ignore races on re-entry)
     for p in touched:
         try:

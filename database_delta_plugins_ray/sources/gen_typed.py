@@ -243,6 +243,25 @@ def typed_columns() -> list[TypedCol]:
         TypedCol("c_bool", pa.bool_(), "bool", None,
                  lambda h: pa.array(h(52) % 3 == 1),
                  "CAST({c} AS BIGINT)", _i64),
+        # column-charset decode (V12a, MySqlValueConverters.java:381-399):
+        # raw bytes are cp1252-ENCODED text (MySQL "latin1" IS cp1252); the
+        # charset converter decodes them to UTF-8 strings in normalize. The
+        # DuckDB oracle applies the same decode at the hex level: each
+        # cp1252-only byte is rewritten to its UTF-8 byte sequence, then the
+        # whole value is decoded as UTF-8. The generator's ASCII alphabet
+        # (digits, '-', 'n', 'caf') is chosen so no replaced hex pair can
+        # occur straddling a byte boundary.
+        TypedCol("c_latin1", pa.binary(), "string", "charset:latin1",
+                 lambda h: pc.binary_join_element_wise(
+                     pc.cast(_join("n-", _int_str((h(54) % 100000)
+                                                  .astype(np.int64), 5)),
+                             pa.binary()),
+                     pa.scalar("-café-üñ-€".encode("cp1252"), pa.binary()),
+                     pa.scalar(b"", pa.binary())),
+                 ("decode(unhex(replace(replace(replace(replace("
+                  "lower(hex({c})),'e9','c3a9'),'fc','c3bc'),"
+                  "'f1','c3b1'),'80','e282ac')))"),
+                 null_every=9),
     ]
     return c
 
@@ -325,11 +344,16 @@ def generate_typed_log(out_dir: str, cfg: TypedGenConfig | None = None, **kw) ->
     """Write the all-datatypes event log (snapshot DDL prefix + snapshot
     inserts + I/U/D stream) as Parquet segments. Idempotent per config."""
     cfg = cfg or TypedGenConfig(**kw)
+    # column-set fingerprint: a cached log generated before a column was
+    # added/changed must regenerate even under an identical config
+    schema_cols = [[c.name, str(c.raw_type), c.conv or ""]
+                   for c in typed_columns()]
     meta_path = os.path.join(out_dir, "meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as fh:
             meta = json.load(fh)
-        if meta.get("config") == asdict(cfg):
+        if (meta.get("config") == asdict(cfg)
+                and meta.get("schema_cols") == schema_cols):
             return meta
 
     rng = np.random.default_rng(cfg.seed)
@@ -441,6 +465,7 @@ def generate_typed_log(out_dir: str, cfg: TypedGenConfig | None = None, **kw) ->
 
     meta = {
         "config": asdict(cfg),
+        "schema_cols": schema_cols,
         "total_events": total,
         "max_lsn": int(log["lsn"][total - 1].as_py()),
         "segments": segs,

@@ -49,6 +49,7 @@ EXPECTED_LAKE_TYPES = {
     "c_zero_date": pa.string(),
     "c_time_dur": pa.int64(),
     "c_bool": pa.bool_(),
+    "c_latin1": pa.string(),
 }
 
 

@@ -95,3 +95,37 @@ def test_binary_zero_pad():
 def test_micros_past_midnight():
     out = v.micros_past_midnight_to_time([3_600_000_000])
     assert out.to_pylist() == [dt.time(1, 0)]
+
+
+def test_charset_decode_latin1_is_cp1252():
+    """V12a (MySqlValueConverters.java:381-399,421-474): MySQL latin1 IS
+    Windows cp1252 — 0x80 must decode to Euro, not a C1 control."""
+    raw = pa.array(["café €".encode("cp1252"), b"plain", None], pa.binary())
+    out = v.charset_decode(raw, "latin1")
+    assert out.to_pylist() == ["café €", "plain", None]
+    assert out.type == pa.string()
+
+
+def test_charset_decode_malformed_replaces():
+    # Java's new String(bytes, charset) substitutes U+FFFD for unmappable
+    # bytes; cp1252 leaves 0x81 undefined
+    out = v.charset_decode(pa.array([b"a\x81b"], pa.binary()), "latin1")
+    assert out.to_pylist() == ["a�b"]
+
+
+def test_charset_decode_multibyte_and_utf8():
+    raw = pa.array(["héllo".encode("utf-16-be")], pa.binary())
+    assert v.charset_decode(raw, "ucs2").to_pylist() == ["héllo"]
+    raw8 = pa.array(["héllo".encode("utf-8")], pa.binary())
+    assert v.charset_decode(raw8, "utf8mb4").to_pylist() == ["héllo"]
+
+
+def test_charset_decode_fixed_size_binary_and_slices():
+    raw = pa.array([b"ab", b"cd", b"ef"], pa.binary(2))
+    out = v.charset_decode(raw.slice(1, 2), "ascii")
+    assert out.to_pylist() == ["cd", "ef"]
+
+
+def test_charset_decode_unmapped_raises():
+    with pytest.raises(ValueError):
+        v.charset_decode(pa.array([b"x"], pa.binary()), "klingon")
