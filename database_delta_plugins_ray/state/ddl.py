@@ -23,6 +23,7 @@ from dataclasses import dataclass, field as dc_field
 
 import pyarrow as pa
 import pyarrow.dataset as pads
+import pyarrow.parquet as pq
 
 from ..functions.types import arrow_type, can_widen
 from ..model import (
@@ -246,12 +247,59 @@ def synthesize_table(reg: Registry, table: str, payload_schema: pa.Schema,
               json.dumps({"columns": cols, "primary_key": primary_key}))
 
 
-def _distinct_dml_tables(ds: "pads.Dataset", files: list[str]) -> set[str]:
+def _footer_distinct_tables(files: list[str]) -> tuple[set[str], list[str]]:
+    """Footer-statistics fast path for the distinct-table scan: a file whose
+    ``table`` column has min == max in EVERY row group contains exactly that
+    one value — no data pages read at all. Returns (resolved values, files
+    that still need a scan). On a 10^10-event log where each segment holds
+    one table (the overwhelmingly common CDC layout), this turns the
+    distinct into a footer-only pass."""
+    seen: set[str] = set()
+    need_scan: list[str] = []
+    for f in files:
+        try:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index("table")
+            # leaf index of ddl.op: all-null in a row group <=> no DDL rows
+            # (DDL rows' table values name databases/dropped tables and must
+            # NOT feed the missing-table synthesis)
+            ddl_idx = next(
+                (i for i in range(md.num_columns)
+                 if md.row_group(0).column(i).path_in_schema == "ddl.op"),
+                None,
+            )
+            vals: set[str] = set()
+            ok = ddl_idx is not None
+            for rg in range(md.num_row_groups) if ok else ():
+                st = md.row_group(rg).column(idx).statistics
+                dst = md.row_group(rg).column(ddl_idx).statistics
+                pure_dml = (dst is not None
+                            and dst.null_count == md.row_group(rg).num_rows)
+                if (not pure_dml or st is None or st.min is None
+                        or st.min != st.max):
+                    ok = False
+                    break
+                vals.add(st.min)
+        except (OSError, KeyError, ValueError):
+            ok = False
+        if ok:
+            seen.update(vals)
+        else:
+            need_scan.append(f)
+    return seen, need_scan
+
+
+def _distinct_dml_tables(files: list[str]) -> set[str]:
     """Distinct ``table`` values across the log's DML rows WITHOUT
-    materializing the column on the driver. Distributed per-file distinct
+    materializing the column on the driver. Footer statistics resolve
+    single-table files with no data read; the remainder goes through a
+    distributed per-file distinct
     via Ray tasks when Ray is up (each task returns a handful of strings);
     otherwise a streaming scanner that accumulates per-batch uniques —
     either way driver memory is O(#tables), never O(#events)."""
+    seen, files = _footer_distinct_tables(files)
+    if not files:
+        return seen
     try:
         import ray
 
@@ -274,9 +322,10 @@ def _distinct_dml_tables(ds: "pads.Dataset", files: list[str]) -> set[str]:
             return sorted(out)
 
         parts = ray.get([file_tables.remote(f) for f in files])
-        return {t for p in parts for t in p}
-    seen: set[str] = set()
-    for b in ds.to_batches(columns=["table"], filter=pads.field("op") != OP_DDL):
+        return seen | {t for p in parts for t in p}
+    scan_ds = pads.dataset(files, format="parquet")
+    for b in scan_ds.to_batches(columns=["table"],
+                                filter=pads.field("op") != OP_DDL):
         seen.update(pa.compute.unique(b.column(0)).to_pylist())
     return seen
 
@@ -301,8 +350,6 @@ def build_registry(log_dir: str, upto_lsn: int | None = None,
     files = [os.path.join(log_dir, f) for f in sorted(os.listdir(log_dir))
              if f.startswith("seg-")]
     if after_lsn:
-        import pyarrow.parquet as pq
-
         def seg_max(f):
             md = pq.ParquetFile(f).metadata
             idx = md.schema.to_arrow_schema().get_field_index("lsn")
@@ -317,12 +364,37 @@ def build_registry(log_dir: str, upto_lsn: int | None = None,
         if not files:
             return base or Registry()
     ds = pads.dataset(files, format="parquet")
+    # footer prune: a file whose ddl.op leaf is all-null in every row group
+    # has no DDL rows — skip it entirely (footer-only check; the `op` column's
+    # min/max can't exclude 'DDL', but the struct's null counts can)
+    ddl_files = []
+    for f in files:
+        try:
+            md = pq.ParquetFile(f).metadata
+            ddl_idx = next(
+                (i for i in range(md.num_columns)
+                 if md.row_group(0).column(i).path_in_schema == "ddl.op"),
+                None,
+            )
+            pure_dml = ddl_idx is not None and all(
+                (st := md.row_group(rg).column(ddl_idx).statistics) is not None
+                and st.null_count == md.row_group(rg).num_rows
+                for rg in range(md.num_row_groups)
+            )
+        except (OSError, KeyError, ValueError):
+            pure_dml = False
+        if not pure_dml:
+            ddl_files.append(f)
     flt = pads.field("op") == OP_DDL
     if upto_lsn is not None:
         flt = flt & (pads.field("lsn") <= upto_lsn)
     if after_lsn:
         flt = flt & (pads.field("lsn") > after_lsn)
-    tbl = ds.to_table(columns=["lsn", "table", "ddl"], filter=flt)
+    if ddl_files:
+        tbl = pads.dataset(ddl_files, format="parquet").to_table(
+            columns=["lsn", "table", "ddl"], filter=flt)
+    else:
+        tbl = ds.head(0).select(["lsn", "table", "ddl"])
     tbl = tbl.take(pa.compute.sort_indices(tbl, sort_keys=[("lsn", "ascending")]))
     reg = base if base is not None else Registry()
     for row in tbl.to_pylist():
@@ -333,7 +405,7 @@ def build_registry(log_dir: str, upto_lsn: int | None = None,
             continue
         reg.apply(row["lsn"], d["op"], t, d["prev_table"] or "", d["payload"] or "{}")
     if synthesize_missing:
-        seen = _distinct_dml_tables(ds, files)
+        seen = _distinct_dml_tables(files)
         missing = {t for t in seen
                    if reg.resolve_table(t) not in reg.tables
                    or not reg.tables[reg.resolve_table(t)].columns}
