@@ -1,0 +1,239 @@
+"""Debezium-JSON envelope source — the reference's native wire format.
+
+The reference consumes Debezium change events (SourceRecord envelopes with
+``before`` / ``after`` row images, an ``op`` code and a ``source`` block —
+MySqlRecordConsumer.java:209-225 reads exactly these fields; the op codes
+``c``/``u``/``d``/``r`` and the ``source.snapshot`` flag are public Debezium
+contract). This module lets a user feed the engine from JSONL files in that
+envelope shape instead of the native Parquet log:
+
+* ``write_debezium_jsonl(log_dir, out_dir)`` — export a Parquet event log
+  as Debezium-envelope JSONL (fixture/interop writer; also the documented
+  shape reference).
+* ``read_debezium_jsonl(paths)`` — ``ray.data.read_json`` + one vectorized
+  ``map_batches`` converting envelopes into the canonical event-log schema
+  (model.event_log_schema).
+* ``jsonl_to_segments(paths, seg_dir)`` — materialize a JSONL feed as
+  Parquet log segments so ``run_replication`` (whose read path is pruned
+  Parquet) can replay it with all fences/watermarks intact.
+
+DDL events ride the envelope the way Debezium's schema-change topic does
+(a ``ddl`` block next to ``source``); the structured payload mirrors the
+engine's DDL struct rather than raw SQL text (SURVEY.md §2.3: structured
+DDL by design).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..model import (
+    DDL_STRUCT,
+    OP_DDL,
+    OP_DELETE,
+    OP_INSERT,
+    OP_UPDATE,
+    PAYLOAD_STRUCT,
+    event_log_schema,
+)
+
+#: engine op -> Debezium envelope op code (public Debezium contract:
+#: c=create, u=update, d=delete, r=snapshot read)
+_TO_DBZ = {OP_INSERT: "c", OP_UPDATE: "u", OP_DELETE: "d"}
+_FROM_DBZ = {"c": OP_INSERT, "r": OP_INSERT, "u": OP_UPDATE, "d": OP_DELETE}
+
+
+def _split_table(table: str) -> tuple[str, str]:
+    db, _, name = table.partition(".")
+    return (db, name) if name else ("", table)
+
+
+def write_debezium_jsonl(log_dir: str, out_dir: str) -> list[str]:
+    """Export every ``seg-*.parquet`` log segment as a Debezium-envelope
+    ``.jsonl`` file (one JSON envelope per line). Interop/fixture writer —
+    runs on the driver; sized for test fixtures, not the 10^10 log."""
+    os.makedirs(out_dir, exist_ok=True)
+    out_files = []
+    for fname in sorted(os.listdir(log_dir)):
+        if not fname.startswith("seg-") or not fname.endswith(".parquet"):
+            continue
+        tbl = pq.read_table(os.path.join(log_dir, fname))
+        out = os.path.join(out_dir, fname.replace(".parquet", ".jsonl"))
+        tmp = out + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            for row in tbl.to_pylist():
+                db, name = _split_table(row["table"])
+                src = {
+                    "db": db,
+                    "table": name,
+                    "pos": row["lsn"],
+                    "txId": row["tx_id"],
+                    "snapshot": bool(row["is_snapshot"]),
+                    "schema_version": row["schema_version"],
+                }
+                ts = row["ingest_ts"]
+                ts_ms = (int(ts.timestamp() * 1000)
+                         if hasattr(ts, "timestamp") else int(ts or 0))
+                if row["op"] == OP_DDL:
+                    env = {"source": src, "ts_ms": ts_ms, "ddl": row["ddl"]}
+                else:
+                    env = {
+                        "op": ("r" if row["is_snapshot"]
+                               else _TO_DBZ[row["op"]]),
+                        "before": row["before"],
+                        "after": row["after"],
+                        "source": src,
+                        "ts_ms": ts_ms,
+                    }
+                fh.write(json.dumps({"payload": env}) + "\n")
+        os.replace(tmp, out)
+        out_files.append(out)
+    return out_files
+
+
+def _to_struct(col, struct_type: pa.DataType) -> pa.Array:
+    """Rebuild ``col`` (a struct array of possibly differing field order /
+    inferred types, or an all-null column) as ``struct_type``, matching
+    children by NAME and casting each to the declared type."""
+    n = len(col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not pa.types.is_struct(col.type):
+        return pa.nulls(n, type=struct_type)
+    have = {col.type.field(i).name for i in range(col.type.num_fields)}
+    children = []
+    for f in struct_type:
+        if f.name in have:
+            child = pc.struct_field(col, f.name)
+            children.append(pc.cast(child, f.type))
+        else:
+            children.append(pa.nulls(n, type=f.type))
+    null_mask = pc.is_null(col)
+    return pa.StructArray.from_arrays(
+        children, fields=list(struct_type),
+        mask=null_mask.combine_chunks() if isinstance(null_mask, pa.ChunkedArray)
+        else null_mask)
+
+
+def _convert_envelopes(batch: pa.Table) -> pa.Table:
+    """One vectorized pass: Debezium envelopes -> canonical event rows."""
+    pay = batch["payload"]
+    if isinstance(pay, pa.ChunkedArray):
+        pay = pay.combine_chunks()
+    src = pc.struct_field(pay, "source")
+    have = {pay.type.field(i).name for i in range(pay.type.num_fields)}
+
+    db = pc.cast(pc.struct_field(src, "db"), pa.string())
+    name = pc.cast(pc.struct_field(src, "table"), pa.string())
+    table = pc.if_else(
+        pc.equal(pc.fill_null(db, ""), ""), name,
+        pc.binary_join_element_wise(pc.fill_null(db, ""), name, "."))
+
+    ddl = (_to_struct(pc.struct_field(pay, "ddl"), DDL_STRUCT)
+           if "ddl" in have else pa.nulls(len(pay), type=DDL_STRUCT))
+    is_ddl = pc.is_valid(ddl)
+
+    if "op" in have:
+        raw_op = pc.cast(pc.struct_field(pay, "op"), pa.string())
+    else:
+        raw_op = pa.nulls(len(pay), type=pa.string())
+    op = pc.case_when(
+        pc.make_struct(
+            is_ddl,
+            pc.equal(raw_op, "u"),
+            pc.equal(raw_op, "d"),
+        ),
+        OP_DDL, OP_UPDATE, OP_DELETE, OP_INSERT,
+    )
+    snap_src = pc.cast(pc.struct_field(src, "snapshot"), pa.bool_())
+    is_snapshot = pc.or_kleene(
+        pc.fill_null(snap_src, False), pc.equal(pc.fill_null(raw_op, ""), "r"))
+    is_snapshot = pc.and_(is_snapshot, pc.invert(is_ddl))
+
+    before = (_to_struct(pc.struct_field(pay, "before"), PAYLOAD_STRUCT)
+              if "before" in have else pa.nulls(len(pay), type=PAYLOAD_STRUCT))
+    after = (_to_struct(pc.struct_field(pay, "after"), PAYLOAD_STRUCT)
+             if "after" in have else pa.nulls(len(pay), type=PAYLOAD_STRUCT))
+
+    sv = (pc.cast(pc.struct_field(src, "schema_version"), pa.int32())
+          if "schema_version" in {src.type.field(i).name
+                                  for i in range(src.type.num_fields)}
+          else pa.nulls(len(pay), type=pa.int32()))
+    out = pa.table(
+        {
+            "lsn": pc.cast(pc.struct_field(src, "pos"), pa.int64()),
+            "tx_id": pc.cast(pc.struct_field(src, "txId"), pa.string()),
+            "op": op,
+            "table": table,
+            "before": before,
+            "after": after,
+            "ddl": ddl,
+            "is_snapshot": is_snapshot,
+            "ingest_ts": pc.cast(pc.struct_field(pay, "ts_ms"),
+                                 pa.timestamp("ms")),
+            "schema_version": pc.fill_null(sv, 0),
+        },
+        schema=event_log_schema(),
+    )
+    return out
+
+
+def read_debezium_jsonl(paths: str | list[str]) -> "ray.data.Dataset":
+    """Debezium-envelope JSONL -> Dataset in the canonical event-log schema.
+    The JSON parse runs distributed in read tasks; the envelope conversion
+    is one zero-copy-in Arrow ``map_batches`` pass."""
+    import ray.data
+
+    ds = ray.data.read_json(paths)
+    return ds.map_batches(_convert_envelopes, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def jsonl_to_segments(paths: str | list[str], seg_dir: str,
+                      rows_per_segment: int = 1 << 20) -> dict:
+    """Materialize a Debezium JSONL feed as Parquet log segments (sorted by
+    lsn within each written file) so the Parquet-native replication path —
+    pruned reads, footer watermark short-circuits — applies unchanged.
+    Returns the meta dict written alongside (same contract as the
+    generators')."""
+    import ray.data
+
+    os.makedirs(seg_dir, exist_ok=True)
+    ds = read_debezium_jsonl(paths)
+
+    written = {"i": 0}
+
+    def write_seg(tbl: pa.Table) -> None:
+        tbl = tbl.sort_by("lsn")
+        i = written["i"]
+        written["i"] += 1
+        fname = os.path.join(seg_dir, f"seg-{i:05d}.parquet")
+        tmp = fname + f".tmp.{os.getpid()}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, fname)
+
+    # iter_batches streams blocks to the driver writer sequentially so
+    # segment numbering is deterministic; segment-local sorting is enough
+    # (replication orders by lsn per key, not per file)
+    total, max_lsn = 0, 0
+    for batch in ds.iter_batches(batch_size=rows_per_segment,
+                                 batch_format="pyarrow"):
+        if batch.num_rows == 0:
+            continue
+        write_seg(batch)
+        total += batch.num_rows
+        max_lsn = max(max_lsn, int(pc.max(batch["lsn"]).as_py()))
+    meta = {"total_events": total, "max_lsn": max_lsn,
+            "segments": [f for f in sorted(os.listdir(seg_dir))
+                         if f.startswith("seg-")],
+            "source_format": "debezium-jsonl"}
+    tmp = os.path.join(seg_dir, f"meta.json.tmp.{os.getpid()}")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, indent=1)
+    os.replace(tmp, os.path.join(seg_dir, "meta.json"))
+    return meta

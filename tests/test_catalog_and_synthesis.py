@@ -74,3 +74,61 @@ def test_lake_catalog(small_log, tmp_path):
     # assessment + standardize round-trip keeps every column (all supported)
     schema = cat.standardized_schema("inventory.code_files")
     assert set(schema.names) == set(names)
+
+
+def test_footer_distinct_excludes_pure_ddl_segments(tmp_path):
+    """The footer-stats fast path must not feed DDL-row table values (e.g.
+    database names from CREATE_DATABASE, which share the `table` column)
+    into missing-table synthesis — a pure-DDL segment resolves to nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database_delta_plugins_ray.model import (
+        DDL_CREATE_DATABASE,
+        DDL_STRUCT,
+        OP_DDL,
+        OP_INSERT,
+    )
+    from database_delta_plugins_ray.model import event_log_schema
+    from database_delta_plugins_ray.state.ddl import _distinct_dml_tables
+
+    schema = event_log_schema()
+    ps = schema.field("after").type
+
+    def seg(rows):
+        cols = {name: [] for name in schema.names}
+        for lsn, op, table, ddl in rows:
+            cols["lsn"].append(lsn)
+            cols["tx_id"].append(f"t:{lsn}")
+            cols["op"].append(op)
+            cols["table"].append(table)
+            cols["before"].append(None)
+            cols["after"].append(
+                None if op == OP_DDL else
+                {"repo": "r1", "path": f"p{lsn}", "commit": "c", "lang": "py",
+                 "content": "x", "stars": 1, "language": None})
+            cols["ddl"].append(ddl)
+            cols["is_snapshot"].append(False)
+            cols["ingest_ts"].append(lsn)
+            cols["schema_version"].append(0)
+        arrays = []
+        for f in schema:
+            arrays.append(pa.array(cols[f.name], f.type))
+        return pa.table(dict(zip(schema.names, arrays)), schema=schema)
+
+    # seg-0: ONLY DDL rows, table column = database name (min==max!)
+    ddl_row = {"op": DDL_CREATE_DATABASE, "table": "inventory",
+               "prev_table": "", "payload": "{}"}
+    pq.write_table(
+        seg([(1, OP_DDL, "inventory", ddl_row),
+             (2, OP_DDL, "inventory", ddl_row)]),
+        str(tmp_path / "seg-00000.parquet"))
+    # seg-1: pure DML on one table
+    pq.write_table(
+        seg([(3, OP_INSERT, "inventory.code_files", None),
+             (4, OP_INSERT, "inventory.code_files", None)]),
+        str(tmp_path / "seg-00001.parquet"))
+
+    files = [str(tmp_path / "seg-00000.parquet"),
+             str(tmp_path / "seg-00001.parquet")]
+    assert _distinct_dml_tables(files) == {"inventory.code_files"}
