@@ -108,6 +108,39 @@ def cdc_resume_equivalence(sf_dir: str):
     return final_state(lake, columns=FINAL_COLS)
 
 
+def cdc_from_debezium_jsonl(sf_dir: str):
+    """Flagship replay driven from a Debezium-envelope JSONL feed (the
+    reference's native wire format) instead of the Parquet log: envelopes
+    are converted + materialized as segments once (cached), then the
+    standard replication path replays them. Oracled by the SAME final-state
+    SQL over the original log — the wire format must be value-transparent."""
+    import json as _json
+
+    from ..sources.debezium_json import jsonl_to_segments, write_debezium_jsonl
+
+    log = ensure_log(sf_dir)
+    tag = sf_tag(sf_dir)
+    jdir = os.path.join(CACHE_ROOT, f"sf{tag}", "dbz_jsonl")
+    sdir = os.path.join(CACHE_ROOT, f"sf{tag}", "dbz_segs")
+    with open(os.path.join(log, "meta.json")) as fh:
+        src_meta = _json.load(fh)
+    stamp = os.path.join(sdir, "meta.json")
+    fresh = False
+    if os.path.exists(stamp):
+        with open(stamp) as fh:
+            m = _json.load(fh)
+        fresh = (m.get("total_events") == src_meta["total_events"]
+                 and m.get("max_lsn") == src_meta["max_lsn"])
+    if not fresh:
+        shutil.rmtree(jdir, ignore_errors=True)
+        shutil.rmtree(sdir, ignore_errors=True)
+        write_debezium_jsonl(log, jdir)
+        jsonl_to_segments(jdir, sdir)
+    lake = fresh_lake(sf_dir, "lake_dbz")
+    run_replication(sdir, lake, num_partitions=16)
+    return final_state(lake, columns=FINAL_COLS)
+
+
 def cdc_op_counts(sf_dir: str):
     """Event counts by op over the raw log (M5/M6 routing sanity)."""
     import ray.data
@@ -331,6 +364,7 @@ FROM ranked WHERE rn = 1 AND op <> 'D'
     return {
         "cdc_final_state": final_sql,
         "cdc_resume_equivalence": final_sql,
+        "cdc_from_debezium_jsonl": final_sql,
         "cdc_op_counts": f"""
 SELECT op, count(*) AS n FROM read_parquet('{glob}') GROUP BY op
 """,
@@ -412,6 +446,7 @@ WHERE rn = 1 AND op <> 'D' AND lsn > (SELECT f FROM fence)
 CDC_QUERIES = {
     "cdc_final_state": cdc_final_state,
     "cdc_resume_equivalence": cdc_resume_equivalence,
+    "cdc_from_debezium_jsonl": cdc_from_debezium_jsonl,
     "cdc_op_counts": cdc_op_counts,
     "cdc_events_per_repo": cdc_events_per_repo,
     "cdc_snapshot_ddl_sequence": cdc_snapshot_ddl_sequence,

@@ -183,13 +183,51 @@ def _convert_envelopes(batch: pa.Table) -> pa.Table:
     return out
 
 
+def _json_safe(t: pa.DataType) -> pa.DataType:
+    """Arrow's JSON parser can't target large_string; downgrade recursively
+    (the conversion pass casts children back to the declared types)."""
+    if pa.types.is_large_string(t):
+        return pa.string()
+    if pa.types.is_struct(t):
+        return pa.struct([pa.field(t.field(i).name, _json_safe(t.field(i).type))
+                          for i in range(t.num_fields)])
+    return t
+
+
+def envelope_schema() -> pa.Schema:
+    """Explicit parse schema for the JSONL feed — inference over null-heavy
+    envelope columns (a file of deletes has only null ``after``) is
+    unstable, so the parser is always given the full shape."""
+    src = pa.struct([
+        pa.field("db", pa.string()),
+        pa.field("table", pa.string()),
+        pa.field("pos", pa.int64()),
+        pa.field("txId", pa.string()),
+        pa.field("snapshot", pa.bool_()),
+        pa.field("schema_version", pa.int32()),
+    ])
+    payload = pa.struct([
+        pa.field("op", pa.string()),
+        pa.field("before", _json_safe(PAYLOAD_STRUCT)),
+        pa.field("after", _json_safe(PAYLOAD_STRUCT)),
+        pa.field("source", src),
+        pa.field("ts_ms", pa.int64()),
+        pa.field("ddl", _json_safe(DDL_STRUCT)),
+    ])
+    return pa.schema([pa.field("payload", payload)])
+
+
 def read_debezium_jsonl(paths: str | list[str]) -> "ray.data.Dataset":
     """Debezium-envelope JSONL -> Dataset in the canonical event-log schema.
     The JSON parse runs distributed in read tasks; the envelope conversion
     is one zero-copy-in Arrow ``map_batches`` pass."""
+    import pyarrow.json as pajson
     import ray.data
 
-    ds = ray.data.read_json(paths)
+    ds = ray.data.read_json(
+        paths,
+        parse_options=pajson.ParseOptions(explicit_schema=envelope_schema()),
+    )
     return ds.map_batches(_convert_envelopes, batch_format="pyarrow",
                           zero_copy_batch=True)
 
