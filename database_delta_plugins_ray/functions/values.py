@@ -28,6 +28,18 @@ def _fsb_to_binary(arr: pa.Array) -> pa.Array:
     return pc.cast(arr, pa.binary())
 
 
+def _binary_offsets(arr: pa.Array) -> np.ndarray:
+    """Offsets buffer of a (large_)binary array as numpy, honoring the
+    element width — large_binary carries int64 offsets, binary int32;
+    reading them with the wrong dtype silently misslices values."""
+    if pa.types.is_large_binary(arr.type) or pa.types.is_large_string(arr.type):
+        dt, width = np.int64, 8
+    else:
+        dt, width = np.int32, 4
+    return np.frombuffer(arr.buffers()[1], dtype=dt,
+                         count=len(arr) + 1, offset=arr.offset * width)
+
+
 # ---------------------------------------------------------------------------
 # logical date/time conversions (Records.java:186-271)
 # ---------------------------------------------------------------------------
@@ -207,8 +219,7 @@ def hex_string(a) -> pa.Array:
     filled = pc.fill_null(arr, b"")
     # offsets buffer entries are ABSOLUTE byte positions in the data buffer;
     # a sliced array's elements start at entry `filled.offset`
-    offs = np.frombuffer(filled.buffers()[1], dtype=np.int32,
-                         count=len(filled) + 1, offset=filled.offset * 4)
+    offs = _binary_offsets(filled)
     data = filled.buffers()[2]
     full = (data.to_pybytes().hex() if data is not None else "")
     out = pa.array(
@@ -231,8 +242,7 @@ def base64_string(a) -> pa.Array:
         arr = _fsb_to_binary(arr)
     null_mask = pc.is_null(arr)
     filled = pc.fill_null(arr, b"")
-    offs = np.frombuffer(filled.buffers()[1], dtype=np.int32,
-                         count=len(filled) + 1, offset=filled.offset * 4)
+    offs = _binary_offsets(filled)
     buf = filled.buffers()[2]
     mv = memoryview(buf) if buf is not None else memoryview(b"")
     out = pa.array(
@@ -291,11 +301,16 @@ def charset_decode(a, mysql_charset: str) -> pa.Array:
     if pa.types.is_fixed_size_binary(arr.type):
         arr = _fsb_to_binary(arr)
     if codec == "utf-8":
-        return pc.cast(arr, pa.string())
+        try:
+            return pc.cast(arr, pa.string())
+        except pa.ArrowInvalid:
+            # malformed UTF-8 bytes must become U+FFFD like Java's
+            # new String(bytes, cs) — fall through to the per-row
+            # errors='replace' path instead of aborting the job
+            pass
     null_mask = pc.is_null(arr)
     filled = pc.fill_null(arr, b"")
-    offs = np.frombuffer(filled.buffers()[1], dtype=np.int32,
-                         count=len(filled) + 1, offset=filled.offset * 4)
+    offs = _binary_offsets(filled)
     data = filled.buffers()[2]
     if codec in _SINGLE_BYTE_CODECS:
         full = (data.to_pybytes().decode(codec, errors="replace")

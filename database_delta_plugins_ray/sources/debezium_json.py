@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+from datetime import timezone
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -77,8 +78,15 @@ def write_debezium_jsonl(log_dir: str, out_dir: str) -> list[str]:
                     "schema_version": row["schema_version"],
                 }
                 ts = row["ingest_ts"]
-                ts_ms = (int(ts.timestamp() * 1000)
-                         if hasattr(ts, "timestamp") else int(ts or 0))
+                if hasattr(ts, "timestamp"):
+                    # stored timestamps are UTC wall-clock; a naive
+                    # datetime's .timestamp() would apply the HOST zone
+                    # and shift ts_ms on non-UTC machines
+                    if ts.tzinfo is None:
+                        ts = ts.replace(tzinfo=timezone.utc)
+                    ts_ms = int(ts.timestamp() * 1000)
+                else:
+                    ts_ms = int(ts or 0)
                 if row["op"] == OP_DDL:
                     env = {"source": src, "ts_ms": ts_ms, "ddl": row["ddl"]}
                 else:

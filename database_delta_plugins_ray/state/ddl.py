@@ -265,7 +265,8 @@ def _footer_distinct_tables(files: list[str]) -> tuple[set[str], list[str]]:
             # NOT feed the missing-table synthesis)
             ddl_idx = next(
                 (i for i in range(md.num_columns)
-                 if md.row_group(0).column(i).path_in_schema == "ddl.op"),
+                 if md.num_row_groups
+                 and md.row_group(0).column(i).path_in_schema == "ddl.op"),
                 None,
             )
             vals: set[str] = set()
@@ -373,7 +374,8 @@ def build_registry(log_dir: str, upto_lsn: int | None = None,
             md = pq.ParquetFile(f).metadata
             ddl_idx = next(
                 (i for i in range(md.num_columns)
-                 if md.row_group(0).column(i).path_in_schema == "ddl.op"),
+                 if md.num_row_groups
+                 and md.row_group(0).column(i).path_in_schema == "ddl.op"),
                 None,
             )
             pure_dml = ddl_idx is not None and all(

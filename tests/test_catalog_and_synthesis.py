@@ -132,3 +132,15 @@ def test_footer_distinct_excludes_pure_ddl_segments(tmp_path):
     files = [str(tmp_path / "seg-00000.parquet"),
              str(tmp_path / "seg-00001.parquet")]
     assert _distinct_dml_tables(files) == {"inventory.code_files"}
+
+    # ADVICE r2: a segment with ZERO row groups (writer opened+closed, e.g.
+    # a crashed producer) must fall back to scan, not IndexError
+    w = pq.ParquetWriter(str(tmp_path / "seg-00002.parquet"), schema)
+    w.close()
+    files.append(str(tmp_path / "seg-00002.parquet"))
+    assert _distinct_dml_tables(files) == {"inventory.code_files"}
+
+    from database_delta_plugins_ray.state.ddl import build_registry
+
+    reg = build_registry(str(tmp_path))
+    assert "inventory.code_files" in reg.tables

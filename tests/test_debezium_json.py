@@ -54,6 +54,7 @@ def test_envelope_roundtrip_schema_and_counts(dbz):
         assert g["table"] == w["table"]
         assert g["tx_id"] == w["tx_id"]
         assert bool(g["is_snapshot"]) == bool(w["is_snapshot"])
+        assert g["ingest_ts"] == w["ingest_ts"]
         if w["after"] is not None:
             assert g["after"]["content"] == w["after"]["content"]
             assert g["after"]["repo"] == w["after"]["repo"]
@@ -62,6 +63,44 @@ def test_envelope_roundtrip_schema_and_counts(dbz):
         if w["ddl"] is not None:
             assert g["ddl"]["op"] == w["ddl"]["op"]
             assert g["ddl"]["payload"] == w["ddl"]["payload"]
+
+
+def test_ts_ms_is_utc_regardless_of_host_zone(tmp_path, monkeypatch):
+    """ADVICE r2: naive ingest_ts datetimes are UTC wall-clock; exporting
+    them through .timestamp() on a non-UTC host shifted ts_ms by the host
+    offset. Pin TZ to a -05:00 zone and verify the exported millis."""
+    import json as _json
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database_delta_plugins_ray.model import OP_INSERT, event_log_schema
+
+    schema = event_log_schema()
+    ps = schema.field("after").type
+    row = {
+        "lsn": 7, "tx_id": "t:7", "op": OP_INSERT, "table": "db.t",
+        "before": None,
+        "after": {f.name: None for f in ps},
+        "ddl": None, "is_snapshot": False,
+        "ingest_ts": 1_700_000_000_123,  # epoch ms, stored as UTC wall-clock
+        "schema_version": 0,
+    }
+    tbl = pa.Table.from_pylist([row], schema=schema)
+    log = tmp_path / "log"
+    log.mkdir()
+    pq.write_table(tbl, str(log / "seg-00000.parquet"))
+
+    monkeypatch.setenv("TZ", "America/New_York")
+    time.tzset()
+    try:
+        out = write_debezium_jsonl(str(log), str(tmp_path / "jsonl"))
+        env = _json.loads(open(out[0]).read().splitlines()[0])
+        assert env["payload"]["ts_ms"] == 1_700_000_000_123
+    finally:
+        monkeypatch.setenv("TZ", "UTC")
+        time.tzset()
 
 
 def test_jsonl_feed_drives_full_replication(dbz, tmp_path):

@@ -129,3 +129,27 @@ def test_charset_decode_fixed_size_binary_and_slices():
 def test_charset_decode_unmapped_raises():
     with pytest.raises(ValueError):
         v.charset_decode(pa.array([b"x"], pa.binary()), "klingon")
+
+
+def test_charset_decode_malformed_utf8_replaces():
+    """ADVICE r2: a dirty byte in a utf8 column must become U+FFFD (like
+    Java's new String(bytes, cs)), not abort the replication job."""
+    raw = pa.array([b"ok", b"bad\xffbyte", None, "é".encode()], pa.binary())
+    out = v.charset_decode(raw, "utf8mb4")
+    assert out.to_pylist() == ["ok", "bad�byte", None, "é"]
+
+
+def test_charset_and_hex_handle_large_binary():
+    """ADVICE r2: large_binary has int64 offsets; reading them as int32
+    produced garbage slices instead of erroring."""
+    vals = [b"alpha", None, b"bravo!", b""]
+    raw = pa.array(vals, pa.large_binary())
+    assert v.charset_decode(raw, "latin1").to_pylist() == \
+        ["alpha", None, "bravo!", ""]
+    assert v.hex_string(raw).to_pylist() == \
+        ["616c706861", None, "627261766f21", ""]
+    assert v.base64_string(raw).to_pylist() == \
+        ["YWxwaGE=", None, "YnJhdm8h", ""]
+    # malformed utf-8 inside large_binary exercises both fixes at once
+    bad = pa.array([b"x\x80y"], pa.large_binary())
+    assert v.charset_decode(bad, "utf8").to_pylist() == ["x�y"]
