@@ -353,10 +353,27 @@ def ngram_jaccard_pairs(
 
 def _ngram_jaccard_lsh(ds, *, ngram: int, threshold: float,
                        partition_col: str | None, text_col: str, id_col: str):
-    """LSH-candidates -> exact-Jaccard verify (see ngram_jaccard_pairs).
-    Honors ``partition_col``: cross-partition candidate pairs are dropped,
-    matching the exact route's within-partition semantics."""
-    import ray
+    """LSH-candidates -> DISTRIBUTED exact-Jaccard verify (see
+    ngram_jaccard_pairs). Honors ``partition_col``: cross-partition
+    candidate pairs are dropped, matching the exact route's
+    within-partition semantics.
+
+    Fully distributed — nothing is materialized on the driver:
+
+    1. MinHash-LSH proposes candidate pairs (a Dataset, signatures only
+       through the bucket shuffle).
+    2. Each pair explodes into two MEMBERSHIP rows (doc_id, id_a, id_b).
+    3. The corpus maps to (doc_id, shingle-set bytes, partition value).
+    4. A tagged union of (2) and (3) is grouped by doc_id — a shuffle
+       hash semi-join: each doc's shingle set attaches to the membership
+       rows that reference it; docs no candidate references emit nothing.
+    5. Group by (id_a, id_b): both docs' shingle sets are now co-located;
+       exact Jaccard + threshold + partition check inside map_groups.
+
+    Scale note: step 4 moves each doc's shingle set through the shuffle
+    exactly ONCE (never once-per-band like shipping shingles through the
+    LSH would); steps 2/5 move only candidate-pair rows. Cost is
+    O(corpus shingles) + O(candidates), all task/actor parallel."""
 
     # stage 1: candidate pairs from MinHash-LSH at a PERMISSIVE estimate
     # threshold (margin absorbs signature-estimation noise; exact verify
@@ -366,44 +383,82 @@ def _ngram_jaccard_lsh(ds, *, ngram: int, threshold: float,
         ds, num_perm=128, bands=32, ngram=ngram,
         threshold=max(0.0, threshold - margin),
         text_col=text_col, id_col=id_col,
-    ).take_all()
-    wanted_ids = sorted({r["id_a"] for r in cand} | {r["id_b"] for r in cand})
-    if not wanted_ids:
-        return ray.data.from_items([]).map_batches(
-            lambda df: pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []}),
-            batch_format="pandas",
+    )
+
+    def explode_membership(df: pd.DataFrame) -> pd.DataFrame:
+        ids_a = df["id_a"].to_numpy()
+        ids_b = df["id_b"].to_numpy()
+        return pd.DataFrame(
+            {
+                id_col: np.concatenate([ids_a, ids_b]),
+                "id_a": np.tile(ids_a, 2),
+                "id_b": np.tile(ids_b, 2),
+                "sh": [b""] * (2 * len(df)),
+                "pcol": [""] * (2 * len(df)),
+                "kind": ["m"] * (2 * len(df)),
+            }
         )
-    ids_ref = ray.put(set(wanted_ids))
 
-    # stage 2: narrow fetch — shingle sets (+ partition value) ONLY for
-    # candidate documents
-    def grab(df: pd.DataFrame) -> pd.DataFrame:
-        import ray as _ray
+    members = cand.map_batches(explode_membership, batch_format="pandas")
 
-        want = _ray.get(ids_ref)
-        sub = df[df[id_col].isin(want)]
-        out = {
-            id_col: sub[id_col].to_numpy(),
-            "sh": [shingle_hashes(t, ngram).tobytes() for t in sub[text_col]],
-        }
-        if partition_col is not None:
-            out["pcol"] = sub[partition_col].to_numpy()
-        return pd.DataFrame(out)
+    def shingled(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        pv = (df[partition_col].astype(str).to_numpy()
+              if partition_col is not None else np.repeat("", len(df)))
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "id_a": ids,  # dummy, keeps the union schema/dtypes uniform
+                "id_b": ids,
+                "sh": [shingle_hashes(t, ngram).tobytes()
+                       for t in df[text_col]],
+                "pcol": pv,
+                "kind": ["d"] * len(df),
+            }
+        )
 
-    fetched = ds.map_batches(grab, batch_format="pandas").take_all()
-    shs = {r[id_col]: np.frombuffer(r["sh"], dtype=np.uint64) for r in fetched}
-    pvals = {r[id_col]: r.get("pcol") for r in fetched}
+    cols = [id_col, text_col] + ([partition_col] if partition_col else [])
+    docs = ds.select_columns(cols).map_batches(shingled, batch_format="pandas")
 
-    rows = []
-    for r in cand:
-        a, b = r["id_a"], r["id_b"]
-        if partition_col is not None and pvals[a] != pvals[b]:
-            continue
-        j = jaccard(shs[a], shs[b])
-        if j >= threshold:
-            rows.append((a, b, round(j, 6)))
-    out = pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
-    return ray.data.from_pandas(out)
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        doc = g[g["kind"] == "d"]
+        mem = g[g["kind"] == "m"]
+        if doc.empty or mem.empty:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "sh": [], "pcol": []})
+        return pd.DataFrame(
+            {
+                "id_a": mem["id_a"].to_numpy(),
+                "id_b": mem["id_b"].to_numpy(),
+                "sh": [doc["sh"].iloc[0]] * len(mem),
+                "pcol": [doc["pcol"].iloc[0]] * len(mem),
+            }
+        )
+
+    attached = docs.union(members).groupby(id_col).map_groups(
+        attach, batch_format="pandas")
+
+    def verify_pair(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        if len(g) < 2:
+            return empty  # partner doc missing (can't happen in practice)
+        if partition_col is not None and g["pcol"].nunique() > 1:
+            return empty  # cross-partition pair: out of scope by contract
+        a = np.frombuffer(g["sh"].iloc[0], dtype=np.uint64)
+        b = np.frombuffer(g["sh"].iloc[1], dtype=np.uint64)
+        j = jaccard(a, b)
+        if j < threshold:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": [g["id_a"].iloc[0]],
+                "id_b": [g["id_b"].iloc[0]],
+                "jaccard": [round(j, 6)],
+            }
+        )
+
+    return attached.groupby(["id_a", "id_b"]).map_groups(
+        verify_pair, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
