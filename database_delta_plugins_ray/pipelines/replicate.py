@@ -84,6 +84,9 @@ def run_replication(
     max_delta_files: int = 4,
     connector_args: dict[str, str] | None = None,
     exchange: str = "sort",
+    scatter_batch_size: int | None = None,
+    fragment_buckets: int | None = None,
+    normalize_parallelism: int | None = None,
 ) -> dict:
     """Replay the event log into the Parquet lake; returns a lineage summary.
 
@@ -237,11 +240,22 @@ def run_replication(
         repo_salt=repo_salt,
         primary_key=primary_key,
     )
+    # Bandwidth-wall cap: this string-heavy normalize saturates a node's
+    # memory bus near ~16 concurrent tasks (BASELINE.md: 8-16 CPUs beat 32
+    # wall-clock on one box). Cap concurrent normalize tasks at 16 PER NODE
+    # by raising per-task num_cpus — surplus cores go to the read stage and
+    # the merger pool instead of thrashing the bus. A real multi-node
+    # cluster adds a bus per node, so the cap scales with node count.
+    if normalize_parallelism is None:
+        nodes = len([n for n in ray.nodes() if n.get("Alive", True)]) or 1
+        normalize_parallelism = 16 * nodes
+    norm_task_cpus = max(1, round(cpus / normalize_parallelism))
     ds = ds.map_batches(
         norm,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
+        num_cpus=norm_task_cpus,
     )
 
     payload_columns = _payload_columns(registry, columns, compute_sha)
@@ -255,6 +269,9 @@ def run_replication(
             max_delta_files=max_delta_files,
             upto_lsn=upto_lsn,
             phases=phases,
+            num_partitions=num_partitions,
+            scatter_batch_size=scatter_batch_size or max(4 * batch_size, 131072),
+            fragment_buckets=fragment_buckets,
         )
     else:
         # autoscaling pool (1, N): a fixed pool would pre-start N actors that
@@ -305,10 +322,30 @@ def _fragment_exchange(ds, lake_dir: str, reg_ref, payload_columns,
                        key_columns: tuple[str, ...],
                        max_delta_files: int,
                        upto_lsn: int | None = None,
-                       phases: dict | None = None) -> list[dict]:
-    """Hash-partitioned-write exchange: normalized batches append per-
-    partition Parquet fragments (parallel, barrier-free), then one Ray task
-    per partition folds its fragments into the fenced partition state.
+                       phases: dict | None = None,
+                       num_partitions: int = 32,
+                       scatter_batch_size: int = 131072,
+                       fragment_buckets: int | None = None) -> list[dict]:
+    """Hash-partitioned-write exchange: normalized batches append
+    partition-bucketed Parquet fragments (parallel, barrier-free), then one
+    Ray task per partition folds its rows into the fenced partition state.
+
+    File-count control (the bulk-backfill asymptote): fragments are written
+    per (scatter batch, BUCKET), not per (normalize batch, partition) —
+
+    * scatter batches are COARSENED (``scatter_batch_size`` rows, default
+      4x the normalize batch) so Ray Data buffers several normalize outputs
+      into one write call;
+    * when num_partitions is large, partitions share range buckets
+      (``fragment_buckets``, default min(P, 64)): one file per batch per
+      bucket instead of per partition. Each batch is sorted by ``part``
+      once and sliced; every partition's rows are written as their own
+      parquet ROW GROUPS, so a fold task reading ``part == p`` prunes to
+      its row groups from footer statistics without scanning neighbors.
+
+    Total files: O(rows / scatter_batch x buckets) — at P=1024 that is
+    ~64x fewer than the per-(batch, partition) layout. When P <= 64 the
+    bucket layout is byte-identical to one-dir-per-partition.
 
     Fragment names are derived from the batch's lsn range, so a replayed
     batch overwrites rather than duplicates; duplicates that DO survive a
@@ -320,32 +357,71 @@ def _fragment_exchange(ds, lake_dir: str, reg_ref, payload_columns,
     import pyarrow.parquet as pq
 
     frag_root = os.path.join(lake_dir, "_fragments")
+    n_buckets = fragment_buckets or min(num_partitions, 64)
+
+    def bucket_of(p: int) -> int:
+        # range bucketing keeps sorted-by-part slices contiguous per file
+        return p * n_buckets // num_partitions
+
+    _COUNT_SCHEMA = pa.schema([("part", pa.int64()), ("rows", pa.int64())])
 
     def write_frags(batch: "pa.Table") -> "pa.Table":
         if batch.num_rows == 0:
             return pa.table({"part": pa.array([], pa.int64()),
-                             "rows": pa.array([], pa.int64())})
-        parts, rows = [], []
+                             "rows": pa.array([], pa.int64())},
+                            schema=_COUNT_SCHEMA)
+        # ONE sort by part, then contiguous slices — no O(P) filter scans
+        batch = batch.take(pc.sort_indices(batch["part"]))
+        parts_np = batch["part"].to_numpy()
+        bounds = np.flatnonzero(np.diff(parts_np)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(parts_np)]])
         lsn_lo = int(pc.min(batch["lsn"]).as_py())
         lsn_hi = int(pc.max(batch["lsn"]).as_py())
-        for p in pc.unique(batch["part"]).to_pylist():
-            sl = batch.filter(pc.equal(batch["part"], p))
-            d = os.path.join(frag_root, f"part={int(p):05d}")
-            os.makedirs(d, exist_ok=True)
-            name = f"frag-{lsn_lo:020d}-{lsn_hi:020d}-{sl.num_rows}.parquet"
-            tmp = os.path.join(d, name + f".tmp.{os.getpid()}")
-            pq.write_table(sl, tmp)
-            os.replace(tmp, os.path.join(d, name))
-            parts.append(int(p))
-            rows.append(sl.num_rows)
-        return pa.table({"part": pa.array(parts, pa.int64()),
-                         "rows": pa.array(rows, pa.int64())})
+
+        parts, rows = [], []
+        writer = None
+        cur_bucket = -1
+        tmp = final = None
+        pending: list[tuple[str, str]] = []
+        n_files = 0
+        for s, e in zip(starts, ends):
+            p = int(parts_np[s])
+            b = bucket_of(p)
+            if b != cur_bucket:
+                if writer is not None:
+                    writer.close()
+                    pending.append((tmp, final))
+                d = os.path.join(frag_root, f"part={b:05d}")
+                os.makedirs(d, exist_ok=True)
+                name = (f"frag-{lsn_lo:020d}-{lsn_hi:020d}-"
+                        f"{batch.num_rows}.parquet")
+                final = os.path.join(d, name)
+                tmp = final + f".tmp.{os.getpid()}"
+                writer = pq.ParquetWriter(tmp, batch.schema)
+                cur_bucket = b
+                n_files += 1
+            # one write_table call per partition slice = its own row
+            # group(s): footer part-stats make per-partition fold reads
+            # prune exactly
+            writer.write_table(batch.slice(s, e - s))
+            parts.append(p)
+            rows.append(e - s)
+        if writer is not None:
+            writer.close()
+            pending.append((tmp, final))
+        for t, f in pending:
+            os.replace(t, f)
+        return pa.table({"part": pa.array(parts + [-1], pa.int64()),
+                         "rows": pa.array(rows + [n_files], pa.int64())},
+                        schema=_COUNT_SCHEMA)
 
     # leftover fragments from a crashed run must be folded in too (their
-    # rows are fence-filtered or re-applied idempotently)
+    # rows are fence-filtered or re-applied idempotently); bucket dirs may
+    # hold rows of several partitions — the part column says which
     import glob as _glob0
 
-    leftovers = set()
+    leftovers: set[int] = set()
     for d in _glob0.glob(os.path.join(frag_root, "part=*")):
         # half-written tmp files from a killed run are dead by definition
         for t in _glob0.glob(os.path.join(d, "*.tmp.*")):
@@ -353,50 +429,72 @@ def _fragment_exchange(ds, lake_dir: str, reg_ref, payload_columns,
                 os.remove(t)
             except OSError:
                 pass
-        if _glob0.glob(os.path.join(d, "frag-*.parquet")):
-            leftovers.add(int(os.path.basename(d).split("=")[1]))
+        lf = _glob0.glob(os.path.join(d, "frag-*.parquet"))
+        if lf:
+            pcol = pads.dataset(lf, format="parquet").to_table(
+                columns=["part"])["part"]
+            leftovers.update(pc.unique(pcol).to_pylist())
 
     t_scatter = time.time()
     frag_counts = ds.map_batches(
-        write_frags, batch_format="pyarrow", zero_copy_batch=True
+        write_frags, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=scatter_batch_size,
     ).take_all()
-    touched = sorted({r["part"] for r in frag_counts} | leftovers)
+    touched = sorted({r["part"] for r in frag_counts if r["part"] >= 0}
+                     | leftovers)
     if phases is not None:
         phases["read_normalize_scatter_s"] = round(time.time() - t_scatter, 3)
+        phases["fragment_files"] = sum(
+            r["rows"] for r in frag_counts if r["part"] == -1)
+
+    # snapshot the files each fold reads; the driver deletes exactly this
+    # snapshot after ALL folds complete (buckets are shared between
+    # partitions, so per-fold deletion would race)
+    files_by_bucket = {
+        b: sorted(_glob0.glob(os.path.join(
+            frag_root, f"part={b:05d}", "frag-*.parquet")))
+        for b in sorted({bucket_of(p) for p in touched})
+    }
 
     @ray.remote(num_cpus=1)
-    def merge_part(part: int) -> dict:
-        import glob as _glob
-
+    def merge_part(part: int, files: list[str]) -> dict | None:
         merger = PartitionMerger(
             lake_dir, reg_ref, payload_columns,
             key_columns=key_columns, max_delta_files=max_delta_files,
         )
-        d = os.path.join(frag_root, f"part={part:05d}")
-        files = sorted(_glob.glob(os.path.join(d, "frag-*.parquet")))
+        # row-group pruned read: only this partition's row groups leave
+        # storage (slices were written part-aligned; leftover files from
+        # older layouts still filter correctly, just without pruning)
+        tables = [
+            pq.read_table(f, filters=[("part", "=", part)]) for f in files
+        ]
         # promote: leftover fragments from a crashed run may carry a
         # different column order / schema vintage
-        group = pa.concat_tables([pq.read_table(f) for f in files],
-                                 promote_options="default")
+        group = pa.concat_tables(tables, promote_options="default")
         if upto_lsn is not None:
             # leftover fragments from a crashed FULLER run may carry events
             # past this run's requested horizon — honor upto_lsn strictly
             # (dropped rows re-enter via the log read once the horizon moves)
             group = group.filter(pc.less_equal(group["lsn"], upto_lsn))
-        out = merger(group).to_pylist()[0] if group.num_rows else None
-        for f in files:
-            os.remove(f)
-        return out
+        return merger(group).to_pylist()[0] if group.num_rows else None
 
     t_fold = time.time()
-    rows = [r for r in ray.get([merge_part.remote(p) for p in touched])
-            if r is not None]
+    rows = [r for r in ray.get([
+        merge_part.remote(p, files_by_bucket[bucket_of(p)]) for p in touched
+    ]) if r is not None]
     if phases is not None:
         phases["fold_commit_s"] = round(time.time() - t_fold, 3)
-    # fragment dirs are consumed; drop empties (ignore races on re-entry)
-    for p in touched:
+    # fragments are consumed: delete the snapshot, drop empty dirs (files
+    # landed by a concurrent writer — not a supported mode — would survive)
+    for files in files_by_bucket.values():
+        for f in files:
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+    for b in files_by_bucket:
         try:
-            os.rmdir(os.path.join(frag_root, f"part={p:05d}"))
+            os.rmdir(os.path.join(frag_root, f"part={b:05d}"))
         except OSError:
             pass
     return rows

@@ -157,6 +157,45 @@ def test_fragment_exchange_parity(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_fragment_buckets_bound_file_count(tmp_path):
+    """Bulk-backfill file-count asymptote (round-2 verdict #3): with P
+    partitions sharing B buckets and coarsened scatter batches, the
+    exchange writes O(batches x B) fragments — NOT O(batches x P) — and
+    parity still holds in the bucketed regime (several partitions per
+    fragment file, folds pruned by part row-group stats)."""
+    from database_delta_plugins_ray.pipelines.oracle import replay
+    from database_delta_plugins_ray.pipelines.replicate import (
+        final_state,
+        run_replication,
+    )
+    from database_delta_plugins_ray.sources.gen import GenConfig, generate_log
+
+    log = str(tmp_path / "log")
+    meta = generate_log(log, GenConfig(n_keys=400, n_events=5000, n_repos=8,
+                                       seed=43, n_segments=4))
+    lake = str(tmp_path / "lake")
+    s = run_replication(
+        log, lake, num_partitions=24, exchange="fragment",
+        batch_size=512, scatter_batch_size=2048, fragment_buckets=4,
+    )
+    n_files = s["phases"]["fragment_files"]
+    assert n_files > 0
+    # ceil(events/scatter_batch) write calls x <= 4 buckets each; blocks
+    # can split batches so allow 2x headroom — still far below the
+    # per-(batch, partition) count of the old layout
+    n_batches = -(-meta["total_events"] // 2048)
+    assert n_files <= 2 * n_batches * 4, (n_files, n_batches)
+
+    oracle = replay(log)
+    rows = final_state(lake).take_all()
+    got = {(r["table"], r["repo"], r["path"]): r for r in rows}
+    assert set(got) == set(oracle)
+    for k, o in oracle.items():
+        assert got[k]["content_sha"] == o["content_sha"], k
+        assert got[k]["_sequence_num"] == o["_sequence_num"], k
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_fragment_leftovers_respect_upto(tmp_path):
     """A crashed FULLER run's leftover fragments must not leak events past
     a subsequent run's upto_lsn horizon; the eventual full run converges."""
