@@ -3,6 +3,8 @@
 Commands
 --------
 replicate  --log DIR --lake DIR [--partitions N] [--mode key_hash|repo|repo_salted]
+           [--follow [--poll-interval S] [--max-polls N] [--idle-stop N]]
+stop       --lake DIR        (graceful stop of a follow loop; it flushes)
 gen        --out DIR [--keys N] [--events N] [--seed S] ...
 vacuum     --lake DIR [--prune-below LSN]
 stats      --lake DIR
@@ -51,6 +53,18 @@ def main(argv: list[str] | None = None) -> int:
                          "hash-partitioned fragment write (no sort barrier)")
     pr.add_argument("--primary-key", default="repo,path",
                     help="comma-separated PK columns")
+    pr.add_argument("--follow", action="store_true",
+                    help="continuous tail: poll the log dir until stopped "
+                         "(SIGINT/SIGTERM or the `stop` command); each "
+                         "stop flushes pending events before exit")
+    pr.add_argument("--poll-interval", type=float, default=1.0)
+    pr.add_argument("--max-polls", type=int, default=None)
+    pr.add_argument("--idle-stop", type=int, default=None,
+                    help="stop after N consecutive caught-up polls")
+
+    pstop = sub.add_parser(
+        "stop", help="gracefully stop a follow loop on this lake")
+    pstop.add_argument("--lake", required=True)
 
     pg = sub.add_parser("gen")
     pg.add_argument("--out", required=True)
@@ -89,16 +103,41 @@ def main(argv: list[str] | None = None) -> int:
 
     if a.cmd == "replicate":
         _ray_init(a.num_cpus)
-        from .pipelines.replicate import run_replication
+        kw = dict(num_partitions=a.partitions, partition_mode=a.mode,
+                  upto_lsn=a.upto_lsn, exchange=a.exchange,
+                  primary_key=tuple(a.primary_key.split(",")))
+        if a.follow:
+            import signal
+            import threading
 
-        s = run_replication(a.log, a.lake, num_partitions=a.partitions,
-                            partition_mode=a.mode, upto_lsn=a.upto_lsn,
-                            exchange=a.exchange,
-                            primary_key=tuple(a.primary_key.split(",")))
+            from .pipelines.replicate import follow_replication
+
+            ev = threading.Event()
+
+            def _graceful(_sig, _frm):
+                ev.set()  # loop flushes pending events, then exits
+
+            signal.signal(signal.SIGINT, _graceful)
+            signal.signal(signal.SIGTERM, _graceful)
+            s = follow_replication(
+                a.log, a.lake, poll_interval_s=a.poll_interval,
+                max_polls=a.max_polls, idle_polls_to_stop=a.idle_stop,
+                stop_event=ev, **kw)
+        else:
+            from .pipelines.replicate import run_replication
+
+            s = run_replication(a.log, a.lake, **kw)
         print(json.dumps(s))
         import ray
 
         ray.shutdown()
+        return 0
+
+    if a.cmd == "stop":
+        from .pipelines.replicate import request_stop
+
+        request_stop(a.lake)
+        print(json.dumps({"stop_requested": a.lake}))
         return 0
 
     if a.cmd == "vacuum":

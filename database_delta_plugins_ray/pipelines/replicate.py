@@ -37,9 +37,26 @@ from ..state.ddl import Registry, build_registry
 
 
 def log_max_lsn(log_dir: str) -> int:
-    """Max lsn across segments from Parquet footer statistics (no data read)."""
+    """Max lsn across segments from Parquet footer statistics (no data
+    read). Fast path: trust the generator/ingest ``meta.json`` when its
+    segment list still matches the directory — skips the driver-side
+    footer loop on the replay critical path entirely."""
     import pyarrow.parquet as pq
 
+    meta_path = os.path.join(log_dir, "meta.json")
+    if os.path.exists(meta_path):
+        try:
+            import json as _json
+
+            with open(meta_path) as fh:
+                meta = _json.load(fh)
+            segs = meta.get("segments")
+            if meta.get("max_lsn") is not None and segs is not None and set(
+                segs
+            ) == {os.path.basename(f) for f in log_files(log_dir)}:
+                return int(meta["max_lsn"])
+        except (OSError, ValueError, KeyError):
+            pass
     mx = 0
     for f in log_files(log_dir):
         md = pq.ParquetFile(f).metadata
@@ -498,6 +515,112 @@ def _fragment_exchange(ds, lake_dir: str, reg_ref, payload_columns,
         except OSError:
             pass
     return rows
+
+
+# ---------------------------------------------------------------------------
+# continuous tail (follow mode)
+# ---------------------------------------------------------------------------
+
+#: graceful-stop request marker inside the lake checkpoint dir — the
+#: cross-process analog of the reference's StopContext signal
+#: (EventReader.stop, MySqlEventReader.java:176-185)
+_STOP_FILE = "STOP"
+
+
+def request_stop(lake_dir: str) -> None:
+    """Ask a running follow loop on this lake to stop gracefully. The loop
+    finishes its current poll, runs one final drain (flush-on-stop), then
+    exits and consumes the marker — the StopContext analog."""
+    d = os.path.join(lake_dir, ckpt.CHECKPOINT_DIR)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, _STOP_FILE + f".tmp.{os.getpid()}")
+    with open(tmp, "w") as fh:
+        fh.write(str(time.time()))
+    os.replace(tmp, os.path.join(d, _STOP_FILE))
+
+
+def _stop_file(lake_dir: str) -> str:
+    return os.path.join(lake_dir, ckpt.CHECKPOINT_DIR, _STOP_FILE)
+
+
+def follow_replication(
+    log_dir: str,
+    lake_dir: str,
+    *,
+    poll_interval_s: float = 1.0,
+    max_polls: int | None = None,
+    idle_polls_to_stop: int | None = None,
+    stop_event=None,
+    on_poll=None,
+    **repl_kwargs,
+) -> dict:
+    """Continuous-tail mode: poll the log directory until stopped — the
+    long-lived replication job the reference runs (EventReader.start/stop
+    lifecycle, MySqlEventReader.java:85-185; offset flush interval analog
+    is ``poll_interval_s``, :106).
+
+    Each poll is a full incremental ``run_replication``: new segments (or
+    new events in existing segments past the watermark) are drained; a
+    caught-up poll is a footer-stats no-op (~tens of ms). Stop paths:
+
+    * ``stop_event`` (``threading.Event``) — in-process graceful stop
+      (the CLI wires SIGINT/SIGTERM to it);
+    * ``request_stop(lake_dir)`` — cross-process graceful stop marker;
+    * ``max_polls`` / ``idle_polls_to_stop`` — bounded runs for tests
+      and batch drains.
+
+    Graceful stop FLUSHES: when a stop is observed, one final poll drains
+    everything that appeared since the previous poll before returning
+    (the reference's shutdownNow + 2-minute-await drain,
+    MySqlEventReader.java:176-185). A SIGKILL instead is the crash case:
+    the next follow/replication run resumes exactly-once off the
+    watermark fences — no flush needed for correctness, only latency.
+
+    Returns a summary: polls run, events applied, last lsn, stop reason.
+    """
+    import threading
+
+    if stop_event is None:
+        stop_event = threading.Event()
+    polls = 0
+    applied = 0
+    idle = 0
+    last: dict = {}
+    stopped_by = "max_polls"
+    while True:
+        stopping = stop_event.is_set() or os.path.exists(_stop_file(lake_dir))
+        s = run_replication(log_dir, lake_dir, **repl_kwargs)
+        polls += 1
+        applied += s["events_applied"]
+        idle = idle + 1 if s["events_applied"] == 0 else 0
+        last = s
+        if on_poll is not None:
+            on_poll(s)
+        if stopping:
+            # this poll WAS the flush: everything visible at stop time
+            # is applied and fenced
+            stopped_by = ("stop_event" if stop_event.is_set()
+                          else "stop_file")
+            break
+        if max_polls is not None and polls >= max_polls:
+            stopped_by = "max_polls"
+            break
+        if idle_polls_to_stop is not None and idle >= idle_polls_to_stop:
+            stopped_by = "idle"
+            break
+        stop_event.wait(poll_interval_s)
+    try:
+        os.remove(_stop_file(lake_dir))  # consume the request, if any
+    except OSError:
+        pass
+    return {
+        "polls": polls,
+        "events_applied": applied,
+        "rows": last.get("rows", 0),
+        "live_rows": last.get("live_rows", 0),
+        "last_lsn": last.get("last_lsn", 0),
+        "stopped_by": stopped_by,
+    }
 
 
 def _payload_columns(registry: Registry, columns, compute_sha: bool) -> list[str]:

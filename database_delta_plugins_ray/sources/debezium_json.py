@@ -246,37 +246,49 @@ def jsonl_to_segments(paths: str | list[str], seg_dir: str,
     lsn within each written file) so the Parquet-native replication path —
     pruned reads, footer watermark short-circuits — applies unchanged.
     Returns the meta dict written alongside (same contract as the
-    generators')."""
-    import ray.data
+    generators').
+
+    Fully distributed: read tasks parse envelopes and WRITE segments
+    directly (named by their lsn range, so a replayed task overwrites
+    rather than duplicates); the driver only assembles ``meta.json`` from
+    the per-task stats rows — no event ever crosses the driver. Segment
+    order on disk is irrelevant to replication (per-key lsn order is
+    what matters) and the footer-stats pushdowns key off lsn ranges."""
+    import ray.data  # noqa: F401  (read path initializes Ray Data)
 
     os.makedirs(seg_dir, exist_ok=True)
+    # seg_dir is owned by this materialization: stale segments from a
+    # crashed earlier run (possibly different batching -> different names)
+    # would otherwise double-count events next to this run's files
+    for f in os.listdir(seg_dir):
+        if f.startswith("seg-"):
+            os.remove(os.path.join(seg_dir, f))
     ds = read_debezium_jsonl(paths)
 
-    written = {"i": 0}
-
-    def write_seg(tbl: pa.Table) -> None:
+    def write_seg(tbl: pa.Table) -> pa.Table:
+        stats_schema = pa.schema(
+            [("file", pa.string()), ("rows", pa.int64()),
+             ("max_lsn", pa.int64())])
+        if tbl.num_rows == 0:
+            return stats_schema.empty_table()
         tbl = tbl.sort_by("lsn")
-        i = written["i"]
-        written["i"] += 1
-        fname = os.path.join(seg_dir, f"seg-{i:05d}.parquet")
-        tmp = fname + f".tmp.{os.getpid()}"
+        lo = int(tbl["lsn"][0].as_py())
+        hi = int(tbl["lsn"][-1].as_py())
+        fname = f"seg-{lo:020d}-{hi:020d}-{tbl.num_rows}.parquet"
+        out = os.path.join(seg_dir, fname)
+        tmp = out + f".tmp.{os.getpid()}"
         pq.write_table(tbl, tmp)
-        os.replace(tmp, fname)
+        os.replace(tmp, out)
+        return pa.table({"file": [fname], "rows": [tbl.num_rows],
+                         "max_lsn": [hi]}, schema=stats_schema)
 
-    # iter_batches streams blocks to the driver writer sequentially so
-    # segment numbering is deterministic; segment-local sorting is enough
-    # (replication orders by lsn per key, not per file)
-    total, max_lsn = 0, 0
-    for batch in ds.iter_batches(batch_size=rows_per_segment,
-                                 batch_format="pyarrow"):
-        if batch.num_rows == 0:
-            continue
-        write_seg(batch)
-        total += batch.num_rows
-        max_lsn = max(max_lsn, int(pc.max(batch["lsn"]).as_py()))
-    meta = {"total_events": total, "max_lsn": max_lsn,
-            "segments": [f for f in sorted(os.listdir(seg_dir))
-                         if f.startswith("seg-")],
+    stats = ds.map_batches(
+        write_seg, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=rows_per_segment,
+    ).take_all()
+    meta = {"total_events": int(sum(r["rows"] for r in stats)),
+            "max_lsn": int(max((r["max_lsn"] for r in stats), default=0)),
+            "segments": sorted(r["file"] for r in stats),
             "source_format": "debezium-jsonl"}
     tmp = os.path.join(seg_dir, f"meta.json.tmp.{os.getpid()}")
     with open(tmp, "w") as fh:
