@@ -42,6 +42,7 @@ from ..model import (
     PAYLOAD_STRUCT,
     event_log_schema,
 )
+from ..state.offsets import Lsn
 
 #: engine op -> Debezium envelope op code (public Debezium contract:
 #: c=create, u=update, d=delete, r=snapshot read)
@@ -54,29 +55,50 @@ def _split_table(table: str) -> tuple[str, str]:
     return (db, name) if name else ("", table)
 
 
-def write_debezium_jsonl(log_dir: str, out_dir: str) -> list[str]:
+def write_debezium_jsonl(log_dir: str, out_dir: str,
+                         composite: bool = False) -> list[str]:
     """Export every ``seg-*.parquet`` log segment as a Debezium-envelope
     ``.jsonl`` file (one JSON envelope per line). Interop/fixture writer —
-    runs on the driver; sized for test fixtures, not the 10^10 log."""
+    runs on the driver; sized for test fixtures, not the 10^10 log.
+
+    ``composite=True`` emits SQL-Server-shaped positions — hex
+    ``change_lsn`` / ``commit_lsn`` pairs plus ``snapshot_completed``
+    (SqlServerOffset.java:33-55) — instead of the integer ``pos``; the
+    reader maps them back through the Lsn bridge."""
     os.makedirs(out_dir, exist_ok=True)
     out_files = []
     for fname in sorted(os.listdir(log_dir)):
         if not fname.startswith("seg-") or not fname.endswith(".parquet"):
             continue
         tbl = pq.read_table(os.path.join(log_dir, fname))
+        max_lsn = int(pc.max(tbl["lsn"]).as_py()) if tbl.num_rows else 0
         out = os.path.join(out_dir, fname.replace(".parquet", ".jsonl"))
         tmp = out + f".tmp.{os.getpid()}"
         with open(tmp, "w") as fh:
             for row in tbl.to_pylist():
                 db, name = _split_table(row["table"])
-                src = {
-                    "db": db,
-                    "table": name,
-                    "pos": row["lsn"],
-                    "txId": row["tx_id"],
-                    "snapshot": bool(row["is_snapshot"]),
-                    "schema_version": row["schema_version"],
-                }
+                if composite:
+                    src = {
+                        "db": db,
+                        "table": name,
+                        "change_lsn": str(Lsn.from_int(row["lsn"])),
+                        # commit of the enclosing "transaction": the
+                        # segment's last change (fixture semantics)
+                        "commit_lsn": str(Lsn.from_int(max_lsn)),
+                        "txId": row["tx_id"],
+                        "snapshot": bool(row["is_snapshot"]),
+                        "snapshot_completed": not bool(row["is_snapshot"]),
+                        "schema_version": row["schema_version"],
+                    }
+                else:
+                    src = {
+                        "db": db,
+                        "table": name,
+                        "pos": row["lsn"],
+                        "txId": row["tx_id"],
+                        "snapshot": bool(row["is_snapshot"]),
+                        "schema_version": row["schema_version"],
+                    }
                 ts = row["ingest_ts"]
                 if hasattr(ts, "timestamp"):
                     # stored timestamps are UTC wall-clock; a naive
@@ -168,14 +190,36 @@ def _convert_envelopes(batch: pa.Table) -> pa.Table:
     after = (_to_struct(pc.struct_field(pay, "after"), PAYLOAD_STRUCT)
              if "after" in have else pa.nulls(len(pay), type=PAYLOAD_STRUCT))
 
+    src_names = {src.type.field(i).name for i in range(src.type.num_fields)}
     sv = (pc.cast(pc.struct_field(src, "schema_version"), pa.int32())
-          if "schema_version" in {src.type.field(i).name
-                                  for i in range(src.type.num_fields)}
+          if "schema_version" in src_names
           else pa.nulls(len(pay), type=pa.int32()))
+    lsn = (pc.cast(pc.struct_field(src, "pos"), pa.int64())
+           if "pos" in src_names else pa.nulls(len(pay), type=pa.int64()))
+    if "change_lsn" in src_names:
+        # composite SQL-Server positions: change_lsn hex -> the engine's
+        # int64 via the byte-order-preserving Lsn bridge
+        # (SqlServerOffset.java:33-94; ordering is change-lsn order)
+        ch = pc.struct_field(src, "change_lsn")
+        if pc.any(pc.is_valid(ch)).as_py():
+            ints = pa.array(
+                [Lsn.parse(x).to_int() if x is not None else None
+                 for x in ch.to_pylist()],
+                pa.int64(),
+            )
+            lsn = pc.if_else(pc.is_valid(lsn), lsn, ints)
+    tx = (pc.cast(pc.struct_field(src, "txId"), pa.string())
+          if "txId" in src_names else pa.nulls(len(pay), type=pa.string()))
+    if "commit_lsn" in src_names:
+        # SQL Server synthesizes the transaction id from the COMMIT lsn
+        # when the feed carries none (SqlServerRecordConsumer.java:205-222)
+        tx = pc.if_else(
+            pc.is_valid(tx), tx,
+            pc.cast(pc.struct_field(src, "commit_lsn"), pa.string()))
     out = pa.table(
         {
-            "lsn": pc.cast(pc.struct_field(src, "pos"), pa.int64()),
-            "tx_id": pc.cast(pc.struct_field(src, "txId"), pa.string()),
+            "lsn": lsn,
+            "tx_id": tx,
             "op": op,
             "table": table,
             "before": before,
@@ -210,6 +254,11 @@ def envelope_schema() -> pa.Schema:
         pa.field("db", pa.string()),
         pa.field("table", pa.string()),
         pa.field("pos", pa.int64()),
+        # SQL-Server-shaped composite positions (SqlServerOffset.java:33-55)
+        # — either pos OR change_lsn must be present per envelope
+        pa.field("change_lsn", pa.string()),
+        pa.field("commit_lsn", pa.string()),
+        pa.field("snapshot_completed", pa.bool_()),
         pa.field("txId", pa.string()),
         pa.field("snapshot", pa.bool_()),
         pa.field("schema_version", pa.int32()),

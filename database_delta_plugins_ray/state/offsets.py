@@ -1,0 +1,181 @@
+"""Composite source offsets — the SQL-Server-style two-level position
+surface (SqlServerOffset.java:33-123) mapped onto the engine's monotone
+``int64 lsn`` ordering.
+
+The reference tracks ``(change_lsn, commit_lsn)`` hex positions plus
+``snapshot`` / ``snapshot_completed`` flags and the ``ddl_event_sent``
+table set, serialized as a string map (SqlServerOffset.getAsOffset,
+:63-80); resume fencing compares CHANGE lsns only — an event is skipped
+iff it is not a snapshot event AND its offset isBeforeOrAt the resume
+offset (SqlServerRecordConsumer.java:93-97, SqlServerOffset.java:91-94).
+LSN comparison follows Debezium's public ``Lsn`` semantics: a 10-byte
+binary compared byte-wise, rendered ``VVVVVVVV:BBBBBBBB:RRRR`` hex
+(virtual-log-file : block : record), with NULL ordering below every
+valid LSN.
+
+Internally the engine keeps ONE monotone int64 per event; the composite
+surface round-trips through it: ``Lsn.from_int`` packs the int64 into
+(vlf, block, record) so that integer order == byte-wise LSN order, and
+``Lsn.to_int`` inverts it. A real Debezium SQL Server feed's positions
+(arbitrary hex LSNs) map in via ``Lsn.to_int`` directly — byte order is
+preserved because the 10-byte value IS the integer, big-endian.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+#: offset-map keys (public Debezium SourceInfo / reference constants:
+#: SqlServerOffset.java:36-55, SqlServerConstantOffsetBackingStore.java:37)
+CHANGE_LSN_KEY = "change_lsn"
+COMMIT_LSN_KEY = "commit_lsn"
+SNAPSHOT_KEY = "snapshot"
+SNAPSHOT_COMPLETED_KEY = "snapshot_completed"
+DDL_EVENT_SENT_KEY = "ddl_event_sent"
+_DELIMITER = ","  # SqlServerOffset.java:34
+
+
+@functools.total_ordering
+class Lsn:
+    """Debezium-style SQL Server LSN value object: 10 bytes, byte-wise
+    comparable, hex-rendered in three parts. ``Lsn.NULL`` (from a missing
+    or unparseable string) sorts below every valid LSN — matching
+    ``Lsn.valueOf(null).compareTo(...)`` in the public Debezium source."""
+
+    __slots__ = ("_bytes",)
+
+    def __init__(self, raw: bytes | None) -> None:
+        self._bytes = raw if raw else None
+
+    @classmethod
+    def parse(cls, text: str | None) -> "Lsn":
+        if not text:
+            return cls(None)
+        try:
+            parts = text.split(":")
+            if len(parts) != 3:
+                return cls(None)
+            vlf, block, rec = (int(p, 16) for p in parts)
+            return cls(vlf.to_bytes(4, "big") + block.to_bytes(4, "big")
+                       + rec.to_bytes(2, "big"))
+        except (ValueError, OverflowError):
+            return cls(None)
+
+    @classmethod
+    def from_int(cls, v: int) -> "Lsn":
+        """Pack the engine's monotone int64 so integer order == LSN byte
+        order: high bits -> vlf, middle -> block, low 16 -> record."""
+        if v < 0:
+            raise ValueError("engine lsns are non-negative")
+        rec = v & 0xFFFF
+        block = (v >> 16) & 0xFFFFFFFF
+        vlf = v >> 48
+        if vlf > 0xFFFFFFFF:
+            raise ValueError("lsn exceeds the 80-bit composite range")
+        return cls(vlf.to_bytes(4, "big") + block.to_bytes(4, "big")
+                   + rec.to_bytes(2, "big"))
+
+    def to_int(self) -> int:
+        """The 10-byte value as an integer (big-endian) — byte-wise LSN
+        order IS integer order, so fences can stay int comparisons."""
+        if self._bytes is None:
+            return -1  # NULL sorts below every valid lsn (>= 0)
+        return int.from_bytes(self._bytes, "big")
+
+    @property
+    def is_available(self) -> bool:
+        return self._bytes is not None
+
+    def __str__(self) -> str:
+        if self._bytes is None:
+            return "NULL"
+        b = self._bytes
+        return (f"{int.from_bytes(b[0:4], 'big'):08x}:"
+                f"{int.from_bytes(b[4:8], 'big'):08x}:"
+                f"{int.from_bytes(b[8:10], 'big'):04x}")
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, Lsn) and self.to_int() == other.to_int()
+
+    def __lt__(self, other: "Lsn") -> bool:
+        return self.to_int() < other.to_int()
+
+    def __hash__(self) -> int:
+        return hash(self.to_int())
+
+
+@dataclass(frozen=True)
+class CompositeOffset:
+    """SqlServerOffset analog: (change_lsn, commit_lsn, snapshot flags,
+    ddl_event_sent) with the reference's comparability and string-map
+    serialization contract."""
+
+    change_lsn: str | None = None
+    commit_lsn: str | None = None
+    snapshot: bool = False
+    snapshot_completed: bool = True  # default per SqlServerOffset.java:52-54
+    ddl_event_sent: frozenset[str] = field(default_factory=frozenset)
+
+    def is_before_or_at(self, other: "CompositeOffset") -> bool:
+        """SqlServerOffset.isBeforeOrAt (:91-94): CHANGE lsns only;
+        commit_lsn and flags do not participate in the comparison."""
+        return Lsn.parse(self.change_lsn) <= Lsn.parse(other.change_lsn)
+
+    def should_skip_on_resume(self, resume: "CompositeOffset") -> bool:
+        """The duplicate-replay fence exactly as the consumer applies it
+        (SqlServerRecordConsumer.java:93-97): replayed events at or below
+        the resume position are dropped — EXCEPT snapshot events, which
+        all share one offset and must re-apply on a snapshot restart."""
+        return (not self.snapshot) and self.is_before_or_at(resume)
+
+    # -- string-map serialization (SqlServerOffset.getAsOffset, :63-80) --
+
+    def as_map(self) -> dict[str, str]:
+        out: dict[str, str] = {}
+        if self.change_lsn is not None:
+            out[CHANGE_LSN_KEY] = self.change_lsn
+        if self.commit_lsn is not None:
+            out[COMMIT_LSN_KEY] = self.commit_lsn
+        out[SNAPSHOT_KEY] = "true" if self.snapshot else "false"
+        out[SNAPSHOT_COMPLETED_KEY] = (
+            "true" if self.snapshot_completed else "false")
+        if self.ddl_event_sent:
+            out[DDL_EVENT_SENT_KEY] = _DELIMITER.join(
+                sorted(self.ddl_event_sent))
+        return out
+
+    @classmethod
+    def from_map(cls, m: dict[str, str]) -> "CompositeOffset":
+        sent = m.get(DDL_EVENT_SENT_KEY, "")
+        return cls(
+            change_lsn=m.get(CHANGE_LSN_KEY),
+            commit_lsn=m.get(COMMIT_LSN_KEY),
+            snapshot=m.get(SNAPSHOT_KEY, "false").lower() == "true",
+            snapshot_completed=m.get(
+                SNAPSHOT_COMPLETED_KEY, "true").lower() == "true",
+            ddl_event_sent=frozenset(
+                t for t in sent.split(_DELIMITER) if t),
+        )
+
+    # -- int64 bridge (the engine's internal ordering) --
+
+    def to_int(self) -> int:
+        """Engine watermark for this position (change-lsn ordering — the
+        same total order the comparator uses)."""
+        return Lsn.parse(self.change_lsn).to_int()
+
+    @classmethod
+    def from_int(cls, v: int, *, commit: int | None = None,
+                 snapshot: bool = False,
+                 snapshot_completed: bool = True,
+                 ddl_event_sent: frozenset[str] = frozenset()
+                 ) -> "CompositeOffset":
+        return cls(
+            change_lsn=str(Lsn.from_int(v)),
+            commit_lsn=(str(Lsn.from_int(commit))
+                        if commit is not None else None),
+            snapshot=snapshot,
+            snapshot_completed=snapshot_completed,
+            ddl_event_sent=ddl_event_sent,
+        )
