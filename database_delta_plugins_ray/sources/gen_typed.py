@@ -123,6 +123,13 @@ def typed_columns() -> list[TypedCol]:
         TypedCol("c_smallint", pa.int32(), "int32", None,
                  lambda h: pa.array((h(23) % 65536).astype(np.int64) - 32768, pa.int32()),
                  "CAST({c} AS BIGINT)", _i64),
+        # MEDIUMINT — the 33-column e2e fixture's COL20/COL21
+        # (pluginParameters.properties:28-58): 24-bit signed range; DDL
+        # maps it to INT (MySqlAntlrDdlParser.java:134-258)
+        TypedCol("c_mediumint", pa.int32(), "int32", None,
+                 lambda h: pa.array((h(55) % 16_777_216).astype(np.int64)
+                                    - 8_388_608, pa.int32()),
+                 "CAST({c} AS BIGINT)", _i64),
         TypedCol("c_int", pa.int32(), "int32", None,
                  lambda h: pa.array((h(24) % 2_000_000).astype(np.int64) - 1_000_000,
                                     pa.int32()),
@@ -136,6 +143,12 @@ def typed_columns() -> list[TypedCol]:
                  "CAST({c} AS BIGINT)", _i64),
         TypedCol("c_smallint_u", pa.int32(), "int32", "unsigned:SMALLINT",
                  lambda h: pa.array((h(27) % 65536).astype(np.int64), pa.int32()),
+                 "CAST({c} AS BIGINT)", _i64),
+        # MEDIUMINT UNSIGNED widens to int32 like the other narrow
+        # unsigneds (MySqlValueConverters.java:270-300)
+        TypedCol("c_mediumint_u", pa.int32(), "int32", "unsigned:MEDIUMINT",
+                 lambda h: pa.array((h(56) % 16_777_216).astype(np.int64),
+                                    pa.int32()),
                  "CAST({c} AS BIGINT)", _i64),
         TypedCol("c_int_u", pa.int64(), "int64", "unsigned:INT",
                  lambda h: pa.array((h(28) % 2**32).astype(np.int64)),
