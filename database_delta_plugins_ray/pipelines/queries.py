@@ -291,6 +291,42 @@ def cdc_truncate_fence(sf_dir: str):
     )
 
 
+def cdc_ddl_blacklist(sf_dir: str):
+    """DDL blacklist (M10, MySqlRecordConsumer.java:347-356): ALTER_TABLE
+    events of the table are suppressed when building the registry — the
+    engine never learns the added ``stars`` column or the lang->language
+    rename, so the lake keeps the CREATE-time schema; post-rename events
+    carry ``language``, which no longer maps to the frozen ``lang``
+    column (null), exactly like a reference target that never saw the
+    DDL."""
+    from ..model import DEFAULT_TABLE
+    from ..state.ddl import build_registry
+
+    log = ensure_log(sf_dir)
+    lake = fresh_lake(sf_dir, "lake_ddlblk")
+    reg = build_registry(log, ddl_blacklist={(DEFAULT_TABLE, "ALTER_TABLE")})
+    run_replication(log, lake, num_partitions=8, registry=reg)
+    return final_state(
+        lake, columns=["repo", "path", "commit", "lang", "content_sha",
+                       "_sequence_num"])
+
+
+def cdc_first_seen_synthesis(sf_dir: str):
+    """First-seen DDL synthesis (M17, SqlServerRecordConsumer.java:154-202):
+    a log with NO DDL events at all (no snapshot prefix, no ALTER plan) —
+    the registry synthesizes CREATE_TABLE from the first DML's payload
+    struct + primary key. The synthesized schema carries every payload
+    field; fields only ever populated by ALTERed versions (stars,
+    language) stay null throughout."""
+    log = ensure_variant_log(sf_dir, "noddl_log", ddl_plan=False,
+                             snapshot=False)
+    lake = fresh_lake(sf_dir, "lake_noddl")
+    run_replication(log, lake, num_partitions=8)
+    return final_state(
+        lake, columns=["repo", "path", "commit", "lang", "stars", "language",
+                       "content_sha", "_sequence_num"])
+
+
 def cdc_all_datatypes(sf_dir: str):
     """End-to-end replication of the ALL-DATATYPES table: the reference's
     type-conformance core (33-column e2e fixture, pluginParameters.
@@ -415,6 +451,48 @@ SELECT k_repo AS repo, k_path AS path, "commit", lang, content_sha,
        lsn AS _sequence_num
 FROM ranked WHERE rn = 1 AND op <> 'D'
 """,
+        # ALTERs never applied: lang is frozen at CREATE shape — post-rename
+        # events' values live in `language` and do NOT reach the lang column
+        "cdc_ddl_blacklist": f"""
+WITH ev AS (
+  SELECT lsn, op,
+         coalesce(after.repo, before.repo)  AS k_repo,
+         coalesce(after.path, before.path)  AS k_path,
+         after."commit" AS "commit",
+         after.lang AS lang,
+         sha256(after.content) AS content_sha
+  FROM read_parquet('{glob}')
+  WHERE op <> 'DDL'
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY k_repo, k_path ORDER BY lsn DESC) AS rn
+  FROM ev
+)
+SELECT k_repo AS repo, k_path AS path, "commit", lang, content_sha,
+       lsn AS _sequence_num
+FROM ranked WHERE rn = 1 AND op <> 'D'
+""",
+        "cdc_first_seen_synthesis": f"""
+WITH ev AS (
+  SELECT lsn, op,
+         coalesce(after.repo, before.repo)  AS k_repo,
+         coalesce(after.path, before.path)  AS k_path,
+         after."commit" AS "commit",
+         after.lang AS lang,
+         after.stars AS stars,
+         after.language AS language,
+         sha256(after.content) AS content_sha
+  FROM read_parquet('{_variant_glob(sf, "noddl_log")}')
+  WHERE op <> 'DDL'
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY k_repo, k_path ORDER BY lsn DESC) AS rn
+  FROM ev
+)
+SELECT k_repo AS repo, k_path AS path, "commit", lang, stars, language,
+       content_sha, lsn AS _sequence_num
+FROM ranked WHERE rn = 1 AND op <> 'D'
+""",
         "cdc_truncate_fence": f"""
 WITH fence AS (
   SELECT coalesce(max(lsn), 0) AS f
@@ -454,6 +532,8 @@ CDC_QUERIES = {
     "cdc_all_datatypes": cdc_all_datatypes,
     "cdc_projection": cdc_projection,
     "cdc_dml_blacklist": cdc_dml_blacklist,
+    "cdc_ddl_blacklist": cdc_ddl_blacklist,
+    "cdc_first_seen_synthesis": cdc_first_seen_synthesis,
     "cdc_table_filter": cdc_table_filter,
     "cdc_truncate_fence": cdc_truncate_fence,
 }
