@@ -1,12 +1,15 @@
 """Multimodal columns: images/audio/video as opaque ``binary`` columns with
 typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The real decode libraries (PIL/opencv/librosa) are NOT in this container,
-so the decode kernels are STUBBED behind an import-try: when the library is
-missing, a clearly-marked deterministic fake decode produces stable feature
-values from the bytes themselves. The Ray-side plumbing — schema, batch
-sizing for large payloads, actor signature, output layout — is real and
-tested.
+Decode paths, in preference order:
+
+1. PIL/opencv when importable (not in this container);
+2. REAL pure-stdlib decoders for PNG and WAV/PCM payloads
+   (functions/media.py — actual pixel/sample decode, no fakes);
+3. a clearly-marked deterministic STUB for every other format: stable
+   feature values derived from the bytes themselves, so the Ray-side
+   plumbing — schema, batch sizing for large payloads, actor signature,
+   output layout — stays real, tested, and oracle-gated.
 
 Scale notes: binary payloads are large -> use small ``batch_size`` and keep
 ``batch_format="pyarrow"`` (pandas would copy the buffers into object
@@ -21,6 +24,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from ..functions import media as mediacodec
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -43,10 +48,12 @@ def _fake_u64(b: bytes, salt: bytes) -> int:
 class DecodeImageStub:
     """Actor-pool image decode stage.
 
-    With PIL installed this would decode to (width, height, mode); in this
-    container it deterministically derives fake dimensions from the payload
-    bytes (STUB — see module docstring). Output schema is identical either
-    way, so downstream stages are real."""
+    PNG payloads get a REAL header decode (width/height/channels straight
+    from IHDR — functions/media.py, pure stdlib); PIL handles other
+    formats when importable; everything else falls back to deterministic
+    fake dimensions derived from the payload bytes (STUB — see module
+    docstring). Output schema is identical on every path, so downstream
+    stages are real."""
 
     def __init__(self) -> None:
         try:  # pragma: no cover - PIL absent in this container
@@ -60,7 +67,9 @@ class DecodeImageStub:
         medias = batch["media"].to_pylist()
         widths, heights, channels = [], [], []
         for b in medias:
-            if self._pil is not None:  # pragma: no cover
+            if mediacodec.is_png(b):
+                w, h, c = mediacodec.png_info(b)  # REAL decode
+            elif self._pil is not None:  # pragma: no cover
                 import io
 
                 with self._pil.open(io.BytesIO(b)) as im:
@@ -78,6 +87,51 @@ class DecodeImageStub:
             batch.append_column("width", pa.array(widths, pa.int32()))
             .append_column("height", pa.array(heights, pa.int32()))
             .append_column("channels", pa.array(channels, pa.int32()))
+        )
+
+
+class DecodeAudio:
+    """Actor-pool audio decode: WAV/PCM payloads are decoded for REAL
+    (stdlib wave + numpy) into (channels, sample_rate, duration_ms, rms);
+    non-WAV payloads fall back to the deterministic stub so mixed batches
+    keep one output schema."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        chans, rates, durs, rms = [], [], [], []
+        for b in batch["media"].to_pylist():
+            if mediacodec.is_wav(b):
+                x, rate = mediacodec.decode_wav(b)
+                chans.append(x.shape[1])
+                rates.append(rate)
+                durs.append(int(len(x) * 1000 / rate))
+                rms.append(float(np.sqrt(np.mean(np.square(x)))))
+            else:  # STUB fallback (deterministic, bytes-derived)
+                chans.append(1 + _fake_u64(b, b"c") % 2)
+                rates.append(8000)
+                durs.append(_fake_u64(b, b"d") % 60_000)
+                rms.append((_fake_u64(b, b"r") % 10_000) / 10_000.0)
+        return (
+            batch.append_column("channels", pa.array(chans, pa.int32()))
+            .append_column("sample_rate", pa.array(rates, pa.int32()))
+            .append_column("duration_ms", pa.array(durs, pa.int64()))
+            .append_column("rms", pa.array(rms, pa.float32()))
+        )
+
+
+class ImagePixelStats:
+    """Actor-pool FULL-pixel feature stage for PNG payloads: mean/std of
+    the real decoded pixels per channel-mean. Exercises the complete
+    decode (unfiltering incl. Paeth), not just the header."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        means, stds = [], []
+        for b in batch["media"].to_pylist():
+            px = mediacodec.decode_png(b).astype(np.float32)
+            means.append(float(px.mean()))
+            stds.append(float(px.std()))
+        return (
+            batch.append_column("px_mean", pa.array(means, pa.float32()))
+            .append_column("px_std", pa.array(stds, pa.float32()))
         )
 
 
