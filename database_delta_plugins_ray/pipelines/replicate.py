@@ -104,6 +104,7 @@ def run_replication(
     scatter_batch_size: int | None = None,
     fragment_buckets: int | None = None,
     normalize_parallelism: int | None = None,
+    snapshot_restart: str = "continue",
 ) -> dict:
     """Replay the event log into the Parquet lake; returns a lineage summary.
 
@@ -172,6 +173,22 @@ def run_replication(
         with open(tmp, "w") as fh:
             _json.dump(lake_cfg, fh)
         os.replace(tmp, cfg_path)
+
+    snapshot_restarted = False
+    if snapshot_restart == "wipe":
+        # mid-snapshot restart semantics (MySqlEventReader.java:144-155 /
+        # SqlServerEventReader.java:142-154): a lake with partition commits
+        # but NO completed run (the global watermark is written only after
+        # a successful run) is a crash inside the initial snapshot — all
+        # snapshot events share one offset, so a resume cannot position
+        # inside the snapshot; wipe the DDL history and partition state
+        # and restart the snapshot from scratch.
+        if (ckpt.all_manifests(lake_dir)
+                and ckpt.read_global_watermark(lake_dir) == 0):
+            _wipe_lake_state(lake_dir)
+            snapshot_restarted = True
+    elif snapshot_restart != "continue":
+        raise ValueError(f"unknown snapshot_restart mode {snapshot_restart!r}")
 
     watermark = ckpt.min_watermark(lake_dir, num_partitions)
     t_reg = time.time()
@@ -331,8 +348,32 @@ def run_replication(
         "wall_s": wall,
         "events_per_s": applied / wall if wall > 0 else 0.0,
         "resume_watermark": watermark,
+        "snapshot_restarted": snapshot_restarted,
         "phases": phases,
     }
+
+
+def _wipe_lake_state(lake_dir: str) -> None:
+    """Wipe-and-restart support (the DBSchemaHistory wipe analog,
+    MySqlEventReader.java:149-155): delete partition state files +
+    manifests, the persisted schema history, the stray fragments of the
+    crashed run — keep the pinned partitioning config (lake_config)."""
+    import glob as _glob
+    import shutil as _shutil
+
+    for m in ckpt.all_manifests(lake_dir).values():
+        for f in (m.get("files") or [m["file"]]):
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+    cdir = os.path.join(lake_dir, ckpt.CHECKPOINT_DIR)
+    for p in _glob.glob(os.path.join(cdir, "part-*.json")):
+        os.remove(p)
+    hist = os.path.join(cdir, "schema_history.jsonl")
+    if os.path.exists(hist):
+        os.remove(hist)
+    _shutil.rmtree(os.path.join(lake_dir, "_fragments"), ignore_errors=True)
 
 
 def _fragment_exchange(ds, lake_dir: str, reg_ref, payload_columns,

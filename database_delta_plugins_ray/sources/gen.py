@@ -78,6 +78,11 @@ class GenConfig:
     table: str = DEFAULT_TABLE
     n_tables: int = 1  # keys spread over N tables: <table>, <table>_1, ...
     content_pad: int = 160  # approximate bytes of content body
+    #: reference edge (MySqlEventReader.java:144-155): all snapshot DATA
+    #: events share ONE offset — a resume cannot position inside the
+    #: snapshot, so mid-snapshot restarts re-dump from scratch. The DDL
+    #: prefix keeps distinct lsns (schema phase precedes the data phase).
+    snapshot_shared_offset: bool = False
 
     def table_names(self) -> list[str]:
         return [self.table] + [f"{self.table}_{i}" for i in range(1, self.n_tables)]
@@ -405,7 +410,11 @@ def generate_log(out_dir: str, cfg: GenConfig | None = None, **kw) -> dict:
             bkeys = np.arange(n_base, dtype=np.int64)
             bver = np.ones(n_base, dtype=np.int64)
             bsv = np.zeros(n_base, dtype=np.int32)
-            lsns = np.arange(lsn_cursor, lsn_cursor + n_base, dtype=np.int64)
+            if cfg.snapshot_shared_offset:
+                # one offset for the whole snapshot data phase
+                lsns = np.full(n_base, lsn_cursor + n_base - 1, dtype=np.int64)
+            else:
+                lsns = np.arange(lsn_cursor, lsn_cursor + n_base, dtype=np.int64)
             after = _payload_struct(bkeys, bver, bsv, np.ones(n_base, bool), cfg)
             tables.append(
                 pa.table(
@@ -500,6 +509,10 @@ def generate_log(out_dir: str, cfg: GenConfig | None = None, **kw) -> dict:
         "ddl_lsns": {
             str(int(l)): r[1] for l, r in zip(lsn_ddl, ddl_rows)
         },
+        "snapshot_shared_lsn": (
+            int(lsn_cursor - 1)
+            if (cfg.snapshot and cfg.snapshot_shared_offset and n_base)
+            else None),
     }
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as fh:
