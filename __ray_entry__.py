@@ -49,6 +49,8 @@ def oracle_sql() -> dict[str, str]:
                        ddl_plan=False)
     ensure_variant_log("/root/testdata/sf0.01", "trunc_log",
                        truncate_frac=0.5, ddl_plan=False)
+    ensure_variant_log("/root/testdata/sf0.01", "noddl_log",
+                       ddl_plan=False, snapshot=False)
     out = dict(cdc_oracle_sql("0.01"))
     try:
         from database_delta_plugins_ray.pipelines.analytics import ANALYTICS_ORACLE_SQL
