@@ -166,6 +166,28 @@ def _convert_envelopes(batch: pa.Table) -> pa.Table:
 
     ddl = (_to_struct(pc.struct_field(pay, "ddl"), DDL_STRUCT)
            if "ddl" in have else pa.nulls(len(pay), type=DDL_STRUCT))
+    if "ddl" in have:
+        # real Debezium schema-change envelopes carry RAW SQL in the ddl
+        # block; rewrite such rows to the engine's SQL route (op="SQL",
+        # payload={"sql": ...}) — state/sqlddl.py parses them at registry
+        # build (V14/V15 quoted-id + enum-escape semantics included)
+        raw_ddl = pc.struct_field(pay, "ddl")
+        if isinstance(raw_ddl, pa.ChunkedArray):
+            raw_ddl = raw_ddl.combine_chunks()
+        if (pa.types.is_struct(raw_ddl.type)
+                and "sql" in {raw_ddl.type.field(i).name
+                              for i in range(raw_ddl.type.num_fields)}):
+            sql = pc.cast(pc.struct_field(raw_ddl, "sql"), pa.string())
+            if pc.any(pc.is_valid(sql)).as_py():
+                rows = ddl.to_pylist() if not isinstance(ddl, pa.ChunkedArray) \
+                    else ddl.combine_chunks().to_pylist()
+                for i, stmt in enumerate(sql.to_pylist()):
+                    if stmt is not None:
+                        rows[i] = {"op": "SQL",
+                                   "table": (rows[i] or {}).get("table") or "",
+                                   "prev_table": "",
+                                   "payload": json.dumps({"sql": stmt})}
+                ddl = pa.array(rows, type=DDL_STRUCT)
     is_ddl = pc.is_valid(ddl)
 
     if "op" in have:
@@ -269,7 +291,10 @@ def envelope_schema() -> pa.Schema:
         pa.field("after", _json_safe(PAYLOAD_STRUCT)),
         pa.field("source", src),
         pa.field("ts_ms", pa.int64()),
-        pa.field("ddl", _json_safe(DDL_STRUCT)),
+        # structured ddl fields OR a raw `sql` statement (Debezium's
+        # schema-change-topic shape) — both accepted
+        pa.field("ddl", pa.struct(
+            list(_json_safe(DDL_STRUCT)) + [pa.field("sql", pa.string())])),
     ])
     return pa.schema([pa.field("payload", payload)])
 

@@ -402,6 +402,20 @@ def build_registry(log_dir: str, upto_lsn: int | None = None,
     for row in tbl.to_pylist():
         d = row["ddl"]
         t = d["table"] or row["table"]
+        if d["op"] == "SQL":
+            # raw-SQL DDL route (M11/V14/V15): the payload carries the
+            # statement text (the shape Debezium's schema-change topic
+            # emits); parse into structured events and apply each at this
+            # event's position
+            from .sqlddl import parse_ddl_sql
+
+            stmt = json.loads(d["payload"] or "{}").get("sql", "")
+            default_db = t.partition(".")[0] if "." in t else ""
+            for op2, t2, prev2, pay2 in parse_ddl_sql(stmt, default_db):
+                if ddl_blacklist and (t2, op2) in ddl_blacklist:
+                    continue
+                reg.apply(row["lsn"], op2, t2, prev2, pay2)
+            continue
         if ddl_blacklist and (t, d["op"]) in ddl_blacklist:
             # per-table DDL blacklist (M10, MySqlRecordConsumer.java:347-356)
             continue

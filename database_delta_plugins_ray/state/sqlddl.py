@@ -1,0 +1,355 @@
+"""MySQL DDL *text* front-end (V14/V15 + M11 SQL route).
+
+The engine's native DDL surface is structured (SURVEY.md §2.3), but real
+feeds — Debezium's schema-change topic in particular — carry raw SQL
+statements. This module parses the reference-relevant DDL statement
+family into the structured events ``Registry.apply`` consumes,
+re-implementing the reference parser's two quirky surfaces exactly:
+
+* **V15 — quoted identifiers**: char-wise quote-aware scan of
+  ``db``.``table`` ids: doubled-quote escape inside a component, dots
+  inside quotes are part of the name, any of `` ` ' " `` quotes
+  (MySqlAntlrDdlParser.parseQualifiedTableId, :286-322).
+* **V14 — enum/set option escaping**: strip quotes, then ``,`` ->
+  ``\\,``, ``\\'`` -> ``'``, ``''`` -> ``'``
+  (MySqlAntlrDdlParser.extractEnumAndSetOptions/escapeOption, :89-101).
+
+Type mapping follows the parser's DDL table (MySqlAntlrDdlParser.java:
+134-258 — TINYTEXT..LONGTEXT as text, YEAR as INTEGER, SERIAL as
+BIGINT, TIMESTAMP with zone vs DATETIME without) and the assessor rules
+(§1.2b), emitting the engine's portable type names + value-converter
+specs.
+
+Statements: CREATE/DROP DATABASE, CREATE TABLE (inline + table-level
+PRIMARY KEY), DROP TABLE, TRUNCATE [TABLE], RENAME TABLE a TO b, and
+ALTER TABLE with ADD [COLUMN] / RENAME COLUMN a TO b / MODIFY [COLUMN]
+/ CHANGE [COLUMN] a b type (rename + retype) / RENAME TO. One statement
+may expand to several structured events (CHANGE = rename then widen).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from ..model import (
+    DDL_ALTER_TABLE,
+    DDL_CREATE_DATABASE,
+    DDL_CREATE_TABLE,
+    DDL_DROP_DATABASE,
+    DDL_DROP_TABLE,
+    DDL_RENAME_TABLE,
+    DDL_TRUNCATE_TABLE,
+)
+
+_QUOTES = ("`", "'", '"')
+
+
+def is_quote(c: str) -> bool:
+    return c in _QUOTES
+
+
+def without_quotes(s: str) -> str:
+    """Strip one layer of surrounding quotes (any of ` ' ")."""
+    if len(s) >= 2 and is_quote(s[0]) and s[-1] == s[0]:
+        return s[1:-1]
+    return s
+
+
+def escape_option(option: str) -> str:
+    """V14 (MySqlAntlrDdlParser.escapeOption, :96-101): escape commas with
+    a backslash (comma is part of the option), collapse the two quote
+    escapes (backslash-quote and doubled quote) to a bare quote."""
+    return (option.replace(",", "\\,")
+            .replace("\\'", "'")
+            .replace("''", "'"))
+
+
+def extract_enum_and_set_options(raw_values: list[str]) -> list[str]:
+    """V14 (:89-94): raw quoted literal list -> parsed, escaped options."""
+    return [escape_option(without_quotes(v)) for v in raw_values]
+
+
+def split_qualified_id(text: str, default_db: str = "") -> tuple[str, str]:
+    """V15 (parseQualifiedTableId, :286-322): (db, name) from a possibly
+    quoted ``db.table`` id. Faithful char-wise scan: doubled-quote escape
+    inside a quoted component; a dot inside quotes is part of the name;
+    a foreign quote char inside quotes is literal."""
+    component: list[str] = []
+    db: str | None = None
+    last_quote = ""
+    i = 0
+    while i < len(text):
+        c = text[i]
+        if is_quote(c):
+            if not last_quote:
+                last_quote = c  # opening quote
+            elif last_quote == c:
+                if i + 1 < len(text) and text[i + 1] == c:
+                    component.append(c)  # escape by doubling
+                    i += 1
+                else:
+                    last_quote = ""  # closing quote
+            else:
+                component.append(c)  # other quote char is part of the name
+        elif c == "." and not last_quote:
+            db = "".join(component)
+            component = []
+        else:
+            component.append(c)
+        i += 1
+    return (db if db is not None else default_db), "".join(component)
+
+
+def qualified_table(text: str, default_db: str = "") -> str:
+    db, name = split_qualified_id(text.strip(), default_db)
+    return f"{db}.{name}" if db else name
+
+
+# ---------------------------------------------------------------------------
+# type mapping (MySqlAntlrDdlParser.java:134-258 + assessor §1.2b)
+# ---------------------------------------------------------------------------
+
+_PAREN_ARGS = re.compile(r"^\s*\(([^)]*)\)")
+
+
+def map_column_type(type_text: str) -> tuple[str, str | None]:
+    """MySQL column type text -> (portable type name, converter spec or
+    None). Handles length/precision args, UNSIGNED, ENUM/SET option
+    lists."""
+    t = type_text.strip()
+    m = re.match(r"^([A-Za-z]+)", t)
+    if not m:
+        raise ValueError(f"unparseable column type: {type_text!r}")
+    base = m.group(1).upper()
+    rest = t[m.end():]
+    args_m = _PAREN_ARGS.match(rest)
+    args = args_m.group(1) if args_m else ""
+    unsigned = bool(re.search(r"\bUNSIGNED\b", rest, re.I))
+
+    if base in ("ENUM", "SET"):
+        opts = extract_enum_and_set_options(_split_top_level(args))
+        kind = "enum" if base == "ENUM" else "set"
+        return "string", f"{kind}:" + ",".join(opts)
+    if base == "BIT":
+        return "bool", None
+    if base in ("BOOL", "BOOLEAN"):
+        return "bool", None
+    if base in ("TINYINT", "SMALLINT", "MEDIUMINT"):
+        if unsigned:
+            return "int32", f"unsigned:{base}"
+        return "int32", None
+    if base in ("INT", "INTEGER"):
+        if unsigned:
+            return "int64", "unsigned:INT"
+        return "int32", None
+    if base == "BIGINT":
+        if unsigned:
+            return "decimal(20,0)", "unsigned:BIGINT"
+        return "int64", None
+    if base == "SERIAL":  # :134-258 SERIAL -> BIGINT
+        return "int64", None
+    if base in ("REAL", "FLOAT"):
+        return "float32", None
+    if base in ("DOUBLE", "FLOAT8"):
+        return "float64", None
+    if base in ("DECIMAL", "NUMERIC", "FIXED", "DEC"):
+        if args:
+            parts = [p.strip() for p in args.split(",")]
+            p = int(parts[0])
+            s = int(parts[1]) if len(parts) > 1 else 0
+        else:
+            p, s = 10, 0  # MySQL default precision
+        return f"decimal({p},{s})", None
+    if base == "DATE":
+        return "date", None
+    if base == "TIME":
+        return "time_micros", None
+    # TIMESTAMP is zoned, DATETIME is local (:216-218)
+    if base == "TIMESTAMP":
+        return "timestamp_micros", None
+    if base == "DATETIME":
+        return "datetime", None
+    if base == "YEAR":  # YEAR -> INTEGER with 2-digit adjust (V9)
+        return "int32", "year"
+    if base in ("CHAR", "VARCHAR", "NCHAR", "NVARCHAR"):
+        return "string", None
+    if base in ("TINYTEXT", "TEXT", "MEDIUMTEXT", "LONGTEXT"):
+        return "large_string", None
+    if base == "BINARY":
+        n = int(args) if args else 1
+        return f"binary({n})", f"binary_pad:{n}"
+    if base in ("VARBINARY", "BLOB", "TINYBLOB", "MEDIUMBLOB", "LONGBLOB"):
+        return "bytes", None
+    if base == "JSON":
+        return "string", "json"
+    raise ValueError(f"unsupported MySQL type {base!r}")
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas at paren depth 0, outside quoted literals (with
+    doubled-quote and backslash escapes honored)."""
+    out: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    quote = ""
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if quote:
+            buf.append(c)
+            if c == "\\" and i + 1 < len(s):
+                buf.append(s[i + 1])
+                i += 1
+            elif c == quote:
+                if i + 1 < len(s) and s[i + 1] == quote:
+                    buf.append(quote)
+                    i += 1
+                else:
+                    quote = ""
+        elif is_quote(c):
+            quote = c
+            buf.append(c)
+        elif c == "(":
+            depth += 1
+            buf.append(c)
+        elif c == ")":
+            depth -= 1
+            buf.append(c)
+        elif c == "," and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    if "".join(buf).strip():
+        out.append("".join(buf).strip())
+    return out
+
+
+# ---------------------------------------------------------------------------
+# statement parsing
+# ---------------------------------------------------------------------------
+
+#: event tuple: (ddl_op, table, prev_table, payload_json)
+Event = tuple[str, str, str, str]
+
+_TABLE_LEVEL_KEYS = re.compile(
+    r"^(PRIMARY\s+KEY|UNIQUE|KEY|INDEX|CONSTRAINT|FOREIGN\s+KEY|CHECK)\b",
+    re.I)
+
+
+def _parse_create_table(body: str, table: str) -> Event:
+    cols: list[list] = []
+    pk: list[str] = []
+    for item in _split_top_level(body):
+        m = re.match(r"^PRIMARY\s+KEY\s*\(([^)]*)\)", item, re.I)
+        if m:
+            pk = [without_quotes(p.strip())
+                  for p in m.group(1).split(",") if p.strip()]
+            continue
+        if _TABLE_LEVEL_KEYS.match(item):
+            continue  # secondary indexes/constraints don't shape the schema
+        m = re.match(r"^(`(?:[^`]|``)+`|'(?:[^']|'')+'|\"(?:[^\"]|\"\")+\"|\S+)\s+(.*)$",
+                     item, re.S)
+        if not m:
+            raise ValueError(f"unparseable column def: {item!r}")
+        name = without_quotes(m.group(1)).replace("``", "`")
+        rest = m.group(2)
+        typ, conv = map_column_type(rest)
+        if re.search(r"\bPRIMARY\s+KEY\b", rest, re.I):
+            pk.append(name)
+        cols.append([name, typ, conv] if conv else [name, typ])
+    payload = json.dumps({"columns": cols, "primary_key": pk})
+    return (DDL_CREATE_TABLE, table, "", payload)
+
+
+def _ident(tok: str) -> str:
+    return without_quotes(tok.strip()).replace("``", "`")
+
+
+def _parse_alter(rest: str, table: str) -> list[Event]:
+    events: list[Event] = []
+    for clause in _split_top_level(rest):
+        m = re.match(r"^ADD\s+(?:COLUMN\s+)?(\S+)\s+(.*)$", clause, re.I | re.S)
+        if m:
+            name = _ident(m.group(1))
+            typ, conv = map_column_type(m.group(2))
+            doc = {"action": "add", "column": name, "type": typ}
+            if conv:
+                doc["converter"] = conv
+            events.append((DDL_ALTER_TABLE, table, "", json.dumps(doc)))
+            continue
+        m = re.match(r"^RENAME\s+COLUMN\s+(\S+)\s+TO\s+(\S+)$", clause, re.I)
+        if m:
+            events.append((DDL_ALTER_TABLE, table, "", json.dumps(
+                {"action": "rename", "column": _ident(m.group(1)),
+                 "new_name": _ident(m.group(2))})))
+            continue
+        m = re.match(r"^MODIFY\s+(?:COLUMN\s+)?(\S+)\s+(.*)$", clause,
+                     re.I | re.S)
+        if m:
+            typ, _conv = map_column_type(m.group(2))
+            events.append((DDL_ALTER_TABLE, table, "", json.dumps(
+                {"action": "widen", "column": _ident(m.group(1)),
+                 "type": typ})))
+            continue
+        m = re.match(r"^CHANGE\s+(?:COLUMN\s+)?(\S+)\s+(\S+)\s+(.*)$",
+                     clause, re.I | re.S)
+        if m:
+            old, new = _ident(m.group(1)), _ident(m.group(2))
+            typ, _conv = map_column_type(m.group(3))
+            if old != new:
+                events.append((DDL_ALTER_TABLE, table, "", json.dumps(
+                    {"action": "rename", "column": old, "new_name": new})))
+            events.append((DDL_ALTER_TABLE, table, "", json.dumps(
+                {"action": "widen", "column": new, "type": typ})))
+            continue
+        m = re.match(r"^RENAME\s+(?:TO\s+|AS\s+)?(\S+)$", clause, re.I)
+        if m:
+            new = qualified_table(m.group(1),
+                                  table.partition(".")[0])
+            events.append((DDL_RENAME_TABLE, new, table, json.dumps(
+                {"new_name": new})))
+            continue
+        raise ValueError(f"unsupported ALTER clause: {clause!r}")
+    return events
+
+
+def parse_ddl_sql(sql: str, default_db: str = "") -> list[Event]:
+    """One DDL statement -> structured event tuples
+    ``(ddl_op, table, prev_table, payload_json)`` for ``Registry.apply``."""
+    s = sql.strip().rstrip(";").strip()
+
+    m = re.match(r"^CREATE\s+(?:DATABASE|SCHEMA)\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+)$",
+                 s, re.I)
+    if m:
+        return [(DDL_CREATE_DATABASE, _ident(m.group(1)), "", "{}")]
+    m = re.match(r"^DROP\s+(?:DATABASE|SCHEMA)\s+(?:IF\s+EXISTS\s+)?(\S+)$",
+                 s, re.I)
+    if m:
+        return [(DDL_DROP_DATABASE, _ident(m.group(1)), "", "{}")]
+    m = re.match(r"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(.+?)\s*\((.*)\)[^)]*$",
+                 s, re.I | re.S)
+    if m:
+        table = qualified_table(m.group(1), default_db)
+        return [_parse_create_table(m.group(2), table)]
+    m = re.match(r"^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(.+)$", s, re.I)
+    if m:
+        return [(DDL_DROP_TABLE, qualified_table(m.group(1), default_db),
+                 "", "{}")]
+    m = re.match(r"^TRUNCATE\s+(?:TABLE\s+)?(.+)$", s, re.I)
+    if m:
+        return [(DDL_TRUNCATE_TABLE,
+                 qualified_table(m.group(1), default_db), "", "{}")]
+    m = re.match(r"^RENAME\s+TABLE\s+(.+?)\s+TO\s+(.+)$", s, re.I)
+    if m:
+        old = qualified_table(m.group(1), default_db)
+        new = qualified_table(m.group(2), default_db)
+        return [(DDL_RENAME_TABLE, new, old, json.dumps({"new_name": new}))]
+    m = re.match(r"^ALTER\s+TABLE\s+(.+?)\s+(ADD|RENAME|MODIFY|CHANGE)\b(.*)$",
+                 s, re.I | re.S)
+    if m:
+        table = qualified_table(m.group(1), default_db)
+        return _parse_alter((m.group(2) + m.group(3)).strip(), table)
+    raise ValueError(f"unsupported DDL statement: {sql[:120]!r}")
