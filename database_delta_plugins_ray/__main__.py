@@ -53,6 +53,11 @@ def main(argv: list[str] | None = None) -> int:
                          "hash-partitioned fragment write (no sort barrier)")
     pr.add_argument("--primary-key", default="repo,path",
                     help="comma-separated PK columns")
+    pr.add_argument("--snapshot-restart", default="continue",
+                    choices=["continue", "wipe"],
+                    help="mid-snapshot resume policy: continue off the "
+                         "partition fences (native) or wipe-and-restart "
+                         "the snapshot like the reference")
     pr.add_argument("--follow", action="store_true",
                     help="continuous tail: poll the log dir until stopped "
                          "(SIGINT/SIGTERM or the `stop` command); each "
@@ -105,7 +110,8 @@ def main(argv: list[str] | None = None) -> int:
         _ray_init(a.num_cpus)
         kw = dict(num_partitions=a.partitions, partition_mode=a.mode,
                   upto_lsn=a.upto_lsn, exchange=a.exchange,
-                  primary_key=tuple(a.primary_key.split(",")))
+                  primary_key=tuple(a.primary_key.split(",")),
+                  snapshot_restart=a.snapshot_restart)
         if a.follow:
             import signal
             import threading
