@@ -85,12 +85,20 @@ class MinHasher:
     large-scale MinHash-LSH shape."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, ngram: int = 3,
-                 text_col: str = "text", id_col: str = "doc_id") -> None:
+                 text_col: str = "text", id_col: str = "doc_id",
+                 emit_sigs: bool = True) -> None:
         self.a, self.b = minhash_params(num_perm)
         self.bands = bands
         self.ngram = ngram
         self.text_col = text_col
         self.id_col = id_col
+        self.emit_sigs = emit_sigs
+
+    #: coarse co-location parts for the bucket shuffle: buckets hash into
+    #: NPARTS groups so the exchange sorts ONE small-int key and the
+    #: verify stage runs per-part (vectorized local groupby) instead of
+    #: per-bucket (ray-level map_groups overhead x 100k tiny buckets)
+    NPARTS = 64
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         from ..functions.text import (
@@ -106,15 +114,20 @@ class MinHasher:
 
         ids = np.repeat(batch[self.id_col].to_numpy(), self.bands)
         bands_col = np.tile(np.arange(self.bands, dtype=np.int32), n)
-        sig_bytes = [sigs[i].tobytes() for i in range(n)]
-        return pd.DataFrame(
-            {
-                "band": bands_col,
-                "band_hash": bh.reshape(-1).astype(np.int64),
-                self.id_col: ids,
-                "sig": np.repeat(np.array(sig_bytes, dtype=object), self.bands),
-            }
-        )
+        bh_flat = bh.reshape(-1).astype(np.int64)
+        part = ((bh_flat * np.int64(0x9E3779B1) + bands_col)
+                % np.int64(self.NPARTS)).astype(np.int32)
+        out = {
+            "part": part,
+            "band": bands_col,
+            "band_hash": bh_flat,
+            self.id_col: ids,
+        }
+        if self.emit_sigs:
+            sig_bytes = [sigs[i].tobytes() for i in range(n)]
+            out["sig"] = np.repeat(np.array(sig_bytes, dtype=object),
+                                   self.bands)
+        return pd.DataFrame(out)
 
 
 def _verify_bucket(g: pd.DataFrame, id_col: str, threshold: float) -> pd.DataFrame:
@@ -146,6 +159,123 @@ def _verify_bucket(g: pd.DataFrame, id_col: str, threshold: float) -> pd.DataFra
     )
 
 
+def _colocate_pairs(ds, cand, make_doc_rows, pair_fn, id_col: str,
+                    out_cols: list[str]):
+    """Shuffle hash semi-join: co-locate per-document payloads with the
+    candidate pairs that reference them, then evaluate ``pair_fn`` on each
+    pair group. Fully distributed — nothing touches the driver.
+
+    1. Each candidate pair explodes into two MEMBERSHIP rows
+       (doc_id, id_a, id_b).
+    2. ``make_doc_rows`` maps the corpus to (doc_id, payload bytes,
+       partition value) rows.
+    3. The tagged union of (1)+(2) groups by doc_id: each doc's payload
+       attaches to the membership rows referencing it; unreferenced docs
+       emit nothing.
+    4. Group by (id_a, id_b): both docs' payloads are co-located;
+       ``pair_fn(g)`` returns the verified pair rows (or empty).
+
+    Each doc's payload crosses the shuffle exactly once; pair rows are
+    O(candidates)."""
+
+    def explode_membership(df: pd.DataFrame) -> pd.DataFrame:
+        ids_a = df["id_a"].to_numpy()
+        ids_b = df["id_b"].to_numpy()
+        return pd.DataFrame(
+            {
+                id_col: np.concatenate([ids_a, ids_b]),
+                "id_a": np.tile(ids_a, 2),
+                "id_b": np.tile(ids_b, 2),
+                "payload": [b""] * (2 * len(df)),
+                "pcol": [""] * (2 * len(df)),
+                "kind": ["m"] * (2 * len(df)),
+            }
+        )
+
+    members = cand.map_batches(explode_membership, batch_format="pandas")
+    docs = ds.map_batches(make_doc_rows, batch_format="pandas")
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        doc = g[g["kind"] == "d"]
+        mem = g[g["kind"] == "m"]
+        if doc.empty or mem.empty:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "payload": [], "pcol": []})
+        return pd.DataFrame(
+            {
+                "id_a": mem["id_a"].to_numpy(),
+                "id_b": mem["id_b"].to_numpy(),
+                "payload": [doc["payload"].iloc[0]] * len(mem),
+                "pcol": [doc["pcol"].iloc[0]] * len(mem),
+            }
+        )
+
+    attached = docs.union(members).groupby(id_col).map_groups(
+        attach, batch_format="pandas")
+
+    def run_pair(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({c: [] for c in out_cols})
+        out = pair_fn(g)
+        return out if out is not None else pd.DataFrame(
+            {c: [] for c in out_cols})
+
+    return attached.groupby(["id_a", "id_b"]).map_groups(
+        run_pair, batch_format="pandas")
+
+
+def minhash_candidate_pairs(
+    ds: "ray.data.Dataset",
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """LSH bucket co-membership pairs, UNVERIFIED: the band shuffle moves
+    (part, band, band_hash, id) rows ONLY — no signatures, no shingles
+    (24 bytes/row; at 10^9 docs x 16 bands that is ~0.4 TB vs ~8 TB with
+    per-band signature copies). Verification composes downstream
+    (signature-estimated via minhash_lsh_pairs, or exact via the ngram
+    route's shingle semi-join)."""
+    exploded = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(
+            num_perm=num_perm, bands=bands, ngram=ngram,
+            text_col=text_col, id_col=id_col, emit_sigs=False,
+        ),
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        # singleton buckets (the vast majority) exit via one vectorized
+        # duplicated() pass; real buckets emit their co-member pairs
+        g = g[g.duplicated(["band", "band_hash"], keep=False)]
+        if g.empty:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        a_out, b_out = [], []
+        for _k, sub in g.groupby(["band", "band_hash"], sort=False):
+            ids = np.unique(sub[id_col].to_numpy())
+            if len(ids) < 2:
+                continue
+            ii, kk = np.triu_indices(len(ids), k=1)
+            a_out.append(ids[ii])
+            b_out.append(ids[kk])
+        if not a_out:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        return pd.DataFrame({"id_a": np.concatenate(a_out),
+                             "id_b": np.concatenate(b_out)})
+
+    # ONE coarse co-location key through the exchange (see MinHasher.NPARTS)
+    pairs = exploded.groupby("part").map_groups(
+        pairs_part, batch_format="pandas")
+    # a pair can surface from several bands -> dedup with a tiny groupby
+    return pairs.groupby(["id_a", "id_b"]).count().drop_columns(["count()"])
+
+
 def minhash_lsh_pairs(
     ds: "ray.data.Dataset",
     *,
@@ -158,23 +288,56 @@ def minhash_lsh_pairs(
     concurrency: int = 4,
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs via MinHash-LSH: shingle -> minhash -> band ->
-    bucket groupby -> exact-Jaccard verify -> pair dedup."""
-    exploded = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(
-            num_perm=num_perm, bands=bands, ngram=ngram,
-            text_col=text_col, id_col=id_col,
-        ),
-        batch_format="pandas",
-        concurrency=concurrency,
-    )
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
-        lambda g: _verify_bucket(g, id_col, threshold), batch_format="pandas"
-    )
-    # a pair can surface from several bands -> dedup with a tiny groupby
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("jaccard", alias_name="jaccard")
-    )
+    bucket co-membership (ids only through the shuffle) -> signature
+    semi-join -> estimated-Jaccard verify.
+
+    The signature of each CANDIDATE document is recomputed once in the
+    verify semi-join rather than shipped once-per-band through the bucket
+    exchange — compute is O(candidate docs), shuffle payload drops ~20x
+    (sig bytes never ride the wide exchange)."""
+    cand = minhash_candidate_pairs(
+        ds, num_perm=num_perm, bands=bands, ngram=ngram,
+        text_col=text_col, id_col=id_col, concurrency=concurrency)
+
+    a, b = minhash_params(num_perm)
+
+    def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.text import (
+            oph_signatures_concat,
+            shingle_hashes_concat,
+        )
+
+        n = len(df)
+        gh, gd, _ = shingle_hashes_concat(df[text_col], ngram)
+        sigs = oph_signatures_concat(gh, gd, n, len(a))
+        ids = df[id_col].to_numpy()
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "id_a": ids,  # dummies keep the union schema uniform
+                "id_b": ids,
+                "payload": [sigs[i].tobytes() for i in range(n)],
+                "pcol": [""] * n,
+                "kind": ["d"] * n,
+            }
+        )
+
+    def estimate_pair(g: pd.DataFrame) -> pd.DataFrame | None:
+        sa = np.frombuffer(g["payload"].iloc[0], dtype=np.uint64)
+        sb = np.frombuffer(g["payload"].iloc[1], dtype=np.uint64)
+        j = float((sa == sb).mean())
+        if j < threshold:
+            return None
+        return pd.DataFrame(
+            {
+                "id_a": [g["id_a"].iloc[0]],
+                "id_b": [g["id_b"].iloc[0]],
+                "jaccard": [round(j, 6)],
+            }
+        )
+
+    return _colocate_pairs(ds, cand, sig_rows, estimate_pair, id_col,
+                           ["id_a", "id_b", "jaccard"])
 
 
 # ---------------------------------------------------------------------------
@@ -360,46 +523,20 @@ def _ngram_jaccard_lsh(ds, *, ngram: int, threshold: float,
 
     Fully distributed — nothing is materialized on the driver:
 
-    1. MinHash-LSH proposes candidate pairs (a Dataset, signatures only
-       through the bucket shuffle).
-    2. Each pair explodes into two MEMBERSHIP rows (doc_id, id_a, id_b).
-    3. The corpus maps to (doc_id, shingle-set bytes, partition value).
-    4. A tagged union of (2) and (3) is grouped by doc_id — a shuffle
-       hash semi-join: each doc's shingle set attaches to the membership
-       rows that reference it; docs no candidate references emit nothing.
-    5. Group by (id_a, id_b): both docs' shingle sets are now co-located;
-       exact Jaccard + threshold + partition check inside map_groups.
+    1. MinHash-LSH proposes candidate pairs (ids only through the bucket
+       shuffle — minhash_candidate_pairs).
+    2. _colocate_pairs semi-joins each candidate doc's shingle set to its
+       pairs (each shingle set crosses the shuffle exactly once) and
+       verifies exact Jaccard + threshold + partition check per pair.
 
-    Scale note: step 4 moves each doc's shingle set through the shuffle
-    exactly ONCE (never once-per-band like shipping shingles through the
-    LSH would); steps 2/5 move only candidate-pair rows. Cost is
-    O(corpus shingles) + O(candidates), all task/actor parallel."""
+    Cost is O(corpus shingles) + O(candidates), all task/actor parallel."""
 
-    # stage 1: candidate pairs from MinHash-LSH at a PERMISSIVE estimate
-    # threshold (margin absorbs signature-estimation noise; exact verify
-    # prunes below)
-    margin = 0.15
-    cand = minhash_lsh_pairs(
+    # stage 1: bucket co-membership candidates (permissive: exact verify
+    # prunes everything below the threshold downstream)
+    cand = minhash_candidate_pairs(
         ds, num_perm=128, bands=32, ngram=ngram,
-        threshold=max(0.0, threshold - margin),
         text_col=text_col, id_col=id_col,
     )
-
-    def explode_membership(df: pd.DataFrame) -> pd.DataFrame:
-        ids_a = df["id_a"].to_numpy()
-        ids_b = df["id_b"].to_numpy()
-        return pd.DataFrame(
-            {
-                id_col: np.concatenate([ids_a, ids_b]),
-                "id_a": np.tile(ids_a, 2),
-                "id_b": np.tile(ids_b, 2),
-                "sh": [b""] * (2 * len(df)),
-                "pcol": [""] * (2 * len(df)),
-                "kind": ["m"] * (2 * len(df)),
-            }
-        )
-
-    members = cand.map_batches(explode_membership, batch_format="pandas")
 
     def shingled(df: pd.DataFrame) -> pd.DataFrame:
         ids = df[id_col].to_numpy()
@@ -410,45 +547,21 @@ def _ngram_jaccard_lsh(ds, *, ngram: int, threshold: float,
                 id_col: ids,
                 "id_a": ids,  # dummy, keeps the union schema/dtypes uniform
                 "id_b": ids,
-                "sh": [shingle_hashes(t, ngram).tobytes()
-                       for t in df[text_col]],
+                "payload": [shingle_hashes(t, ngram).tobytes()
+                            for t in df[text_col]],
                 "pcol": pv,
                 "kind": ["d"] * len(df),
             }
         )
 
-    cols = [id_col, text_col] + ([partition_col] if partition_col else [])
-    docs = ds.select_columns(cols).map_batches(shingled, batch_format="pandas")
-
-    def attach(g: pd.DataFrame) -> pd.DataFrame:
-        doc = g[g["kind"] == "d"]
-        mem = g[g["kind"] == "m"]
-        if doc.empty or mem.empty:
-            return pd.DataFrame(
-                {"id_a": [], "id_b": [], "sh": [], "pcol": []})
-        return pd.DataFrame(
-            {
-                "id_a": mem["id_a"].to_numpy(),
-                "id_b": mem["id_b"].to_numpy(),
-                "sh": [doc["sh"].iloc[0]] * len(mem),
-                "pcol": [doc["pcol"].iloc[0]] * len(mem),
-            }
-        )
-
-    attached = docs.union(members).groupby(id_col).map_groups(
-        attach, batch_format="pandas")
-
-    def verify_pair(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-        if len(g) < 2:
-            return empty  # partner doc missing (can't happen in practice)
+    def verify_pair(g: pd.DataFrame) -> pd.DataFrame | None:
         if partition_col is not None and g["pcol"].nunique() > 1:
-            return empty  # cross-partition pair: out of scope by contract
-        a = np.frombuffer(g["sh"].iloc[0], dtype=np.uint64)
-        b = np.frombuffer(g["sh"].iloc[1], dtype=np.uint64)
+            return None  # cross-partition pair: out of scope by contract
+        a = np.frombuffer(g["payload"].iloc[0], dtype=np.uint64)
+        b = np.frombuffer(g["payload"].iloc[1], dtype=np.uint64)
         j = jaccard(a, b)
         if j < threshold:
-            return empty
+            return None
         return pd.DataFrame(
             {
                 "id_a": [g["id_a"].iloc[0]],
@@ -457,8 +570,10 @@ def _ngram_jaccard_lsh(ds, *, ngram: int, threshold: float,
             }
         )
 
-    return attached.groupby(["id_a", "id_b"]).map_groups(
-        verify_pair, batch_format="pandas")
+    cols = [id_col, text_col] + ([partition_col] if partition_col else [])
+    return _colocate_pairs(ds.select_columns(cols), cand, shingled,
+                           verify_pair, id_col,
+                           ["id_a", "id_b", "jaccard"])
 
 
 # ---------------------------------------------------------------------------
