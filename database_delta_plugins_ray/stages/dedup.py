@@ -396,6 +396,8 @@ def simhash_pairs(
     verification inside each bucket. SimHash itself is batch-vectorized
     (functions/text.py simhash64_many)."""
 
+    NPARTS = 64  # coarse co-location (see MinHasher.NPARTS)
+
     def add_sim(df: pd.DataFrame) -> pd.DataFrame:
         from ..functions.text import simhash64_many
 
@@ -403,10 +405,15 @@ def simhash_pairs(
         hs = simhash64_many(df[text_col])
         keys = _sim_band_keys(hs, max_hamming)
         n_bands = keys.shape[1]
+        bands_col = np.tile(np.arange(n_bands, dtype=np.int32), n)
+        chunks = keys.reshape(-1)
+        part = ((chunks * np.int64(0x9E3779B1) + bands_col)
+                % np.int64(NPARTS)).astype(np.int32)
         return pd.DataFrame(
             {
-                "band": np.tile(np.arange(n_bands, dtype=np.int32), n),
-                "chunk": keys.reshape(-1),
+                "part": part,
+                "band": bands_col,
+                "chunk": chunks,
                 id_col: np.repeat(df[id_col].to_numpy(), n_bands),
                 "simhash": np.repeat(hs.astype(np.int64), n_bands),
             }
@@ -438,9 +445,18 @@ def simhash_pairs(
             }
         )
 
+    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.duplicated(["band", "chunk"], keep=False)]
+        if g.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        out = [verify(sub)
+               for _k, sub in g.groupby(["band", "chunk"], sort=False)]
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {"id_a": [], "id_b": [], "hamming": []})
+
     exploded = ds.map_batches(add_sim, batch_format="pandas")
-    pairs = exploded.groupby(["band", "chunk"]).map_groups(
-        verify, batch_format="pandas"
+    pairs = exploded.groupby("part").map_groups(
+        verify_part, batch_format="pandas"
     )
     return pairs.groupby(["id_a", "id_b"]).aggregate(
         Min("hamming", alias_name="hamming")
@@ -614,8 +630,13 @@ def embedding_cosine_pairs(
             rows_tbl.extend([t] * len(df))
             rows_bkt.extend(codes.tolist())
             rows_vec.extend([v.tobytes() for v in half])
+        bkt = np.asarray(rows_bkt, dtype=np.int64)
+        tblc = np.asarray(rows_tbl, dtype=np.int64)
+        part = ((bkt * np.int64(0x9E3779B1) + tblc) % np.int64(64)) \
+            .astype(np.int32)  # coarse co-location (see MinHasher.NPARTS)
         return pd.DataFrame(
-            {"tbl": rows_tbl, "bucket": rows_bkt, id_col: rows_id, "unit": rows_vec}
+            {"part": part, "tbl": rows_tbl, "bucket": rows_bkt,
+             id_col: rows_id, "unit": rows_vec}
         )
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
@@ -636,9 +657,18 @@ def embedding_cosine_pairs(
             }
         )
 
+    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.duplicated(["tbl", "bucket"], keep=False)]
+        if g.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        out = [verify(sub)
+               for _k, sub in g.groupby(["tbl", "bucket"], sort=False)]
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {"id_a": [], "id_b": [], "cosine": []})
+
     exploded = ds.map_batches(bucketize, batch_format="pandas")
-    pairs = exploded.groupby(["tbl", "bucket"]).map_groups(
-        verify, batch_format="pandas"
+    pairs = exploded.groupby("part").map_groups(
+        verify_part, batch_format="pandas"
     )
     return pairs.groupby(["id_a", "id_b"]).aggregate(
         Min("cosine", alias_name="cosine")
