@@ -86,19 +86,20 @@ class MinHasher:
 
     def __init__(self, num_perm: int = 64, bands: int = 16, ngram: int = 3,
                  text_col: str = "text", id_col: str = "doc_id",
-                 emit_sigs: bool = True) -> None:
+                 emit_sigs: bool = True, nparts: int = 64) -> None:
         self.a, self.b = minhash_params(num_perm)
         self.bands = bands
         self.ngram = ngram
         self.text_col = text_col
         self.id_col = id_col
         self.emit_sigs = emit_sigs
+        self.nparts = nparts
 
-    #: coarse co-location parts for the bucket shuffle: buckets hash into
-    #: NPARTS groups so the exchange sorts ONE small-int key and the
-    #: verify stage runs per-part (vectorized local groupby) instead of
-    #: per-bucket (ray-level map_groups overhead x 100k tiny buckets)
-    NPARTS = 64
+    # coarse co-location parts for the bucket shuffle: buckets hash into
+    # `nparts` groups so the exchange sorts ONE small-int key and the
+    # verify stage runs per-part (vectorized local groupby) instead of
+    # per-bucket (ray-level map_groups overhead x 100k tiny buckets).
+    # Size nparts so exploded-rows/nparts fits one task's heap.
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         from ..functions.text import (
@@ -116,7 +117,7 @@ class MinHasher:
         bands_col = np.tile(np.arange(self.bands, dtype=np.int32), n)
         bh_flat = bh.reshape(-1).astype(np.int64)
         part = ((bh_flat * np.int64(0x9E3779B1) + bands_col)
-                % np.int64(self.NPARTS)).astype(np.int32)
+                % np.int64(self.nparts)).astype(np.int32)
         out = {
             "part": part,
             "band": bands_col,
@@ -159,21 +160,31 @@ def _verify_bucket(g: pd.DataFrame, id_col: str, threshold: float) -> pd.DataFra
     )
 
 
+def _hash_mod(series: pd.Series, nparts: int) -> np.ndarray:
+    """Deterministic uint64 hash of any id dtype -> int32 part."""
+    h = pd.util.hash_pandas_object(series, index=False).to_numpy()
+    return (h % np.uint64(nparts)).astype(np.int32)
+
+
 def _colocate_pairs(ds, cand, make_doc_rows, pair_fn, id_col: str,
-                    out_cols: list[str]):
+                    out_cols: list[str], nparts: int = 64):
     """Shuffle hash semi-join: co-locate per-document payloads with the
     candidate pairs that reference them, then evaluate ``pair_fn`` on each
-    pair group. Fully distributed — nothing touches the driver.
+    pair group. Fully distributed — nothing touches the driver — and both
+    groupbys use ONE coarse int key (``nparts`` parts, local pandas joins
+    inside each part) so map_groups never sees per-doc/per-pair tiny
+    groups. Size ``nparts`` so a part (~corpus payload / nparts) fits a
+    task's heap.
 
     1. Each candidate pair explodes into two MEMBERSHIP rows
        (doc_id, id_a, id_b).
     2. ``make_doc_rows`` maps the corpus to (doc_id, payload bytes,
        partition value) rows.
-    3. The tagged union of (1)+(2) groups by doc_id: each doc's payload
-       attaches to the membership rows referencing it; unreferenced docs
-       emit nothing.
-    4. Group by (id_a, id_b): both docs' payloads are co-located;
-       ``pair_fn(g)`` returns the verified pair rows (or empty).
+    3. The tagged union of (1)+(2) groups by hash(doc_id) % nparts; a
+       local pandas merge attaches each doc's payload to the membership
+       rows referencing it; unreferenced docs emit nothing.
+    4. Group by hash(pair) % nparts; a local groupby evaluates
+       ``pair_fn`` per (id_a, id_b) with both payloads co-located.
 
     Each doc's payload crosses the shuffle exactly once; pair rows are
     O(candidates)."""
@@ -181,7 +192,7 @@ def _colocate_pairs(ds, cand, make_doc_rows, pair_fn, id_col: str,
     def explode_membership(df: pd.DataFrame) -> pd.DataFrame:
         ids_a = df["id_a"].to_numpy()
         ids_b = df["id_b"].to_numpy()
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 id_col: np.concatenate([ids_a, ids_b]),
                 "id_a": np.tile(ids_a, 2),
@@ -191,37 +202,53 @@ def _colocate_pairs(ds, cand, make_doc_rows, pair_fn, id_col: str,
                 "kind": ["m"] * (2 * len(df)),
             }
         )
+        out["part"] = _hash_mod(out[id_col], nparts)
+        return out
+
+    def doc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = make_doc_rows(df)
+        out["part"] = _hash_mod(out[id_col], nparts)
+        return out
 
     members = cand.map_batches(explode_membership, batch_format="pandas")
-    docs = ds.map_batches(make_doc_rows, batch_format="pandas")
+    docs = ds.map_batches(doc_rows, batch_format="pandas")
 
-    def attach(g: pd.DataFrame) -> pd.DataFrame:
+    def attach_part(g: pd.DataFrame) -> pd.DataFrame:
         doc = g[g["kind"] == "d"]
         mem = g[g["kind"] == "m"]
         if doc.empty or mem.empty:
             return pd.DataFrame(
-                {"id_a": [], "id_b": [], "payload": [], "pcol": []})
-        return pd.DataFrame(
-            {
-                "id_a": mem["id_a"].to_numpy(),
-                "id_b": mem["id_b"].to_numpy(),
-                "payload": [doc["payload"].iloc[0]] * len(mem),
-                "pcol": [doc["pcol"].iloc[0]] * len(mem),
-            }
-        )
+                {"did": [], "id_a": [], "id_b": [], "payload": [],
+                 "pcol": [], "ppart": pd.Series([], dtype=np.int32)})
+        merged = mem[[id_col, "id_a", "id_b"]].merge(
+            doc[[id_col, "payload", "pcol"]], on=id_col, how="inner")
+        out = merged[[id_col, "id_a", "id_b", "payload", "pcol"]].copy()
+        out = out.rename(columns={id_col: "did"})
+        out["ppart"] = _hash_mod(
+            out["id_a"].astype(str) + "\x1f" + out["id_b"].astype(str),
+            nparts)
+        return out
 
-    attached = docs.union(members).groupby(id_col).map_groups(
-        attach, batch_format="pandas")
+    attached = docs.union(members).groupby("part").map_groups(
+        attach_part, batch_format="pandas")
 
-    def run_pair(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({c: [] for c in out_cols})
-        out = pair_fn(g)
-        return out if out is not None else pd.DataFrame(
-            {c: [] for c in out_cols})
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _k, sub in g.groupby(["id_a", "id_b"], sort=False):
+            # a pair surfacing from several buckets repeats its membership
+            # rows — dedup by doc id locally (cheaper than a global
+            # pair-dedup barrier between candidate and verify stages)
+            sub = sub.drop_duplicates(subset="did")
+            if len(sub) < 2:
+                continue
+            r = pair_fn(sub)
+            if r is not None:
+                outs.append(r)
+        return (pd.concat(outs, ignore_index=True) if outs
+                else pd.DataFrame({c: [] for c in out_cols}))
 
-    return attached.groupby(["id_a", "id_b"]).map_groups(
-        run_pair, batch_format="pandas")
+    return attached.groupby("ppart").map_groups(
+        pairs_part, batch_format="pandas")
 
 
 def minhash_candidate_pairs(
@@ -233,6 +260,8 @@ def minhash_candidate_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     concurrency: int = 4,
+    nparts: int = 64,
+    dedup: bool = True,
 ) -> "ray.data.Dataset":
     """LSH bucket co-membership pairs, UNVERIFIED: the band shuffle moves
     (part, band, band_hash, id) rows ONLY — no signatures, no shingles
@@ -245,6 +274,7 @@ def minhash_candidate_pairs(
         fn_constructor_kwargs=dict(
             num_perm=num_perm, bands=bands, ngram=ngram,
             text_col=text_col, id_col=id_col, emit_sigs=False,
+            nparts=nparts,
         ),
         batch_format="pandas",
         concurrency=concurrency,
@@ -269,10 +299,14 @@ def minhash_candidate_pairs(
         return pd.DataFrame({"id_a": np.concatenate(a_out),
                              "id_b": np.concatenate(b_out)})
 
-    # ONE coarse co-location key through the exchange (see MinHasher.NPARTS)
+    # ONE coarse co-location key through the exchange (see MinHasher)
     pairs = exploded.groupby("part").map_groups(
         pairs_part, batch_format="pandas")
-    # a pair can surface from several bands -> dedup with a tiny groupby
+    if not dedup:
+        # a pair can surface from several bands; callers that group by
+        # pair downstream (the verify semi-join) dedup locally and skip
+        # this extra all-to-all barrier
+        return pairs
     return pairs.groupby(["id_a", "id_b"]).count().drop_columns(["count()"])
 
 
@@ -286,6 +320,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     concurrency: int = 4,
+    nparts: int = 64,
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs via MinHash-LSH: shingle -> minhash -> band ->
     bucket co-membership (ids only through the shuffle) -> signature
@@ -297,7 +332,8 @@ def minhash_lsh_pairs(
     (sig bytes never ride the wide exchange)."""
     cand = minhash_candidate_pairs(
         ds, num_perm=num_perm, bands=bands, ngram=ngram,
-        text_col=text_col, id_col=id_col, concurrency=concurrency)
+        text_col=text_col, id_col=id_col, concurrency=concurrency,
+        nparts=nparts, dedup=False)
 
     a, b = minhash_params(num_perm)
 
@@ -337,7 +373,7 @@ def minhash_lsh_pairs(
         )
 
     return _colocate_pairs(ds, cand, sig_rows, estimate_pair, id_col,
-                           ["id_a", "id_b", "jaccard"])
+                           ["id_a", "id_b", "jaccard"], nparts=nparts)
 
 
 # ---------------------------------------------------------------------------
@@ -396,7 +432,7 @@ def simhash_pairs(
     verification inside each bucket. SimHash itself is batch-vectorized
     (functions/text.py simhash64_many)."""
 
-    NPARTS = 64  # coarse co-location (see MinHasher.NPARTS)
+    NPARTS = 64  # coarse co-location (see MinHasher docstring)
 
     def add_sim(df: pd.DataFrame) -> pd.DataFrame:
         from ..functions.text import simhash64_many
@@ -551,7 +587,7 @@ def _ngram_jaccard_lsh(ds, *, ngram: int, threshold: float,
     # prunes everything below the threshold downstream)
     cand = minhash_candidate_pairs(
         ds, num_perm=128, bands=32, ngram=ngram,
-        text_col=text_col, id_col=id_col,
+        text_col=text_col, id_col=id_col, dedup=False,
     )
 
     def shingled(df: pd.DataFrame) -> pd.DataFrame:
@@ -633,7 +669,7 @@ def embedding_cosine_pairs(
         bkt = np.asarray(rows_bkt, dtype=np.int64)
         tblc = np.asarray(rows_tbl, dtype=np.int64)
         part = ((bkt * np.int64(0x9E3779B1) + tblc) % np.int64(64)) \
-            .astype(np.int32)  # coarse co-location (see MinHasher.NPARTS)
+            .astype(np.int32)  # coarse co-location (see MinHasher)
         return pd.DataFrame(
             {"part": part, "tbl": rows_tbl, "bucket": rows_bkt,
              id_col: rows_id, "unit": rows_vec}
