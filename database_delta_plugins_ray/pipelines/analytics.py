@@ -100,6 +100,88 @@ def events_latest_per_user(sf_dir: str):
     return reduced.groupby("user_id").map_groups(latest, batch_format="pandas")
 
 
+def purchases_asof_last_view(sf_dir: str):
+    """AS-OF join — a custom operator Ray Data lacks (SURVEY charter:
+    "as-of join ... as a composition of map_batches + groupby().map_groups
+    + sort if semantics allow"): each purchase event joins the same user's
+    most recent STRICTLY-EARLIER view event.
+
+    Shape: filter both sides at the read (only two event types survive) ->
+    ONE shuffle by the join key (user_id) -> vectorized merge inside
+    map_groups (both streams sorted by ts; np.searchsorted finds each
+    purchase's predecessor view in O(log n)). Ties at identical (user, ts)
+    on the view side are deduplicated deterministically (max event_id),
+    matching the SQL oracle's max_by.
+
+    Documented partitioning assumption: one user's event history fits one
+    task (the natural CDC-style key); a pathological hot user would salt
+    by time range with a boundary handoff row per salt."""
+    ds = _t(sf_dir, "events",
+            ["event_id", "ts", "user_id", "event_type", "value"])
+    ds = ds.filter(expr="event_type == 'purchase' or event_type == 'view'")
+
+    empty = pd.DataFrame({
+        "event_id": pd.Series([], dtype="int64"),
+        "user_id": pd.Series([], dtype="int64"),
+        "ts": pd.Series([], dtype="datetime64[us]"),
+        "value": pd.Series([], dtype="float64"),
+        "view_ts": pd.Series([], dtype="datetime64[us]"),
+        "view_value": pd.Series([], dtype="float64"),
+    })
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        x = g[g["event_type"] == "purchase"].sort_values(["ts", "event_id"])
+        if x.empty:
+            return empty
+        y = (g[g["event_type"] == "view"]
+             .sort_values(["ts", "event_id"])
+             .drop_duplicates("ts", keep="last"))
+        if y.empty:
+            idx = np.full(len(x), -1)
+        else:
+            idx = np.searchsorted(y["ts"].to_numpy(), x["ts"].to_numpy(),
+                                  side="left") - 1
+        has = idx >= 0
+        safe = np.clip(idx, 0, None)
+        y_ts = (y["ts"].to_numpy()[safe] if len(y)
+                else np.full(len(x), np.datetime64("NaT", "us")))
+        y_val = (y["value"].to_numpy()[safe] if len(y)
+                 else np.full(len(x), np.nan))
+        return pd.DataFrame({
+            "event_id": x["event_id"].to_numpy(),
+            "user_id": x["user_id"].to_numpy(),
+            "ts": x["ts"].to_numpy(),
+            "value": np.round(x["value"].to_numpy(), 2),
+            "view_ts": pd.Series(y_ts).where(has, pd.NaT),
+            "view_value": np.where(has, np.round(y_val, 2), np.nan),
+        })
+
+    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
+def top_docs_per_lang(sf_dir: str, k: int = 5):
+    """Grouped top-k (longest documents per language): per-batch PARTIAL
+    top-k combiner before the shuffle — each batch forwards at most k rows
+    per group, so the exchange moves O(groups x k x batches) rows, never
+    the corpus — then an exact per-group finish. Deterministic tie-break
+    (n_chars desc, doc_id asc) mirrors the SQL window oracle."""
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["n_chars", "doc_id"],
+                               ascending=[False, True])
+                  .groupby("lang", sort=False).head(k))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values(["n_chars", "doc_id"],
+                            ascending=[False, True]).head(k).copy()
+        out["rank"] = np.arange(1, len(out) + 1)
+        return out
+
+    reduced = docs.map_batches(partial_topk, batch_format="pandas")
+    return reduced.groupby("lang").map_groups(finish, batch_format="pandas")
+
+
 def top_users_by_value(sf_dir: str):
     """Top-20 users by total event value (groupby-sum -> sort -> limit)."""
     ds = _t(sf_dir, "events", ["user_id", "value"])
@@ -445,6 +527,30 @@ SELECT user_id, round(sum(value), 2) AS total_value
 FROM events GROUP BY user_id
 ORDER BY total_value DESC, user_id LIMIT 20
 """,
+    # ties at identical (user, ts) on the view side resolve to max
+    # event_id (max_by), matching the Ray route's deterministic dedup;
+    # the join is strict (view strictly earlier than the purchase)
+    "purchases_asof_last_view": """
+WITH v AS (
+  SELECT user_id, ts, max_by(value, event_id) AS vval
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+p AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts, round(p.value, 2) AS value,
+       v.ts AS view_ts, round(v.vval, 2) AS view_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts > v.ts
+""",
+    "top_docs_per_lang": """
+SELECT doc_id, lang, n_chars, rank FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents
+) WHERE rank <= 5
+""",
     "filter_orders_high": """
 SELECT o_orderkey, o_custkey, o_totalprice FROM orders
 WHERE o_totalprice > 200000.0 AND o_orderstatus = 'O'
@@ -597,6 +703,8 @@ ANALYTICS_QUERIES = {
     "events_tumbling_window": events_tumbling_window,
     "events_session_windows": events_session_windows,
     "top_users_by_value": top_users_by_value,
+    "purchases_asof_last_view": purchases_asof_last_view,
+    "top_docs_per_lang": top_docs_per_lang,
     "filter_orders_high": filter_orders_high,
     "revenue_by_segment": revenue_by_segment,
     "dedup_exact_documents": dedup_exact_documents,

@@ -157,3 +157,75 @@ def test_multimodal_plumbing(ray_session):
                                concurrency=2,
                                fn_constructor_kwargs={"n_frames": 3}).take_all()
     assert len(frames) == 60
+
+
+def test_asof_join_strict_and_ties(ray_session, tmp_path):
+    """As-of semantics: strictly-earlier view only (a view AT the purchase
+    ts does not match); ties at one (user, ts) resolve to max event_id;
+    users with no earlier view get nulls."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database_delta_plugins_ray.pipelines.analytics import (
+        purchases_asof_last_view,
+    )
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+
+    def ev(eid, user, secs, etype, value):
+        return {"event_id": eid, "ts": t0 + np.timedelta64(secs, "s"),
+                "user_id": user, "event_type": etype, "value": float(value),
+                "props": "{}"}
+
+    rows = [
+        ev(1, 1, 0, "view", 10.0),
+        ev(2, 1, 0, "view", 20.0),     # tie at same ts: max event_id wins
+        ev(3, 1, 5, "purchase", 99.0),  # -> view_value 20.0
+        ev(4, 1, 5, "view", 30.0),      # same ts as a purchase...
+        ev(5, 1, 5, "purchase", 77.0),  # strict: still 20.0, NOT 30.0
+        ev(6, 2, 1, "purchase", 50.0),  # user 2 has no view -> nulls
+        ev(7, 3, 9, "click", 1.0),      # other types ignored entirely
+    ]
+    sf = tmp_path / "sf0.01x"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(sf / "events.parquet"))
+
+    out = {r["event_id"]: r
+           for r in purchases_asof_last_view(str(sf)).take_all()}
+    assert set(out) == {3, 5, 6}
+    assert out[3]["view_value"] == 20.0
+    assert out[5]["view_value"] == 20.0  # strict inequality
+    assert out[6]["view_value"] is None or pd.isna(out[6]["view_value"])
+    assert out[6]["view_ts"] is None or pd.isna(out[6]["view_ts"])
+
+
+def test_top_docs_per_lang_combiner_exact(ray_session, tmp_path):
+    """The per-batch partial top-k combiner must not change the exact
+    grouped top-k (ties broken by doc_id)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database_delta_plugins_ray.pipelines.analytics import (
+        top_docs_per_lang,
+    )
+
+    rows = [{"doc_id": i, "text": "x", "lang": f"l{i % 3}",
+             "source": "s", "n_chars": (i * 7) % 20}
+            for i in range(60)]
+    sf = tmp_path / "sf0.01y"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(sf / "documents.parquet"))
+
+    got = top_docs_per_lang(str(sf)).take_all()
+    # exact reference
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    want = (df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+              .groupby("lang").head(5))
+    want_keys = {(r.lang, r.doc_id) for r in want.itertuples()}
+    assert {(r["lang"], r["doc_id"]) for r in got} == want_keys
+    for r in got:
+        assert 1 <= r["rank"] <= 5
