@@ -182,6 +182,112 @@ def top_docs_per_lang(sf_dir: str, k: int = 5):
     return reduced.groupby("lang").map_groups(finish, batch_format="pandas")
 
 
+def events_hopping_window(sf_dir: str):
+    """Hopping (sliding) window aggregate — size 2 h, hop 1 h: every event
+    belongs to TWO windows. Ray-Data-first shape: the window assignment
+    explodes inside ``map_batches`` (vectorized, 2 rows out per event)
+    with a per-batch PARTIAL aggregate, then a tiny groupby over partials
+    — the same combine-then-shuffle shape as the tumbling window, so the
+    exchange moves O(windows x types x batches) rows, never the events."""
+    ds = _t(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        anchor = pc.floor_temporal(t["ts"], unit="hour")
+        parts = []
+        for off_h in (0, 1):  # window starts at floor(ts) and floor(ts)-1h
+            ws = pc.subtract(
+                anchor, pa.scalar(off_h * 3_600_000_000, pa.duration("us")))
+            g = pa.table({
+                "window_start": ws,
+                "event_type": t["event_type"],
+                "value": t["value"],
+            }).group_by(["window_start", "event_type"]).aggregate(
+                [("value", "sum"), ("value", "count")])
+            parts.append(pa.table({
+                "window_start": g["window_start"],
+                "event_type": g["event_type"],
+                "p_sum": g["value_sum"],
+                "p_n": g["value_count"],
+            }))
+        return pa.concat_tables(parts)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    agg = partials.groupby(["window_start", "event_type"]).aggregate(
+        Sum("p_sum", alias_name="total_value"),
+        Sum("p_n", alias_name="n_events"),
+    )
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        df["total_value"] = df["total_value"].round(2)
+        return df
+
+    return agg.map_batches(canon, batch_format="pandas")
+
+
+def orders_with_events_in_week(sf_dir: str):
+    """RANGE join — the second custom join the charter lists: count each
+    order's events (customer id = user id) whose timestamp falls in the
+    7 days FROM the order date. One shuffle by the join key; inside each
+    key group both sides sort by time and a vectorized searchsorted pair
+    finds each order's [start, end) event-count in O(log n) — never the
+    O(n x m) cross product a naive inequality join would do.
+
+    Documented partitioning assumption: one key's orders + events fit a
+    task (salt hot keys by time range otherwise)."""
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_orderdate"])
+    events = _t(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t["o_custkey"],
+            "o_orderkey": t["o_orderkey"],
+            "o_orderdate": t["o_orderdate"],
+            "ts": pa.nulls(t.num_rows, pa.timestamp("us")),
+            "value": pa.nulls(t.num_rows, pa.float64()),
+            "kind": pa.array(["o"] * t.num_rows),
+        })
+
+    def e_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t["user_id"],
+            "o_orderkey": pa.nulls(t.num_rows, pa.int64()),
+            "o_orderdate": pa.nulls(t.num_rows, pa.timestamp("us")),
+            "ts": t["ts"],
+            "value": t["value"],
+            "kind": pa.array(["e"] * t.num_rows),
+        })
+
+    both = orders.map_batches(o_rows, batch_format="pyarrow").union(
+        events.map_batches(e_rows, batch_format="pyarrow"))
+
+    def range_count(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["kind"] == "o"]
+        if o.empty:
+            return pd.DataFrame({
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "sum_value": pd.Series([], dtype="float64"),
+            })
+        e = g[g["kind"] == "e"].sort_values("ts")
+        ets = e["ts"].to_numpy()
+        csum = np.concatenate([[0.0], np.cumsum(e["value"].to_numpy())])
+        start = o["o_orderdate"].to_numpy().astype("datetime64[us]")
+        end = start + np.timedelta64(7, "D").astype("timedelta64[us]")
+        lo = np.searchsorted(ets, start, side="left")
+        hi = np.searchsorted(ets, end, side="left")
+        return pd.DataFrame({
+            # the union column is nullable (event rows carry no orderkey),
+            # so pandas holds it as float64 inside the group — cast back
+            "o_orderkey": o["o_orderkey"].to_numpy().astype(np.int64),
+            "n_events": (hi - lo).astype(np.int64),
+            "sum_value": np.round(csum[hi] - csum[lo], 2),
+        })
+
+    return both.groupby("key").map_groups(range_count, batch_format="pandas")
+
+
 def top_users_by_value(sf_dir: str):
     """Top-20 users by total event value (groupby-sum -> sort -> limit)."""
     ds = _t(sf_dir, "events", ["user_id", "value"])
@@ -543,6 +649,26 @@ SELECT p.event_id, p.user_id, p.ts, round(p.value, 2) AS value,
        v.ts AS view_ts, round(v.vval, 2) AS view_value
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts > v.ts
 """,
+    # every event lies inside both of its hop windows by construction
+    # (ws = floor(ts) and floor(ts)-1h; window size 2h, hop 1h)
+    "events_hopping_window": """
+SELECT ws AS window_start, event_type,
+       round(sum(value), 2) AS total_value, count(*) AS n_events
+FROM events, LATERAL (VALUES (date_trunc('hour', ts)),
+                             (date_trunc('hour', ts) - INTERVAL 1 HOUR))
+     AS w(ws)
+GROUP BY ws, event_type
+""",
+    "orders_with_events_in_week": """
+SELECT o.o_orderkey,
+       count(e.ts) AS n_events,
+       round(coalesce(sum(e.value), 0), 2) AS sum_value
+FROM orders o LEFT JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts >= CAST(o.o_orderdate AS TIMESTAMP)
+ AND e.ts <  CAST(o.o_orderdate AS TIMESTAMP) + INTERVAL 7 DAY
+GROUP BY o.o_orderkey
+""",
     "top_docs_per_lang": """
 SELECT doc_id, lang, n_chars, rank FROM (
   SELECT doc_id, lang, n_chars,
@@ -705,6 +831,8 @@ ANALYTICS_QUERIES = {
     "top_users_by_value": top_users_by_value,
     "purchases_asof_last_view": purchases_asof_last_view,
     "top_docs_per_lang": top_docs_per_lang,
+    "events_hopping_window": events_hopping_window,
+    "orders_with_events_in_week": orders_with_events_in_week,
     "filter_orders_high": filter_orders_high,
     "revenue_by_segment": revenue_by_segment,
     "dedup_exact_documents": dedup_exact_documents,
