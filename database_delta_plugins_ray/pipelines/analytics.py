@@ -856,4 +856,6 @@ BENCH_QUERIES = {
     "events_latest_per_user": events_latest_per_user,
     "dedup_minhash_documents": dedup_minhash_documents,
     "ann_topk_cosine": ann_topk_cosine,
+    "purchases_asof_last_view": purchases_asof_last_view,
+    "orders_with_events_in_week": orders_with_events_in_week,
 }
