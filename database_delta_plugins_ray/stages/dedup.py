@@ -645,8 +645,15 @@ def embedding_cosine_pairs(
     seed: int = 99,
 ) -> "ray.data.Dataset":
     """Near-dup vector pairs: sign-LSH (random hyperplanes) buckets, then
-    exact cosine verification inside each bucket. ``n_tables`` independent
-    hash tables bound the miss rate; pair output deduplicated by groupby."""
+    EXACT cosine verification of the candidate pairs.
+
+    Scale shape (same as the MinHash route): the bucket exchange moves
+    (part, tbl, bucket, id) rows ONLY — vectors never ride the wide
+    shuffle (previously one float16 unit-vector copy per hash table, 4x
+    blowup). Candidate pairs come from bucket co-membership; the verify
+    stage re-normalizes just the candidate documents' vectors inside the
+    distributed _colocate_pairs semi-join and computes exact cosine per
+    pair. ``n_tables`` independent hash tables bound the miss rate."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, dim, n_planes)).astype(np.float32)
 
@@ -654,58 +661,73 @@ def embedding_cosine_pairs(
         vecs = np.stack(df[vec_col].to_numpy())
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         unit = vecs / np.maximum(norms, 1e-12)
-        # the unit vector is replicated n_tables times through the shuffle:
-        # ship float16 (half the payload; cosine error ~1e-3, far below any
-        # sensible near-dup threshold margin)
-        half = unit.astype(np.float16)
-        rows_id, rows_tbl, rows_bkt, rows_vec = [], [], [], []
+        rows_id, rows_tbl, rows_bkt = [], [], []
         for t in range(n_tables):
             bits = (unit @ planes[t]) > 0
             codes = (bits * (1 << np.arange(n_planes))).sum(axis=1)
             rows_id.extend(df[id_col].tolist())
             rows_tbl.extend([t] * len(df))
             rows_bkt.extend(codes.tolist())
-            rows_vec.extend([v.tobytes() for v in half])
         bkt = np.asarray(rows_bkt, dtype=np.int64)
         tblc = np.asarray(rows_tbl, dtype=np.int64)
         part = ((bkt * np.int64(0x9E3779B1) + tblc) % np.int64(64)) \
             .astype(np.int32)  # coarse co-location (see MinHasher)
         return pd.DataFrame(
             {"part": part, "tbl": rows_tbl, "bucket": rows_bkt,
-             id_col: rows_id, "unit": rows_vec}
+             id_col: rows_id}
         )
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(id_col).sort_values(id_col)
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        ids = g[id_col].to_numpy()
-        m = np.stack([np.frombuffer(b, dtype=np.float16).astype(np.float32)
-                      for b in g["unit"]])
-        sims = m @ m.T
-        ii, kk = np.triu_indices(len(ids), k=1)
-        sel = sims[ii, kk] >= threshold
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.duplicated(["tbl", "bucket"], keep=False)]
+        if g.empty:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        a_out, b_out = [], []
+        for _k, sub in g.groupby(["tbl", "bucket"], sort=False):
+            ids = np.unique(sub[id_col].to_numpy())
+            if len(ids) < 2:
+                continue
+            ii, kk = np.triu_indices(len(ids), k=1)
+            a_out.append(ids[ii])
+            b_out.append(ids[kk])
+        if not a_out:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        return pd.DataFrame({"id_a": np.concatenate(a_out),
+                             "id_b": np.concatenate(b_out)})
+
+    exploded = ds.map_batches(bucketize, batch_format="pandas")
+    cand = exploded.groupby("part").map_groups(
+        pairs_part, batch_format="pandas")
+
+    def unit_rows(df: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(df[vec_col].to_numpy()).astype(np.float32)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        unit = (vecs / np.maximum(norms, 1e-12)).astype(np.float32)
+        ids = df[id_col].to_numpy()
         return pd.DataFrame(
             {
-                "id_a": ids[ii[sel]],
-                "id_b": ids[kk[sel]],
-                "cosine": np.round(sims[ii, kk][sel].astype(np.float64), 6),
+                id_col: ids,
+                "id_a": ids,  # dummies keep the union schema uniform
+                "id_b": ids,
+                "payload": [unit[i].tobytes() for i in range(len(df))],
+                "pcol": [""] * len(df),
+                "kind": ["d"] * len(df),
             }
         )
 
-    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g.duplicated(["tbl", "bucket"], keep=False)]
-        if g.empty:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        out = [verify(sub)
-               for _k, sub in g.groupby(["tbl", "bucket"], sort=False)]
-        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
-            {"id_a": [], "id_b": [], "cosine": []})
+    def cosine_pair(g: pd.DataFrame) -> pd.DataFrame | None:
+        va = np.frombuffer(g["payload"].iloc[0], dtype=np.float32)
+        vb = np.frombuffer(g["payload"].iloc[1], dtype=np.float32)
+        cos = float(va @ vb)
+        if cos < threshold:
+            return None
+        return pd.DataFrame(
+            {
+                "id_a": [g["id_a"].iloc[0]],
+                "id_b": [g["id_b"].iloc[0]],
+                "cosine": [round(cos, 6)],
+            }
+        )
 
-    exploded = ds.map_batches(bucketize, batch_format="pandas")
-    pairs = exploded.groupby("part").map_groups(
-        verify_part, batch_format="pandas"
-    )
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("cosine", alias_name="cosine")
-    )
+    return _colocate_pairs(ds.select_columns([id_col, vec_col]), cand,
+                           unit_rows, cosine_pair, id_col,
+                           ["id_a", "id_b", "cosine"])
