@@ -62,6 +62,59 @@ def ann_topk_bruteforce(
     return pd.DataFrame(top, columns=[id_col, "score"])
 
 
+def ann_topk_bruteforce_multi(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Exact top-k cosine neighbours for a BATCH of queries — the
+    batched-inference shape the charter names (one (n x d) @ (d x Q)
+    matmul per data batch against the broadcast query matrix). Returns
+    (query_idx, id, score, rank) rows, k per query, sorted by
+    (query_idx, -score, id).
+
+    Scale: the query matrix is ``ray.put`` once; each batch forwards at
+    most k x Q candidate rows, so the driver-side finish handles
+    O(k x Q x batches) tiny rows, never the corpus."""
+    qm = _unit(np.atleast_2d(queries).astype(np.float32))  # (Q, d)
+    nq = len(qm)
+    q_ref = ray.put(qm.T.copy())  # (d, Q), broadcast once
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        qt = ray.get(q_ref)
+        m = _unit(_as_matrix(df[vec_col]).astype(np.float32))
+        scores = m @ qt  # (n, Q)
+        n = len(m)
+        take = min(k, n)
+        # per-query partial top-k without sorting the whole column
+        idx = (np.argpartition(-scores, take - 1, axis=0)[:take]
+               if n > take else np.tile(np.arange(n)[:, None], (1, nq)))
+        ids = df[id_col].to_numpy()
+        rows_q = np.repeat(np.arange(nq), take)
+        rows_i = idx.T.reshape(-1)
+        return pd.DataFrame(
+            {
+                "query_idx": rows_q,
+                id_col: ids[rows_i],
+                "score": scores[rows_i, rows_q].astype(np.float64),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas").take_all()
+    by_q: dict[int, list] = {i: [] for i in range(nq)}
+    for r in partials:
+        by_q[r["query_idx"]].append((r[id_col], r["score"]))
+    out = []
+    for qi in range(nq):
+        top = heapq.nsmallest(k, by_q[qi], key=lambda t: (-t[1], t[0]))
+        for rank, (vid, sc) in enumerate(top, 1):
+            out.append((qi, vid, sc, rank))
+    return pd.DataFrame(out, columns=["query_idx", id_col, "score", "rank"])
+
+
 class IVFIndex:
     """Tiny deterministic IVF: seeded k-means (few Lloyd iterations) on a
     driver-side sample; centroids broadcast to assignment/search stages."""

@@ -229,3 +229,36 @@ def test_top_docs_per_lang_combiner_exact(ray_session, tmp_path):
     assert {(r["lang"], r["doc_id"]) for r in got} == want_keys
     for r in got:
         assert 1 <= r["rank"] <= 5
+
+
+def test_ann_multi_query_matches_single(ray_session):
+    """Batched multi-query brute force must equal Q independent
+    single-query runs (and a direct numpy reference)."""
+    import numpy as np
+    import ray.data
+
+    from database_delta_plugins_ray.stages.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_bruteforce_multi,
+    )
+
+    rng = np.random.default_rng(5)
+    n, d, nq, k = 500, 16, 3, 7
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i]} for i in range(n)])
+    queries = rng.standard_normal((nq, d)).astype(np.float32)
+
+    multi = ann_topk_bruteforce_multi(ds, queries, k)
+    for qi in range(nq):
+        single = ann_topk_bruteforce(ds, queries[qi], k)
+        sub = multi[multi["query_idx"] == qi]
+        assert list(sub["vec_id"]) == list(single["vec_id"])
+        np.testing.assert_allclose(sub["score"].to_numpy(),
+                                   single["score"].to_numpy(), atol=1e-6)
+        assert list(sub["rank"]) == list(range(1, k + 1))
+    # numpy reference for one query
+    u = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    q0 = queries[0] / np.linalg.norm(queries[0])
+    ref = np.argsort(-(u @ q0))[:k]
+    assert list(multi[multi["query_idx"] == 0]["vec_id"]) == list(ref)
