@@ -62,9 +62,11 @@ def test_follow_drains_segments_as_they_arrive(tmp_path):
             _copy_seg(staged, live, pending.pop(0))
 
     lake = str(tmp_path / "lake")
+    # fragment exchange under follow: incremental polls are the fragment
+    # path's sweet spot (few fragments, no sort barrier)
     s = follow_replication(
         live, lake, poll_interval_s=0.05, idle_polls_to_stop=2,
-        on_poll=on_poll, num_partitions=4,
+        on_poll=on_poll, num_partitions=4, exchange="fragment",
     )
     assert not pending
     assert s["stopped_by"] == "idle"
