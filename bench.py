@@ -82,6 +82,26 @@ def run_bench() -> dict:
     timings: dict[str, float] = {}
     extras: dict = {}
 
+    # Host self-calibration: a fixed-flop numpy burn (zero data movement,
+    # no engine code) timed in the same session. The sandbox host's speed
+    # varies >2x across hours (hypervisor neighbors); dividing any query
+    # time by (compute_sec / best-observed 0.73 s at 32 CPUs) normalizes
+    # runs to comparable host conditions.
+    def _burn(b):
+        import numpy as np
+
+        x = np.arange(1 << 14, dtype=np.float64)
+        for _ in range(1500):
+            x = np.sqrt(x * 1.000001 + 1.0)
+        return {"acc": np.array([float(x.sum())])}
+
+    t0 = time.time()
+    ray.data.range(64, override_num_blocks=64).map_batches(_burn).materialize()
+    extras["host_calibration"] = {
+        "compute_sec": round(time.time() - t0, 3),
+        "quiet_host_reference_sec": 0.73,
+    }
+
     # headline: one-shot full replay
     lake = fresh_lake(SF_DIR, f"bench_lake_{NUM_CPUS}")
     t0 = time.time()
