@@ -4,18 +4,25 @@ Five families, each expressed Ray-Data-first (SURVEY.md mandate for
 training-data pipelines):
 
 * exact           — content-hash groupby, keep min id (hash-partition + first)
-* minhash_lsh     — shingle -> minhash -> band -> bucket groupby -> verify
+* minhash_lsh     — shingle -> minhash -> band buckets (ids only) ->
+                    signature semi-join -> estimated-Jaccard verify
 * simhash         — 64-bit simhash, banded buckets, hamming verify
-* ngram_jaccard   — exact n-gram Jaccard verification of candidate pairs
-* embedding_cosine— random-hyperplane LSH buckets + cosine verify
+* ngram_jaccard   — exact n-gram Jaccard verification of LSH candidates
+* embedding_cosine— random-hyperplane LSH buckets (ids only) -> exact
+                    cosine verify in the pair semi-join
 
-Scale notes (documented partitioning assumptions):
-- the band/bucket groupby is the one shuffle; bucket keys are (band_id,
-  band_hash) so hot buckets are bounded by collision rate, not data size;
-- candidate verification joins each pair's shingle sets; pairs are
-  re-verified inside the bucket group (both docs' payloads are already
-  co-located by the shuffle) — no driver-side join;
-- pair output is deduplicated by a second tiny groupby on (id_a, id_b).
+Scale shape (documented partitioning assumptions):
+- the band/bucket exchange ships (coarse_part, band, band_hash, id)
+  rows ONLY — per-doc payloads (signatures, shingles, vectors) never
+  ride the wide shuffle, and bucket keys bound hot buckets by collision
+  rate, not data size;
+- buckets co-locate under ONE small-int key (``nparts`` coarse parts,
+  local vectorized groupby inside each part) so map_groups never pays
+  per-tiny-bucket overhead; size nparts so a part fits a task's heap;
+- candidate pairs verify inside ``_colocate_pairs``: a distributed
+  tagged-union semi-join that attaches each candidate doc's payload
+  (crossing the shuffle exactly once) and evaluates pairs with local
+  dedup — nothing materializes on the driver.
 """
 
 from __future__ import annotations
@@ -74,15 +81,16 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
 
 class MinHasher:
     """Actor-pool stage: shingles + minhash signature per document; emits
-    exploded (band, band_hash, id, sig) rows for the bucket shuffle.
-    Permutation params are built ONCE per actor.
+    exploded (part, band, band_hash, id[, sig]) rows for the bucket
+    shuffle. Permutation params are built ONCE per actor.
 
-    Scale note: the shuffle payload is the SIGNATURE only (num_perm x 8
-    bytes), never the shingle sets — the raw shingles would be replicated
-    once per band (16x) through the all-to-all exchange. Candidate pairs
-    are verified with the signature-estimated Jaccard (unbiased; std
-    ~= sqrt(j(1-j)/num_perm), ~0.06 at num_perm=64), the standard
-    large-scale MinHash-LSH shape."""
+    Scale note: with ``emit_sigs=False`` (the candidate-route default)
+    the exchange ships 24-byte id rows only; signatures are recomputed
+    once per CANDIDATE doc in the verify semi-join, so neither shingles
+    (would be 16x-replicated per band) nor signatures ride the wide
+    all-to-all. Verification uses the signature-estimated Jaccard
+    (unbiased; std ~= sqrt(j(1-j)/num_perm), ~0.06 at num_perm=64), the
+    standard large-scale MinHash-LSH shape."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, ngram: int = 3,
                  text_col: str = "text", id_col: str = "doc_id",
