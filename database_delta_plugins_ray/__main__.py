@@ -93,6 +93,14 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--lake", required=True)
     pc.add_argument("--table", default=None)
 
+    pq_ = sub.add_parser(
+        "query", help="run a named pipeline from the query catalog")
+    pq_.add_argument("--name", default=None,
+                     help="query name (omit to list all)")
+    pq_.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    pq_.add_argument("--limit", type=int, default=20,
+                     help="rows to print (full result is still computed)")
+
     a = p.parse_args(argv)
 
     if a.cmd == "gen":
@@ -160,6 +168,40 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.maintenance import lake_stats
 
         print(json.dumps(lake_stats(a.lake)))
+        return 0
+
+    if a.cmd == "query":
+        from .pipelines.queries import CDC_QUERIES
+
+        qs = dict(CDC_QUERIES)
+        try:
+            from .pipelines.analytics import ANALYTICS_QUERIES
+
+            qs.update(ANALYTICS_QUERIES)
+        except ImportError:
+            pass
+        if not a.name:
+            print(json.dumps({"queries": sorted(qs)}))
+            return 0
+        if a.name not in qs:
+            print(json.dumps({"error": f"unknown query {a.name!r}",
+                              "queries": sorted(qs)}))
+            return 1
+        _ray_init(a.num_cpus)
+        res = qs[a.name](a.sf_dir)
+        if hasattr(res, "to_pandas"):
+            res = res.to_pandas()
+        print(json.dumps({
+            "query": a.name,
+            "rows": len(res),
+            "columns": list(res.columns),
+            "head": json.loads(
+                res.head(a.limit).to_json(orient="records",
+                                          date_format="iso")),
+        }))
+        import ray
+
+        ray.shutdown()
         return 0
 
     if a.cmd == "catalog":
