@@ -306,9 +306,13 @@ def run_scaling() -> dict:
     pair = os.environ.get("RAY_GRAFT_SCALING_CPUS", "2,8")
     rounds = int(os.environ.get("RAY_GRAFT_SCALING_ROUNDS", "2"))
     lo, hi = (int(x) for x in pair.split(","))
-    # the sandbox host is oversubscribed (steal time spikes): interleave
-    # lo/hi rounds and take the per-level MIN (least-contended sample)
+    # the sandbox host is oversubscribed (steal time spikes) AND its
+    # absolute speed drifts >4x across hours: interleave lo/hi rounds,
+    # take the per-level MIN, and ALSO normalize each sample by its own
+    # in-session compute-control factor (host_calibration) so a sample
+    # taken in a slow phase doesn't bias the efficiency ratio
     lo_secs, hi_secs = [], []
+    lo_norm, hi_norm = [], []
     sf, n_events = None, 0
     for _ in range(rounds):
         r_lo, r_hi = one(lo), one(hi)
@@ -316,8 +320,15 @@ def run_scaling() -> dict:
         n_events = r_hi.get("log_events", 0)
         lo_secs.append(r_lo["value"])
         hi_secs.append(r_hi["value"])
+        for r, acc in ((r_lo, lo_norm), (r_hi, hi_norm)):
+            cal = r.get("host_calibration", {})
+            f = (cal.get("compute_sec", 0)
+                 / cal.get("quiet_host_reference_sec", 1) or 1)
+            acc.append(round(r["value"] / max(f, 1.0), 3))
     t_lo, t_hi = min(lo_secs), min(hi_secs)
     eff = (t_lo / t_hi) / (hi / lo)
+    n_lo, n_hi = min(lo_norm), min(hi_norm)
+    eff_norm = (n_lo / n_hi) / (hi / lo)
     out = {
         "metric": "cdc_replay_scaling",
         "sf": sf,
@@ -325,9 +336,12 @@ def run_scaling() -> dict:
         f"sec_{hi}": t_hi,
         f"samples_{lo}": lo_secs,
         f"samples_{hi}": hi_secs,
+        f"normalized_sec_{lo}": n_lo,
+        f"normalized_sec_{hi}": n_hi,
         f"events_per_s_{lo}": round(n_events / t_lo, 1) if n_events else None,
         f"events_per_s_{hi}": round(n_events / t_hi, 1) if n_events else None,
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_host_normalized": round(eff_norm, 3),
     }
     if hi < 32:
         r_32 = one(32)

@@ -9,6 +9,7 @@ gen        --out DIR [--keys N] [--events N] [--seed S] ...
 vacuum     --lake DIR [--prune-below LSN]
 stats      --lake DIR
 catalog    --lake DIR [--table NAME]
+query      [--name QUERY] [--sf-dir DIR] [--limit N]   (omit name to list)
 
 Owns its Ray session (scripts may init; the driver-facing module
 ``__ray_entry__`` never does).
