@@ -85,8 +85,11 @@ def run_bench() -> dict:
     # Host self-calibration: a fixed-flop numpy burn (zero data movement,
     # no engine code) timed in the same session. The sandbox host's speed
     # varies >2x across hours (hypervisor neighbors); dividing any query
-    # time by (compute_sec / best-observed 0.73 s at 32 CPUs) normalizes
-    # runs to comparable host conditions.
+    # time by (compute_sec / quiet-host reference) normalizes runs to
+    # comparable host conditions. The burn is exactly ONE WAVE (tasks ==
+    # num_cpus) so its wall time measures per-core speed and is invariant
+    # to the parallelism level — a fixed task count would take more waves
+    # at low num_cpus and over-correct that level.
     def _burn(b):
         import numpy as np
 
@@ -96,10 +99,12 @@ def run_bench() -> dict:
         return {"acc": np.array([float(x.sum())])}
 
     t0 = time.time()
-    ray.data.range(64, override_num_blocks=64).map_batches(_burn).materialize()
+    ray.data.range(NUM_CPUS, override_num_blocks=NUM_CPUS).map_batches(
+        _burn
+    ).materialize()
     extras["host_calibration"] = {
         "compute_sec": round(time.time() - t0, 3),
-        "quiet_host_reference_sec": 0.73,
+        "quiet_host_reference_sec": 0.40,
     }
 
     # headline: one-shot full replay
@@ -324,7 +329,10 @@ def run_scaling() -> dict:
             cal = r.get("host_calibration", {})
             f = (cal.get("compute_sec", 0)
                  / cal.get("quiet_host_reference_sec", 1) or 1)
-            acc.append(round(r["value"] / max(f, 1.0), 3))
+            # symmetric normalization: each sample divided by its OWN host
+            # factor, so the quiet-host reference cancels in the ratio; the
+            # clamp only guards against a degenerate calibration sample
+            acc.append(round(r["value"] / min(max(f, 0.25), 8.0), 3))
     t_lo, t_hi = min(lo_secs), min(hi_secs)
     eff = (t_lo / t_hi) / (hi / lo)
     n_lo, n_hi = min(lo_norm), min(hi_norm)
