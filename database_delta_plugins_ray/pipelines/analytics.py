@@ -506,6 +506,26 @@ def dedup_ngram_documents(sf_dir: str):
     )
 
 
+def dedup_cluster_documents(sf_dir: str):
+    """Near-dup CLUSTERS: exact n-gram pairs -> distributed connected
+    components -> (doc_id, cluster_id, keep) with one survivor (the min
+    doc_id) per component. A~B and B~C collapse into one cluster even
+    when A~C was never a pair."""
+    from ..stages.dedup import connected_components, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _t(sf_dir, "documents", ["doc_id", "text", "lang"]), threshold=0.5
+    )
+    cc = connected_components(pairs)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["keep"] = df["doc_id"] == df["cluster_id"]
+        return df
+
+    return cc.map_batches(flag, batch_format="pandas").sort("doc_id")
+
+
 def dedup_embedding_vectors(sf_dir: str):
     from ..stages.dedup import embedding_cosine_pairs
 
@@ -594,6 +614,29 @@ def multimodal_features(sf_dir: str):
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
+
+#: shared CTE chain computing the exact n-gram-Jaccard near-dup pairs in
+#: SQL — used verbatim by dedup_ngram_documents and as the edge source of
+#: the dedup_cluster_documents recursive-closure oracle
+_NGRAM_PAIRS_CTE = """t AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, lang,
+         list_distinct(CASE
+           WHEN len(toks) = 0 THEN []
+           WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+           ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks)-2)]
+         END) AS grams
+  FROM t
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round_even(CASE WHEN len(a.grams)+len(b.grams) = 0 THEN 1.0
+               ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / (len(a.grams)+len(b.grams)-len(list_intersect(a.grams,b.grams)))
+               END, 6) AS jaccard
+  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+)"""
 
 ANALYTICS_ORACLE_SQL = {
     "q1_pricing_summary": """
@@ -712,27 +755,30 @@ FROM embeddings ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) D
     # exact n-gram Jaccard recomputed in SQL over the raw gram strings
     # (the Ray side hashes grams to 64 bits first — intersection counts are
     # identical barring negligible 64-bit collisions)
-    "dedup_ngram_documents": """
-WITH t AS (
-  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
-  FROM documents
-), g AS (
-  SELECT doc_id, lang,
-         list_distinct(CASE
-           WHEN len(toks) = 0 THEN []
-           WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-           ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks)-2)]
-         END) AS grams
-  FROM t
-), pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         round_even(CASE WHEN len(a.grams)+len(b.grams) = 0 THEN 1.0
-               ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                    / (len(a.grams)+len(b.grams)-len(list_intersect(a.grams,b.grams)))
-               END, 6) AS jaccard
-  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
-)
+    "dedup_ngram_documents": f"""
+WITH {_NGRAM_PAIRS_CTE}
 SELECT * FROM pairs WHERE jaccard >= 0.5
+""",
+    # transitive closure of the same near-dup pairs: every doc in a pair
+    # labelled with its component's min doc_id (the Ray side runs the
+    # distributed large-star/small-star algorithm; components here are
+    # tiny so a recursive CTE reaches the same fixed point)
+    "dedup_cluster_documents": f"""
+WITH RECURSIVE {_NGRAM_PAIRS_CTE},
+qp AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM qp
+  UNION
+  SELECT id_b, id_a FROM qp
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, least(u, min(v)) AS cluster_id,
+       (least(u, min(v)) = u) AS keep
+FROM reach GROUP BY u ORDER BY doc_id
 """,
     # md5-derived stub decode recomputed in SQL (stages/multimodal.py)
     "multimodal_features": """
@@ -844,6 +890,7 @@ ANALYTICS_QUERIES = {
     "dedup_minhash_documents": dedup_minhash_documents,
     "dedup_simhash_documents": dedup_simhash_documents,
     "dedup_ngram_documents": dedup_ngram_documents,
+    "dedup_cluster_documents": dedup_cluster_documents,
     "dedup_embedding_vectors": dedup_embedding_vectors,
     "ann_topk_cosine": ann_topk_cosine,
     "ann_topk_ivf": ann_topk_ivf_q,

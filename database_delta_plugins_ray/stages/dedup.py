@@ -739,3 +739,147 @@ def embedding_cosine_pairs(
     return _colocate_pairs(ds.select_columns([id_col, vec_col]), cand,
                            unit_rows, cosine_pair, id_col,
                            ["id_a", "id_b", "cosine"])
+
+
+# ---------------------------------------------------------------------------
+# near-dup clusters: connected components over the pair edge list
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: "ray.data.Dataset",
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    nparts: int = 64,
+    max_rounds: int = 50,
+) -> "ray.data.Dataset":
+    """Label every document that appears in a near-dup pair with its
+    component's minimum id: ``(doc_id, cluster_id)`` rows.
+
+    Real dedup pipelines need clusters, not pairs — A~B and B~C must
+    collapse to ONE survivor even when A~C was never emitted. This is the
+    alternating **large-star / small-star** algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — the public
+    MapReduce-era formulation), expressed as Ray Data groupbys:
+
+    - large-star: for each node, hook every strictly-larger neighbour to
+      the minimum of its neighbourhood (incl. itself);
+    - small-star: orient edges large->small, hook the node and its smaller
+      neighbours to the neighbourhood minimum;
+    - converged when the edge set reaches a fixed point: a star forest
+      with every member pointing at its component minimum. O(log^2 n)
+      rounds proven, 2-5 in practice for near-dup-sized components.
+
+    Scale shape: the only shuffled payload is two int64s per edge; each
+    per-node neighbourhood reduction co-locates under ONE coarse
+    ``hash(node) % nparts`` key with a local vectorized pandas groupby
+    (same pattern as ``_colocate_pairs``); per-round edge sets are
+    materialized (bounded by the pair count, i.e. tiny relative to the
+    corpus) so the driver loop holds only a per-round signature scalar.
+    Hot components bound group size by component size, which near-dup
+    clustering keeps small by construction.
+    """
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[id_a].to_numpy()
+        b = df[id_b].to_numpy()
+        u = np.maximum(a, b)
+        v = np.minimum(a, b)
+        keep = u != v
+        return pd.DataFrame({"u": u[keep], "v": v[keep]}).drop_duplicates()
+
+    def large_sym(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["u"].to_numpy()
+        v = df["v"].to_numpy()
+        out = pd.DataFrame(
+            {"a": np.concatenate([u, v]), "b": np.concatenate([v, u])}
+        )
+        out["part"] = _hash_mod(out["a"], nparts)
+        return out
+
+    def large_part(g: pd.DataFrame) -> pd.DataFrame:
+        # m(a) = min(neighbourhood(a) + {a}); hook larger neighbours to it
+        m = g.groupby("a")["b"].min()
+        a = g["a"].to_numpy()
+        b = g["b"].to_numpy()
+        ma = np.minimum(m.reindex(a).to_numpy(), a)
+        mask = b > a
+        out = pd.DataFrame({"u": b[mask], "v": ma[mask]})
+        return out[out["u"] != out["v"]].drop_duplicates()
+
+    def small_prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = _hash_mod(df["u"], nparts)
+        return df
+
+    def small_part(g: pd.DataFrame) -> pd.DataFrame:
+        # edges arrive oriented u > v; m(u) = min of u's small neighbours
+        m = g.groupby("u")["v"].min()
+        mu = m.reindex(g["u"]).to_numpy()
+        v = g["v"].to_numpy()
+        mask = v != mu
+        hooked = pd.DataFrame({"u": v[mask], "v": mu[mask]})
+        centers = m.reset_index().rename(columns={"v": "m"})
+        own = pd.DataFrame({"u": centers["u"], "v": centers["m"]})
+        out = pd.concat([hooked, own], ignore_index=True)
+        return out[out["u"] != out["v"]].drop_duplicates()
+
+    def signature(edges: "ray.data.Dataset") -> tuple[int, int]:
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            u = df["u"].to_numpy(dtype=np.uint64)
+            v = df["v"].to_numpy(dtype=np.uint64)
+            mix = (u * np.uint64(0x9E3779B97F4A7C15)) ^ (
+                v * np.uint64(0xC2B2AE3D27D4EB4F))
+            return pd.DataFrame({"n": [len(df)],
+                                 "h": [int(mix.sum(dtype=np.uint64))]})
+
+        parts = edges.map_batches(partial, batch_format="pandas").take_all()
+        n = sum(p["n"] for p in parts)
+        h = 0
+        for p in parts:
+            h = (h + p["h"]) & 0xFFFFFFFFFFFFFFFF
+        return n, h
+
+    edges = pairs.map_batches(to_edges, batch_format="pandas").materialize()
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                          "cluster_id": pd.Series([], dtype=np.int64)})
+    if edges.count() == 0:
+        return ray.data.from_pandas(empty)
+
+    prev = None
+    for _ in range(max_rounds):
+        edges = (
+            edges.map_batches(large_sym, batch_format="pandas")
+            .groupby("part")
+            .map_groups(large_part, batch_format="pandas")
+            .map_batches(small_prep, batch_format="pandas")
+            .groupby("part")
+            .map_groups(small_part, batch_format="pandas")
+            .groupby(["u", "v"])
+            .count()
+            .drop_columns(["count()"])
+            .materialize()
+        )
+        sig = signature(edges)
+        if sig == prev:
+            break
+        prev = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds")
+
+    def labels(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["u"].to_numpy()
+        v = df["v"].to_numpy()
+        return pd.DataFrame(
+            {"doc_id": np.concatenate([u, v]),
+             "cluster_id": np.concatenate([v, v])}
+        ).drop_duplicates()
+
+    return (
+        edges.map_batches(labels, batch_format="pandas")
+        .groupby(["doc_id", "cluster_id"])
+        .count()
+        .drop_columns(["count()"])
+    )

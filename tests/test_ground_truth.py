@@ -190,3 +190,85 @@ def test_ngram_lsh_route_matches_exact(planted):
            for r in ngram_jaccard_pairs(ds, threshold=0.5,
                                         method="lsh").take_all()}
     assert lsh == exact
+
+
+# ---------------------------------------------------------------------------
+# connected components (near-dup clusters)
+# ---------------------------------------------------------------------------
+
+
+def _union_find_labels(edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_matches_union_find(ray_session):
+    """Random graph + a long path (forces multiple large/small-star
+    rounds) + duplicate and reversed edges; labels must equal the
+    union-find fixed point exactly."""
+    from database_delta_plugins_ray.stages.dedup import connected_components
+
+    rng = np.random.default_rng(7)
+    edges = [(int(a), int(b))
+             for a, b in rng.integers(0, 200, size=(180, 2)) if a != b]
+    edges += [(5000 + i, 5000 + i + 1) for i in range(33)]   # path
+    edges += [(b, a) for a, b in edges[:20]]                 # reversed dups
+    expected = _union_find_labels(edges)
+
+    pairs = ray.data.from_pandas(
+        pd.DataFrame({"id_a": [a for a, _ in edges],
+                      "id_b": [b for _, b in edges]}))
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(pairs, nparts=8).take_all()}
+    assert got == expected
+
+
+def test_cluster_transitive_chain(ray_session):
+    """A~B and B~C (A never paired with C directly) must land in ONE
+    cluster with exactly one survivor — the reason pairs alone are not a
+    dedup output."""
+    from database_delta_plugins_ray.stages.dedup import connected_components
+
+    pairs = ray.data.from_pandas(
+        pd.DataFrame({"id_a": [10, 20, 50], "id_b": [20, 30, 60]}))
+    rows = connected_components(pairs).take_all()
+    labels = {r["doc_id"]: r["cluster_id"] for r in rows}
+    assert labels == {10: 10, 20: 10, 30: 10, 50: 50, 60: 50}
+
+
+def test_connected_components_empty(ray_session):
+    from database_delta_plugins_ray.stages.dedup import connected_components
+
+    pairs = ray.data.from_pandas(
+        pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                      "id_b": pd.Series([], dtype=np.int64)}))
+    assert connected_components(pairs).count() == 0
+
+
+def test_cluster_query_collapses_planted_groups(planted):
+    """dedup-cluster pipeline over the planted corpus: every planted pair
+    collapses into one cluster with one survivor; noise docs are absent."""
+    from database_delta_plugins_ray.stages.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    ds, expected, _n = planted
+    pairs = ngram_jaccard_pairs(ds, threshold=0.5)
+    rows = connected_components(pairs).take_all()
+    labels = {r["doc_id"]: r["cluster_id"] for r in rows}
+    for a, b in expected:
+        assert labels.get(a) == labels.get(b) == min(a, b)
+    survivors = {d for d, c in labels.items() if d == c}
+    assert survivors == {min(a, b) for a, b in expected}
