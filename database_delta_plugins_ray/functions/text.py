@@ -395,3 +395,38 @@ def simhash64_many(texts: pd.Series) -> np.ndarray:
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+# ---------------------------------------------------------------------------
+# PII-style redaction (RE2-compatible patterns; DuckDB regexp_replace parity)
+# ---------------------------------------------------------------------------
+
+#: RE2-safe patterns — pyarrow.compute's regex kernels and DuckDB both run
+#: RE2, so replace/count semantics match the SQL oracle exactly.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def pii_redact(texts) -> "pd.DataFrame":
+    """Scrub emails then phone numbers from ``texts`` (a pandas Series or
+    pyarrow array of strings), returning columns ``(redacted,
+    n_redactions)``.
+
+    Counting mirrors the replacement order: emails counted on the
+    original text, phones counted AFTER email redaction (so digits
+    inside an address are never double-counted). All four kernels are
+    vectorized Arrow RE2 calls — no Python per-row loop.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(texts, type=pa.string()) if not isinstance(
+        texts, (pa.Array, pa.ChunkedArray)) else texts
+    n_email = pc.count_substring_regex(arr, EMAIL_RE)
+    no_email = pc.replace_substring_regex(arr, EMAIL_RE, "<EMAIL>")
+    n_phone = pc.count_substring_regex(no_email, PHONE_RE)
+    redacted = pc.replace_substring_regex(no_email, PHONE_RE, "<PHONE>")
+    n = pc.add(n_email, n_phone).cast(pa.int64())
+    return pd.DataFrame(
+        {"redacted": redacted.to_pandas(), "n_redactions": n.to_pandas()}
+    )

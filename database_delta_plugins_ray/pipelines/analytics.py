@@ -612,6 +612,75 @@ def multimodal_features(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# corpus sampling / mixing / redaction (training-data prep)
+# ---------------------------------------------------------------------------
+
+#: per-mille keep rates per language for the deterministic sampler —
+#: downsample the dominant language, keep the tail denser (the standard
+#: training-mix rebalance). Unlisted langs fall back to 300.
+SAMPLE_RATES = {"en": 400, "zh": 800, "fr": 700}
+SAMPLE_DEFAULT_RATE = 300
+
+#: per-language token budget for the mix query
+MIX_TOKEN_BUDGET = 2000
+
+
+def sample_documents_deterministic(sf_dir: str):
+    """Stratified deterministic hash sample: keep a document iff
+    md5_u64(doc_id) % 1000 < rate(lang). Pure map_batches filter — no
+    shuffle, no RNG state, identical output on rerun/resume at any
+    parallelism; the rate table is a tiny broadcast constant."""
+    from ..stages.sample import hash_sample
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "source"])
+    return hash_sample(
+        ds, id_col="doc_id", stratum_col="lang",
+        rates=SAMPLE_RATES, default_rate=SAMPLE_DEFAULT_RATE,
+    )
+
+
+def redact_pii_documents(sf_dir: str):
+    """Email/phone scrub over the corpus: four vectorized RE2 kernels
+    per batch (count+replace x2), embarrassingly parallel."""
+    from ..functions.text import pii_redact
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def scrub(df: pd.DataFrame) -> pd.DataFrame:
+        out = pii_redact(df["text"])
+        out.insert(0, "doc_id", df["doc_id"].to_numpy())
+        return out
+
+    return ds.map_batches(scrub, batch_format="pandas")
+
+
+def mix_token_budget_documents(sf_dir: str):
+    """Per-language token-budget prefix selection (fill each language's
+    share of the training mix in doc_id order) via the two-pass
+    threshold design in stages/sample.py — no per-stratum sequential
+    scan, no corpus shuffle."""
+    from ..functions.text import token_counts
+    from ..stages.sample import token_budget_mix
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+    picked = token_budget_mix(
+        ds, id_col="doc_id", stratum_col="lang",
+        weight_fn=lambda df: token_counts(df["text"]),
+        budget=MIX_TOKEN_BUDGET,
+    )
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.text import token_counts as tc
+
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "lang": df["lang"],
+             "n_tokens": tc(df["text"])}
+        )
+
+    return picked.map_batches(project, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
 
@@ -869,6 +938,50 @@ FROM c
 """.replace("@EN@", _stopword_alt("en"))
 
 
+def _rate_case() -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_RATES.items()
+    )
+    return f"CASE lang {whens} ELSE {SAMPLE_DEFAULT_RATE} END"
+
+
+# md5_number_lower == little-endian uint64 of md5-digest bytes 8..16 —
+# bit-identical to stages/sample.py:md5_u64 (verified vs duckdb 1.0)
+ANALYTICS_ORACLE_SQL["sample_documents_deterministic"] = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < {_rate_case()}
+"""
+
+
+def _pii_sql() -> str:
+    from ..functions.text import EMAIL_RE, PHONE_RE
+
+    no_email = f"regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g')"
+    return f"""
+SELECT doc_id,
+       regexp_replace({no_email}, '{PHONE_RE}', '<PHONE>', 'g') AS redacted,
+       len(regexp_extract_all(text, '{EMAIL_RE}'))
+       + len(regexp_extract_all({no_email}, '{PHONE_RE}')) AS n_redactions
+FROM documents
+"""
+
+
+ANALYTICS_ORACLE_SQL["redact_pii_documents"] = _pii_sql()
+
+ANALYTICS_ORACLE_SQL["mix_token_budget_documents"] = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+  FROM t
+)
+SELECT doc_id, lang, n_tokens FROM c WHERE cum <= {MIX_TOKEN_BUDGET}
+"""
+
+
 ANALYTICS_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "events_latest_per_user": events_latest_per_user,
@@ -895,6 +1008,9 @@ ANALYTICS_QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "ann_topk_ivf": ann_topk_ivf_q,
     "multimodal_features": multimodal_features,
+    "sample_documents_deterministic": sample_documents_deterministic,
+    "redact_pii_documents": redact_pii_documents,
+    "mix_token_budget_documents": mix_token_budget_documents,
 }
 
 #: subset timed by bench.py at sf0.1

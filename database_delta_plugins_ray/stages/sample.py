@@ -1,0 +1,200 @@
+"""Deterministic sampling / corpus-mix operators for training-data
+pipelines.
+
+Two web-scale-shaped primitives:
+
+- ``hash_sample``: stratified Bernoulli sampling by a DETERMINISTIC
+  per-row hash — embarrassingly parallel (a pure ``map_batches`` filter,
+  no shuffle, no RNG state), reproducible across reruns/resumes, and
+  exactly expressible in SQL (DuckDB ``md5_number_lower``) so the driver
+  oracle gates it value-for-value. This is the canonical way to cut a
+  10^9-document corpus to a target mix: every worker decides membership
+  locally from (id, stratum rate) alone.
+
+- ``token_budget_mix``: select documents per stratum (language/domain)
+  in deterministic ``id`` order until a token budget is exhausted — the
+  "fill each language's share of the training mix" step. The naive
+  formulation is a per-stratum running cumulative sum (inherently
+  sequential over billions of rows); this implementation is the
+  two-pass threshold form that scales:
+
+    pass 1: partial token sums per (stratum, id-bucket) inside
+            ``map_batches`` -> tiny ``groupby`` -> the driver sees only
+            O(strata x buckets) rows, sorts each stratum's buckets and
+            locates the boundary bucket where the budget is crossed;
+    pass 2: only the boundary buckets (bounded by strata x bucket_width
+            rows) are re-read to find the exact cutoff id within them;
+    final:  a pure broadcast filter — include a row iff its bucket is
+            before the stratum's boundary, or it is in the boundary
+            bucket at-or-before the cutoff id.
+
+  No all-to-all shuffle touches the corpus; the only data that reaches
+  the driver is the bucket summary and the boundary buckets.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Mapping
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def md5_u64(ids: np.ndarray) -> np.ndarray:
+    """uint64 per id: little-endian of the LAST 8 bytes of
+    md5(str(id)) — bit-identical to DuckDB's ``md5_number_lower``
+    (verified against duckdb 1.0). Hashing is per-item by nature;
+    ``fromiter`` keeps Python overhead to the md5 call itself (same
+    pattern as the oracled exact-dedup / fingerprint kernels)."""
+    return np.fromiter(
+        (
+            struct.unpack("<Q", hashlib.md5(str(i).encode()).digest()[8:])[0]
+            for i in ids
+        ),
+        dtype=np.uint64,
+        count=len(ids),
+    )
+
+
+def hash_sample(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str,
+    stratum_col: str,
+    rates: Mapping[str, int],
+    default_rate: int,
+    denom: int = 1000,
+) -> "ray.data.Dataset":
+    """Keep a row iff ``md5_u64(id) % denom < rates[stratum]``.
+
+    ``rates`` maps stratum value -> per-mille (when ``denom=1000``)
+    keep rate. The rate table is a small broadcast constant captured in
+    the task closure (shipped once per task spec, not per batch)."""
+    rate_map = dict(rates)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = md5_u64(df[id_col].to_numpy()) % np.uint64(denom)
+        limit = (
+            df[stratum_col]
+            .map(lambda s: rate_map.get(s, default_rate))
+            .to_numpy(dtype=np.uint64)
+        )
+        return df[h < limit]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def token_budget_mix(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str,
+    stratum_col: str,
+    weight_fn,
+    budget: int,
+    bucket_width: int = 64,
+) -> "ray.data.Dataset":
+    """Per-stratum prefix selection in ``id_col`` order: include a row
+    iff the running sum of ``weight_fn`` (ordered by id within the
+    stratum) is still ``<= budget`` after adding it.
+
+    ``weight_fn(df) -> int64 ndarray`` computes the per-row weight
+    (e.g. token count) and is evaluated VECTORIZED in every pass.
+    See module docstring for the two-pass threshold design; driver
+    memory is O(strata x n_buckets) + O(strata x bucket_width)."""
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        w = weight_fn(df)
+        g = pd.DataFrame(
+            {
+                "stratum": df[stratum_col].to_numpy(),
+                "bucket": df[id_col].to_numpy() // bucket_width,
+                "w": w,
+            }
+        )
+        return g.groupby(["stratum", "bucket"], as_index=False)["w"].sum()
+
+    summary = (
+        ds.map_batches(partials, batch_format="pandas")
+        .groupby(["stratum", "bucket"])
+        .aggregate(Sum("w", alias_name="w"))
+        .to_pandas()  # O(strata x buckets) rows — tiny by construction
+    )
+
+    # Driver: per stratum, cumulative bucket sums -> boundary bucket
+    # (first bucket whose inclusion overshoots the budget) + the budget
+    # remaining when entering it.
+    full_before = {}  # stratum -> bucket strictly-below which all rows keep
+    boundary = {}  # stratum -> (boundary_bucket, remaining_budget)
+    for stratum, g in summary.groupby("stratum"):
+        g = g.sort_values("bucket")
+        cum = g["w"].cumsum()
+        over = cum > budget
+        if not over.any():
+            full_before[stratum] = int(g["bucket"].max()) + 1
+            continue
+        i = int(np.argmax(over.to_numpy()))
+        full_before[stratum] = int(g["bucket"].iloc[i])
+        prior = int(cum.iloc[i - 1]) if i > 0 else 0
+        boundary[stratum] = (int(g["bucket"].iloc[i]), budget - prior)
+
+    # Pass 2: exact cutoff id inside each boundary bucket. The filter
+    # touches only strata-count buckets of <= bucket_width rows each.
+    cutoff = {}  # stratum -> max id included within the boundary bucket
+    if boundary:
+        bset = {(s, b) for s, (b, _) in boundary.items()}
+
+        def only_boundary(df: pd.DataFrame) -> pd.DataFrame:
+            key = list(
+                zip(df[stratum_col], df[id_col].to_numpy() // bucket_width)
+            )
+            mask = np.fromiter(
+                (k in bset for k in key), dtype=bool, count=len(df)
+            )
+            out = df[mask]
+            w = weight_fn(out)
+            return pd.DataFrame(
+                {
+                    "stratum": out[stratum_col].to_numpy(),
+                    "id": out[id_col].to_numpy(),
+                    "w": w,
+                }
+            )
+
+        rows = (
+            ds.map_batches(only_boundary, batch_format="pandas")
+            .to_pandas()  # <= strata x bucket_width rows
+        )
+        for stratum, g in rows.groupby("stratum"):
+            g = g.sort_values("id")
+            cum = g["w"].cumsum().to_numpy()
+            _, rem = boundary[stratum]
+            ok = cum <= rem
+            if ok.any():
+                cutoff[stratum] = int(g["id"].to_numpy()[ok.argmin() - 1] if not ok.all() else g["id"].to_numpy()[-1])
+            # else: no row of the boundary bucket fits — cutoff absent
+
+    def final_filter(df: pd.DataFrame) -> pd.DataFrame:
+        strata = df[stratum_col].to_numpy()
+        ids = df[id_col].to_numpy()
+        buckets = ids // bucket_width
+        fb = np.fromiter(
+            (full_before.get(s, 0) for s in strata),
+            dtype=np.int64,
+            count=len(df),
+        )
+        keep = buckets < fb
+        if cutoff:
+            co = np.fromiter(
+                (cutoff.get(s, -1) for s in strata),
+                dtype=np.int64,
+                count=len(df),
+            )
+            keep |= (buckets == fb) & (ids <= co)
+        return df[keep]
+
+    return ds.map_batches(final_filter, batch_format="pandas")

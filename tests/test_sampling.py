@@ -1,0 +1,118 @@
+"""Deterministic sampling / token-budget mix / PII redaction."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+import ray.data
+
+from database_delta_plugins_ray.functions.text import pii_redact
+from database_delta_plugins_ray.stages.sample import (
+    hash_sample,
+    md5_u64,
+    token_budget_mix,
+)
+
+
+def test_pii_redact_planted():
+    out = pii_redact(
+        pd.Series(
+            [
+                "mail bob.smith+x@corp.example.com or call 555-123-4567",
+                "two mails a@b.io c.d@e-f.org and 111-222-3333 999.888.7777",
+                "no pii here 12-34 a@b (not an email TLD-less)",
+                "",
+            ]
+        )
+    )
+    assert list(out["n_redactions"]) == [2, 4, 0, 0]
+    assert out["redacted"][0] == "mail <EMAIL> or call <PHONE>"
+    assert out["redacted"][1] == "two mails <EMAIL> <EMAIL> and <PHONE> <PHONE>"
+    assert out["redacted"][2] == "no pii here 12-34 a@b (not an email TLD-less)"
+
+
+def test_md5_u64_matches_duckdb():
+    import duckdb
+
+    ids = np.array([0, 1, 42, 123456789, 2**40], dtype=np.int64)
+    got = md5_u64(ids)
+    want = [
+        duckdb.sql(
+            f"SELECT md5_number_lower(CAST({int(i)} AS VARCHAR))"
+        ).fetchone()[0]
+        for i in ids
+    ]
+    assert list(got) == want
+
+
+def test_hash_sample_deterministic_across_parallelism(ray_session):
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(2000, dtype=np.int64),
+            "lang": np.where(np.arange(2000) % 3 == 0, "en", "de"),
+        }
+    )
+    kw = dict(id_col="doc_id", stratum_col="lang",
+              rates={"en": 250}, default_rate=500)
+    a = hash_sample(
+        ray.data.from_pandas(df, override_num_blocks=1), **kw
+    ).take_all()
+    b = hash_sample(
+        ray.data.from_pandas(df, override_num_blocks=13), **kw
+    ).take_all()
+    ka = sorted(r["doc_id"] for r in a)
+    kb = sorted(r["doc_id"] for r in b)
+    assert ka == kb and 0 < len(ka) < 2000
+    # stratified rates actually differ: en ~25%, de ~50%
+    en = sum(1 for r in a if r["lang"] == "en") / (2000 / 3)
+    de = sum(1 for r in a if r["lang"] == "de") / (2000 * 2 / 3)
+    assert 0.18 < en < 0.33 < 0.42 < de < 0.58
+
+
+def _naive_budget(df, budget):
+    keep = []
+    for lang, g in df.groupby("lang"):
+        g = g.sort_values("doc_id")
+        cum = g["w"].cumsum()
+        keep.extend(g["doc_id"][cum <= budget])
+    return sorted(keep)
+
+
+@pytest.mark.parametrize("budget", [0, 7, 100, 10_000, 10**9])
+def test_token_budget_mix_matches_naive(ray_session, budget):
+    rng = np.random.default_rng(11)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "doc_id": rng.permutation(n).astype(np.int64),
+            "lang": rng.choice(["en", "de", "zh"], size=n),
+            "w": rng.integers(0, 40, size=n).astype(np.int64),
+        }
+    )
+    got = token_budget_mix(
+        ray.data.from_pandas(df, override_num_blocks=9),
+        id_col="doc_id", stratum_col="lang",
+        weight_fn=lambda d: d["w"].to_numpy(dtype=np.int64),
+        budget=budget, bucket_width=64,
+    ).take_all()
+    assert sorted(r["doc_id"] for r in got) == _naive_budget(df, budget)
+
+
+def test_token_budget_exact_boundary(ray_session):
+    # budget lands EXACTLY on a prefix sum, and exactly on a bucket edge
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(128, dtype=np.int64),
+            "lang": ["en"] * 128,
+            "w": np.ones(128, dtype=np.int64),
+        }
+    )
+    for budget in (63, 64, 65, 128):
+        got = token_budget_mix(
+            ray.data.from_pandas(df, override_num_blocks=4),
+            id_col="doc_id", stratum_col="lang",
+            weight_fn=lambda d: d["w"].to_numpy(dtype=np.int64),
+            budget=budget, bucket_width=64,
+        ).take_all()
+        assert sorted(r["doc_id"] for r in got) == list(range(budget))
