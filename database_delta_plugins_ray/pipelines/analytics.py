@@ -681,6 +681,140 @@ def mix_token_budget_documents(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# shuffle hash join / distributed exact statistics
+# ---------------------------------------------------------------------------
+
+#: TPC-H Q3 parameters (shipping-priority query shape)
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-01-01"
+
+
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: top-10 unshipped orders by revenue. Exercises the
+    general LARGE x LARGE shuffle hash join (``stages/join.py``) that
+    broadcast/as-of/range joins don't cover:
+
+    - customer is filtered to one segment and broadcast (``ray.put``
+      once) as a semi-join key set into the orders scan — small side
+      never shuffles;
+    - lineitem revenue is PARTIALLY aggregated per batch by orderkey
+      before the join (combiner), so the shuffle moves one row per
+      (batch, orderkey), not one per lineitem;
+    - orders ⋈ lineitem-partials co-locate in ONE hash shuffle
+      (tagged-union groupby), then a tiny second aggregate folds the
+      partials and sort-limit picks the top 10.
+    """
+    import ray
+
+    from ..stages.join import shuffle_hash_join
+
+    cust = pq_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    keys = cust.filter(
+        pc.equal(cust["c_mktsegment"], Q3_SEGMENT))["c_custkey"]
+    key_ref = ray.put(keys.combine_chunks())
+    cutoff = np.datetime64(Q3_CUTOFF, "us")
+
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_filter(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.is_in(t["o_custkey"], value_set=ray.get(key_ref)),
+            pc.less(t["o_orderdate"], pa.scalar(cutoff.item())),
+        )
+        return t.filter(m).select(["o_orderkey", "o_orderdate"])
+
+    line = _t(sf_dir, "lineitem",
+              ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def l_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff.item())))
+        rev = pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"]),
+        )
+        df = pd.DataFrame({
+            "o_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+            "rev": rev.to_numpy(zero_copy_only=False),
+        }).groupby("o_orderkey", as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    joined = shuffle_hash_join(
+        orders.map_batches(o_filter, batch_format="pyarrow"),
+        line.map_batches(l_partial, batch_format="pyarrow"),
+        on="o_orderkey",
+    )
+    agg = joined.groupby(["o_orderkey", "o_orderdate"]).aggregate(
+        Sum("rev", alias_name="revenue"))
+    df = agg.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    df = df.sort_values(["revenue", "o_orderkey"],
+                        ascending=[False, True]).head(10)
+    return df.reset_index(drop=True)
+
+
+def pq_read(sf_dir: str, name: str, columns=None) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(os.path.join(sf_dir, f"{name}.parquet"),
+                         columns=columns)
+
+
+def doc_length_percentiles(sf_dir: str):
+    """Exact per-language length percentiles (p50/p90/p99) at corpus
+    scale WITHOUT a sort: per-batch (lang, n_chars) value-count partials
+    -> one small groupby over the bounded value domain -> driver walks
+    each language's cumulative histogram. Shuffle payload is
+    O(langs x distinct lengths), never O(docs); the index rule
+    (smallest value with cumcount >= ceil(p*n)) is percentile_disc's."""
+    ds = _t(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "n_chars"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+
+    rows = []
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("n_chars")
+        vals = g["n_chars"].to_numpy()
+        cum = g["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+
+        def disc(p: float) -> int:
+            k = max(int(np.ceil(p * n)), 1)
+            return int(vals[np.searchsorted(cum, k, side="left")])
+
+        rows.append({"lang": lang, "n_docs": n, "p50": disc(0.5),
+                     "p90": disc(0.9), "p99": disc(0.99)})
+    return pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
+
+
+def distinct_users_per_type(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT): local drop_duplicates combiner per
+    batch (the shuffle moves unique pairs, not raw events) -> one hash
+    groupby to global-distinct the pairs -> tiny per-type count."""
+    ds = _t(sf_dir, "events", ["event_type", "user_id"])
+
+    pairs = (
+        ds.map_batches(lambda df: df.drop_duplicates(),
+                       batch_format="pandas")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+    )
+    out = pairs.groupby("event_type").aggregate(
+        Count(alias_name="n_users"))
+    df = out.to_pandas()[["event_type", "n_users"]]
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
 
@@ -982,6 +1116,35 @@ SELECT doc_id, lang, n_tokens FROM c WHERE cum <= {MIX_TOKEN_BUDGET}
 """
 
 
+ANALYTICS_ORACLE_SQL["q3_shipping_priority"] = f"""
+SELECT o_orderkey, o_orderdate,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+  AND l_shipdate  > TIMESTAMP '{Q3_CUTOFF}'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+ANALYTICS_ORACLE_SQL["doc_length_percentiles"] = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       percentile_disc(0.5)  WITHIN GROUP (ORDER BY n_chars) AS p50,
+       percentile_disc(0.9)  WITHIN GROUP (ORDER BY n_chars) AS p90,
+       percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars) AS p99
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+ANALYTICS_ORACLE_SQL["distinct_users_per_type"] = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 ANALYTICS_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "events_latest_per_user": events_latest_per_user,
@@ -1011,6 +1174,9 @@ ANALYTICS_QUERIES = {
     "sample_documents_deterministic": sample_documents_deterministic,
     "redact_pii_documents": redact_pii_documents,
     "mix_token_budget_documents": mix_token_budget_documents,
+    "q3_shipping_priority": q3_shipping_priority,
+    "doc_length_percentiles": doc_length_percentiles,
+    "distinct_users_per_type": distinct_users_per_type,
 }
 
 #: subset timed by bench.py at sf0.1

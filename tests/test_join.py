@@ -1,0 +1,117 @@
+"""Generic shuffle hash join (stages/join.py) semantics."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+
+def _ds(rows):
+    import pyarrow as pa
+
+    return ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+
+def test_inner_join_multiplicity(ray_session):
+    """m x n rows per key -> m*n joined rows; keys missing on either
+    side are dropped."""
+    from database_delta_plugins_ray.stages.join import shuffle_hash_join
+
+    left = _ds([
+        {"k": 1, "a": "l1"},
+        {"k": 1, "a": "l2"},
+        {"k": 2, "a": "l3"},
+        {"k": 4, "a": "l4"},  # no right match
+    ])
+    right = _ds([
+        {"k": 1, "b": 10.0},
+        {"k": 1, "b": 20.0},
+        {"k": 1, "b": 30.0},
+        {"k": 2, "b": 40.0},
+        {"k": 9, "b": 50.0},  # no left match
+    ])
+    out = pd.DataFrame(shuffle_hash_join(left, right, on="k").take_all())
+    got = set(map(tuple, out[["k", "a", "b"]].itertuples(index=False)))
+    want = {(1, a, b) for a in ("l1", "l2") for b in (10.0, 20.0, 30.0)}
+    want.add((2, "l3", 40.0))
+    assert got == want  # 7 rows: 2*3 for k=1 + 1 for k=2
+
+
+def test_left_join_keeps_unmatched(ray_session):
+    from database_delta_plugins_ray.stages.join import shuffle_hash_join
+
+    left = _ds([{"k": 1, "a": "x"}, {"k": 2, "a": "y"}])
+    right = _ds([{"k": 1, "b": 7.0}])
+    out = pd.DataFrame(
+        shuffle_hash_join(left, right, on="k", how="left").take_all())
+    by_k = out.set_index("k")
+    assert by_k.loc[1, "b"] == 7.0
+    assert pd.isna(by_k.loc[2, "b"])
+
+
+def test_join_matches_pandas_merge(ray_session):
+    """Randomized parity vs pandas.merge on a composite-free int key."""
+    from database_delta_plugins_ray.stages.join import shuffle_hash_join
+
+    rng = np.random.default_rng(11)
+    l = pd.DataFrame({"k": rng.integers(0, 40, 300),
+                      "a": rng.integers(0, 1000, 300)})
+    r = pd.DataFrame({"k": rng.integers(0, 40, 200),
+                      "b": rng.integers(0, 1000, 200)})
+    out = pd.DataFrame(
+        shuffle_hash_join(
+            ray.data.from_pandas(l), ray.data.from_pandas(r), on="k"
+        ).take_all()
+    )
+    want = l.merge(r, on="k")
+    key = ["k", "a", "b"]
+    assert sorted(map(tuple, out[key].itertuples(index=False))) == \
+        sorted(map(tuple, want[key].itertuples(index=False)))
+
+
+def test_join_rejects_overlap_and_bad_how(ray_session):
+    from database_delta_plugins_ray.stages.join import shuffle_hash_join
+
+    l = _ds([{"k": 1, "x": 1}])
+    r = _ds([{"k": 1, "x": 2}])
+    with pytest.raises(ValueError, match="overlap"):
+        shuffle_hash_join(l, r, on="k")
+    with pytest.raises(ValueError, match="join type"):
+        shuffle_hash_join(l, _ds([{"k": 1, "y": 2}]), on="k", how="outer")
+
+
+def test_percentile_rule_matches_duckdb(ray_session, tmp_path):
+    """doc_length_percentiles' ceil-rule == DuckDB percentile_disc on a
+    tiny corpus with skewed strata sizes."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database_delta_plugins_ray.pipelines.analytics import (
+        doc_length_percentiles,
+    )
+
+    rng = np.random.default_rng(5)
+    langs = ["en"] * 37 + ["fr"] * 9 + ["zh"] * 1
+    rows = [{"doc_id": i, "text": "", "lang": lang,
+             "source": "s", "n_chars": int(rng.integers(1, 500))}
+            for i, lang in enumerate(langs)]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(sf / "documents.parquet"))
+
+    got = doc_length_percentiles(str(sf))
+    want = duckdb.sql(f"""
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               percentile_disc(0.5)  WITHIN GROUP (ORDER BY n_chars) AS p50,
+               percentile_disc(0.9)  WITHIN GROUP (ORDER BY n_chars) AS p90,
+               percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars) AS p99
+        FROM read_parquet('{sf}/documents.parquet')
+        GROUP BY lang ORDER BY lang
+    """).df()
+    pd.testing.assert_frame_equal(
+        got.astype({"n_docs": "int64"}),
+        want.astype({"n_docs": "int64", "p50": "int64",
+                     "p90": "int64", "p99": "int64"}),
+    )
