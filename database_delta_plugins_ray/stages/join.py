@@ -19,8 +19,11 @@ Design (one shuffle total, no driver materialization):
    emits the joined rows.  Inner and left joins supported.
 
 Partitioning assumption (documented per the charter): all rows of one
-join key fit in a single task's heap.  For skewed keys, pre-salt the
-BUILD side and replicate the PROBE side per salt — or pre-aggregate
+join key fit in a single task's heap.  For skewed keys pass ``salt=k``:
+the left side is salted round-robin into k sub-keys and the right side
+is replicated once per salt value, so a hot key's left rows spread over
+k tasks (classic skew join; costs k copies of the right side, so keep
+the right side the smaller/pre-aggregated one) — or pre-aggregate
 before the join, which is what the call sites here do.
 """
 from __future__ import annotations
@@ -34,9 +37,12 @@ import pyarrow as pa
 __all__ = ["shuffle_hash_join"]
 
 _SIDE = "__jside"
+_SALT = "__jsalt"
 
 
-def _tagged(t: pa.Table, side: str, out_fields: list[pa.Field]) -> pa.Table:
+def _tagged(
+    t: pa.Table, side: str, out_fields: list[pa.Field], salt: int
+) -> pa.Table:
     cols = []
     for f in out_fields:
         if f.name in t.column_names:
@@ -44,7 +50,19 @@ def _tagged(t: pa.Table, side: str, out_fields: list[pa.Field]) -> pa.Table:
         else:
             cols.append(pa.nulls(t.num_rows, f.type))
     cols.append(pa.array([side] * t.num_rows, pa.string()))
-    return pa.table(cols, names=[f.name for f in out_fields] + [_SIDE])
+    names = [f.name for f in out_fields] + [_SIDE]
+    out = pa.table(cols, names=names)
+    if salt <= 1:
+        return out
+    if side == "l":  # left rows scatter round-robin over the salts
+        return out.append_column(
+            _SALT, pa.array(np.arange(out.num_rows, dtype=np.int32) % salt))
+    # right rows replicate once per salt value
+    return pa.concat_tables([
+        out.append_column(_SALT, pa.array(
+            np.full(out.num_rows, s, dtype=np.int32)))
+        for s in range(salt)
+    ])
 
 
 def shuffle_hash_join(
@@ -52,6 +70,7 @@ def shuffle_hash_join(
     right,
     on: Sequence[str] | str,
     how: str = "inner",
+    salt: int = 1,
 ):
     """Equi-join two Ray Data datasets on column(s) ``on``.
 
@@ -87,13 +106,15 @@ def shuffle_hash_join(
     ).to_pandas()
 
     both = left.map_batches(
-        lambda t, of=out_fields: _tagged(t, "l", of), batch_format="pyarrow"
+        lambda t, of=out_fields: _tagged(t, "l", of, salt),
+        batch_format="pyarrow",
     ).union(
         right.map_batches(
-            lambda t, of=out_fields: _tagged(t, "r", of),
+            lambda t, of=out_fields: _tagged(t, "r", of, salt),
             batch_format="pyarrow",
         )
     )
+    group_keys = keys + ([_SALT] if salt > 1 else [])
 
     def join_group(g: pd.DataFrame) -> pd.DataFrame:
         side = g[_SIDE].to_numpy()
@@ -117,4 +138,5 @@ def shuffle_hash_join(
             out[n] = rrep[n]
         return out[out_names]
 
-    return both.groupby(keys).map_groups(join_group, batch_format="pandas")
+    return both.groupby(group_keys).map_groups(
+        join_group, batch_format="pandas")

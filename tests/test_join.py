@@ -70,6 +70,32 @@ def test_join_matches_pandas_merge(ray_session):
         sorted(map(tuple, want[key].itertuples(index=False)))
 
 
+def test_salted_join_matches_unsalted(ray_session):
+    """salt=k spreads hot-key left rows over k groups and replicates the
+    right side per salt — the joined multiset must be unchanged, for
+    inner AND left joins."""
+    from database_delta_plugins_ray.stages.join import shuffle_hash_join
+
+    rng = np.random.default_rng(3)
+    # one very hot key (0) plus a tail, and keys missing on each side
+    l = pd.DataFrame({"k": np.concatenate([np.zeros(80, int),
+                                           rng.integers(1, 10, 40)]),
+                      "a": np.arange(120)})
+    r = pd.DataFrame({"k": np.concatenate([np.zeros(5, int),
+                                           rng.integers(1, 12, 20)]),
+                      "b": np.arange(200, 225)})
+    for how in ("inner", "left"):
+        want = sorted(map(tuple, pd.DataFrame(shuffle_hash_join(
+            ray.data.from_pandas(l), ray.data.from_pandas(r),
+            on="k", how=how).take_all()).fillna(-1)
+            [["k", "a", "b"]].itertuples(index=False)))
+        got = sorted(map(tuple, pd.DataFrame(shuffle_hash_join(
+            ray.data.from_pandas(l), ray.data.from_pandas(r),
+            on="k", how=how, salt=4).take_all()).fillna(-1)
+            [["k", "a", "b"]].itertuples(index=False)))
+        assert got == want
+
+
 def test_join_rejects_overlap_and_bad_how(ray_session):
     from database_delta_plugins_ray.stages.join import shuffle_hash_join
 
