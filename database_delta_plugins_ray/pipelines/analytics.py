@@ -739,15 +739,25 @@ def q3_shipping_priority(sf_dir: str):
         }).groupby("o_orderkey", as_index=False)["rev"].sum()
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    joined = shuffle_hash_join(
+    def agg_topk(j: pd.DataFrame) -> pd.DataFrame:
+        # runs inside the join task on one co-located partition: every
+        # row of an orderkey is here, so the sum is exact and a local
+        # top-10 is a valid candidate set for the global top-10 — the
+        # second all-to-all a naive plan would need disappears.
+        g = (j.groupby(["o_orderkey", "o_orderdate"], as_index=False)
+             ["rev"].sum())
+        g["revenue"] = g["rev"].round(2)
+        return (g.drop(columns=["rev"])
+                .sort_values(["revenue", "o_orderkey"],
+                             ascending=[False, True]).head(10))
+
+    cand = shuffle_hash_join(
         orders.map_batches(o_filter, batch_format="pyarrow"),
         line.map_batches(l_partial, batch_format="pyarrow"),
         on="o_orderkey",
+        post=agg_topk,
     )
-    agg = joined.groupby(["o_orderkey", "o_orderdate"]).aggregate(
-        Sum("rev", alias_name="revenue"))
-    df = agg.to_pandas()
-    df["revenue"] = df["revenue"].round(2)
+    df = cand.to_pandas()  # <= 10 rows per partition
     df = df.sort_values(["revenue", "o_orderkey"],
                         ascending=[False, True]).head(10)
     return df.reset_index(drop=True)
@@ -1187,4 +1197,5 @@ BENCH_QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "purchases_asof_last_view": purchases_asof_last_view,
     "orders_with_events_in_week": orders_with_events_in_week,
+    "q3_shipping_priority": q3_shipping_priority,
 }

@@ -10,21 +10,26 @@ large to broadcast.
 
 Design (one shuffle total, no driver materialization):
 
-1. Tag each side and union them into one dataset whose schema is the
-   key column(s) + both sides' payload columns (each side carries nulls
-   for the other side's columns).  A union is free in Ray Data — no
-   data movement, the streaming executor just interleaves blocks.
-2. ``groupby(keys).map_groups``: ONE hash shuffle co-locates every row
-   of both sides for a key; inside the group a vectorized pandas merge
-   emits the joined rows.  Inner and left joins supported.
+1. Tag each side, stamp every row with a COARSE partition id
+   ``hash(key columns) % nparts``, and union the two sides.  A union is
+   free in Ray Data — no data movement, the streaming executor just
+   interleaves blocks.
+2. ``groupby(__jpart).map_groups``: ONE hash shuffle co-locates both
+   sides of every key; inside each partition a single vectorized
+   ``pandas.merge`` joins ALL keys of the partition at once.  Grouping
+   by the coarse partition — not the raw key — keeps the number of
+   map_groups invocations at ``nparts``, not ``n_keys`` (per-key UDF
+   dispatch is 10-100x slower at millions of keys; same co-location
+   trick the LSH dedup verifies use).  Inner and left joins supported.
 
-Partitioning assumption (documented per the charter): all rows of one
-join key fit in a single task's heap.  For skewed keys pass ``salt=k``:
-the left side is salted round-robin into k sub-keys and the right side
-is replicated once per salt value, so a hot key's left rows spread over
-k tasks (classic skew join; costs k copies of the right side, so keep
-the right side the smaller/pre-aggregated one) — or pre-aggregate
-before the join, which is what the call sites here do.
+Partitioning assumption (documented per the charter): one partition's
+rows (|L|/nparts + |R|/nparts, plus any single hot key's full row set)
+fit in a task's heap — size ``nparts`` to the data, and for skewed keys
+pass ``salt=k``: the left side is salted round-robin into k sub-keys and
+the right side is replicated once per salt value, so a hot key's left
+rows spread over k partitions (classic skew join; costs k copies of the
+right side, so keep the right side the smaller/pre-aggregated one) — or
+pre-aggregate before the join, which is what the call sites here do.
 """
 from __future__ import annotations
 
@@ -38,10 +43,16 @@ __all__ = ["shuffle_hash_join"]
 
 _SIDE = "__jside"
 _SALT = "__jsalt"
+_PART = "__jpart"
 
 
 def _tagged(
-    t: pa.Table, side: str, out_fields: list[pa.Field], salt: int
+    t: pa.Table,
+    side: str,
+    out_fields: list[pa.Field],
+    keys: list[str],
+    salt: int,
+    nparts: int,
 ) -> pa.Table:
     cols = []
     for f in out_fields:
@@ -49,20 +60,26 @@ def _tagged(
             cols.append(t[f.name].cast(f.type))
         else:
             cols.append(pa.nulls(t.num_rows, f.type))
-    cols.append(pa.array([side] * t.num_rows, pa.string()))
-    names = [f.name for f in out_fields] + [_SIDE]
+    names = [f.name for f in out_fields]
     out = pa.table(cols, names=names)
-    if salt <= 1:
-        return out
-    if side == "l":  # left rows scatter round-robin over the salts
-        return out.append_column(
-            _SALT, pa.array(np.arange(out.num_rows, dtype=np.int32) % salt))
-    # right rows replicate once per salt value
-    return pa.concat_tables([
-        out.append_column(_SALT, pa.array(
-            np.full(out.num_rows, s, dtype=np.int32)))
-        for s in range(salt)
-    ])
+    out = out.append_column(
+        _SIDE, pa.array(np.full(out.num_rows, side == "l"), pa.bool_()))
+    if salt > 1:
+        if side == "l":  # left rows scatter round-robin over the salts
+            out = out.append_column(_SALT, pa.array(
+                np.arange(out.num_rows, dtype=np.int32) % salt))
+        else:  # right rows replicate once per salt value
+            out = pa.concat_tables([
+                out.append_column(_SALT, pa.array(
+                    np.full(out.num_rows, s, dtype=np.int32)))
+                for s in range(salt)
+            ])
+    # coarse partition id from the key columns (+ salt): deterministic,
+    # vectorized, and identical on both sides
+    kdf = out.select(keys + ([_SALT] if salt > 1 else [])).to_pandas()
+    h = pd.util.hash_pandas_object(kdf, index=False).to_numpy()
+    return out.append_column(
+        _PART, pa.array((h % np.uint64(nparts)).astype(np.int32)))
 
 
 def shuffle_hash_join(
@@ -71,6 +88,8 @@ def shuffle_hash_join(
     on: Sequence[str] | str,
     how: str = "inner",
     salt: int = 1,
+    nparts: int = 64,
+    post=None,
 ):
     """Equi-join two Ray Data datasets on column(s) ``on``.
 
@@ -78,9 +97,19 @@ def shuffle_hash_join(
     before joining); key columns must share names and types. ``how`` is
     ``inner`` or ``left``.  Returns a dataset with key columns + left
     payload + right payload.
+
+    ``post`` (optional, ``DataFrame -> DataFrame``) runs on each
+    partition's joined frame INSIDE the join task.  Because partitions
+    are hash-of-key, every row of a join key is present in exactly one
+    such frame — so a per-key aggregation passed as ``post`` is exact
+    and avoids a second all-to-all (the classic "aggregate on the join
+    key reuses the join's partitioning" plan).  Not available with
+    ``salt > 1`` (a salted hot key spans partitions).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported join type: {how}")
+    if post is not None and salt > 1:
+        raise ValueError("post= requires salt=1 (salted keys span partitions)")
     keys = [on] if isinstance(on, str) else list(on)
 
     lsch, rsch = left.schema(), right.schema()
@@ -100,43 +129,25 @@ def shuffle_hash_join(
         + [_field(rsch, n) for n in rpay]
     )
     out_names = [f.name for f in out_fields]
-    # build the empty-result prototype once (map_groups needs stable dtypes)
+    merge_keys = keys + ([_SALT] if salt > 1 else [])
+    # empty-result prototype (map_groups needs stable dtypes)
     proto = pa.table(
         {f.name: pa.nulls(0, f.type) for f in out_fields}
     ).to_pandas()
 
-    both = left.map_batches(
-        lambda t, of=out_fields: _tagged(t, "l", of, salt),
-        batch_format="pyarrow",
-    ).union(
-        right.map_batches(
-            lambda t, of=out_fields: _tagged(t, "r", of, salt),
-            batch_format="pyarrow",
-        )
-    )
-    group_keys = keys + ([_SALT] if salt > 1 else [])
+    def tag(side):
+        return lambda t: _tagged(t, side, out_fields, keys, salt, nparts)
 
-    def join_group(g: pd.DataFrame) -> pd.DataFrame:
-        side = g[_SIDE].to_numpy()
-        lmask = side == "l"
-        l = g.loc[lmask, keys + lpay]
-        r = g.loc[~lmask, rpay]
+    both = left.map_batches(tag("l"), batch_format="pyarrow").union(
+        right.map_batches(tag("r"), batch_format="pyarrow"))
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        lmask = g[_SIDE].to_numpy()
+        l = g.loc[lmask, merge_keys + lpay]
+        r = g.loc[~lmask, merge_keys + rpay]
         if l.empty or (r.empty and how == "inner"):
-            return proto
-        if r.empty:  # left join, no right rows: nulls for right payload
-            out = l.copy()
-            for n in rpay:
-                out[n] = pd.NA
-            return out[out_names]
-        # one key per group -> the merge is a cross of l x r for this key
-        nl, nr = len(l), len(r)
-        li = np.repeat(np.arange(nl), nr)
-        ri = np.tile(np.arange(nr), nl)
-        out = l.iloc[li].reset_index(drop=True)
-        rrep = r.iloc[ri].reset_index(drop=True)
-        for n in rpay:
-            out[n] = rrep[n]
-        return out[out_names]
+            return post(proto) if post is not None else proto
+        out = l.merge(r, on=merge_keys, how=how)[out_names]
+        return post(out) if post is not None else out
 
-    return both.groupby(group_keys).map_groups(
-        join_group, batch_format="pandas")
+    return both.groupby(_PART).map_groups(join_part, batch_format="pandas")
