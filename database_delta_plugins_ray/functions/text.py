@@ -430,3 +430,86 @@ def pii_redact(texts) -> "pd.DataFrame":
     return pd.DataFrame(
         {"redacted": redacted.to_pandas(), "n_redactions": n.to_pandas()}
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram overlap (decontamination) + repetition statistics (Gopher-style)
+# ---------------------------------------------------------------------------
+
+#: pd.util.hash_array key (must be exactly 16 bytes) shared by the gram /
+#: repetition kernels so hashes agree across batches, actors and processes.
+_GRAM_HASH_KEY = "gramstats_hshky0"
+#: odd multiplier for the polynomial n-gram combine (wrapping uint64):
+#: equal token sequences hash equal; distinct ones collide w.p. ~2^-64.
+_GRAM_P = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _flat_lower_tokens(texts: pd.Series):
+    """Tokenize a batch into one flat object array of lowercased word
+    tokens plus the owning-doc index per token (the layout the simhash /
+    repetition / gram kernels all segment-reduce over)."""
+    toks = texts.str.lower().str.findall(TOKEN_RE)
+    lens = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
+    total = int(lens.sum())
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for ts in toks:
+        k = len(ts)
+        if k:
+            flat[pos:pos + k] = ts
+        pos += k
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    return flat, doc_idx, lens
+
+
+def ngram_hashes(texts: pd.Series, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """All word-level n-gram hashes of a batch: ``(hashes uint64,
+    doc_idx int64)``. One ``pd.util.hash_array`` pass over the tokens,
+    then a vectorized polynomial combine over ``n`` shifted views — no
+    per-gram string building, no Python loop over grams."""
+    flat, doc_idx, _ = _flat_lower_tokens(texts)
+    m = len(flat) - n + 1
+    if len(flat) == 0 or m <= 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    th = pd.util.hash_array(flat, hash_key=_GRAM_HASH_KEY)
+    # a gram starting at i is real only if it stays inside one document
+    valid = doc_idx[:m] == doc_idx[n - 1:]
+    h = th[:m].copy()
+    for k in range(1, n):
+        h = h * _GRAM_P + th[k:k + m]
+    return h[valid], doc_idx[:m][valid]
+
+
+def repetition_stats(texts: pd.Series) -> pd.DataFrame:
+    """Gopher-style per-document repetition features (Rae et al. 2021,
+    "Scaling Language Models", table A1 repetition filters — public
+    paper): most-frequent-token count and duplicate-bigram count, plus
+    the filter flag ``5*top_token_n > n_tokens OR 4*dup_bigram_n >
+    n_bigrams``. Integer outputs only, so the DuckDB oracle matches
+    hash-exactly. Vectorized: one token-hash pass + two C-level pandas
+    groupbys per batch."""
+    flat, doc_idx, lens = _flat_lower_tokens(texts)
+    nd = len(texts)
+    top = np.zeros(nd, np.int64)
+    dup = np.zeros(nd, np.int64)
+    n_big = np.maximum(lens - 1, 0)
+    if len(flat):
+        th = pd.util.hash_array(flat, hash_key=_GRAM_HASH_KEY)
+        c = (pd.DataFrame({"d": doc_idx, "h": th})
+             .groupby(["d", "h"], sort=False).size())
+        tmax = c.groupby(level=0).max()
+        top[tmax.index.to_numpy()] = tmax.to_numpy()
+        if len(th) >= 2:
+            valid = doc_idx[:-1] == doc_idx[1:]
+            if valid.any():
+                bh = th[:-1][valid] * _GRAM_P + th[1:][valid]
+                bd = doc_idx[:-1][valid]
+                distinct = (pd.DataFrame({"d": bd, "h": bh})
+                            .groupby("d", sort=False)["h"].nunique())
+                di = distinct.index.to_numpy()
+                dup[di] = n_big[di] - distinct.to_numpy()
+    flagged = ((5 * top > lens) | (4 * dup > n_big)).astype(np.int64)
+    return pd.DataFrame({
+        "n_tokens": lens, "top_token_n": top,
+        "n_bigrams": n_big, "dup_bigram_n": dup, "flagged": flagged,
+    })

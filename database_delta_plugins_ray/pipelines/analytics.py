@@ -763,6 +763,143 @@ def q3_shipping_priority(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+Q5_REGION = "AMERICA"
+Q5_START = "1995-01-01"
+Q5_END = "1996-01-01"
+
+
+def q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape: revenue by supplier nation for one region/year,
+    where supplier and customer share a nation. Exercises a CHAIN of two
+    LARGE x LARGE shuffle hash joins plus the broadcast-dim pattern:
+
+    - nation ⨝ region (tiny dims) fold on the driver to a nation-key
+      set + name map;
+    - supplier (s_suppkey → s_nationkey) broadcasts ONCE via ``ray.put``
+      as two sorted int arrays — the only broadcast that grows with SF
+      (~1.2 GB at 10^8 suppliers; beyond that swap in a third
+      shuffle_hash_join on l_suppkey, same machinery);
+    - orders (one-year filter) ⨝ customer (region semi-join filter at
+      the read) co-locate in shuffle join #1 on custkey;
+    - lineitem maps suppkey → s_nationkey against the broadcast, keeps
+      region suppliers only, and PARTIALLY aggregates revenue per batch
+      by (orderkey, s_nationkey) before shuffle join #2 on orderkey;
+      the c_nation == s_nation filter and a per-nation rollup run
+      INSIDE the join task (post=), so only nparts × |nations| partial
+      rows ever reach the driver.
+    """
+    import ray
+
+    from ..stages.join import shuffle_hash_join
+
+    nation = pq_read(sf_dir, "nation")
+    region = pq_read(sf_dir, "region")
+    rkey = region.filter(
+        pc.equal(region["r_name"], Q5_REGION))["r_regionkey"][0].as_py()
+    nat = nation.filter(pc.equal(nation["n_regionkey"], rkey))
+    nkeys = nat["n_nationkey"].to_pylist()
+    nname = dict(zip(nkeys, nat["n_name"].to_pylist()))
+    nkeys_arr = pa.array(nkeys, type=nation.schema.field("n_nationkey").type)
+    nkeys_np = np.sort(np.asarray(nkeys, dtype=np.int64))
+
+    supp = pq_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    sk = supp["s_suppkey"].to_numpy()
+    order_ = np.argsort(sk)
+    supp_ref = ray.put(
+        (sk[order_], supp["s_nationkey"].to_numpy()[order_]))
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def c_filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["c_nationkey"], value_set=nkeys_arr))
+
+    lo = np.datetime64(Q5_START, "us")
+    hi = np.datetime64(Q5_END, "us")
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_filter(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo.item())),
+            pc.less(t["o_orderdate"], pa.scalar(hi.item())),
+        )
+        t = t.filter(m)
+        return pa.table(
+            {"c_custkey": t["o_custkey"], "o_orderkey": t["o_orderkey"]})
+
+    j1 = shuffle_hash_join(
+        orders.map_batches(o_filter, batch_format="pyarrow"),
+        cust.map_batches(c_filter, batch_format="pyarrow"),
+        on="c_custkey",
+    )
+
+    def drop_key(t: pa.Table) -> pa.Table:
+        return t.select(["o_orderkey", "c_nationkey"])
+
+    line = _t(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def l_partial(t: pa.Table) -> pa.Table:
+        sk_s, sn_s = ray.get(supp_ref)
+        suppkey = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        snat = sn_s[np.minimum(np.searchsorted(sk_s, suppkey),
+                               len(sk_s) - 1)]
+        keep = np.isin(snat, nkeys_np)
+        rev = (t["l_extendedprice"].to_numpy(zero_copy_only=False)
+               * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)))
+        df = pd.DataFrame({
+            "o_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False)[keep],
+            "s_nationkey": snat[keep],
+            "rev": rev[keep],
+        }).groupby(["o_orderkey", "s_nationkey"], as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def partial_nation(j: pd.DataFrame) -> pd.DataFrame:
+        j = j[j["c_nationkey"] == j["s_nationkey"]]
+        return j.groupby("s_nationkey", as_index=False)["rev"].sum()
+
+    j2 = shuffle_hash_join(
+        j1.map_batches(drop_key, batch_format="pyarrow"),
+        line.map_batches(l_partial, batch_format="pyarrow"),
+        on="o_orderkey",
+        post=partial_nation,
+    )
+    df = j2.to_pandas()  # <= nparts x |nations| partial rows
+    g = df.groupby("s_nationkey", as_index=False)["rev"].sum()
+    g["n_name"] = g["s_nationkey"].map(nname)
+    g["revenue"] = g["rev"].round(2)
+    return (g[["n_name", "revenue"]]
+            .sort_values(["revenue", "n_name"], ascending=[False, True])
+            .reset_index(drop=True))
+
+
+def decontaminate_documents(sf_dir: str):
+    """Benchmark decontamination: flag non-eval documents sharing any
+    3-gram with the eval slice (doc_id % 97 == 0). Broadcast-set
+    membership — no shuffle; see stages/decontaminate.py."""
+    import ray
+
+    from ..stages.decontaminate import decontaminate, eval_gram_hashes
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    ev = eval_gram_hashes(docs, n=3)
+    return decontaminate(docs, ray.put(ev), n=3)
+
+
+def repetition_stats_documents(sf_dir: str):
+    """Gopher-style repetition filter features per document (integer
+    counts only, so the SQL oracle matches hash-exactly)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.text import repetition_stats
+
+        out = repetition_stats(df["text"].reset_index(drop=True))
+        out.insert(0, "doc_id", df["doc_id"].to_numpy())
+        return out
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
 def pq_read(sf_dir: str, name: str, columns=None) -> pa.Table:
     import pyarrow.parquet as pq
 
@@ -1154,6 +1291,77 @@ SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
+ANALYTICS_ORACLE_SQL["q5_local_supplier_volume"] = f"""
+SELECT n_name, round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q5_START}'
+  AND o_orderdate <  TIMESTAMP '{Q5_END}'
+GROUP BY n_name ORDER BY revenue DESC, n_name
+"""
+
+# 3-gram overlap vs the doc_id%97==0 eval slice; tokenization identical to
+# functions/text.py (_flat_lower_tokens): lower(text) word tokens
+ANALYTICS_ORACLE_SQL["decontaminate_documents"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+  FROM toks, unnest(generate_series(1, len(t)-2)) AS u(i)
+  WHERE len(t) >= 3
+), eval_grams AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+)
+SELECT d.doc_id,
+       CASE WHEN EXISTS (SELECT 1 FROM grams g JOIN eval_grams e ON g.g = e.g
+                         WHERE g.doc_id = d.doc_id) THEN 1 ELSE 0 END
+         AS contaminated
+FROM documents d WHERE d.doc_id % 97 <> 0
+"""
+
+# Gopher-style repetition features; integer counts only (hash-stable)
+ANALYTICS_ORACLE_SQL["repetition_stats_documents"] = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+  FROM documents
+), flat AS (
+  SELECT doc_id, unnest(toks) AS tok FROM t
+), per_tok AS (
+  SELECT doc_id, tok, count(*) AS c FROM flat GROUP BY doc_id, tok
+), tok_stats AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(max(c) AS BIGINT) AS top_token_n
+  FROM per_tok GROUP BY doc_id
+), big AS (
+  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bg
+  FROM t, unnest(generate_series(1, len(toks)-1)) AS u(i)
+  WHERE len(toks) >= 2
+), per_big AS (
+  SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg
+), big_stats AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         CAST(sum(c) - count(*) AS BIGINT) AS dup_bigram_n
+  FROM per_big GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_tokens, 0) AS n_tokens,
+       COALESCE(s.top_token_n, 0) AS top_token_n,
+       COALESCE(b.n_bigrams, 0) AS n_bigrams,
+       COALESCE(b.dup_bigram_n, 0) AS dup_bigram_n,
+       CASE WHEN 5*COALESCE(s.top_token_n,0) > COALESCE(s.n_tokens,0)
+              OR 4*COALESCE(b.dup_bigram_n,0) > COALESCE(b.n_bigrams,0)
+            THEN 1 ELSE 0 END AS flagged
+FROM documents d
+LEFT JOIN tok_stats s USING (doc_id)
+LEFT JOIN big_stats b USING (doc_id)
+"""
+
 
 ANALYTICS_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
@@ -1187,6 +1395,9 @@ ANALYTICS_QUERIES = {
     "q3_shipping_priority": q3_shipping_priority,
     "doc_length_percentiles": doc_length_percentiles,
     "distinct_users_per_type": distinct_users_per_type,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "decontaminate_documents": decontaminate_documents,
+    "repetition_stats_documents": repetition_stats_documents,
 }
 
 #: subset timed by bench.py at sf0.1

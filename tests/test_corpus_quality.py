@@ -1,0 +1,120 @@
+"""Decontamination (n-gram overlap vs eval set), Gopher-style repetition
+stats, and the Q5 join-chain pipeline."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+import ray.data
+
+from database_delta_plugins_ray.functions.text import (
+    ngram_hashes,
+    repetition_stats,
+)
+
+
+def _brute_grams(text: str, n: int) -> set:
+    import re
+
+    toks = re.findall(r"[a-z0-9_]+", text.lower())
+    return {tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_ngram_hashes_match_string_grams():
+    texts = pd.Series([
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown cat",
+        "short",
+        "",
+        "a b a b a b",  # repeated grams collapse to few uniques
+    ])
+    h, di = ngram_hashes(texts, 3)
+    # per-doc unique hash count == per-doc unique string-gram count
+    for d in range(len(texts)):
+        want = _brute_grams(texts[d], 3)
+        got = np.unique(h[di == d])
+        assert len(got) == len(want), texts[d]
+    # identical gram in two docs -> identical hash ("the quick brown")
+    h0 = set(h[di == 0])
+    h1 = set(h[di == 1])
+    assert h0 & h1
+
+
+def test_ngram_hashes_never_cross_documents():
+    # docs of 2 tokens each produce NO 3-grams even though the flat
+    # token stream is long
+    texts = pd.Series(["a b", "c d", "e f"])
+    h, di = ngram_hashes(texts, 3)
+    assert len(h) == 0
+
+
+def test_repetition_stats_brute_parity():
+    texts = pd.Series([
+        "a a a a b",           # top=4/5 tokens, dup bigrams: "a a" x3
+        "w1 w2 w3 w4 w5",      # no repetition
+        "x",                   # single token: no bigrams
+        "",                    # empty
+        "go go go go go go",   # fully repeated
+    ])
+    out = repetition_stats(texts)
+    assert list(out["n_tokens"]) == [5, 5, 1, 0, 6]
+    assert list(out["top_token_n"]) == [4, 1, 1, 0, 6]
+    assert list(out["n_bigrams"]) == [4, 4, 0, 0, 5]
+    # "a a a a b": bigrams [aa,aa,aa,ab] -> 2 distinct -> dup 2
+    assert list(out["dup_bigram_n"]) == [2, 0, 0, 0, 4]
+    # flagged: 5*4>5 yes; no; 5*1>1 yes; no (0>0 false); yes
+    assert list(out["flagged"]) == [1, 0, 1, 0, 1]
+
+
+def test_decontamination_planted(ray_session):
+    from database_delta_plugins_ray.stages.decontaminate import (
+        EVAL_MOD,
+        decontaminate,
+        eval_gram_hashes,
+    )
+
+    # doc 0 (eval: 0 % 97 == 0) shares the 3-gram "alpha beta gamma"
+    # with doc 5; doc 7 shares nothing; doc 97 is eval too
+    rows = [
+        {"doc_id": 0, "text": "alpha beta gamma delta"},
+        {"doc_id": 5, "text": "zz yy alpha beta gamma xx"},
+        {"doc_id": 7, "text": "unrelated words entirely here"},
+        {"doc_id": 97, "text": "held out benchmark row"},
+        {"doc_id": 12, "text": "held out benchmark"},  # 3-gram of doc 97
+    ]
+    ds = ray.data.from_items(rows)
+    ev = eval_gram_hashes(ds, n=3)
+    out = decontaminate(ds, ray.put(ev), n=3).to_pandas()
+    got = dict(zip(out["doc_id"], out["contaminated"]))
+    # eval docs excluded from the output
+    assert set(got) == {5, 7, 12}
+    assert got == {5: 1, 7: 0, 12: 1}
+    # invariant under batch size (broadcast membership has no cross-batch
+    # state)
+    out2 = (decontaminate(ds.repartition(5), ray.put(ev), n=3)
+            .to_pandas().sort_values("doc_id"))
+    assert list(out2["contaminated"]) == [
+        got[d] for d in sorted(got)]
+
+
+def test_q5_matches_duckdb(ray_session):
+    import duckdb
+
+    from database_delta_plugins_ray.pipelines.analytics import (
+        ANALYTICS_ORACLE_SQL,
+        q5_local_supplier_volume,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q5_local_supplier_volume(sf)
+    con = duckdb.connect()
+    for t in ["customer", "orders", "lineitem", "supplier", "nation",
+              "region"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet')")
+    want = con.execute(ANALYTICS_ORACLE_SQL["q5_local_supplier_volume"]).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False)
