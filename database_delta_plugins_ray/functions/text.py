@@ -480,6 +480,40 @@ def ngram_hashes(texts: pd.Series, n: int) -> tuple[np.ndarray, np.ndarray]:
     return h[valid], doc_idx[:m][valid]
 
 
+def chunk_layout(texts: pd.Series, chunk: int):
+    """Token layout for fixed-size passage chunking: ``(flat tokens,
+    doc_idx, off)`` where ``off`` is each token's offset within its own
+    document (so ``off // chunk`` is its passage index)."""
+    flat, doc_idx, lens = _flat_lower_tokens(texts)
+    if len(flat) == 0:
+        return flat, doc_idx, np.empty(0, np.int64), lens
+    doc_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    off = np.arange(len(flat), dtype=np.int64) - np.repeat(doc_starts, lens)
+    return flat, doc_idx, off, lens
+
+
+def chunk_hashes(texts: pd.Series, chunk: int):
+    """Hash every non-overlapping ``chunk``-token passage of a batch:
+    ``(hashes uint64, doc_idx int64, pos int64)``. Position-weighted
+    token-hash sum (token j of a passage contributes ``hash * P^j``),
+    segment-reduced with one ``np.add.reduceat`` over the contiguous
+    passage runs — equal token sequences hash equal, distinct ones
+    collide w.p. ~2^-64; no per-passage strings or Python loops."""
+    flat, doc_idx, off, _ = chunk_layout(texts, chunk)
+    if len(flat) == 0:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64),
+                np.empty(0, np.int64))
+    th = pd.util.hash_array(flat, hash_key=_GRAM_HASH_KEY)
+    pows = np.empty(chunk, dtype=np.uint64)
+    pows[0] = 1
+    for k in range(1, chunk):
+        pows[k] = pows[k - 1] * _GRAM_P
+    vals = th * pows[off % chunk]
+    cstarts = np.flatnonzero(off % chunk == 0)
+    h = np.add.reduceat(vals, cstarts)
+    return h, doc_idx[cstarts], off[cstarts] // chunk
+
+
 def repetition_stats(texts: pd.Series) -> pd.DataFrame:
     """Gopher-style per-document repetition features (Rae et al. 2021,
     "Scaling Language Models", table A1 repetition filters — public

@@ -885,6 +885,16 @@ def decontaminate_documents(sf_dir: str):
     return decontaminate(docs, ray.put(ev), n=3)
 
 
+def dedup_passages_documents(sf_dir: str):
+    """C4-style cross-corpus passage dedup (10-token windows): first
+    occurrence survives, documents rebuilt from surviving passages.
+    See stages/linededup.py for the two-shuffle scale plan."""
+    from ..stages.linededup import passage_dedup
+
+    return passage_dedup(_t(sf_dir, "documents", ["doc_id", "text"]),
+                         chunk=10)
+
+
 def repetition_stats_documents(sf_dir: str):
     """Gopher-style repetition filter features per document (integer
     counts only, so the SQL oracle matches hash-exactly)."""
@@ -1325,6 +1335,40 @@ SELECT d.doc_id,
 FROM documents d WHERE d.doc_id % 97 <> 0
 """
 
+# C4-style passage dedup: first (doc_id, pos) occurrence of each distinct
+# 10-token passage survives; docs rebuilt from surviving passages in order
+ANALYTICS_ORACLE_SQL["dedup_passages_documents"] = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+  FROM documents
+), chunks AS (
+  SELECT doc_id, c AS pos,
+         array_to_string(toks[c*10+1:c*10+10], ' ') AS chunk
+  FROM t, unnest(generate_series(0, CAST(ceil(len(toks)/10.0) AS BIGINT) - 1))
+       AS u(c)
+  WHERE len(toks) >= 1
+), ranked AS (
+  SELECT doc_id, pos, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+  FROM chunks
+), kept AS (
+  SELECT doc_id,
+         string_agg(chunk, ' ' ORDER BY pos) AS dedup_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+  FROM chunks GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(k.dedup_text, '') AS dedup_text,
+       COALESCE(t2.n_chunks, 0) AS n_chunks,
+       COALESCE(k.n_kept, 0) AS n_kept
+FROM documents d
+LEFT JOIN kept k USING (doc_id)
+LEFT JOIN totals t2 USING (doc_id)
+"""
+
 # Gopher-style repetition features; integer counts only (hash-stable)
 ANALYTICS_ORACLE_SQL["repetition_stats_documents"] = r"""
 WITH t AS (
@@ -1398,6 +1442,7 @@ ANALYTICS_QUERIES = {
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "decontaminate_documents": decontaminate_documents,
     "repetition_stats_documents": repetition_stats_documents,
+    "dedup_passages_documents": dedup_passages_documents,
 }
 
 #: subset timed by bench.py at sf0.1

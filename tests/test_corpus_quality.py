@@ -98,6 +98,39 @@ def test_decontamination_planted(ray_session):
         got[d] for d in sorted(got)]
 
 
+def test_passage_dedup_planted(ray_session):
+    from database_delta_plugins_ray.stages.linededup import passage_dedup
+
+    c1 = "a b c d e"          # 5-token passage (chunk=5)
+    c2 = "f g h i j"
+    c3 = "k l m n o"
+    rows = [
+        # doc 3 holds the first occurrence of c1 (lowest doc_id)
+        {"doc_id": 3, "text": f"{c1} {c2}"},
+        # doc 8 repeats c1 (cut) and introduces c3 (kept)
+        {"doc_id": 8, "text": f"{c1} {c3}"},
+        # c3's first occurrence is doc 8, so BOTH doc-9 copies are cut
+        {"doc_id": 9, "text": f"{c3} {c3}"},
+        {"doc_id": 11, "text": "p q"},   # short tail chunk, unique
+        {"doc_id": 12, "text": ""},      # empty doc
+    ]
+    ds = ray.data.from_items(rows)
+    out = (passage_dedup(ds, chunk=5, nparts=4).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    got = {r.doc_id: (r.dedup_text, r.n_chunks, r.n_kept)
+           for r in out.itertuples()}
+    assert got[3] == (f"{c1} {c2}", 2, 2)
+    assert got[8] == (c3, 2, 1)
+    assert got[9] == ("", 2, 0)
+    assert got[11] == ("p q", 1, 1)
+    assert got[12] == ("", 0, 0)
+    # invariant under input partitioning (winner rule is (doc_id, pos),
+    # not arrival order)
+    out2 = (passage_dedup(ds.repartition(5), chunk=5, nparts=2)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, out2)
+
+
 def test_q5_matches_duckdb(ray_session):
     import duckdb
 
