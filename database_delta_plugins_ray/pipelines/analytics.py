@@ -895,6 +895,77 @@ def dedup_passages_documents(sf_dir: str):
                          chunk=10)
 
 
+def vocab_document_frequency(sf_dir: str, k: int = 100):
+    """Tokenizer-vocabulary build: corpus-wide term and document
+    frequency, top-k by (df desc, tok). Per-batch partial (tok, tf,
+    df) rows — a document lives wholly inside one batch, so per-batch
+    distinct-doc counts SUM to the exact global df — then one small
+    groupby over the vocabulary and a sort-limit on the aggregated
+    (one-row-per-token) set, never the corpus."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.text import _flat_lower_tokens
+
+        flat, di, _ = _flat_lower_tokens(df["text"].reset_index(drop=True))
+        if len(flat) == 0:
+            return pd.DataFrame({
+                "tok": pd.Series([], dtype=str),
+                "tf": pd.Series([], dtype=np.int64),
+                "df": pd.Series([], dtype=np.int64)})
+        g = (pd.DataFrame({"tok": flat, "d": di})
+             .groupby("tok", sort=False)["d"].agg(["size", "nunique"])
+             .reset_index())
+        g.columns = ["tok", "tf", "df"]
+        return g
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("tok")
+           .aggregate(Sum("tf", alias_name="tf"),
+                      Sum("df", alias_name="df")))
+    return (agg.sort(["df", "tok"], descending=[True, False]).limit(k)
+            .to_pandas()[["tok", "df", "tf"]])
+
+
+def shuffle_rank_documents(sf_dir: str):
+    """Deterministic full-corpus shuffle rank (training-export order):
+    rank = position in (md5_u64(doc_id), doc_id) order, via the
+    histogram-rank two-pass — no global sort barrier
+    (stages/sample.py:hash_rank)."""
+    from ..stages.sample import hash_rank
+
+    return hash_rank(_t(sf_dir, "documents", ["doc_id"]),
+                     id_col="doc_id", nbuckets=256)
+
+
+def approx_distinct_users_hll(sf_dir: str):
+    """Approximate COUNT(DISTINCT user_id) per event type via mergeable
+    HyperLogLog registers (functions/sketch.py): m bytes per (group,
+    batch) partial regardless of cardinality — the shuffle moves
+    sketches, never user ids. Rows-only (approximate by design);
+    planted tolerance test in tests/test_corpus_quality.py."""
+    from ..functions.sketch import hll_estimate, hll_registers
+
+    P = 12
+    ds = _t(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for et, g in df.groupby("event_type", sort=False):
+            out.append({"event_type": et,
+                        "regs": hll_registers(g["user_id"].to_numpy(), P)})
+        return pd.DataFrame(out)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.maximum.reduce(np.stack(g["regs"].to_list()))
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "approx_users": [int(round(hll_estimate(regs)))]})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("event_type").map_groups(merge, batch_format="pandas"))
+
+
 def repetition_stats_documents(sf_dir: str):
     """Gopher-style repetition filter features per document (integer
     counts only, so the SQL oracle matches hash-exactly)."""
@@ -1335,6 +1406,28 @@ SELECT d.doc_id,
 FROM documents d WHERE d.doc_id % 97 <> 0
 """
 
+ANALYTICS_ORACLE_SQL["vocab_document_frequency"] = r"""
+WITH flat AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+  FROM documents
+), d AS (
+  SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         CAST(count(*) AS BIGINT) AS tf
+  FROM flat GROUP BY tok
+)
+SELECT tok, df, tf FROM d ORDER BY df DESC, tok LIMIT 100
+"""
+
+# rank = seeded deterministic corpus shuffle; md5_number_lower matches
+# stages/sample.py:md5_u64 bit-for-bit (verified vs duckdb 1.0)
+ANALYTICS_ORACLE_SQL["shuffle_rank_documents"] = r"""
+SELECT doc_id,
+       CAST(row_number() OVER (
+            ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id) - 1
+         AS BIGINT) AS "rank"
+FROM documents
+"""
+
 # C4-style passage dedup: first (doc_id, pos) occurrence of each distinct
 # 10-token passage survives; docs rebuilt from surviving passages in order
 ANALYTICS_ORACLE_SQL["dedup_passages_documents"] = r"""
@@ -1443,6 +1536,9 @@ ANALYTICS_QUERIES = {
     "decontaminate_documents": decontaminate_documents,
     "repetition_stats_documents": repetition_stats_documents,
     "dedup_passages_documents": dedup_passages_documents,
+    "vocab_document_frequency": vocab_document_frequency,
+    "shuffle_rank_documents": shuffle_rank_documents,
+    "approx_distinct_users_hll": approx_distinct_users_hll,
 }
 
 #: subset timed by bench.py at sf0.1

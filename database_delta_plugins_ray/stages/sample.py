@@ -198,3 +198,56 @@ def token_budget_mix(
         return df[keep]
 
     return ds.map_batches(final_filter, batch_format="pandas")
+
+
+def hash_rank(ds, id_col: str = "doc_id", nbuckets: int = 1024):
+    """Deterministic pseudo-random GLOBAL rank (the "shuffled training
+    export" order) without a global sort barrier.
+
+    Rank of a row = its position in ascending ``(md5_u64(id), id)``
+    order — i.e. a seeded full-corpus shuffle expressible in SQL as
+    ``row_number() OVER (ORDER BY md5_number_lower(id), id) - 1``.
+
+    Scale plan (the histogram-rank trick, same family as the exact
+    percentiles): the hash is uniform, so its top ``log2(nbuckets)``
+    bits range-partition it evenly.
+
+      pass 1: per-bucket row counts (map_batches partial -> tiny
+              groupby) -> the driver prefix-sums nbuckets integers and
+              broadcasts an 8 KB base-offset table in the task closure;
+      pass 2: ONE bucket shuffle; each task sorts only its bucket
+              locally and adds the bucket's base offset.
+
+    No stage ever holds more than |corpus| / nbuckets rows, and the
+    all-to-all moves (id, hash) pairs only — at 10^10 rows and
+    nbuckets=2^14 that is ~160 MB per task.
+    """
+    from ray.data.aggregate import Count
+
+    if nbuckets & (nbuckets - 1):
+        raise ValueError("nbuckets must be a power of two")
+    shift = np.uint64(64 - int(np.log2(nbuckets)))
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        h = md5_u64(df[id_col].to_numpy())
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "h": h,
+            "b": (h >> shift).astype(np.int64),
+        })
+
+    rows = ds.map_batches(bucketed, batch_format="pandas")
+    counts = rows.groupby("b").aggregate(Count(alias_name="n")).to_pandas()
+    base = np.zeros(nbuckets, dtype=np.int64)
+    bs = counts["b"].to_numpy()
+    ns = counts["n"].to_numpy()
+    order = np.argsort(bs)
+    base[bs[order]] = np.cumsum(ns[order]) - ns[order]
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = np.lexsort((g[id_col].to_numpy(), g["h"].to_numpy()))
+        r = np.empty(len(g), dtype=np.int64)
+        r[o] = base[int(g["b"].iloc[0])] + np.arange(len(g), dtype=np.int64)
+        return pd.DataFrame({id_col: g[id_col].to_numpy(), "rank": r})
+
+    return rows.groupby("b").map_groups(rank_bucket, batch_format="pandas")

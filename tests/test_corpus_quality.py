@@ -131,6 +131,49 @@ def test_passage_dedup_planted(ray_session):
     pd.testing.assert_frame_equal(out, out2)
 
 
+def test_hll_accuracy_and_merge():
+    from database_delta_plugins_ray.functions.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    vals = np.arange(200_000, dtype=np.int64)  # past linear-counting range
+    regs = hll_registers(vals, p=12)
+    est = hll_estimate(regs)
+    assert abs(est - 200_000) / 200_000 < 0.05
+    # mergeability: sketch(all) == merge(sketch(half1), sketch(half2)),
+    # including overlapping halves (idempotent union)
+    a = hll_registers(vals[:120_000], p=12)
+    b = hll_registers(vals[80_000:], p=12)
+    assert np.array_equal(hll_merge(a, b), regs)
+    # deterministic across calls
+    assert np.array_equal(hll_registers(vals, p=12), regs)
+    # small range falls back to exact-ish linear counting
+    small = hll_registers(np.arange(100), p=12)
+    assert abs(hll_estimate(small) - 100) < 3
+
+
+def test_hash_rank_matches_brute(ray_session):
+    from database_delta_plugins_ray.stages.sample import hash_rank, md5_u64
+
+    ids = np.array([3, 17, 42, 999, 12345, 7, 0, 88], dtype=np.int64)
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": ids}))
+    out = hash_rank(ds, nbuckets=8).to_pandas().sort_values("doc_id")
+    h = md5_u64(ids)
+    order = np.lexsort((ids, h))
+    want = np.empty(len(ids), dtype=np.int64)
+    want[order] = np.arange(len(ids))
+    brute = dict(zip(ids, want))
+    got = dict(zip(out["doc_id"], out["rank"]))
+    assert got == brute
+    # a rank permutation: every position 0..n-1 exactly once
+    assert sorted(out["rank"]) == list(range(len(ids)))
+    # partitioning-invariant
+    out2 = hash_rank(ds.repartition(4), nbuckets=8).to_pandas()
+    assert dict(zip(out2["doc_id"], out2["rank"])) == brute
+
+
 def test_q5_matches_duckdb(ray_session):
     import duckdb
 
