@@ -75,3 +75,40 @@ def hll_estimate(regs: np.ndarray) -> float:
     if e > (1 << 32) / 30.0:
         return -(1 << 32) * np.log(1.0 - e / (1 << 32))
     return float(e)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries / Space-Saving heavy hitters (mergeable summaries,
+# Agarwal et al. 2013 "Mergeable Summaries" — public algorithm)
+# ---------------------------------------------------------------------------
+
+
+def mg_truncate(items: np.ndarray, counts: np.ndarray, errs: np.ndarray,
+                capacity: int):
+    """Truncate an exact-or-summary count table to ``capacity`` entries,
+    Misra-Gries style: subtract the (capacity+1)-th largest count from
+    everyone, drop the non-positive, and fold the subtraction into each
+    survivor's error bound. Returns ``(items, counts, errs, d)`` where
+    ``d`` is the subtracted amount (0 when nothing was truncated).
+    Invariants: a SURVIVOR's true count is within ``[count, count +
+    err]``; an item absent from the summary has true count <= the sum
+    of ``d`` over the summaries it was dropped from — so merged
+    reporting carries the global sum of d as the bound for everyone."""
+    if len(items) <= capacity:
+        return items, counts, errs, 0
+    order = np.argsort(counts)[::-1]
+    d = int(counts[order[capacity]])
+    keep = counts > d
+    return (items[keep], counts[keep] - d, errs[keep] + d, d)
+
+
+def mg_partial(values, capacity: int):
+    """Build one MG summary (exact per-batch counts, then truncate).
+    Returns ``(items, counts, errs, d)``; when the batch's distinct
+    count fits ``capacity``, the summary is exact (errs zero, d=0)."""
+    s = pd.Series(values)
+    vc = s.value_counts()
+    items = vc.index.to_numpy()
+    counts = vc.to_numpy(dtype=np.int64)
+    return mg_truncate(items, counts, np.zeros(len(items), np.int64),
+                       capacity)

@@ -966,6 +966,60 @@ def approx_distinct_users_hll(sf_dir: str):
             .groupby("event_type").map_groups(merge, batch_format="pandas"))
 
 
+def heavy_hitters_tokens(sf_dir: str, capacity: int = 64, topn: int = 10):
+    """Top-n most frequent tokens via mergeable Misra-Gries summaries
+    (functions/sketch.py): each batch ships at most ``capacity``
+    (token, count, err) rows regardless of batch size; a vocabulary
+    groupby merges them and a final truncate bounds the driver set.
+    With the synthetic vocabulary < capacity nothing truncates, so the
+    result is EXACT (max_err 0) and the DuckDB oracle gates it; the
+    truncating regime's error bound is exercised in
+    tests/test_corpus_quality.py."""
+    from ..functions.sketch import mg_partial, mg_truncate
+
+    _DROP = "\x00dropped"
+    ds = _t(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.text import _flat_lower_tokens
+
+        flat, _, _ = _flat_lower_tokens(df["text"].reset_index(drop=True))
+        items, counts, errs, d = mg_partial(flat, capacity)
+        out = pd.DataFrame({"tok": items.astype(str), "c": counts,
+                            "e": errs})
+        if d:  # sentinel row carries this batch's truncation mass
+            out = pd.concat([out, pd.DataFrame(
+                {"tok": [_DROP], "c": [d], "e": [d]})], ignore_index=True)
+        return out
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("tok")
+           .aggregate(Sum("c", alias_name="c"), Sum("e", alias_name="e"))
+           .to_pandas())
+    dropped = int(agg.loc[agg["tok"] == _DROP, "c"].sum())
+    cand = agg[agg["tok"] != _DROP]
+    items, counts, errs, d2 = mg_truncate(
+        cand["tok"].to_numpy(), cand["c"].to_numpy(dtype=np.int64),
+        cand["e"].to_numpy(dtype=np.int64), capacity)
+    res = pd.DataFrame({
+        "tok": items, "cnt": counts,
+        "max_err": errs + dropped + d2,
+    })
+    return (res.sort_values(["cnt", "tok"], ascending=[False, True])
+            .head(topn).reset_index(drop=True))
+
+
+def kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings table (k=10,
+    deterministic hash-order init). Rows-only (iterative, no SQL
+    shape); blob-recovery/determinism/inertia tests gate it."""
+    from ..stages.clustering import kmeans
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    assigns, _, _ = kmeans(ds, k=10, iters=8)
+    return assigns
+
+
 def repetition_stats_documents(sf_dir: str):
     """Gopher-style repetition filter features per document (integer
     counts only, so the SQL oracle matches hash-exactly)."""
@@ -1418,6 +1472,18 @@ WITH flat AS (
 SELECT tok, df, tf FROM d ORDER BY df DESC, tok LIMIT 100
 """
 
+# MG heavy hitters: exact at this vocabulary (< capacity, so max_err 0)
+ANALYTICS_ORACLE_SQL["heavy_hitters_tokens"] = r"""
+WITH flat AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+  FROM documents
+), d AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM flat GROUP BY tok
+)
+SELECT tok, cnt, CAST(0 AS BIGINT) AS max_err
+FROM d ORDER BY cnt DESC, tok LIMIT 10
+"""
+
 # rank = seeded deterministic corpus shuffle; md5_number_lower matches
 # stages/sample.py:md5_u64 bit-for-bit (verified vs duckdb 1.0)
 ANALYTICS_ORACLE_SQL["shuffle_rank_documents"] = r"""
@@ -1539,6 +1605,8 @@ ANALYTICS_QUERIES = {
     "vocab_document_frequency": vocab_document_frequency,
     "shuffle_rank_documents": shuffle_rank_documents,
     "approx_distinct_users_hll": approx_distinct_users_hll,
+    "heavy_hitters_tokens": heavy_hitters_tokens,
+    "kmeans_embeddings": kmeans_embeddings,
 }
 
 #: subset timed by bench.py at sf0.1

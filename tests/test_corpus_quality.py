@@ -154,6 +154,78 @@ def test_hll_accuracy_and_merge():
     assert abs(hll_estimate(small) - 100) < 3
 
 
+def test_mg_truncation_bound():
+    from database_delta_plugins_ray.functions.sketch import (
+        mg_partial,
+        mg_truncate,
+    )
+
+    rng = np.random.default_rng(7)
+    # skewed stream: heavy item "h" 5000x, 500 distinct light items
+    stream = np.array(
+        ["h"] * 5000 + [f"t{i}" for i in rng.integers(0, 500, 8000)],
+        dtype=object)
+    rng.shuffle(stream)
+    truth = pd.Series(stream).value_counts()
+    # split into 8 "batches", capacity far below distinct count
+    caps = 32
+    merged = {}
+    errs = {}
+    dropped = 0
+    for part in np.array_split(stream, 8):
+        items, counts, es, d = mg_partial(part, caps)
+        assert len(items) <= caps and d >= 0
+        for it, c, e in zip(items, counts, es):
+            merged[it] = merged.get(it, 0) + c
+            errs[it] = errs.get(it, 0) + e
+        dropped += d
+    items = np.array(list(merged), dtype=object)
+    counts = np.array([merged[i] for i in items], dtype=np.int64)
+    es = np.array([errs[i] for i in items], dtype=np.int64)
+    items, counts, es, d2 = mg_truncate(items, counts, es, caps)
+    dropped += d2
+    # every survivor's true count within [count, count + err + dropped]
+    for it, c, e in zip(items, counts, es):
+        t = int(truth[it])
+        assert c <= t <= c + e + dropped, (it, c, t, e, dropped)
+    # the heavy hitter survives truncation and is ranked first
+    assert items[np.argmax(counts)] == "h"
+
+
+def test_kmeans_recovers_planted_blobs(ray_session):
+    from database_delta_plugins_ray.stages.clustering import kmeans
+
+    rng = np.random.default_rng(3)
+    k, d, per = 5, 16, 80
+    centers = rng.normal(size=(k, d)) * 10.0
+    vecs, labels = [], []
+    for j in range(k):
+        vecs.append(centers[j] + rng.normal(size=(per, d)) * 0.1)
+        labels += [j] * per
+    x = np.concatenate(vecs).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(len(x)),
+                       "embedding": list(x), "label": labels})
+    ds = ray.data.from_pandas(df).repartition(4)
+    assigns, cents, hist = kmeans(ds, k=k, iters=6)
+    a = assigns.to_pandas().sort_values("vec_id")
+    # inertia monotonically non-increasing
+    assert all(hist[i + 1] <= hist[i] + 1e-6 for i in range(len(hist) - 1))
+    # each planted blob maps to exactly one cluster and vice versa
+    got = a["cluster"].to_numpy()
+    mapping = {}
+    for j in range(k):
+        cl = np.unique(got[np.array(labels) == j])
+        assert len(cl) == 1, f"blob {j} split across clusters {cl}"
+        mapping[j] = cl[0]
+    assert len(set(mapping.values())) == k
+    # deterministic: second run identical
+    assigns2, _, hist2 = kmeans(ds, k=k, iters=6)
+    assert np.array_equal(
+        assigns2.to_pandas().sort_values("vec_id")["cluster"].to_numpy(),
+        got)
+    assert hist2 == hist
+
+
 def test_hash_rank_matches_brute(ray_session):
     from database_delta_plugins_ray.stages.sample import hash_rank, md5_u64
 
