@@ -404,6 +404,17 @@ def run_scaling() -> dict:
                        "cores; 32-CPU time shows the plateau")
     if os.environ.get("RAY_GRAFT_SCALING_CONTROLS", "1") != "0":
         out["controls"] = run_controls(lo, hi, rounds)
+        # efficiency relative to the scan control's — i.e. how the engine
+        # scales vs a bare parallel read of ITS OWN input bytes measured
+        # in the same session. The scan's efficiency IS the host's
+        # byte-moving ceiling (ambient cores + shared bandwidth + any
+        # transient data-path degradation); a ratio near 1.0 says the
+        # replay adds no serial stage beyond what moving the bytes costs
+        # on this box. Raw scaling_efficiency remains the number of
+        # record; this isolates engine- from host-shaped loss.
+        scan_eff = out["controls"].get("scan", {}).get("efficiency")
+        if scan_eff:
+            out["efficiency_vs_scan_ceiling"] = round(eff / scan_eff, 3)
     return out
 
 

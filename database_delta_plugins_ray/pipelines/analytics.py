@@ -1618,4 +1618,6 @@ BENCH_QUERIES = {
     "purchases_asof_last_view": purchases_asof_last_view,
     "orders_with_events_in_week": orders_with_events_in_week,
     "q3_shipping_priority": q3_shipping_priority,
+    "dedup_passages_documents": dedup_passages_documents,
+    "decontaminate_documents": decontaminate_documents,
 }
