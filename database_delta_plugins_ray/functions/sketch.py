@@ -112,3 +112,55 @@ def mg_partial(values, capacity: int):
     counts = vc.to_numpy(dtype=np.int64)
     return mg_truncate(items, counts, np.zeros(len(items), np.int64),
                        capacity)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable rank-spaced quantile summary (GK/KLL-family simplification:
+# uniform-rank compaction of weighted point sets — public technique)
+# ---------------------------------------------------------------------------
+
+
+def quantile_summary(vals: np.ndarray, s: int):
+    """Compress a value vector to ``s`` rank-spaced weighted points:
+    point i sits at rank (i+0.5)*n/s of the sorted input and carries
+    weight n/s. Rank error of any quantile query on one summary is
+    <= n/(2s); merging and re-compressing adds <= total/(2s) per
+    compaction, so a two-level pipeline (batch partials -> one merge)
+    answers within ~total/s ranks. Returns ``(points, weights)``."""
+    v = np.sort(np.asarray(vals, dtype=np.float64))
+    n = len(v)
+    if n == 0:
+        return np.empty(0), np.empty(0)
+    if n <= s:
+        return v, np.ones(n)
+    ranks = ((np.arange(s) + 0.5) * n / s).astype(np.int64)
+    return v[ranks], np.full(s, n / s)
+
+
+def quantile_merge(summaries, s: int):
+    """Merge ``(points, weights)`` summaries: weighted sort-union, then
+    re-compress back to ``s`` points at uniform weight spacing."""
+    pts = np.concatenate([p for p, _ in summaries])
+    wts = np.concatenate([w for _, w in summaries])
+    if len(pts) == 0:
+        return np.empty(0), np.empty(0)
+    o = np.argsort(pts, kind="mergesort")
+    pts, wts = pts[o], wts[o]
+    total = wts.sum()
+    if len(pts) <= s:
+        return pts, wts
+    cum = np.cumsum(wts) - wts / 2.0  # center-of-mass rank of each point
+    targets = (np.arange(s) + 0.5) * total / s
+    idx = np.searchsorted(cum, targets)
+    idx = np.minimum(idx, len(pts) - 1)
+    return pts[idx], np.full(s, total / s)
+
+
+def quantile_query(points: np.ndarray, weights: np.ndarray, q: float):
+    """Value at quantile ``q`` of a summary (lower weighted rank)."""
+    if len(points) == 0:
+        return float("nan")
+    cum = np.cumsum(weights)
+    target = q * cum[-1]
+    return float(points[min(np.searchsorted(cum, target),
+                            len(points) - 1)])

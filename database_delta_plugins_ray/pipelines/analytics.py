@@ -1009,6 +1009,41 @@ def heavy_hitters_tokens(sf_dir: str, capacity: int = 64, topn: int = 10):
             .head(topn).reset_index(drop=True))
 
 
+def approx_quantiles_event_value(sf_dir: str, s: int = 512):
+    """Approximate p50/p90/p99 of event value per type via mergeable
+    rank-spaced quantile summaries (functions/sketch.py): each batch
+    ships <= s weighted points per group regardless of batch size —
+    the unbounded-domain companion to the exact bounded-domain
+    histogram percentiles (doc_length_percentiles). Rows-only
+    (approximate); rank-error-bound test gates it."""
+    from ..functions.sketch import (
+        quantile_merge,
+        quantile_query,
+        quantile_summary,
+    )
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for et, g in df.groupby("event_type", sort=False):
+            p, w = quantile_summary(g["value"].to_numpy(), s)
+            out.append({"event_type": et, "p": p, "w": w})
+        return pd.DataFrame(out)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        p, w = quantile_merge(list(zip(g["p"], g["w"])), s)
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "p50": [quantile_query(p, w, 0.5)],
+            "p90": [quantile_query(p, w, 0.9)],
+            "p99": [quantile_query(p, w, 0.99)],
+        })
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("event_type").map_groups(merge, batch_format="pandas"))
+
+
 def kmeans_embeddings(sf_dir: str):
     """Distributed Lloyd k-means over the embeddings table (k=10,
     deterministic hash-order init). Rows-only (iterative, no SQL
@@ -1607,6 +1642,7 @@ ANALYTICS_QUERIES = {
     "approx_distinct_users_hll": approx_distinct_users_hll,
     "heavy_hitters_tokens": heavy_hitters_tokens,
     "kmeans_embeddings": kmeans_embeddings,
+    "approx_quantiles_event_value": approx_quantiles_event_value,
 }
 
 #: subset timed by bench.py at sf0.1

@@ -192,6 +192,61 @@ def test_mg_truncation_bound():
     assert items[np.argmax(counts)] == "h"
 
 
+def test_quantile_summary_rank_bound():
+    from database_delta_plugins_ray.functions.sketch import (
+        quantile_merge,
+        quantile_query,
+        quantile_summary,
+    )
+
+    rng = np.random.default_rng(11)
+    vals = rng.lognormal(3.0, 1.2, size=100_000)
+    s = 512
+    # batch partials -> one merge (the pipeline's two-level shape)
+    summaries = [quantile_summary(chunk, s)
+                 for chunk in np.array_split(vals, 16)]
+    p, w = quantile_merge(summaries, s)
+    assert len(p) <= s
+    v_sorted = np.sort(vals)
+    n = len(vals)
+    for q in (0.5, 0.9, 0.99):
+        est = quantile_query(p, w, q)
+        # rank of the estimate in the TRUE data within ~2n/s of target
+        rank = np.searchsorted(v_sorted, est)
+        assert abs(rank - q * n) <= 2 * n / s, (q, rank, q * n)
+    # deterministic
+    p2, w2 = quantile_merge(summaries, s)
+    assert np.array_equal(p, p2) and np.array_equal(w, w2)
+    # exact regime: fewer than s values pass through untouched
+    pe, we = quantile_summary(np.array([5.0, 1.0, 3.0]), s)
+    assert list(pe) == [1.0, 3.0, 5.0] and list(we) == [1.0] * 3
+    assert quantile_query(pe, we, 0.5) == 3.0
+
+
+def test_approx_quantiles_pipeline(ray_session):
+    import duckdb
+
+    from database_delta_plugins_ray.pipelines.analytics import (
+        approx_quantiles_event_value,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = (approx_quantiles_event_value(sf).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    want = duckdb.sql(f"""
+        SELECT event_type,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90,
+               percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99
+        FROM read_parquet('{sf}/events.parquet')
+        GROUP BY event_type ORDER BY event_type""").df()
+    assert list(got["event_type"]) == list(want["event_type"])
+    for c in ("p50", "p90", "p99"):
+        rel = (abs(got[c] - want[c]) /
+               np.maximum(abs(want[c]), 1e-9)).max()
+        assert rel < 0.10, (c, rel)
+
+
 def test_kmeans_recovers_planted_blobs(ray_session):
     from database_delta_plugins_ray.stages.clustering import kmeans
 
