@@ -414,7 +414,10 @@ def run_scaling() -> dict:
         # record; this isolates engine- from host-shaped loss.
         scan_eff = out["controls"].get("scan", {}).get("efficiency")
         if scan_eff:
-            out["efficiency_vs_scan_ceiling"] = round(eff / scan_eff, 3)
+            # a ceiling cannot exceed linear; a >1.0 scan sample is host
+            # noise (one slow lo-level scan), so clamp before dividing
+            out["efficiency_vs_scan_ceiling"] = round(
+                eff / min(scan_eff, 1.0), 3)
     return out
 
 

@@ -101,6 +101,9 @@ def main(argv: list[str] | None = None) -> int:
     pq_.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     pq_.add_argument("--limit", type=int, default=20,
                      help="rows to print (full result is still computed)")
+    pq_.add_argument("--stats", action="store_true",
+                     help="also print ray.data execution stats (per-stage "
+                          "wall/cpu times, block sizes) for tuning")
 
     a = p.parse_args(argv)
 
@@ -190,7 +193,11 @@ def main(argv: list[str] | None = None) -> int:
             return 1
         _ray_init(a.num_cpus)
         res = qs[a.name](a.sf_dir)
+        stats = None
         if hasattr(res, "to_pandas"):
+            if a.stats:
+                res = res.materialize()
+                stats = res.stats()
             res = res.to_pandas()
         print(json.dumps({
             "query": a.name,
@@ -200,6 +207,8 @@ def main(argv: list[str] | None = None) -> int:
                 res.head(a.limit).to_json(orient="records",
                                           date_format="iso")),
         }))
+        if stats:
+            print(stats)
         import ray
 
         ray.shutdown()
