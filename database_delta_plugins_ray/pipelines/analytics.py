@@ -966,6 +966,39 @@ def approx_distinct_users_hll(sf_dir: str):
             .groupby("event_type").map_groups(merge, batch_format="pandas"))
 
 
+def corpus_report_documents(sf_dir: str):
+    """Fused single-pass per-document feature report: language ID,
+    quality scores, and repetition stats computed by ONE map_batches
+    over ONE read — at 100 TB this is the difference between one corpus
+    scan and three. The SQL oracle joins the three individual oracles,
+    proving the fusion changes nothing."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    class Fused:
+        def __init__(self):
+            from ..functions import text as textmod
+
+            self.mod = textmod  # compiled regexes held per actor
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            texts = df["text"].reset_index(drop=True)
+            q = self.mod.quality_scores(texts)
+            r = self.mod.repetition_stats(texts)
+            pred = self.mod.lang_id(texts)
+            out = pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy(),
+                "lang": df["lang"].to_numpy(),
+                "lang_pred": pred.to_numpy(),
+            })
+            out["quality_score"] = q["quality_score"].to_numpy()
+            for c in ("n_tokens", "top_token_n", "n_bigrams",
+                      "dup_bigram_n", "flagged"):
+                out[c] = r[c].to_numpy()
+            return out
+
+    return ds.map_batches(Fused, batch_format="pandas", concurrency=2)
+
+
 def heavy_hitters_tokens(sf_dir: str, capacity: int = 64, topn: int = 10):
     """Top-n most frequent tokens via mergeable Misra-Gries summaries
     (functions/sketch.py): each batch ships at most ``capacity``
@@ -1601,6 +1634,17 @@ LEFT JOIN big_stats b USING (doc_id)
 """
 
 
+# fused one-pass report == the join of the three single-feature oracles
+ANALYTICS_ORACLE_SQL["corpus_report_documents"] = f"""
+WITH l AS ({ANALYTICS_ORACLE_SQL["lang_id_documents"]}),
+     q AS ({ANALYTICS_ORACLE_SQL["quality_scores_documents"]}),
+     r AS ({ANALYTICS_ORACLE_SQL["repetition_stats_documents"]})
+SELECT l.doc_id, l.lang, l.lang_pred, q.quality_score,
+       r.n_tokens, r.top_token_n, r.n_bigrams, r.dup_bigram_n, r.flagged
+FROM l JOIN q USING (doc_id) JOIN r USING (doc_id)
+"""
+
+
 ANALYTICS_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "events_latest_per_user": events_latest_per_user,
@@ -1643,6 +1687,7 @@ ANALYTICS_QUERIES = {
     "heavy_hitters_tokens": heavy_hitters_tokens,
     "kmeans_embeddings": kmeans_embeddings,
     "approx_quantiles_event_value": approx_quantiles_event_value,
+    "corpus_report_documents": corpus_report_documents,
 }
 
 #: subset timed by bench.py at sf0.1

@@ -164,3 +164,100 @@ def test_simhash_batch_matches_single(texts):
     many = simhash64_many(pd.Series(texts))
     for t, h in zip(texts, many):
         assert simhash64(t) == int(h)
+
+
+# ---------------------------------------------------------------------------
+# mergeable-sketch invariants (functions/sketch.py)
+# ---------------------------------------------------------------------------
+
+
+@given(st.lists(st.integers(0, 10**6), min_size=0, max_size=400),
+       st.integers(1, 4))
+@settings(max_examples=40, deadline=None)
+def test_hll_merge_equals_whole(vals, n_splits):
+    import numpy as np
+
+    from database_delta_plugins_ray.functions.sketch import (
+        hll_merge,
+        hll_registers,
+    )
+
+    arr = np.array(vals, dtype=np.int64)
+    whole = hll_registers(arr, p=8)
+    parts = np.array_split(arr, n_splits)
+    merged = np.zeros_like(whole)
+    for p_ in parts:
+        merged = hll_merge(merged, hll_registers(p_, p=8))
+    assert np.array_equal(whole, merged)
+
+
+@given(st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=300),
+       st.integers(2, 6), st.integers(1, 4))
+@settings(max_examples=40, deadline=None)
+def test_mg_bound_always_holds(stream, capacity, n_splits):
+    import numpy as np
+    import pandas as pd
+
+    from database_delta_plugins_ray.functions.sketch import (
+        mg_partial,
+        mg_truncate,
+    )
+
+    arr = np.array(stream, dtype=object)
+    truth = pd.Series(arr).value_counts() if len(arr) else {}
+    merged, errs, dropped = {}, {}, 0
+    for part in np.array_split(arr, n_splits):
+        items, counts, es, d = mg_partial(part, capacity)
+        assert len(items) <= capacity
+        for it, c, e in zip(items, counts, es):
+            merged[it] = merged.get(it, 0) + c
+            errs[it] = errs.get(it, 0) + e
+        dropped += d
+    if merged:
+        items = np.array(list(merged), dtype=object)
+        counts = np.array([merged[i] for i in items], dtype=np.int64)
+        es = np.array([errs[i] for i in items], dtype=np.int64)
+        items, counts, es, d2 = mg_truncate(items, counts, es, capacity)
+        dropped += d2
+        for it, c, e in zip(items, counts, es):
+            t = int(truth[it])
+            assert c <= t <= c + e + dropped
+    # items absent from the merged summary are bounded by the global drop
+    absent = set(truth.keys() if len(arr) else []) - set(
+        items if merged else [])
+    for it in absent:
+        assert int(truth[it]) <= dropped
+
+
+@given(st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=0,
+                max_size=500),
+       st.integers(4, 64), st.integers(1, 5))
+@settings(max_examples=40, deadline=None)
+def test_quantile_summary_rank_invariant(vals, s, n_splits):
+    import numpy as np
+
+    from database_delta_plugins_ray.functions.sketch import (
+        quantile_merge,
+        quantile_query,
+        quantile_summary,
+    )
+
+    arr = np.array(vals, dtype=np.float64)
+    parts = [quantile_summary(c, s) for c in np.array_split(arr, n_splits)]
+    p, w = quantile_merge(parts, s)
+    assert len(p) <= max(s, len(arr))
+    if len(arr) == 0:
+        return
+    # total weight is conserved through partials and merge
+    assert abs(w.sum() - len(arr)) < 1e-6
+    # a queried quantile is always a real data value, and its true rank
+    # is within 2n/s + 2 of the target (the two-level compaction bound)
+    v_sorted = np.sort(arr)
+    for q in (0.0, 0.5, 1.0):
+        est = quantile_query(p, w, q)
+        assert est in arr
+        lo = np.searchsorted(v_sorted, est, side="left")
+        hi = np.searchsorted(v_sorted, est, side="right")
+        target = q * len(arr)
+        slack = 2 * len(arr) / s + 2
+        assert lo - slack <= target <= hi + slack
