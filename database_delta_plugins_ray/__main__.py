@@ -199,6 +199,9 @@ def main(argv: list[str] | None = None) -> int:
                 res = res.materialize()
                 stats = res.stats()
             res = res.to_pandas()
+        elif a.stats:
+            stats = (f"(no per-stage stats: {a.name} folds its result on "
+                     "the driver and returns a materialized DataFrame)")
         print(json.dumps({
             "query": a.name,
             "rows": len(res),

@@ -166,21 +166,12 @@ def shingle_hashes_concat(
     ``(gram_hashes, gram_doc_idx, n_docs)`` in concatenated form for the
     OPH signature kernel. Docs shorter than ``n`` contribute one gram over
     all their tokens (shingle_hashes' short-doc rule); empty docs none."""
-    toks = texts.str.lower().str.findall(TOKEN_RE)
-    lens = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
+    flat, doc_idx, lens = _flat_lower_tokens(texts)
     n_docs = len(texts)
-    total = int(lens.sum())
+    total = len(flat)
     if total == 0:
         return (np.empty(0, np.uint64), np.empty(0, np.int64), n_docs)
-    flat = np.empty(total, dtype=object)
-    pos = 0
-    for ts in toks:
-        k = len(ts)
-        if k:
-            flat[pos:pos + k] = ts
-        pos += k
     th = pd.util.hash_array(flat, hash_key="shingle_hashkey0").astype(np.uint64)
-    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
     if n <= 1:
         return th, doc_idx, n_docs
     m = total - n + 1
@@ -351,20 +342,10 @@ def simhash64_many(texts: pd.Series) -> np.ndarray:
     (doc, unique-token) pair in ONE pd.util.hash_array call, expand to a
     sign matrix with numpy bit ops, and segment-sum per document with
     np.add.reduceat — no per-token Python in the hash or accumulate path."""
-    toks = texts.str.lower().str.findall(TOKEN_RE)
-    lens = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
-    total = int(lens.sum())
+    flat, doc_idx, _ = _flat_lower_tokens(texts)
     out = np.zeros(len(texts), dtype=np.uint64)
-    if total == 0:
+    if len(flat) == 0:
         return out
-    flat = np.empty(total, dtype=object)
-    pos = 0
-    for ts in toks:
-        k = len(ts)
-        if k:
-            flat[pos:pos + k] = ts
-        pos += k
-    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
     hashed = pd.util.hash_array(flat, hash_key="simhash_hashkey0")  # 16 bytes
     # unique tokens per document (SimHash over the token SET)
     uniq = pd.DataFrame({"d": doc_idx, "h": hashed}).drop_duplicates()
@@ -446,15 +427,16 @@ _GRAM_P = np.uint64(0x9E3779B97F4A7C15)
 
 def _flat_lower_tokens(texts: pd.Series):
     """Tokenize a batch into one flat object array of lowercased word
-    tokens plus the owning-doc index per token (the layout the simhash /
-    repetition / gram kernels all segment-reduce over)."""
+    tokens plus the owning-doc index per token (the shared layout the
+    simhash / shingle / repetition / gram kernels segment-reduce over).
+    Null/None texts contribute zero tokens."""
     toks = texts.str.lower().str.findall(TOKEN_RE)
     lens = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
     total = int(lens.sum())
     flat = np.empty(total, dtype=object)
     pos = 0
     for ts in toks:
-        k = len(ts)
+        k = len(ts) if isinstance(ts, list) else 0
         if k:
             flat[pos:pos + k] = ts
         pos += k

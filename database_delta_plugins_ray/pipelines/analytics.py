@@ -841,9 +841,11 @@ def q5_local_supplier_volume(sf_dir: str):
     def l_partial(t: pa.Table) -> pa.Table:
         sk_s, sn_s = ray.get(supp_ref)
         suppkey = t["l_suppkey"].to_numpy(zero_copy_only=False)
-        snat = sn_s[np.minimum(np.searchsorted(sk_s, suppkey),
-                               len(sk_s) - 1)]
-        keep = np.isin(snat, nkeys_np)
+        idx = np.minimum(np.searchsorted(sk_s, suppkey), len(sk_s) - 1)
+        snat = sn_s[idx]
+        # inner-join semantics: a suppkey absent from supplier is DROPPED,
+        # not clamped onto a neighbour's nation
+        keep = (sk_s[idx] == suppkey) & np.isin(snat, nkeys_np)
         rev = (t["l_extendedprice"].to_numpy(zero_copy_only=False)
                * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)))
         df = pd.DataFrame({
@@ -1031,12 +1033,14 @@ def heavy_hitters_tokens(sf_dir: str, capacity: int = 64, topn: int = 10):
            .to_pandas())
     dropped = int(agg.loc[agg["tok"] == _DROP, "c"].sum())
     cand = agg[agg["tok"] != _DROP]
-    items, counts, errs, d2 = mg_truncate(
+    items, counts, errs, _ = mg_truncate(
         cand["tok"].to_numpy(), cand["c"].to_numpy(dtype=np.int64),
         cand["e"].to_numpy(dtype=np.int64), capacity)
+    # errs already folds the final truncation's subtraction in; adding
+    # `dropped` covers batches where the item was cut from the partial
     res = pd.DataFrame({
         "tok": items, "cnt": counts,
-        "max_err": errs + dropped + d2,
+        "max_err": errs + dropped,
     })
     return (res.sort_values(["cnt", "tok"], ascending=[False, True])
             .head(topn).reset_index(drop=True))

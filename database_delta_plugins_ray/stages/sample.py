@@ -212,21 +212,40 @@ def hash_rank(ds, id_col: str = "doc_id", nbuckets: int = 1024):
     percentiles): the hash is uniform, so its top ``log2(nbuckets)``
     bits range-partition it evenly.
 
-      pass 1: per-bucket row counts (map_batches partial -> tiny
-              groupby) -> the driver prefix-sums nbuckets integers and
-              broadcasts an 8 KB base-offset table in the task closure;
+      pass 1: per-bucket row counts as map_batches PARTIALS (<= nbuckets
+              (b, n) rows leave each batch — no row-level shuffle) ->
+              tiny groupby -> the driver prefix-sums nbuckets integers
+              and broadcasts an 8 KB base-offset table in the task
+              closure;
       pass 2: ONE bucket shuffle; each task sorts only its bucket
               locally and adds the bucket's base offset.
 
-    No stage ever holds more than |corpus| / nbuckets rows, and the
-    all-to-all moves (id, hash) pairs only — at 10^10 rows and
-    nbuckets=2^14 that is ~160 MB per task.
+    No stage ever holds more than |corpus| / nbuckets rows, and the only
+    all-to-all moves (id, hash) pairs — at 10^10 rows and nbuckets=2^14
+    that is ~160 MB per task. The md5 hash is computed once per pass
+    (twice total): recomputing 8 bytes/row beats materializing the
+    hashed corpus between passes.
     """
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
 
     if nbuckets & (nbuckets - 1):
         raise ValueError("nbuckets must be a power of two")
     shift = np.uint64(64 - int(np.log2(nbuckets)))
+
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        h = md5_u64(df[id_col].to_numpy())
+        n = np.bincount((h >> shift).astype(np.int64), minlength=nbuckets)
+        present = np.flatnonzero(n)
+        return pd.DataFrame({"b": present, "n": n[present]})
+
+    counts = (ds.map_batches(bucket_counts, batch_format="pandas")
+              .groupby("b").aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    base = np.zeros(nbuckets, dtype=np.int64)
+    bs = counts["b"].to_numpy()
+    ns = counts["n"].to_numpy()
+    order = np.argsort(bs)
+    base[bs[order]] = np.cumsum(ns[order]) - ns[order]
 
     def bucketed(df: pd.DataFrame) -> pd.DataFrame:
         h = md5_u64(df[id_col].to_numpy())
@@ -237,12 +256,6 @@ def hash_rank(ds, id_col: str = "doc_id", nbuckets: int = 1024):
         })
 
     rows = ds.map_batches(bucketed, batch_format="pandas")
-    counts = rows.groupby("b").aggregate(Count(alias_name="n")).to_pandas()
-    base = np.zeros(nbuckets, dtype=np.int64)
-    bs = counts["b"].to_numpy()
-    ns = counts["n"].to_numpy()
-    order = np.argsort(bs)
-    base[bs[order]] = np.cumsum(ns[order]) - ns[order]
 
     def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
         o = np.lexsort((g[id_col].to_numpy(), g["h"].to_numpy()))

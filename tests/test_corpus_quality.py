@@ -154,6 +154,41 @@ def test_hll_accuracy_and_merge():
     assert abs(hll_estimate(small) - 100) < 3
 
 
+def test_flat_tokens_null_safe():
+    from database_delta_plugins_ray.functions.text import (
+        _flat_lower_tokens,
+        ngram_hashes,
+        repetition_stats,
+        simhash64_many,
+    )
+
+    texts = pd.Series(["a b c", None, "d e"])
+    flat, di, lens = _flat_lower_tokens(texts)
+    assert list(lens) == [3, 0, 2] and len(flat) == 5
+    assert list(repetition_stats(texts)["n_tokens"]) == [3, 0, 2]
+    h, _ = ngram_hashes(texts, 2)
+    assert len(h) == 3  # "a b","b c","d e"
+    assert simhash64_many(texts)[1] == 0
+
+
+def test_heavy_hitter_bound_truncating_regime():
+    # capacity 2 over counts [10, 8, 5, 3]: d = 5 -> survivors a(5), b(3)
+    # with per-item err 5; dropped mass from partials is 0 here, so the
+    # reported bound must be exactly errs (no double-count of the final
+    # truncation)
+    from database_delta_plugins_ray.functions.sketch import mg_truncate
+
+    items = np.array(["a", "b", "c", "d"], dtype=object)
+    counts = np.array([10, 8, 5, 3], dtype=np.int64)
+    errs = np.zeros(4, dtype=np.int64)
+    it, c, e, d = mg_truncate(items, counts, errs, 2)
+    assert list(it) == ["a", "b"] and list(c) == [5, 3]
+    assert list(e) == [5, 5] and d == 5
+    # true counts lie inside [c, c+e] with no extra slack needed
+    assert c[0] <= 10 <= c[0] + e[0]
+    assert c[1] <= 8 <= c[1] + e[1]
+
+
 def test_mg_truncation_bound():
     from database_delta_plugins_ray.functions.sketch import (
         mg_partial,
