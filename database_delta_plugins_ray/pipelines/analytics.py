@@ -584,6 +584,39 @@ def ann_topk_ivf_q(sf_dir: str):
     return df
 
 
+def dedup_incremental_documents(sf_dir: str):
+    """Incremental near-dup: probe the NEW slice (doc_id % 10 == 0) of
+    the corpus against a persisted MinHash-LSH index of the REST — the
+    "dedupe the incoming crawl against everything already ingested"
+    shape. Index built once per sf and reused (atomic build, source-tag
+    invalidation); the probe reads only the band/sig partitions the new
+    batch touches. Rows-only (signature-estimated Jaccard); planted
+    recall/precision tests in tests/test_corpus_quality.py."""
+    import re as _re
+
+    from ..stages.dedup_index import MinHashDiskIndex
+
+    tag = _re.search(r"sf([\d.]+)", sf_dir)
+    idx_dir = (f"/tmp/ddpr_cache/sf{tag.group(1) if tag else 'x'}"
+               "/minhash_index")
+    source_tag = os.path.join(sf_dir, "documents.parquet")
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    corpus = docs.map_batches(
+        lambda df: df[df["doc_id"] % 10 != 0], batch_format="pandas")
+    new = docs.map_batches(
+        lambda df: df[df["doc_id"] % 10 == 0], batch_format="pandas")
+    try:
+        idx = MinHashDiskIndex(idx_dir)
+        if idx.meta.get("source_tag") != source_tag:
+            raise FileNotFoundError
+    except FileNotFoundError:
+        idx = MinHashDiskIndex.build(corpus, idx_dir,
+                                     source_tag=source_tag)
+    out = idx.probe(new, threshold=0.5).to_pandas()
+    out["est_jaccard"] = out["est_jaccard"].round(5)
+    return out.sort_values(["doc_id", "dup_of"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # multimodal (stubbed decode; real plumbing)
 # ---------------------------------------------------------------------------
@@ -1692,6 +1725,7 @@ ANALYTICS_QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "approx_quantiles_event_value": approx_quantiles_event_value,
     "corpus_report_documents": corpus_report_documents,
+    "dedup_incremental_documents": dedup_incremental_documents,
 }
 
 #: subset timed by bench.py at sf0.1

@@ -1,0 +1,239 @@
+"""Persistent MinHash-LSH index + incremental dedup of NEW documents
+against an indexed corpus — the production "dedupe the incoming crawl
+against everything already ingested" shape. The corpus is processed
+ONCE at index build; a probe batch only ever touches the index
+partitions its own band hashes land in, so probe cost scales with the
+batch, not the corpus.
+
+Index layout (two tables, both hash-partitioned to ``nparts`` dirs):
+
+  meta.json                      {num_perm, bands, ngram, nparts, source_tag}
+  bands/part=<p>/*.parquet       (band, band_hash, doc_id)          24 B/row
+  sigs/spart=<s>/*.parquet       (doc_id, sig list<uint64>)         1 sig/doc
+
+Signatures are stored ONCE per document in their own table — NOT inline
+on the 16-per-doc band rows (round 1 flagged exactly that 16x
+signature copy as the LSH scale killer). A probe:
+
+  1. computes the new batch's band rows + signatures (one map_batches);
+  2. prunes the bands/ read to the <= nparts partitions the new band
+     hashes touch, and joins new x old band rows on (band, band_hash)
+     with the general shuffle hash join -> candidate (new, old) pairs;
+  3. prunes the sigs/ read to the partitions holding candidate old ids,
+     attaches both signatures with two candidate-scale shuffle joins,
+     and keeps pairs with signature-estimated Jaccard >= threshold
+     (unbiased, std ~ sqrt(j(1-j)/num_perm) — the same estimator the
+     streaming MinHash route uses).
+
+Build is atomic (tmp dir + rename, source_tag invalidation) like the
+IVF index (stages/similarity.py:IVFDiskIndex.build).
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+__all__ = ["MinHashDiskIndex"]
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _spart(doc_id: np.ndarray, nparts: int) -> np.ndarray:
+    return ((doc_id.astype(np.uint64) * _MIX) % np.uint64(nparts)).astype(
+        np.int32)
+
+
+class MinHashDiskIndex:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "meta.json")) as fh:
+            self.meta = json.load(fh)
+
+    @staticmethod
+    def _sig_band_frames(df: pd.DataFrame, *, num_perm, bands, ngram,
+                         nparts, text_col, id_col):
+        from ..functions.text import (
+            band_hashes_matrix,
+            oph_signatures_concat,
+            shingle_hashes_concat,
+        )
+
+        texts = df[text_col].reset_index(drop=True)
+        ids = df[id_col].to_numpy()
+        gh, gd, n = shingle_hashes_concat(texts, ngram)
+        sigs = oph_signatures_concat(gh, gd, n, num_perm)
+        bh = band_hashes_matrix(sigs, bands)  # (n, bands) uint64
+        band_rows = pd.DataFrame({
+            "band": np.tile(np.arange(bands, dtype=np.int32), n),
+            "band_hash": bh.reshape(-1),
+            "doc_id": np.repeat(ids, bands),
+        })
+        band_rows["part"] = (band_rows["band_hash"].to_numpy()
+                             % np.uint64(nparts)).astype(np.int32)
+        sig_rows = pd.DataFrame({
+            "doc_id": ids,
+            # 8*num_perm raw bytes per doc: plain Arrow binary survives
+            # parquet round-trips and shuffle-join unions without the
+            # tensor-vs-list type drift object columns invite
+            "sig": [s.tobytes() for s in sigs.astype(np.uint64)],
+            "spart": _spart(ids, nparts),
+        })
+        return band_rows, sig_rows
+
+    @classmethod
+    def build(cls, docs, index_dir: str, *, num_perm: int = 64,
+              bands: int = 16, ngram: int = 3, nparts: int = 64,
+              text_col: str = "text", id_col: str = "doc_id",
+              source_tag: str = "") -> "MinHashDiskIndex":
+        import shutil
+
+        meta = dict(num_perm=num_perm, bands=bands, ngram=ngram,
+                    nparts=nparts, source_tag=source_tag)
+
+        def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+            b, _ = cls._sig_band_frames(df, text_col=text_col,
+                                        id_col=id_col, **{
+                                            k: meta[k] for k in
+                                            ("num_perm", "bands", "ngram",
+                                             "nparts")})
+            return b
+
+        def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
+            _, s = cls._sig_band_frames(df, text_col=text_col,
+                                        id_col=id_col, **{
+                                            k: meta[k] for k in
+                                            ("num_perm", "bands", "ngram",
+                                             "nparts")})
+            return s
+
+        tmp = index_dir + f".tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        docs.map_batches(band_rows, batch_format="pandas").write_parquet(
+            os.path.join(tmp, "bands"), partition_cols=["part"])
+        docs.map_batches(sig_rows, batch_format="pandas").write_parquet(
+            os.path.join(tmp, "sigs"), partition_cols=["spart"])
+        with open(os.path.join(tmp, "meta.json"), "w") as fh:
+            json.dump(meta, fh)
+        shutil.rmtree(index_dir, ignore_errors=True)
+        os.rename(tmp, index_dir)
+        return cls(index_dir)
+
+    def _pruned_dirs(self, table: str, key: str, values) -> list[str]:
+        import glob
+
+        files = []
+        for v in sorted(set(int(x) for x in values)):
+            d = os.path.join(self.index_dir, table, f"{key}={v}")
+            if os.path.isdir(d):
+                files.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+        return files
+
+    def probe(self, new_docs, *, threshold: float = 0.5,
+              text_col: str = "text", id_col: str = "doc_id"):
+        """Near-dup matches of ``new_docs`` against the index: returns
+        ``(doc_id, dup_of, est_jaccard)`` rows (one per matching pair,
+        deduplicated across bands)."""
+        import ray
+
+        from .join import shuffle_hash_join
+
+        m = self.meta
+        kw = dict(num_perm=m["num_perm"], bands=m["bands"],
+                  ngram=m["ngram"], nparts=m["nparts"],
+                  text_col=text_col, id_col=id_col)
+
+        def nb_rows(df: pd.DataFrame) -> pd.DataFrame:
+            b, _ = self._sig_band_frames(df, **kw)
+            return b.rename(columns={"doc_id": "new_id"})
+
+        def ns_rows(df: pd.DataFrame):
+            # arrow table with explicit binary type: a pandas block would
+            # type the bytes column as raw `object`, which the shuffle
+            # join's schema introspection cannot null-fill
+            import pyarrow as pa
+
+            _, s = self._sig_band_frames(df, **kw)
+            return pa.table({
+                "new_id": pa.array(s["doc_id"].to_numpy(), pa.int64()),
+                "new_sig": pa.array(list(s["sig"]), pa.binary()),
+            })
+
+        new_bands = new_docs.map_batches(nb_rows, batch_format="pandas")
+
+        # partition prune: which bands/ dirs can contain a matching hash
+        def part_partial(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"part": np.unique(df["part"])})
+
+        parts = (new_bands.map_batches(part_partial, batch_format="pandas")
+                 .to_pandas()["part"].unique())
+        band_dirs = self._pruned_dirs("bands", "part", parts)
+        if not band_dirs:
+            return ray.data.from_items([])
+        old_bands = ray.data.read_parquet(band_dirs).map_batches(
+            lambda t: t.select(["band", "band_hash", "doc_id"])
+            .rename_columns(["band", "band_hash", "old_id"]),
+            batch_format="pyarrow")
+
+        def pair_dedup(j: pd.DataFrame) -> pd.DataFrame:
+            return j[["new_id", "old_id"]].drop_duplicates()
+
+        pairs = shuffle_hash_join(
+            new_bands.map_batches(
+                lambda df: df[["band", "band_hash", "new_id"]],
+                batch_format="pandas"),
+            old_bands, on=["band", "band_hash"], post=pair_dedup)
+
+        # sigs/ prune from the candidate old ids (partial-unique sparts)
+        def spart_partial(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "spart": np.unique(_spart(df["old_id"].to_numpy(),
+                                          m["nparts"]))})
+
+        sparts = (pairs.map_batches(spart_partial, batch_format="pandas")
+                  .to_pandas()["spart"].unique())
+        sig_dirs = self._pruned_dirs("sigs", "spart", sparts)
+        if not sig_dirs:
+            return ray.data.from_items([])
+        old_sigs = ray.data.read_parquet(sig_dirs).map_batches(
+            lambda t: t.select(["doc_id", "sig"])
+            .rename_columns(["old_id", "old_sig"]),
+            batch_format="pyarrow")
+        new_sigs = new_docs.map_batches(ns_rows, batch_format="pandas")
+
+        def _arrowize(df: pd.DataFrame):
+            import pyarrow as pa
+
+            return pa.table({
+                "new_id": pa.array(df["new_id"].to_numpy(), pa.int64()),
+                "old_id": pa.array(df["old_id"].to_numpy(), pa.int64()),
+                "new_sig": pa.array(list(df["new_sig"]), pa.binary()),
+            })
+
+        j1 = shuffle_hash_join(pairs, new_sigs, on="new_id").map_batches(
+            _arrowize, batch_format="pandas")
+
+        def verify(j: pd.DataFrame) -> pd.DataFrame:
+            j = j.drop_duplicates(subset=["new_id", "old_id"])
+            if j.empty:
+                return pd.DataFrame({
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "dup_of": pd.Series([], dtype=np.int64),
+                    "est_jaccard": pd.Series([], dtype=np.float64)})
+            a = np.stack([np.frombuffer(x, np.uint64)
+                          for x in j["new_sig"]])
+            b = np.stack([np.frombuffer(x, np.uint64)
+                          for x in j["old_sig"]])
+            est = (a == b).mean(axis=1)
+            keep = est >= threshold
+            # explicit int64: a pandas merge that touched an empty proto
+            # frame can upcast ids to float64
+            return pd.DataFrame({
+                "doc_id": j["new_id"].to_numpy()[keep].astype(np.int64),
+                "dup_of": j["old_id"].to_numpy()[keep].astype(np.int64),
+                "est_jaccard": est[keep]})
+
+        return shuffle_hash_join(j1, old_sigs, on="old_id", post=verify)

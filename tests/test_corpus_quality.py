@@ -336,6 +336,49 @@ def test_hash_rank_matches_brute(ray_session):
     assert dict(zip(out2["doc_id"], out2["rank"])) == brute
 
 
+def test_incremental_minhash_index(ray_session, tmp_path):
+    from database_delta_plugins_ray.stages.dedup_index import MinHashDiskIndex
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(200)]
+
+    def doc(n):
+        return " ".join(rng.choice(vocab, size=n))
+
+    base = [doc(60) for _ in range(40)]
+    corpus_rows = [{"doc_id": i, "text": t} for i, t in enumerate(base)]
+    # new batch: 3 near-dups of corpus docs (small edits), 5 fresh docs
+    near = []
+    for j, src in enumerate((3, 17, 29)):
+        words = base[src].split()
+        words[5] = "edited"
+        near.append({"doc_id": 100 + j, "text": " ".join(words)})
+    fresh = [{"doc_id": 200 + j, "text": doc(60)} for j in range(5)]
+
+    idx_dir = str(tmp_path / "mh_index")
+    corpus = ray.data.from_items(corpus_rows)
+    idx = MinHashDiskIndex.build(corpus, idx_dir, nparts=8,
+                                 source_tag="v1")
+    assert MinHashDiskIndex(idx_dir).meta["source_tag"] == "v1"
+
+    new = ray.data.from_items(near + fresh)
+    out = idx.probe(new, threshold=0.5).to_pandas()
+    got = set(zip(out["doc_id"], out["dup_of"]))
+    # recall: every planted near-dup found against its source
+    for j, src in enumerate((3, 17, 29)):
+        assert (100 + j, src) in got, (j, src, got)
+    # precision: no fresh doc matches anything
+    assert not any(d >= 200 for d in out["doc_id"])
+    assert (out["est_jaccard"] >= 0.5).all()
+    assert out["doc_id"].dtype == np.int64
+    # atomic rebuild replaces, not appends
+    idx2 = MinHashDiskIndex.build(corpus, idx_dir, nparts=8,
+                                  source_tag="v2")
+    assert MinHashDiskIndex(idx_dir).meta["source_tag"] == "v2"
+    out2 = idx2.probe(new, threshold=0.5).to_pandas()
+    assert set(zip(out2["doc_id"], out2["dup_of"])) == got
+
+
 def test_q5_matches_duckdb(ray_session):
     import duckdb
 
