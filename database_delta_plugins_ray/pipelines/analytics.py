@@ -584,6 +584,32 @@ def ann_topk_ivf_q(sf_dir: str):
     return df
 
 
+def events_running_revenue(sf_dir: str):
+    """Global window function SUM(cents) OVER (ORDER BY ts, event_id)
+    via the distributed range-bucket prefix scan (stages/scan.py) — no
+    global sort barrier. Value is integer cents (floor(value*100+0.5))
+    so the running sums are exact and the SQL window oracle matches
+    hash-for-hash (float accumulation order would drift)."""
+    from ..stages.scan import ordered_cumsum
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["event_id", "ts"]].copy()
+        out["cents"] = np.floor(
+            df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return out
+
+    res = ordered_cumsum(
+        ds.map_batches(to_cents, batch_format="pandas"),
+        order_col="ts", tiebreak_col="event_id", value_col="cents")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["event_id", "running_total"]]
+
+    return res.map_batches(project, batch_format="pandas")
+
+
 def dedup_incremental_documents(sf_dir: str):
     """Incremental near-dup: probe the NEW slice (doc_id % 10 == 0) of
     the corpus against a persisted MinHash-LSH index of the REST — the
@@ -1577,6 +1603,16 @@ WITH flat AS (
 SELECT tok, df, tf FROM d ORDER BY df DESC, tok LIMIT 100
 """
 
+# global window: exact integer-cents running sum over (ts, event_id)
+ANALYTICS_ORACLE_SQL["events_running_revenue"] = r"""
+SELECT event_id,
+       CAST(SUM(CAST(floor(value*100.0 + 0.5) AS BIGINT))
+         OVER (ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS running_total
+FROM events
+"""
+
 # MG heavy hitters: exact at this vocabulary (< capacity, so max_err 0)
 ANALYTICS_ORACLE_SQL["heavy_hitters_tokens"] = r"""
 WITH flat AS (
@@ -1726,6 +1762,7 @@ ANALYTICS_QUERIES = {
     "approx_quantiles_event_value": approx_quantiles_event_value,
     "corpus_report_documents": corpus_report_documents,
     "dedup_incremental_documents": dedup_incremental_documents,
+    "events_running_revenue": events_running_revenue,
 }
 
 #: subset timed by bench.py at sf0.1

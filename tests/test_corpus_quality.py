@@ -336,6 +336,31 @@ def test_hash_rank_matches_brute(ray_session):
     assert dict(zip(out2["doc_id"], out2["rank"])) == brute
 
 
+def test_ordered_cumsum_brute(ray_session):
+    from database_delta_plugins_ray.stages.scan import ordered_cumsum
+
+    rng = np.random.default_rng(13)
+    n = 5000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 1000, n),          # many ties
+        "id": np.arange(n, dtype=np.int64),
+        "v": rng.integers(-50, 50, n),          # negatives included
+    })
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = (ordered_cumsum(ds, order_col="k", tiebreak_col="id",
+                          value_col="v", nbuckets=16)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    o = np.lexsort((df["id"].to_numpy(), df["k"].to_numpy()))
+    brute = np.empty(n, dtype=np.int64)
+    brute[o] = np.cumsum(df["v"].to_numpy()[o])
+    assert np.array_equal(out["running_total"].to_numpy(), brute)
+    # partitioning invariance
+    out2 = (ordered_cumsum(ds.repartition(3), order_col="k",
+                           tiebreak_col="id", value_col="v", nbuckets=4)
+            .to_pandas().sort_values("id").reset_index(drop=True))
+    assert np.array_equal(out2["running_total"].to_numpy(), brute)
+
+
 def test_incremental_minhash_index(ray_session, tmp_path):
     from database_delta_plugins_ray.stages.dedup_index import MinHashDiskIndex
 
