@@ -610,6 +610,28 @@ def events_running_revenue(sf_dir: str):
     return res.map_batches(project, batch_format="pandas")
 
 
+def events_moving_revenue(sf_dir: str, window: int = 10):
+    """Sliding-window SUM(cents) OVER (ORDER BY ts, event_id ROWS
+    BETWEEN 9 PRECEDING AND CURRENT ROW) via the one-shuffle carry-pass
+    scan (stages/scan.py:ordered_moving_sum)."""
+    from ..stages.scan import ordered_moving_sum
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["event_id", "ts"]].copy()
+        out["cents"] = np.floor(
+            df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return out
+
+    res = ordered_moving_sum(
+        ds.map_batches(to_cents, batch_format="pandas"),
+        order_col="ts", tiebreak_col="event_id", value_col="cents",
+        window=window)
+    return res.map_batches(
+        lambda df: df[["event_id", "moving_sum"]], batch_format="pandas")
+
+
 def dedup_incremental_documents(sf_dir: str):
     """Incremental near-dup: probe the NEW slice (doc_id % 10 == 0) of
     the corpus against a persisted MinHash-LSH index of the REST — the
@@ -1613,6 +1635,15 @@ SELECT event_id,
 FROM events
 """
 
+ANALYTICS_ORACLE_SQL["events_moving_revenue"] = r"""
+SELECT event_id,
+       CAST(SUM(CAST(floor(value*100.0 + 0.5) AS BIGINT))
+         OVER (ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS moving_sum
+FROM events
+"""
+
 # MG heavy hitters: exact at this vocabulary (< capacity, so max_err 0)
 ANALYTICS_ORACLE_SQL["heavy_hitters_tokens"] = r"""
 WITH flat AS (
@@ -1763,6 +1794,7 @@ ANALYTICS_QUERIES = {
     "corpus_report_documents": corpus_report_documents,
     "dedup_incremental_documents": dedup_incremental_documents,
     "events_running_revenue": events_running_revenue,
+    "events_moving_revenue": events_moving_revenue,
 }
 
 #: subset timed by bench.py at sf0.1

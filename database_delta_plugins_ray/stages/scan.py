@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["ordered_cumsum"]
+__all__ = ["ordered_cumsum", "ordered_moving_sum"]
 
 
 def ordered_cumsum(ds, *, order_col: str, tiebreak_col: str,
@@ -96,6 +96,133 @@ def ordered_cumsum(ds, *, order_col: str, tiebreak_col: str,
         out = g.iloc[o].drop(columns="__b").reset_index(drop=True)
         out["running_total"] = run
         return out
+
+    return (ds.map_batches(bucketed, batch_format="pandas")
+            .groupby("__b").map_groups(scan_bucket, batch_format="pandas"))
+
+
+def ordered_moving_sum(ds, *, order_col: str, tiebreak_col: str,
+                       value_col: str, window: int, nbuckets: int = 64):
+    """Exact sliding-window sum (``SUM(v) OVER (ORDER BY ... ROWS
+    BETWEEN window-1 PRECEDING AND CURRENT ROW)``) with ONE bucket
+    shuffle. The cross-bucket dependency — each bucket needs the last
+    ``window-1`` rows of everything before it — is resolved by a
+    driver-sized side channel, not a second all-to-all:
+
+      carry pass: per-batch partial top-``window-1`` rows PER BUCKET by
+          sort key (a valid partial: the global bucket tail is the
+          top-k of the per-batch top-k candidates) -> the driver keeps
+          nbuckets x window rows and assembles each bucket's carry by
+          walking earlier buckets' tails backwards;
+      scan pass:  the one bucket shuffle; each task prepends its
+          broadcast carry, computes the sliding sum vectorized
+          (cumsum minus shifted cumsum), and emits only its own rows.
+    """
+    import ray
+
+    stats_cols = [order_col, tiebreak_col, value_col]
+    k = window - 1  # rows carried from the past
+
+    from ray.data.aggregate import Max, Min
+
+    stats = ds.aggregate(Min(order_col), Max(order_col))
+
+    def _scalar_int(x) -> np.int64:
+        if isinstance(x, (int, float, np.integer, np.floating)):
+            return np.int64(x)
+        if isinstance(x, np.datetime64):
+            return x.astype("datetime64[us]").astype(np.int64)
+        return np.int64(pd.Timestamp(x).value // 1000)
+
+    lo_i = _scalar_int(stats[f"min({order_col})"])
+    hi_i = _scalar_int(stats[f"max({order_col})"])
+    span = max(int(hi_i - lo_i) + 1, 1)
+    width = max(span // nbuckets + 1, 1)
+
+    def _key_ints(df: pd.DataFrame) -> np.ndarray:
+        c = df[order_col]
+        if np.issubdtype(c.dtype, np.datetime64):
+            return c.to_numpy().astype("datetime64[us]").astype(np.int64)
+        return c.to_numpy().astype(np.int64)
+
+    def _bucket(df: pd.DataFrame) -> np.ndarray:
+        return np.clip((_key_ints(df) - lo_i) // width, 0,
+                       nbuckets - 1).astype(np.int32)
+
+    def tail_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if k <= 0 or df.empty:
+            return df.iloc[0:0][stats_cols].assign(
+                __b=np.empty(0, np.int32))
+        b = _bucket(df)
+        out = df[stats_cols].copy()
+        out["__b"] = b
+        out["__k"] = _key_ints(df)
+        # per-batch candidates: top-k rows of each bucket by sort key
+        out = (out.sort_values(["__b", "__k", tiebreak_col])
+               .groupby("__b", sort=False).tail(k))
+        return out.drop(columns="__k")
+
+    carry_map: dict[int, pd.DataFrame] = {}
+    if k > 0:
+        cand = (ds.map_batches(tail_partial, batch_format="pandas")
+                .to_pandas())
+        if len(cand):
+            ki = cand[order_col]
+            ki = (ki.to_numpy().astype("datetime64[us]").astype(np.int64)
+                  if np.issubdtype(ki.dtype, np.datetime64)
+                  else ki.to_numpy().astype(np.int64))
+            cand = cand.assign(__k=ki).sort_values(
+                ["__b", "__k", tiebreak_col])
+            tails = {int(b): g.tail(k) for b, g in
+                     cand.groupby("__b", sort=True)}
+            for b in range(nbuckets):
+                rows = []
+                need = k
+                for prev in range(b - 1, -1, -1):
+                    t = tails.get(prev)
+                    if t is None or t.empty:
+                        continue
+                    take = t.tail(need)
+                    rows.append(take)
+                    need -= len(take)
+                    if need <= 0:
+                        break
+                if rows:
+                    carry_map[b] = (pd.concat(rows[::-1])
+                                    .drop(columns=["__b", "__k"]))
+
+    carry_ref = ray.put(carry_map)
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[stats_cols].copy()
+        out["__b"] = _bucket(df)
+        return out
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["__b"].iloc[0])
+        carry = ray.get(carry_ref).get(b)
+        body = g.drop(columns="__b")
+        n_carry = 0 if carry is None else len(carry)
+        full = body if n_carry == 0 else pd.concat(
+            [carry, body], ignore_index=True)
+        ki = (full[order_col].to_numpy().astype("datetime64[us]")
+              .astype(np.int64)
+              if np.issubdtype(full[order_col].dtype, np.datetime64)
+              else full[order_col].to_numpy().astype(np.int64))
+        o = np.lexsort((full[tiebreak_col].to_numpy(), ki))
+        # carry rows all sort before body rows (strictly earlier keys),
+        # except key ties across the bucket boundary — lexsort handles
+        # both since the carry carries its real keys
+        vals = full[value_col].to_numpy().astype(np.int64)[o]
+        cs = np.cumsum(vals)
+        shifted = np.concatenate((np.zeros(min(window, len(cs)),
+                                           np.int64),
+                                  cs[:-window] if len(cs) > window
+                                  else np.empty(0, np.int64)))
+        ms = cs - shifted
+        out = full.iloc[o].reset_index(drop=True)
+        out["moving_sum"] = ms
+        return out.iloc[n_carry:].reset_index(drop=True)
 
     return (ds.map_batches(bucketed, batch_format="pandas")
             .groupby("__b").map_groups(scan_bucket, batch_format="pandas"))

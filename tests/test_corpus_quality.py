@@ -361,6 +361,39 @@ def test_ordered_cumsum_brute(ray_session):
     assert np.array_equal(out2["running_total"].to_numpy(), brute)
 
 
+def test_ordered_moving_sum_brute(ray_session):
+    from database_delta_plugins_ray.stages.scan import ordered_moving_sum
+
+    rng = np.random.default_rng(17)
+    n, w = 2000, 7
+    df = pd.DataFrame({
+        "k": rng.integers(0, 100, n),   # dense ties; sparse buckets
+        "id": np.arange(n, dtype=np.int64),
+        "v": rng.integers(-9, 9, n),
+    })
+    ds = ray.data.from_pandas(df).repartition(6)
+    # nbuckets=32 over a 0..99 domain: several near-empty buckets force
+    # the carry assembly to walk more than one bucket backwards
+    out = (ordered_moving_sum(ds, order_col="k", tiebreak_col="id",
+                              value_col="v", window=w, nbuckets=32)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    o = np.lexsort((df["id"].to_numpy(), df["k"].to_numpy()))
+    sv = df["v"].to_numpy()[o]
+    cs = np.cumsum(sv)
+    brute_sorted = np.array(
+        [cs[i] - (cs[i - w] if i >= w else 0) for i in range(n)],
+        dtype=np.int64)
+    brute = np.empty(n, dtype=np.int64)
+    brute[o] = brute_sorted
+    assert np.array_equal(out["moving_sum"].to_numpy(), brute)
+    # window=1 degenerates to the value itself (no carry pass at all)
+    out1 = (ordered_moving_sum(ds, order_col="k", tiebreak_col="id",
+                               value_col="v", window=1, nbuckets=8)
+            .to_pandas().sort_values("id").reset_index(drop=True))
+    assert np.array_equal(out1["moving_sum"].to_numpy(),
+                          df["v"].to_numpy())
+
+
 def test_incremental_minhash_index(ray_session, tmp_path):
     from database_delta_plugins_ray.stages.dedup_index import MinHashDiskIndex
 
