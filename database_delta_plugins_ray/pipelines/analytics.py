@@ -632,6 +632,27 @@ def events_moving_revenue(sf_dir: str, window: int = 10):
         lambda df: df[["event_id", "moving_sum"]], batch_format="pandas")
 
 
+def export_documents_shards(sf_dir: str, nshards: int = 16):
+    """Resumable hash-sharded corpus export (stages/export.py): write
+    once, verify via the manifest's per-shard row counts — which the
+    DuckDB oracle recomputes from md5_number_lower % nshards."""
+    import re as _re
+
+    from ..stages.export import export_corpus_shards
+
+    tag = _re.search(r"sf([\d.]+)", sf_dir)
+    out_dir = (f"/tmp/ddpr_cache/sf{tag.group(1) if tag else 'x'}"
+               "/corpus_shards")
+    m = export_corpus_shards(
+        _t(sf_dir, "documents", ["doc_id", "text", "lang"]), out_dir,
+        nshards=nshards,
+        source_tag=os.path.join(sf_dir, "documents.parquet"))
+    return (pd.DataFrame(
+        {"shard": [int(s) for s in m["shards"]],
+         "n_rows": [np.int64(v) for v in m["shards"].values()]})
+        .sort_values("shard").reset_index(drop=True))
+
+
 def dedup_incremental_documents(sf_dir: str):
     """Incremental near-dup: probe the NEW slice (doc_id % 10 == 0) of
     the corpus against a persisted MinHash-LSH index of the REST — the
@@ -1635,6 +1656,13 @@ SELECT event_id,
 FROM events
 """
 
+ANALYTICS_ORACLE_SQL["export_documents_shards"] = r"""
+SELECT CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 16 AS INTEGER)
+         AS shard,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM documents GROUP BY shard ORDER BY shard
+"""
+
 ANALYTICS_ORACLE_SQL["events_moving_revenue"] = r"""
 SELECT event_id,
        CAST(SUM(CAST(floor(value*100.0 + 0.5) AS BIGINT))
@@ -1795,6 +1823,7 @@ ANALYTICS_QUERIES = {
     "dedup_incremental_documents": dedup_incremental_documents,
     "events_running_revenue": events_running_revenue,
     "events_moving_revenue": events_moving_revenue,
+    "export_documents_shards": export_documents_shards,
 }
 
 #: subset timed by bench.py at sf0.1
