@@ -632,6 +632,35 @@ def events_moving_revenue(sf_dir: str, window: int = 10):
         lambda df: df[["event_id", "moving_sum"]], batch_format="pandas")
 
 
+def events_running_value_per_user(sf_dir: str, nparts: int = 32):
+    """Partitioned window function SUM(cents) OVER (PARTITION BY
+    user_id ORDER BY ts, event_id): one hash shuffle over COARSE user
+    partitions (never per-user dispatch), then a vectorized pandas
+    groupby-cumsum inside each partition task — keys never span
+    partitions, so the scan is exact with no carry."""
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["event_id", "ts", "user_id"]].copy()
+        out["cents"] = np.floor(
+            df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        out["__p"] = (out["user_id"].to_numpy().astype(np.uint64)
+                      * np.uint64(0x9E3779B97F4A7C15)
+                      % np.uint64(nparts)).astype(np.int32)
+        return out
+
+    def scan_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        run = g.groupby("user_id", sort=False)["cents"].cumsum()
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "running_user_total": run.to_numpy().astype(np.int64)})
+
+    return (ds.map_batches(prep, batch_format="pandas")
+            .groupby("__p").map_groups(scan_part, batch_format="pandas"))
+
+
 def export_documents_shards(sf_dir: str, nshards: int = 16):
     """Resumable hash-sharded corpus export (stages/export.py): write
     once, verify via the manifest's per-shard row counts — which the
@@ -1656,6 +1685,15 @@ SELECT event_id,
 FROM events
 """
 
+ANALYTICS_ORACLE_SQL["events_running_value_per_user"] = r"""
+SELECT event_id,
+       CAST(SUM(CAST(floor(value*100.0 + 0.5) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS running_user_total
+FROM events
+"""
+
 ANALYTICS_ORACLE_SQL["export_documents_shards"] = r"""
 SELECT CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 16 AS INTEGER)
          AS shard,
@@ -1824,6 +1862,7 @@ ANALYTICS_QUERIES = {
     "events_running_revenue": events_running_revenue,
     "events_moving_revenue": events_moving_revenue,
     "export_documents_shards": export_documents_shards,
+    "events_running_value_per_user": events_running_value_per_user,
 }
 
 #: subset timed by bench.py at sf0.1
