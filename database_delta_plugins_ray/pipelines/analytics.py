@@ -32,6 +32,30 @@ def _t(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
     )
 
 
+def _cache_dir(sf_dir: str, name: str) -> str:
+    import re as _re
+
+    tag = _re.search(r"sf([\d.]+)", sf_dir)
+    return f"/tmp/ddpr_cache/sf{tag.group(1) if tag else 'x'}/{name}"
+
+
+def _source_fingerprint(path: str) -> str:
+    """Cache-invalidation tag: path + mtime + size, so regenerated data
+    at the same path rebuilds instead of silently reusing stale
+    artifacts."""
+    st = os.stat(path)
+    return f"{path}:{st.st_mtime_ns}:{st.st_size}"
+
+
+def _to_cents(df: pd.DataFrame, cols: list) -> pd.DataFrame:
+    """Project + integer-cents conversion shared by the window queries;
+    the literal floor(v*100+0.5) mirrors the SQL oracles exactly."""
+    out = df[cols].copy()
+    out["cents"] = np.floor(
+        df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # relational / aggregate queries (SQL-oracled)
 # ---------------------------------------------------------------------------
@@ -566,19 +590,17 @@ def ann_topk_cosine(sf_dir: str):
 def ann_topk_ivf_q(sf_dir: str):
     """IVF top-10 over the persisted bucketed index (built once per sf,
     reused across queries; reads only nprobe bucket dirs)."""
-    import re as _re
-
     from ..stages.similarity import ann_topk_ivf
 
-    tag = _re.search(r"sf([\d.]+)", sf_dir)
-    idx_dir = f"/tmp/ddpr_cache/sf{tag.group(1) if tag else 'x'}/ivf_index"
+    idx_dir = _cache_dir(sf_dir, "ivf_index")
     df = ann_topk_ivf(
         _t(sf_dir, "embeddings", ["vec_id", "embedding"]), _query_vec(sf_dir),
         # the synthetic embeddings are isotropic (no real cluster structure),
         # so a high nprobe/n_clusters ratio is needed for recall>=0.9; the
         # pruned-read design is unchanged — real embedding corpora cluster
         k=10, index_dir=idx_dir, n_clusters=16, nprobe=12,
-        source_tag=os.path.join(sf_dir, "embeddings.parquet"),
+        source_tag=_source_fingerprint(
+            os.path.join(sf_dir, "embeddings.parquet")),
     )
     df["score"] = df["score"].round(5)
     return df
@@ -593,15 +615,9 @@ def events_running_revenue(sf_dir: str):
     from ..stages.scan import ordered_cumsum
 
     ds = _t(sf_dir, "events", ["event_id", "ts", "value"])
-
-    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[["event_id", "ts"]].copy()
-        out["cents"] = np.floor(
-            df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
-        return out
-
     res = ordered_cumsum(
-        ds.map_batches(to_cents, batch_format="pandas"),
+        ds.map_batches(lambda df: _to_cents(df, ["event_id", "ts"]),
+                       batch_format="pandas"),
         order_col="ts", tiebreak_col="event_id", value_col="cents")
 
     def project(df: pd.DataFrame) -> pd.DataFrame:
@@ -617,15 +633,9 @@ def events_moving_revenue(sf_dir: str, window: int = 10):
     from ..stages.scan import ordered_moving_sum
 
     ds = _t(sf_dir, "events", ["event_id", "ts", "value"])
-
-    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[["event_id", "ts"]].copy()
-        out["cents"] = np.floor(
-            df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
-        return out
-
     res = ordered_moving_sum(
-        ds.map_batches(to_cents, batch_format="pandas"),
+        ds.map_batches(lambda df: _to_cents(df, ["event_id", "ts"]),
+                       batch_format="pandas"),
         order_col="ts", tiebreak_col="event_id", value_col="cents",
         window=window)
     return res.map_batches(
@@ -641,12 +651,10 @@ def events_running_value_per_user(sf_dir: str, nparts: int = 32):
     ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[["event_id", "ts", "user_id"]].copy()
-        out["cents"] = np.floor(
-            df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
-        out["__p"] = (out["user_id"].to_numpy().astype(np.uint64)
-                      * np.uint64(0x9E3779B97F4A7C15)
-                      % np.uint64(nparts)).astype(np.int32)
+        from ..stages.dedup_index import _spart
+
+        out = _to_cents(df, ["event_id", "ts", "user_id"])
+        out["__p"] = _spart(out["user_id"].to_numpy(), nparts)
         return out
 
     def scan_part(g: pd.DataFrame) -> pd.DataFrame:
@@ -665,17 +673,13 @@ def export_documents_shards(sf_dir: str, nshards: int = 16):
     """Resumable hash-sharded corpus export (stages/export.py): write
     once, verify via the manifest's per-shard row counts — which the
     DuckDB oracle recomputes from md5_number_lower % nshards."""
-    import re as _re
-
     from ..stages.export import export_corpus_shards
 
-    tag = _re.search(r"sf([\d.]+)", sf_dir)
-    out_dir = (f"/tmp/ddpr_cache/sf{tag.group(1) if tag else 'x'}"
-               "/corpus_shards")
     m = export_corpus_shards(
-        _t(sf_dir, "documents", ["doc_id", "text", "lang"]), out_dir,
-        nshards=nshards,
-        source_tag=os.path.join(sf_dir, "documents.parquet"))
+        _t(sf_dir, "documents", ["doc_id", "text", "lang"]),
+        _cache_dir(sf_dir, "corpus_shards"), nshards=nshards,
+        source_tag=_source_fingerprint(
+            os.path.join(sf_dir, "documents.parquet")))
     return (pd.DataFrame(
         {"shard": [int(s) for s in m["shards"]],
          "n_rows": [np.int64(v) for v in m["shards"].values()]})
@@ -690,14 +694,11 @@ def dedup_incremental_documents(sf_dir: str):
     invalidation); the probe reads only the band/sig partitions the new
     batch touches. Rows-only (signature-estimated Jaccard); planted
     recall/precision tests in tests/test_corpus_quality.py."""
-    import re as _re
-
     from ..stages.dedup_index import MinHashDiskIndex
 
-    tag = _re.search(r"sf([\d.]+)", sf_dir)
-    idx_dir = (f"/tmp/ddpr_cache/sf{tag.group(1) if tag else 'x'}"
-               "/minhash_index")
-    source_tag = os.path.join(sf_dir, "documents.parquet")
+    idx_dir = _cache_dir(sf_dir, "minhash_index")
+    source_tag = _source_fingerprint(
+        os.path.join(sf_dir, "documents.parquet"))
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
     corpus = docs.map_batches(
         lambda df: df[df["doc_id"] % 10 != 0], batch_format="pandas")
@@ -710,7 +711,7 @@ def dedup_incremental_documents(sf_dir: str):
     except FileNotFoundError:
         idx = MinHashDiskIndex.build(corpus, idx_dir,
                                      source_tag=source_tag)
-    out = idx.probe(new, threshold=0.5).to_pandas()
+    out = idx.probe_df(new, threshold=0.5)
     out["est_jaccard"] = out["est_jaccard"].round(5)
     return out.sort_values(["doc_id", "dup_of"]).reset_index(drop=True)
 

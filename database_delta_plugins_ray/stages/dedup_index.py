@@ -15,7 +15,8 @@ Signatures are stored ONCE per document in their own table — NOT inline
 on the 16-per-doc band rows (round 1 flagged exactly that 16x
 signature copy as the LSH scale killer). A probe:
 
-  1. computes the new batch's band rows + signatures (one map_batches);
+  1. computes the new batch's band rows + signatures in ONE
+     materialized hashing pass (bands/sigs are projections of it);
   2. prunes the bands/ read to the <= nparts partitions the new band
      hashes touch, and joins new x old band rows on (band, band_hash)
      with the general shuffle hash join -> candidate (new, old) pairs;
@@ -46,6 +47,18 @@ def _spart(doc_id: np.ndarray, nparts: int) -> np.ndarray:
         np.int32)
 
 
+def _empty_result():
+    """Typed empty probe result — the documented (doc_id, dup_of,
+    est_jaccard) schema must hold even when nothing matches."""
+    import pyarrow as pa
+    import ray
+
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "dup_of": pa.array([], pa.int64()),
+        "est_jaccard": pa.array([], pa.float64())}))
+
+
 class MinHashDiskIndex:
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
@@ -53,8 +66,14 @@ class MinHashDiskIndex:
             self.meta = json.load(fh)
 
     @staticmethod
-    def _sig_band_frames(df: pd.DataFrame, *, num_perm, bands, ngram,
-                         nparts, text_col, id_col):
+    def _combined_frame(df: pd.DataFrame, *, num_perm, bands, ngram,
+                        nparts, text_col, id_col) -> pd.DataFrame:
+        """ONE shingle+OPH pass per batch; one row per doc carrying the
+        signature (raw bytes — plain Arrow binary survives parquet
+        round-trips and shuffle-join unions without tensor-vs-list type
+        drift) AND its band-hash row (bytes). Band rows / sig rows are
+        cheap projections of this frame, so neither the build nor the
+        probe hashes a document twice."""
         from ..functions.text import (
             band_hashes_matrix,
             oph_signatures_concat,
@@ -66,22 +85,34 @@ class MinHashDiskIndex:
         gh, gd, n = shingle_hashes_concat(texts, ngram)
         sigs = oph_signatures_concat(gh, gd, n, num_perm)
         bh = band_hashes_matrix(sigs, bands)  # (n, bands) uint64
-        band_rows = pd.DataFrame({
-            "band": np.tile(np.arange(bands, dtype=np.int32), n),
-            "band_hash": bh.reshape(-1),
-            "doc_id": np.repeat(ids, bands),
-        })
-        band_rows["part"] = (band_rows["band_hash"].to_numpy()
-                             % np.uint64(nparts)).astype(np.int32)
-        sig_rows = pd.DataFrame({
+        return pd.DataFrame({
             "doc_id": ids,
-            # 8*num_perm raw bytes per doc: plain Arrow binary survives
-            # parquet round-trips and shuffle-join unions without the
-            # tensor-vs-list type drift object columns invite
             "sig": [s.tobytes() for s in sigs.astype(np.uint64)],
             "spart": _spart(ids, nparts),
+            "bands_blob": [b.tobytes() for b in
+                           np.ascontiguousarray(bh, dtype=np.uint64)],
         })
-        return band_rows, sig_rows
+
+    @staticmethod
+    def _explode_bands(df: pd.DataFrame, *, bands, nparts,
+                       id_out: str = "doc_id") -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({
+                "band": pd.Series([], dtype=np.int32),
+                "band_hash": pd.Series([], dtype=np.uint64),
+                id_out: pd.Series([], dtype=np.int64),
+                "part": pd.Series([], dtype=np.int32)})
+        bh = np.frombuffer(b"".join(df["bands_blob"]),
+                           dtype=np.uint64).reshape(n, bands)
+        out = pd.DataFrame({
+            "band": np.tile(np.arange(bands, dtype=np.int32), n),
+            "band_hash": bh.reshape(-1),
+            id_out: np.repeat(df["doc_id"].to_numpy(), bands),
+        })
+        out["part"] = (out["band_hash"].to_numpy()
+                       % np.uint64(nparts)).astype(np.int32)
+        return out
 
     @classmethod
     def build(cls, docs, index_dir: str, *, num_perm: int = 64,
@@ -92,29 +123,27 @@ class MinHashDiskIndex:
 
         meta = dict(num_perm=num_perm, bands=bands, ngram=ngram,
                     nparts=nparts, source_tag=source_tag)
+        kw = dict(num_perm=num_perm, bands=bands, ngram=ngram,
+                  nparts=nparts, text_col=text_col, id_col=id_col)
 
-        def band_rows(df: pd.DataFrame) -> pd.DataFrame:
-            b, _ = cls._sig_band_frames(df, text_col=text_col,
-                                        id_col=id_col, **{
-                                            k: meta[k] for k in
-                                            ("num_perm", "bands", "ngram",
-                                             "nparts")})
-            return b
-
-        def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
-            _, s = cls._sig_band_frames(df, text_col=text_col,
-                                        id_col=id_col, **{
-                                            k: meta[k] for k in
-                                            ("num_perm", "bands", "ngram",
-                                             "nparts")})
-            return s
+        # ONE hashing pass over the corpus, materialized (~700 B/doc of
+        # sig+band blobs in the object store, spilling as needed); both
+        # tables are cheap projections of it — the expensive
+        # shingle+OPH work never runs twice
+        inter = docs.map_batches(
+            lambda df: cls._combined_frame(df, **kw),
+            batch_format="pandas").materialize()
 
         tmp = index_dir + f".tmp.{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp, exist_ok=True)
-        docs.map_batches(band_rows, batch_format="pandas").write_parquet(
+        inter.map_batches(
+            lambda df: cls._explode_bands(df, bands=bands, nparts=nparts),
+            batch_format="pandas").write_parquet(
             os.path.join(tmp, "bands"), partition_cols=["part"])
-        docs.map_batches(sig_rows, batch_format="pandas").write_parquet(
+        inter.map_batches(
+            lambda df: df[["doc_id", "sig", "spart"]],
+            batch_format="pandas").write_parquet(
             os.path.join(tmp, "sigs"), partition_cols=["spart"])
         with open(os.path.join(tmp, "meta.json"), "w") as fh:
             json.dump(meta, fh)
@@ -132,6 +161,19 @@ class MinHashDiskIndex:
                 files.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
         return files
 
+    def probe_df(self, new_docs, **kw) -> pd.DataFrame:
+        """``probe`` folded to a pandas frame with the (doc_id, dup_of,
+        est_jaccard) schema GUARANTEED — Ray's ``to_pandas`` drops
+        column names from zero-row datasets, so the no-match case is
+        re-typed here."""
+        out = self.probe(new_docs, **kw).to_pandas()
+        if out.empty:
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype="int64"),
+                "dup_of": pd.Series(dtype="int64"),
+                "est_jaccard": pd.Series(dtype="float64")})
+        return out
+
     def probe(self, new_docs, *, threshold: float = 0.5,
               text_col: str = "text", id_col: str = "doc_id"):
         """Near-dup matches of ``new_docs`` against the index: returns
@@ -146,9 +188,17 @@ class MinHashDiskIndex:
                   ngram=m["ngram"], nparts=m["nparts"],
                   text_col=text_col, id_col=id_col)
 
-        def nb_rows(df: pd.DataFrame) -> pd.DataFrame:
-            b, _ = self._sig_band_frames(df, **kw)
-            return b.rename(columns={"doc_id": "new_id"})
+        # ONE hashing pass over the probe batch, materialized; bands and
+        # sigs project from it (the batch is the small side by design)
+        inter = new_docs.map_batches(
+            lambda df: self._combined_frame(df, **kw),
+            batch_format="pandas").materialize()
+
+        new_bands = inter.map_batches(
+            lambda df: self._explode_bands(
+                df, bands=m["bands"], nparts=m["nparts"],
+                id_out="new_id"),
+            batch_format="pandas")
 
         def ns_rows(df: pd.DataFrame):
             # arrow table with explicit binary type: a pandas block would
@@ -156,13 +206,10 @@ class MinHashDiskIndex:
             # join's schema introspection cannot null-fill
             import pyarrow as pa
 
-            _, s = self._sig_band_frames(df, **kw)
             return pa.table({
-                "new_id": pa.array(s["doc_id"].to_numpy(), pa.int64()),
-                "new_sig": pa.array(list(s["sig"]), pa.binary()),
+                "new_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "new_sig": pa.array(list(df["sig"]), pa.binary()),
             })
-
-        new_bands = new_docs.map_batches(nb_rows, batch_format="pandas")
 
         # partition prune: which bands/ dirs can contain a matching hash
         def part_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -172,7 +219,7 @@ class MinHashDiskIndex:
                  .to_pandas()["part"].unique())
         band_dirs = self._pruned_dirs("bands", "part", parts)
         if not band_dirs:
-            return ray.data.from_items([])
+            return _empty_result()
         old_bands = ray.data.read_parquet(band_dirs).map_batches(
             lambda t: t.select(["band", "band_hash", "doc_id"])
             .rename_columns(["band", "band_hash", "old_id"]),
@@ -193,16 +240,19 @@ class MinHashDiskIndex:
                 "spart": np.unique(_spart(df["old_id"].to_numpy(),
                                           m["nparts"]))})
 
-        sparts = (pairs.map_batches(spart_partial, batch_format="pandas")
-                  .to_pandas()["spart"].unique())
+        sp_df = (pairs.map_batches(spart_partial, batch_format="pandas")
+                 .to_pandas())
+        # a fully-empty pairs dataset yields a columnless frame
+        sparts = (sp_df["spart"].unique()
+                  if "spart" in sp_df.columns else [])
         sig_dirs = self._pruned_dirs("sigs", "spart", sparts)
         if not sig_dirs:
-            return ray.data.from_items([])
+            return _empty_result()
         old_sigs = ray.data.read_parquet(sig_dirs).map_batches(
             lambda t: t.select(["doc_id", "sig"])
             .rename_columns(["old_id", "old_sig"]),
             batch_format="pyarrow")
-        new_sigs = new_docs.map_batches(ns_rows, batch_format="pandas")
+        new_sigs = inter.map_batches(ns_rows, batch_format="pandas")
 
         def _arrowize(df: pd.DataFrame):
             import pyarrow as pa

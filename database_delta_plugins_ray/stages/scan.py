@@ -25,6 +25,41 @@ import pandas as pd
 __all__ = ["ordered_cumsum", "ordered_moving_sum"]
 
 
+_SIGN = np.uint64(1) << np.uint64(63)
+
+
+def _order_u64(a: np.ndarray) -> np.ndarray:
+    """Map a sort-key array to uint64 PRESERVING ORDER exactly: ints and
+    datetimes wrap-shift by 2^63; finite floats use the IEEE-754
+    monotone bit transform (flip all bits of negatives, set the sign
+    bit of non-negatives). uint64 keys make all downstream bucket
+    arithmetic overflow-free (u >= global min always), which int64
+    keys spanning the full range cannot guarantee."""
+    if np.issubdtype(a.dtype, np.datetime64):
+        i64 = a.astype("datetime64[us]").astype(np.int64)
+        return i64.view(np.uint64) + _SIGN  # wrapping, monotone
+    if np.issubdtype(a.dtype, np.floating):
+        bits = np.ascontiguousarray(a, dtype=np.float64).view(np.uint64)
+        return np.where(bits & _SIGN != 0, ~bits, bits | _SIGN)
+    return a.astype(np.int64).view(np.uint64) + _SIGN
+
+
+def _scalar_order_u64(x) -> np.uint64:
+    if isinstance(x, np.datetime64):
+        return _order_u64(np.array([x], dtype="datetime64[us]"))[0]
+    if isinstance(x, (float, np.floating)):
+        return _order_u64(np.array([x], dtype=np.float64))[0]
+    if isinstance(x, (int, np.integer)):
+        return np.int64(x).view(np.uint64) + _SIGN
+    # pd.Timestamp / datetime.datetime — ns value to us
+    return (np.int64(pd.Timestamp(x).value // 1000).view(np.uint64)
+            + _SIGN)
+
+
+def _key_ints(df: pd.DataFrame, order_col: str) -> np.ndarray:
+    return _order_u64(df[order_col].to_numpy())
+
+
 def ordered_cumsum(ds, *, order_col: str, tiebreak_col: str,
                    value_col: str, nbuckets: int = 64):
     """Exact running sum of ``value_col`` (int64) over the total order
@@ -38,37 +73,22 @@ def ordered_cumsum(ds, *, order_col: str, tiebreak_col: str,
     from ray.data.aggregate import Max, Min, Sum
 
     stats = ds.aggregate(Min(order_col), Max(order_col))
-
-    def _scalar_int(x) -> np.int64:
-        if isinstance(x, (int, float, np.integer, np.floating)):
-            return np.int64(x)
-        if isinstance(x, np.datetime64):
-            return x.astype("datetime64[us]").astype(np.int64)
-        # pd.Timestamp / datetime.datetime — ns value to us
-        return np.int64(pd.Timestamp(x).value // 1000)
-
-    lo_i = _scalar_int(stats[f"min({order_col})"])
-    hi_i = _scalar_int(stats[f"max({order_col})"])
-    span = max(int(hi_i - lo_i) + 1, 1)
-    width = max(span // nbuckets + 1, 1)
-
-    def _key_ints(df: pd.DataFrame) -> np.ndarray:
-        k = df[order_col]
-        if np.issubdtype(k.dtype, np.datetime64):
-            return (k.to_numpy().astype("datetime64[us]")
-                    .astype(np.int64))
-        return k.to_numpy().astype(np.int64)
+    lo_u = _scalar_order_u64(stats[f"min({order_col})"])
+    hi_u = _scalar_order_u64(stats[f"max({order_col})"])
+    span = max(int(hi_u - lo_u) + 1, 1)
+    width = np.uint64(max(span // nbuckets + 1, 1))
 
     def bucketed(df: pd.DataFrame) -> pd.DataFrame:
-        ki = _key_ints(df)
+        ki = _key_ints(df, order_col)
         out = df.copy()
-        out["__b"] = np.clip((ki - lo_i) // width, 0,
-                             nbuckets - 1).astype(np.int32)
+        out["__b"] = np.minimum((ki - lo_u) // width,
+                                np.uint64(nbuckets - 1)).astype(np.int32)
         return out
 
     def bucket_sums(df: pd.DataFrame) -> pd.DataFrame:
-        ki = _key_ints(df)
-        b = np.clip((ki - lo_i) // width, 0, nbuckets - 1).astype(np.int64)
+        ki = _key_ints(df, order_col)
+        b = np.minimum((ki - lo_u) // width,
+                       np.uint64(nbuckets - 1)).astype(np.int64)
         s = np.zeros(nbuckets, dtype=np.int64)
         np.add.at(s, b, df[value_col].to_numpy().astype(np.int64))
         present = np.flatnonzero(s != 0)
@@ -89,7 +109,7 @@ def ordered_cumsum(ds, *, order_col: str, tiebreak_col: str,
         base = np.cumsum(sums_by_bucket) - sums_by_bucket
 
     def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ki = _key_ints(g)
+        ki = _key_ints(g, order_col)
         o = np.lexsort((g[tiebreak_col].to_numpy(), ki))
         vals = g[value_col].to_numpy().astype(np.int64)[o]
         run = np.cumsum(vals) + base[int(g["__b"].iloc[0])]
@@ -119,35 +139,22 @@ def ordered_moving_sum(ds, *, order_col: str, tiebreak_col: str,
           (cumsum minus shifted cumsum), and emits only its own rows.
     """
     import ray
+    from ray.data.aggregate import Max, Min
 
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
     stats_cols = [order_col, tiebreak_col, value_col]
     k = window - 1  # rows carried from the past
 
-    from ray.data.aggregate import Max, Min
-
     stats = ds.aggregate(Min(order_col), Max(order_col))
-
-    def _scalar_int(x) -> np.int64:
-        if isinstance(x, (int, float, np.integer, np.floating)):
-            return np.int64(x)
-        if isinstance(x, np.datetime64):
-            return x.astype("datetime64[us]").astype(np.int64)
-        return np.int64(pd.Timestamp(x).value // 1000)
-
-    lo_i = _scalar_int(stats[f"min({order_col})"])
-    hi_i = _scalar_int(stats[f"max({order_col})"])
-    span = max(int(hi_i - lo_i) + 1, 1)
-    width = max(span // nbuckets + 1, 1)
-
-    def _key_ints(df: pd.DataFrame) -> np.ndarray:
-        c = df[order_col]
-        if np.issubdtype(c.dtype, np.datetime64):
-            return c.to_numpy().astype("datetime64[us]").astype(np.int64)
-        return c.to_numpy().astype(np.int64)
+    lo_u = _scalar_order_u64(stats[f"min({order_col})"])
+    hi_u = _scalar_order_u64(stats[f"max({order_col})"])
+    span = max(int(hi_u - lo_u) + 1, 1)
+    width = np.uint64(max(span // nbuckets + 1, 1))
 
     def _bucket(df: pd.DataFrame) -> np.ndarray:
-        return np.clip((_key_ints(df) - lo_i) // width, 0,
-                       nbuckets - 1).astype(np.int32)
+        return np.minimum((_key_ints(df, order_col) - lo_u) // width,
+                          np.uint64(nbuckets - 1)).astype(np.int32)
 
     def tail_partial(df: pd.DataFrame) -> pd.DataFrame:
         if k <= 0 or df.empty:
@@ -156,7 +163,7 @@ def ordered_moving_sum(ds, *, order_col: str, tiebreak_col: str,
         b = _bucket(df)
         out = df[stats_cols].copy()
         out["__b"] = b
-        out["__k"] = _key_ints(df)
+        out["__k"] = _key_ints(df, order_col)
         # per-batch candidates: top-k rows of each bucket by sort key
         out = (out.sort_values(["__b", "__k", tiebreak_col])
                .groupby("__b", sort=False).tail(k))
@@ -167,11 +174,8 @@ def ordered_moving_sum(ds, *, order_col: str, tiebreak_col: str,
         cand = (ds.map_batches(tail_partial, batch_format="pandas")
                 .to_pandas())
         if len(cand):
-            ki = cand[order_col]
-            ki = (ki.to_numpy().astype("datetime64[us]").astype(np.int64)
-                  if np.issubdtype(ki.dtype, np.datetime64)
-                  else ki.to_numpy().astype(np.int64))
-            cand = cand.assign(__k=ki).sort_values(
+            cand = cand.assign(
+                __k=_key_ints(cand, order_col)).sort_values(
                 ["__b", "__k", tiebreak_col])
             tails = {int(b): g.tail(k) for b, g in
                      cand.groupby("__b", sort=True)}
@@ -205,11 +209,8 @@ def ordered_moving_sum(ds, *, order_col: str, tiebreak_col: str,
         n_carry = 0 if carry is None else len(carry)
         full = body if n_carry == 0 else pd.concat(
             [carry, body], ignore_index=True)
-        ki = (full[order_col].to_numpy().astype("datetime64[us]")
-              .astype(np.int64)
-              if np.issubdtype(full[order_col].dtype, np.datetime64)
-              else full[order_col].to_numpy().astype(np.int64))
-        o = np.lexsort((full[tiebreak_col].to_numpy(), ki))
+        o = np.lexsort((full[tiebreak_col].to_numpy(),
+                        _key_ints(full, order_col)))
         # carry rows all sort before body rows (strictly earlier keys),
         # except key ties across the bucket boundary — lexsort handles
         # both since the carry carries its real keys

@@ -361,6 +361,52 @@ def test_ordered_cumsum_brute(ray_session):
     assert np.array_equal(out2["running_total"].to_numpy(), brute)
 
 
+def test_ordered_cumsum_float_keys(ray_session):
+    # regression: float order keys were truncated to int64, collapsing
+    # 0.9 and 0.1 into one key; the IEEE-754 monotone transform must
+    # order them exactly
+    from database_delta_plugins_ray.stages.scan import (
+        ordered_cumsum,
+        ordered_moving_sum,
+    )
+
+    df = pd.DataFrame({
+        "k": [0.9, 0.1, 1.8, 1.2, -3.5, 0.0],
+        "id": np.arange(6, dtype=np.int64),
+        "v": np.array([10, 20, 300, 4000, 7, 1], dtype=np.int64),
+    })
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = (ordered_cumsum(ds, order_col="k", tiebreak_col="id",
+                          value_col="v", nbuckets=4)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    o = np.argsort(df["k"].to_numpy(), kind="stable")
+    brute = np.empty(6, dtype=np.int64)
+    brute[o] = np.cumsum(df["v"].to_numpy()[o])
+    assert list(out["running_total"]) == list(brute)
+    # window=0 now fails fast instead of a deep broadcast error
+    with pytest.raises(ValueError):
+        ordered_moving_sum(ds, order_col="k", tiebreak_col="id",
+                           value_col="v", window=0)
+
+
+def test_probe_empty_batch_keeps_schema(ray_session, tmp_path):
+    # regression: a probe with no candidates returned a schema-less
+    # dataset, crashing callers that select est_jaccard
+    from database_delta_plugins_ray.stages.dedup_index import (
+        MinHashDiskIndex,
+    )
+
+    corpus = ray.data.from_items(
+        [{"doc_id": i, "text": f"alpha beta gamma delta{i} ep{i}"}
+         for i in range(10)])
+    idx = MinHashDiskIndex.build(corpus, str(tmp_path / "idx"), nparts=4)
+    fresh = ray.data.from_items(
+        [{"doc_id": 100, "text": "totally different words here now"}])
+    out = idx.probe_df(fresh, threshold=0.5)
+    assert list(out.columns) == ["doc_id", "dup_of", "est_jaccard"]
+    assert len(out) == 0
+
+
 def test_export_shards_resumable(ray_session, tmp_path):
     import os
 
@@ -458,7 +504,7 @@ def test_incremental_minhash_index(ray_session, tmp_path):
     assert MinHashDiskIndex(idx_dir).meta["source_tag"] == "v1"
 
     new = ray.data.from_items(near + fresh)
-    out = idx.probe(new, threshold=0.5).to_pandas()
+    out = idx.probe_df(new, threshold=0.5)
     got = set(zip(out["doc_id"], out["dup_of"]))
     # recall: every planted near-dup found against its source
     for j, src in enumerate((3, 17, 29)):
@@ -471,7 +517,7 @@ def test_incremental_minhash_index(ray_session, tmp_path):
     idx2 = MinHashDiskIndex.build(corpus, idx_dir, nparts=8,
                                   source_tag="v2")
     assert MinHashDiskIndex(idx_dir).meta["source_tag"] == "v2"
-    out2 = idx2.probe(new, threshold=0.5).to_pandas()
+    out2 = idx2.probe_df(new, threshold=0.5)
     assert set(zip(out2["doc_id"], out2["dup_of"])) == got
 
 
