@@ -686,6 +686,46 @@ def export_documents_shards(sf_dir: str, nshards: int = 16):
         .sort_values("shard").reset_index(drop=True))
 
 
+def events_row_number(sf_dir: str):
+    """row_number() OVER (ORDER BY ts, event_id) - 1: the ordered-rank
+    instance of the prefix scan (ordered_cumsum over a ones column) —
+    zero new machinery."""
+    from ..stages.scan import ordered_cumsum
+
+    ds = _t(sf_dir, "events", ["event_id", "ts"])
+
+    def ones(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["event_id", "ts"]].copy()
+        out["one"] = np.int64(1)
+        return out
+
+    res = ordered_cumsum(
+        ds.map_batches(ones, batch_format="pandas"),
+        order_col="ts", tiebreak_col="event_id", value_col="one")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "rn": df["running_total"].to_numpy() - 1})
+
+    return res.map_batches(finish, batch_format="pandas")
+
+
+def events_lag_revenue(sf_dir: str):
+    """LAG(cents) OVER (ORDER BY ts, event_id) via the one-row-carry
+    ordered scan; the global first row carries the -1 sentinel
+    (COALESCE(-1) in the oracle keeps both sides int64)."""
+    from ..stages.scan import ordered_lag
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "value"])
+    res = ordered_lag(
+        ds.map_batches(lambda df: _to_cents(df, ["event_id", "ts"]),
+                       batch_format="pandas"),
+        order_col="ts", tiebreak_col="event_id", value_col="cents")
+    return res.map_batches(
+        lambda df: df[["event_id", "lag_value"]], batch_format="pandas")
+
+
 def dedup_incremental_documents(sf_dir: str):
     """Incremental near-dup: probe the NEW slice (doc_id % 10 == 0) of
     the corpus against a persisted MinHash-LSH index of the REST — the
@@ -1695,6 +1735,20 @@ SELECT event_id,
 FROM events
 """
 
+ANALYTICS_ORACLE_SQL["events_row_number"] = r"""
+SELECT event_id,
+       CAST(row_number() OVER (ORDER BY ts, event_id) - 1 AS BIGINT)
+         AS rn
+FROM events
+"""
+
+ANALYTICS_ORACLE_SQL["events_lag_revenue"] = r"""
+SELECT event_id,
+       CAST(COALESCE(LAG(CAST(floor(value*100.0 + 0.5) AS BIGINT))
+         OVER (ORDER BY ts, event_id), -1) AS BIGINT) AS lag_value
+FROM events
+"""
+
 ANALYTICS_ORACLE_SQL["export_documents_shards"] = r"""
 SELECT CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 16 AS INTEGER)
          AS shard,
@@ -1864,6 +1918,8 @@ ANALYTICS_QUERIES = {
     "events_moving_revenue": events_moving_revenue,
     "export_documents_shards": export_documents_shards,
     "events_running_value_per_user": events_running_value_per_user,
+    "events_row_number": events_row_number,
+    "events_lag_revenue": events_lag_revenue,
 }
 
 #: subset timed by bench.py at sf0.1

@@ -227,3 +227,80 @@ def ordered_moving_sum(ds, *, order_col: str, tiebreak_col: str,
 
     return (ds.map_batches(bucketed, batch_format="pandas")
             .groupby("__b").map_groups(scan_bucket, batch_format="pandas"))
+
+
+def ordered_lag(ds, *, order_col: str, tiebreak_col: str,
+                value_col: str, nbuckets: int = 64, sentinel: int = -1):
+    """``LAG(v) OVER (ORDER BY ...)`` — previous row's value in the
+    total order; the global first row gets ``sentinel``. Same one-
+    shuffle shape as ``ordered_moving_sum`` with a single-row carry:
+    each bucket receives the last row of everything before it through
+    the driver-sized side channel (per-batch top-1-per-bucket partials,
+    <= nbuckets rows each)."""
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    stats_cols = [order_col, tiebreak_col, value_col]
+    stats = ds.aggregate(Min(order_col), Max(order_col))
+    lo_u = _scalar_order_u64(stats[f"min({order_col})"])
+    hi_u = _scalar_order_u64(stats[f"max({order_col})"])
+    span = max(int(hi_u - lo_u) + 1, 1)
+    width = np.uint64(max(span // nbuckets + 1, 1))
+
+    def _bucket(df: pd.DataFrame) -> np.ndarray:
+        return np.minimum((_key_ints(df, order_col) - lo_u) // width,
+                          np.uint64(nbuckets - 1)).astype(np.int32)
+
+    def tail1(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.iloc[0:0][stats_cols].assign(
+                __b=np.empty(0, np.int32))
+        out = df[stats_cols].copy()
+        out["__b"] = _bucket(df)
+        out["__k"] = _key_ints(df, order_col)
+        out = (out.sort_values(["__b", "__k", tiebreak_col])
+               .groupby("__b", sort=False).tail(1))
+        return out.drop(columns="__k")
+
+    cand = ds.map_batches(tail1, batch_format="pandas").to_pandas()
+    carry_map: dict[int, tuple] = {}
+    if len(cand):
+        cand = cand.assign(
+            __k=_key_ints(cand, order_col)).sort_values(
+            ["__b", "__k", tiebreak_col])
+        last_per_bucket = cand.groupby("__b", sort=True).tail(1)
+        prev_val = None
+        by_b = {int(r["__b"]): r for _, r in last_per_bucket.iterrows()}
+        for b in range(nbuckets):
+            if prev_val is not None:
+                carry_map[b] = prev_val
+            if b in by_b:
+                r = by_b[b]
+                prev_val = (r[order_col], r[tiebreak_col], r[value_col])
+
+    carry_ref = ray.put(carry_map)
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[stats_cols].copy()
+        out["__b"] = _bucket(df)
+        return out
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["__b"].iloc[0])
+        carry = ray.get(carry_ref).get(b)
+        body = g.drop(columns="__b")
+        if carry is not None:
+            body = pd.concat([pd.DataFrame(
+                [dict(zip(stats_cols, carry))]), body],
+                ignore_index=True)
+        o = np.lexsort((body[tiebreak_col].to_numpy(),
+                        _key_ints(body, order_col)))
+        vals = body[value_col].to_numpy().astype(np.int64)[o]
+        lag = np.concatenate(([np.int64(sentinel)], vals[:-1]))
+        out = body.iloc[o].reset_index(drop=True)
+        out["lag_value"] = lag
+        return out.iloc[(1 if carry is not None else 0):].reset_index(
+            drop=True)
+
+    return (ds.map_batches(bucketed, batch_format="pandas")
+            .groupby("__b").map_groups(scan_bucket, batch_format="pandas"))

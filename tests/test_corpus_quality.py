@@ -407,6 +407,28 @@ def test_probe_empty_batch_keeps_schema(ray_session, tmp_path):
     assert len(out) == 0
 
 
+def test_ordered_lag_brute(ray_session):
+    from database_delta_plugins_ray.stages.scan import ordered_lag
+
+    rng = np.random.default_rng(23)
+    n = 1500
+    df = pd.DataFrame({
+        "k": rng.integers(0, 80, n),
+        "id": np.arange(n, dtype=np.int64),
+        "v": rng.integers(-100, 100, n),
+    })
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = (ordered_lag(ds, order_col="k", tiebreak_col="id",
+                       value_col="v", nbuckets=16)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    o = np.lexsort((df["id"].to_numpy(), df["k"].to_numpy()))
+    sv = df["v"].to_numpy()[o]
+    brute_sorted = np.concatenate(([np.int64(-1)], sv[:-1]))
+    brute = np.empty(n, dtype=np.int64)
+    brute[o] = brute_sorted
+    assert np.array_equal(out["lag_value"].to_numpy(), brute)
+
+
 def test_export_shards_resumable(ray_session, tmp_path):
     import os
 
