@@ -191,12 +191,19 @@ def run_bench() -> dict:
     try:
         from database_delta_plugins_ray.pipelines.analytics import BENCH_QUERIES
 
+        # min of two runs per query, matching the headline protocol: the
+        # first sample pays stage-specific worker/actor cold start
+        # (measured 5x on some queries) and transient host stalls; the
+        # min is the steady-state number
         for name, fn in BENCH_QUERIES.items():
-            t0 = time.time()
-            res = fn(SF_DIR)
-            if hasattr(res, "materialize"):
-                res.materialize()
-            timings[name] = time.time() - t0
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                res = fn(SF_DIR)
+                if hasattr(res, "materialize"):
+                    res.materialize()
+                best = min(best, time.time() - t0)
+            timings[name] = best
     except ImportError:
         pass
 
@@ -208,9 +215,12 @@ def run_bench() -> dict:
     )
 
     ensure_typed_log(SF_DIR)
-    t0 = time.time()
-    cdc_all_datatypes(SF_DIR).materialize()
-    timings["cdc_all_datatypes"] = time.time() - t0
+    best = float("inf")
+    for _ in range(2):  # fresh lake per call; same min-of-2 protocol
+        t0 = time.time()
+        cdc_all_datatypes(SF_DIR).materialize()
+        best = min(best, time.time() - t0)
+    timings["cdc_all_datatypes"] = best
 
     ray.shutdown()
     return {
