@@ -686,6 +686,58 @@ def export_documents_shards(sf_dir: str, nshards: int = 16):
         .sort_values("shard").reset_index(drop=True))
 
 
+def events_late_data_windows(sf_dir: str,
+                             lateness_min: int = 30):
+    """Streaming late-data semantics: the watermark at each event is
+    the running MAX of event-time over ARRIVAL order (the
+    ordered_cummax primitive); an event is LATE when the watermark
+    minus the allowed lateness has passed its 1-hour tumbling window's
+    end. The synthetic events arrive perfectly time-ordered, so a
+    deterministic md5 jitter (+0..19 positions, identical in the SQL
+    oracle) simulates network reorder — ~12% of events land late at a
+    30-minute allowance. Returns per-window on-time/late counts — what
+    a streaming engine would emit vs drop."""
+    from ..stages.sample import md5_u64
+    from ..stages.scan import ordered_cummax
+
+    HOUR = 3_600_000_000  # us
+    late_us = lateness_min * 60_000_000
+
+    ds = _t(sf_dir, "events", ["event_id", "ts"])
+
+    def jitter(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["event_id"].to_numpy()
+        out = df[["event_id", "ts"]].copy()
+        out["arrival"] = ids + (md5_u64(ids)
+                                % np.uint64(20)).astype(np.int64)
+        return out
+
+    wm = ordered_cummax(ds.map_batches(jitter, batch_format="pandas"),
+                        order_col="arrival",
+                        tiebreak_col="event_id", value_col="ts")
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        ts = (df["ts"].to_numpy().astype("datetime64[us]")
+              .astype(np.int64))
+        win = (ts // HOUR) * HOUR
+        late = (df["running_max"].to_numpy() - late_us
+                > win + HOUR).astype(np.int64)
+        g = (pd.DataFrame({"window_start": win, "late": late})
+             .groupby(["window_start", "late"], as_index=False)
+             .agg(n=("late", "size")))
+        return g
+
+    return (wm.map_batches(flag, batch_format="pandas")
+            .groupby(["window_start", "late"])
+            .aggregate(Sum("n", alias_name="n"))
+            .map_batches(lambda df: pd.DataFrame({
+                "window_start": pd.to_datetime(df["window_start"],
+                                               unit="us"),
+                "late": df["late"].astype(np.int64),
+                "n": df["n"].astype(np.int64)}),
+                batch_format="pandas"))
+
+
 def events_row_number(sf_dir: str):
     """row_number() OVER (ORDER BY ts, event_id) - 1: the ordered-rank
     instance of the prefix scan (ordered_cumsum over a ones column) —
@@ -1735,6 +1787,30 @@ SELECT event_id,
 FROM events
 """
 
+# watermark = inclusive running max of ts over arrival (event_id) order;
+# late iff watermark - lateness passed the event's tumbling-window end
+ANALYTICS_ORACLE_SQL["events_late_data_windows"] = r"""
+WITH a AS (
+  SELECT event_id, ts,
+         event_id + md5_number_lower(CAST(event_id AS VARCHAR)) % 20
+           AS arrival
+  FROM events
+), w AS (
+  SELECT event_id, ts,
+         MAX(ts) OVER (ORDER BY arrival, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS wm,
+         time_bucket(INTERVAL 1 HOUR, ts) AS window_start
+  FROM a
+)
+SELECT window_start,
+       CASE WHEN wm - INTERVAL 30 MINUTE
+                 > window_start + INTERVAL 1 HOUR
+            THEN 1 ELSE 0 END AS late,
+       CAST(count(*) AS BIGINT) AS n
+FROM w GROUP BY window_start, late
+"""
+
 ANALYTICS_ORACLE_SQL["events_row_number"] = r"""
 SELECT event_id,
        CAST(row_number() OVER (ORDER BY ts, event_id) - 1 AS BIGINT)
@@ -1920,6 +1996,7 @@ ANALYTICS_QUERIES = {
     "events_running_value_per_user": events_running_value_per_user,
     "events_row_number": events_row_number,
     "events_lag_revenue": events_lag_revenue,
+    "events_late_data_windows": events_late_data_windows,
 }
 
 #: subset timed by bench.py at sf0.1

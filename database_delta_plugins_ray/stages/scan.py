@@ -304,3 +304,68 @@ def ordered_lag(ds, *, order_col: str, tiebreak_col: str,
 
     return (ds.map_batches(bucketed, batch_format="pandas")
             .groupby("__b").map_groups(scan_bucket, batch_format="pandas"))
+
+
+def ordered_cummax(ds, *, order_col: str, tiebreak_col: str,
+                   value_col: str, nbuckets: int = 64):
+    """Running MAX over a total order (``MAX(v) OVER (ORDER BY ...)``),
+    same one-shuffle range-bucket shape as ``ordered_cumsum``: bucket
+    partial maxes -> driver prefix-max base table -> bucket-local
+    cummax offset by the base. The streaming-watermark primitive:
+    cummax of event-time over ARRIVAL order is the watermark at each
+    event. ``value_col`` must be int64-representable (ints or
+    timestamps)."""
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    stats = ds.aggregate(Min(order_col), Max(order_col))
+    lo_u = _scalar_order_u64(stats[f"min({order_col})"])
+    hi_u = _scalar_order_u64(stats[f"max({order_col})"])
+    span = max(int(hi_u - lo_u) + 1, 1)
+    width = np.uint64(max(span // nbuckets + 1, 1))
+    int64_min = np.int64(np.iinfo(np.int64).min)
+
+    def _vals(df: pd.DataFrame) -> np.ndarray:
+        v = df[value_col]
+        if np.issubdtype(v.dtype, np.datetime64):
+            return v.to_numpy().astype("datetime64[us]").astype(np.int64)
+        return v.to_numpy().astype(np.int64)
+
+    def _bucket(df: pd.DataFrame) -> np.ndarray:
+        return np.minimum((_key_ints(df, order_col) - lo_u) // width,
+                          np.uint64(nbuckets - 1)).astype(np.int32)
+
+    def bucket_maxes(df: pd.DataFrame) -> pd.DataFrame:
+        b = _bucket(df).astype(np.int64)
+        m = np.full(nbuckets, int64_min, dtype=np.int64)
+        np.maximum.at(m, b, _vals(df))
+        present = np.flatnonzero(m != int64_min)
+        return pd.DataFrame({"__b": present, "m": m[present]})
+
+    partials = (ds.map_batches(bucket_maxes, batch_format="pandas")
+                .groupby("__b").aggregate(Max("m", alias_name="m"))
+                .to_pandas())
+    base = np.full(nbuckets, int64_min, dtype=np.int64)
+    if len(partials):
+        maxes = np.full(nbuckets, int64_min, dtype=np.int64)
+        maxes[partials["__b"].to_numpy()] = partials["m"].to_numpy()
+        # base[b] = max over buckets < b
+        base[1:] = np.maximum.accumulate(maxes)[:-1]
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["__b"] = _bucket(df)
+        return out
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = np.lexsort((g[tiebreak_col].to_numpy(),
+                        _key_ints(g, order_col)))
+        vals = _vals(g)[o]
+        run = np.maximum(np.maximum.accumulate(vals),
+                         base[int(g["__b"].iloc[0])])
+        out = g.iloc[o].drop(columns="__b").reset_index(drop=True)
+        out["running_max"] = run
+        return out
+
+    return (ds.map_batches(bucketed, batch_format="pandas")
+            .groupby("__b").map_groups(scan_bucket, batch_format="pandas"))

@@ -407,6 +407,26 @@ def test_probe_empty_batch_keeps_schema(ray_session, tmp_path):
     assert len(out) == 0
 
 
+def test_ordered_cummax_brute(ray_session):
+    from database_delta_plugins_ray.stages.scan import ordered_cummax
+
+    rng = np.random.default_rng(29)
+    n = 2000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 500, n),
+        "id": np.arange(n, dtype=np.int64),
+        "v": rng.integers(-10**6, 10**6, n),
+    })
+    ds = ray.data.from_pandas(df).repartition(7)
+    out = (ordered_cummax(ds, order_col="k", tiebreak_col="id",
+                          value_col="v", nbuckets=16)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    o = np.lexsort((df["id"].to_numpy(), df["k"].to_numpy()))
+    brute = np.empty(n, dtype=np.int64)
+    brute[o] = np.maximum.accumulate(df["v"].to_numpy()[o])
+    assert np.array_equal(out["running_max"].to_numpy(), brute)
+
+
 def test_ordered_lag_brute(ray_session):
     from database_delta_plugins_ray.stages.scan import ordered_lag
 
