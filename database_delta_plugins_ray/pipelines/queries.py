@@ -22,7 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..sources.gen import GenConfig, generate_log
-from .replicate import final_state, run_replication
+from .replicate import final_state, log_max_lsn, run_replication
 
 CACHE_ROOT = "/tmp/ddpr_cache"
 
@@ -327,6 +327,24 @@ def cdc_first_seen_synthesis(sf_dir: str):
                        "content_sha", "_sequence_num"])
 
 
+def cdc_tx_consistent(sf_dir: str):
+    """Transactionally-consistent point-in-time replay: the log carries
+    multi-event transactions (contiguous lsn runs sharing a tx_id that
+    encodes the tx's first lsn — the MySQL binlog shape; the reference
+    stamps the same transactionId on every DMLEvent of a tx,
+    MySqlRecordConsumer.java:209-225). The replay is bounded at an
+    arbitrary lsn 3/5 through the log — almost surely mid-transaction —
+    and ``tx_consistent=True`` lowers the fence to the last complete-tx
+    commit boundary, so no transaction is ever half-applied to the lake
+    (Debezium's embedded engine likewise only emits committed txs)."""
+    log = ensure_variant_log(sf_dir, "tx_log", tx_size=6)
+    lake = fresh_lake(sf_dir, "lake_txc")
+    bound = log_max_lsn(log) * 3 // 5
+    run_replication(log, lake, num_partitions=8, upto_lsn=bound,
+                    tx_consistent=True)
+    return final_state(lake, columns=FINAL_COLS)
+
+
 def cdc_all_datatypes(sf_dir: str):
     """End-to-end replication of the ALL-DATATYPES table: the reference's
     type-conformance core (33-column e2e fixture, pluginParameters.
@@ -493,6 +511,40 @@ SELECT k_repo AS repo, k_path AS path, "commit", lang, stars, language,
        content_sha, lsn AS _sequence_num
 FROM ranked WHERE rn = 1 AND op <> 'D'
 """,
+        "cdc_tx_consistent": f"""
+WITH mx AS (
+  SELECT 3 * max(lsn) // 5 AS l FROM read_parquet('{_variant_glob(sf, "tx_log")}')
+),
+-- the first event past the bound belongs to the tx starting at min(tx_start);
+-- if that start is <= the bound, the bound cuts the tx: fence = start - 1
+bound AS (
+  SELECT least(
+           (SELECT l FROM mx),
+           coalesce(
+             (SELECT min(CAST(string_split(tx_id, ':')[2] AS BIGINT)) - 1
+              FROM read_parquet('{_variant_glob(sf, "tx_log")}')
+              WHERE lsn > (SELECT l FROM mx)),
+             (SELECT l FROM mx))) AS b
+),
+ev AS (
+  SELECT lsn, op,
+         coalesce(after.repo, before.repo)  AS k_repo,
+         coalesce(after.path, before.path)  AS k_path,
+         after."commit" AS "commit",
+         coalesce(after.language, after.lang) AS language,
+         after.stars AS stars,
+         sha256(after.content) AS content_sha
+  FROM read_parquet('{_variant_glob(sf, "tx_log")}')
+  WHERE op <> 'DDL' AND lsn <= (SELECT b FROM bound)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY k_repo, k_path ORDER BY lsn DESC) AS rn
+  FROM ev
+)
+SELECT k_repo AS repo, k_path AS path, "commit", language, stars, content_sha,
+       lsn AS _sequence_num
+FROM ranked WHERE rn = 1 AND op <> 'D'
+""",
         "cdc_truncate_fence": f"""
 WITH fence AS (
   SELECT coalesce(max(lsn), 0) AS f
@@ -534,6 +586,7 @@ CDC_QUERIES = {
     "cdc_dml_blacklist": cdc_dml_blacklist,
     "cdc_ddl_blacklist": cdc_ddl_blacklist,
     "cdc_first_seen_synthesis": cdc_first_seen_synthesis,
+    "cdc_tx_consistent": cdc_tx_consistent,
     "cdc_table_filter": cdc_table_filter,
     "cdc_truncate_fence": cdc_truncate_fence,
 }

@@ -76,6 +76,47 @@ def log_files(log_dir: str) -> list[str]:
     ]
 
 
+def tx_consistent_lsn(log_dir: str, upto_lsn: int) -> int:
+    """Lower ``upto_lsn`` to the last COMPLETE-transaction commit boundary.
+
+    A binlog transaction is a contiguous run of events whose shared
+    ``tx_id`` suffix encodes the transaction's FIRST lsn (MySQL semantics:
+    all row events of one tx are consecutive in the log, then the XID
+    commit; the reference stamps the same transactionId on every DMLEvent
+    of the tx, MySqlRecordConsumer.java:209-225). Contiguity makes the
+    fence ONE tiny distributed aggregate: the first event PAST the bound
+    belongs to a transaction that started at lsn ``s``; if ``s <=
+    upto_lsn`` the bound cuts that transaction in half and the fence drops
+    to ``s - 1``, else the bound already sits on a commit boundary.
+    tx-start is monotone in lsn (runs are contiguous), so ``min`` over the
+    pruned ``lsn > upto_lsn`` read — row-group pushdown, columns (lsn,
+    tx_id) only — is exactly the first event's tx-start. DDL events are
+    auto-commit (their own single-event tx) and never lower the fence.
+    Scale: reads only row groups past the bound, moves one int per batch.
+    """
+    import pyarrow.compute as pc
+
+    if upto_lsn >= log_max_lsn(log_dir):
+        return upto_lsn  # nothing past the bound: every tx is complete
+    ds = ray.data.read_parquet(
+        log_files(log_dir),
+        columns=["lsn", "tx_id"],
+        filter=pads.field("lsn") > upto_lsn,
+    )
+
+    def tx_start_partial(batch: pa.Table) -> pa.Table:
+        starts = pc.cast(
+            pc.list_element(pc.split_pattern(batch["tx_id"], ":"), 1),
+            pa.int64(),
+        )
+        return pa.table({"s": pa.array([pc.min(starts).as_py()], pa.int64())})
+
+    nxt = ds.map_batches(tx_start_partial, batch_format="pyarrow").min("s")
+    if nxt is None:
+        return upto_lsn
+    return min(upto_lsn, int(nxt) - 1)
+
+
 #: log columns the DML path needs (the ``ddl`` struct is only read by the
 #: driver-side registry scan — prune it at the read).
 _READ_COLUMNS = ["lsn", "tx_id", "op", "table", "before", "after", "ingest_ts"]
@@ -105,6 +146,7 @@ def run_replication(
     fragment_buckets: int | None = None,
     normalize_parallelism: int | None = None,
     snapshot_restart: str = "continue",
+    tx_consistent: bool = False,
 ) -> dict:
     """Replay the event log into the Parquet lake; returns a lineage summary.
 
@@ -141,6 +183,12 @@ def run_replication(
     #: show a per-stage breakdown at each parallelism level
     phases: dict = {}
     os.makedirs(lake_dir, exist_ok=True)
+
+    if tx_consistent and upto_lsn is not None:
+        # never half-apply a transaction: drop the bound to the last
+        # complete-tx commit boundary (a bound-less replay consumes the
+        # whole log, where every tx is complete by definition)
+        upto_lsn = tx_consistent_lsn(log_dir, upto_lsn)
 
     # pin the partitioning config per lake: per-partition watermarks are
     # only valid under the SAME key->partition mapping; silently changing

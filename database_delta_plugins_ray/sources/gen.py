@@ -83,6 +83,13 @@ class GenConfig:
     #: snapshot, so mid-snapshot restarts re-dump from scratch. The DDL
     #: prefix keeps distinct lsns (schema phase precedes the data phase).
     snapshot_shared_offset: bool = False
+    #: mean events per stream transaction (1 = per-event autocommit). When
+    #: >1, consecutive stream events share a tx_id encoding the tx's FIRST
+    #: lsn ("binlog.<seg>:<start_lsn>") — contiguous runs, the MySQL binlog
+    #: shape (all row events of one tx are consecutive, then the XID commit;
+    #: the reference stamps the same transactionId on each DMLEvent,
+    #: MySqlRecordConsumer.java:209-225).
+    tx_size: int = 1
 
     def table_names(self) -> list[str]:
         return [self.table] + [f"{self.table}_{i}" for i in range(1, self.n_tables)]
@@ -448,7 +455,24 @@ def generate_log(out_dir: str, cfg: GenConfig | None = None, **kw) -> dict:
     after = _payload_struct(key_ids, version, sv_stream, has_after, cfg)
     before = _payload_struct(key_ids, before_ver, sv_stream, has_before, cfg)
     seg_no = 2 + (lsn_stream * cfg.n_segments) // (lsn_stream.max() + 1) if n else lsn_stream
-    tx = _join("binlog.", _int_str(seg_no, 6), ":", _int_str(lsn_stream))
+    if cfg.tx_size > 1 and n:
+        # contiguous multi-event transactions: a MySQL binlog transaction is
+        # an unbroken run of row events ending in an XID/commit marker, so a
+        # tx occupies CONSECUTIVE lsns and tx_id encodes its first lsn.
+        # Deterministic variable run lengths (mean ~tx_size); boundaries are
+        # forced where a DDL interleaves (DDL is auto-commit in MySQL — it
+        # can never sit inside a tx) and at binlog segment rollovers (a tx
+        # cannot span files).
+        rng = np.random.default_rng(cfg.seed + 1009)
+        is_start = rng.integers(0, cfg.tx_size, n) == 0
+        is_start[0] = True
+        is_start[1:] |= ddl_before[1:] != ddl_before[:-1]
+        is_start[1:] |= np.asarray(seg_no)[1:] != np.asarray(seg_no)[:-1]
+        start_idx = np.maximum.accumulate(np.where(is_start, np.arange(n), 0))
+        tx_lsn = lsn_stream[start_idx]
+    else:
+        tx_lsn = lsn_stream
+    tx = _join("binlog.", _int_str(seg_no, 6), ":", _int_str(tx_lsn))
     stream_tbl = pa.table(
         {
             "lsn": pa.array(lsn_stream),
