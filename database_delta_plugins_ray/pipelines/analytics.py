@@ -1153,6 +1153,85 @@ def vocab_document_frequency(sf_dir: str, k: int = 100):
             .to_pandas()[["tok", "df", "tf"]])
 
 
+def tfidf_top_terms_documents(sf_dir: str, k: int = 3, vocab_cap: int = 50_000):
+    """Per-document top-k tf-idf terms WITHIN the built vocabulary.
+
+    The idf table is capped at ``vocab_cap`` terms by (df desc, tok) —
+    exactly how tokenizer vocabularies are built (vocab_document_frequency
+    shape) — so the idf side is a BOUNDED broadcast, never a corpus-scale
+    token join: pass 1 aggregates document frequency over the vocabulary
+    (per-batch partials -> vocabulary-sized groupby); the (tok -> df) map
+    and the corpus doc count broadcast via ``ray.put``; pass 2 is ONE
+    corpus scan computing per-doc tf and tf*ln(N/df) top-k inside
+    map_batches — a document lives wholly in one batch, so per-doc top-k
+    is exact locally. Integer-micros scores keep the DuckDB oracle
+    hash-exact, and BOTH sides rank by (score_micros desc, tok) so the
+    float never decides an ordering. Scale: two corpus scans, zero corpus
+    shuffles, O(vocab_cap) broadcast."""
+    import ray
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.text import _flat_lower_tokens
+
+        flat, di, _ = _flat_lower_tokens(df["text"].reset_index(drop=True))
+        if len(flat) == 0:
+            return pd.DataFrame({"tok": pd.Series([], dtype=str),
+                                 "df": pd.Series([], dtype=np.int64)})
+        g = (pd.DataFrame({"tok": flat, "d": di})
+             .groupby("tok", sort=False)["d"].nunique()
+             .rename("df").reset_index())
+        return g
+
+    vocab = (ds.map_batches(df_partial, batch_format="pandas")
+             .groupby("tok").aggregate(Sum("df", alias_name="df"))
+             .sort(["df", "tok"], descending=[True, False]).limit(vocab_cap)
+             .to_pandas())
+    n_docs = float(ds.count())
+    idf_ref = ray.put(pd.Series(vocab["df"].to_numpy(np.int64),
+                                index=vocab["tok"].to_numpy()))
+
+    def top_terms(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.text import _flat_lower_tokens
+
+        dfs = ray.get(idf_ref)
+        empty = pd.DataFrame({
+            "doc_id": pd.Series([], dtype=str),
+            "tok": pd.Series([], dtype=str),
+            "tf": pd.Series([], dtype=np.int64),
+            "df": pd.Series([], dtype=np.int64),
+            "score_micros": pd.Series([], dtype=np.int64)})
+        flat, di, _ = _flat_lower_tokens(df["text"].reset_index(drop=True))
+        if len(flat) == 0:
+            return empty
+        g = (pd.DataFrame({"d": di, "tok": flat})
+             .groupby(["d", "tok"], sort=False).size()
+             .rename("tf").reset_index())
+        dfv = g["tok"].map(dfs)
+        g = g[dfv.notna()].reset_index(drop=True)
+        if not len(g):
+            return empty
+        dfi = dfv.dropna().to_numpy(np.int64)
+        # identical double expression to the SQL oracle: tf * ln(N / df)
+        score = g["tf"].to_numpy(np.float64) * np.log(
+            n_docs / dfi.astype(np.float64))
+        g["df"] = dfi
+        g["score_micros"] = np.floor(score * 1e6 + 0.5).astype(np.int64)
+        g = g.sort_values(["d", "score_micros", "tok"],
+                          ascending=[True, False, True])
+        top = g.groupby("d", sort=False).head(k)
+        doc_ids = df["doc_id"].reset_index(drop=True).to_numpy()
+        return pd.DataFrame({
+            "doc_id": doc_ids[top["d"].to_numpy()],
+            "tok": top["tok"].to_numpy(),
+            "tf": top["tf"].to_numpy(np.int64),
+            "df": top["df"].to_numpy(np.int64),
+            "score_micros": top["score_micros"].to_numpy(np.int64)})
+
+    return ds.map_batches(top_terms, batch_format="pandas")
+
+
 def shuffle_rank_documents(sf_dir: str):
     """Deterministic full-corpus shuffle rank (training-export order):
     rank = position in (md5_u64(doc_id), doc_id) order, via the
@@ -1768,6 +1847,28 @@ WITH flat AS (
 SELECT tok, df, tf FROM d ORDER BY df DESC, tok LIMIT 100
 """
 
+ANALYTICS_ORACLE_SQL["tfidf_top_terms_documents"] = r"""
+WITH flat AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+  FROM documents
+), tfd AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM flat GROUP BY 1, 2
+), dfd AS (
+  SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM flat GROUP BY 1
+), v AS (
+  SELECT tok, df FROM dfd
+  QUALIFY row_number() OVER (ORDER BY df DESC, tok) <= 50000
+), scored AS (
+  SELECT tfd.doc_id, tfd.tok, tf, v.df,
+         CAST(floor(tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents)
+                            / v.df) * 1e6 + 0.5) AS BIGINT) AS score_micros
+  FROM tfd JOIN v USING (tok)
+)
+SELECT doc_id, tok, tf, df, score_micros FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score_micros DESC, tok) <= 3
+"""
+
 # global window: exact integer-cents running sum over (ts, event_id)
 ANALYTICS_ORACLE_SQL["events_running_revenue"] = r"""
 SELECT event_id,
@@ -1983,6 +2084,7 @@ ANALYTICS_QUERIES = {
     "repetition_stats_documents": repetition_stats_documents,
     "dedup_passages_documents": dedup_passages_documents,
     "vocab_document_frequency": vocab_document_frequency,
+    "tfidf_top_terms_documents": tfidf_top_terms_documents,
     "shuffle_rank_documents": shuffle_rank_documents,
     "approx_distinct_users_hll": approx_distinct_users_hll,
     "heavy_hitters_tokens": heavy_hitters_tokens,

@@ -583,3 +583,44 @@ def test_q5_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True),
         check_dtype=False)
+
+
+def test_tfidf_top_terms_brute_parity(ray_session):
+    """tfidf_top_terms_documents == a single-process brute force over the
+    same corpus (tokenize -> tf/df -> tf*ln(N/df) micros -> per-doc top-3
+    by (micros desc, tok))."""
+    import re
+
+    from database_delta_plugins_ray.pipelines.analytics import (
+        tfidf_top_terms_documents,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (tfidf_top_terms_documents(sf).to_pandas()
+           .sort_values(["doc_id", "tok"]).reset_index(drop=True))
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    n = float(len(docs))
+    tok_re = re.compile(r"[a-z0-9_]+")
+    rows = []
+    df_count: dict = {}
+    per_doc = []
+    for _, r in docs.iterrows():
+        toks = tok_re.findall((r["text"] or "").lower())
+        tf: dict = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        for t in tf:
+            df_count[t] = df_count.get(t, 0) + 1
+        per_doc.append((r["doc_id"], tf))
+    for doc_id, tf in per_doc:
+        scored = sorted(
+            ((-int(np.floor(c * np.log(n / df_count[t]) * 1e6 + 0.5)), t, c)
+             for t, c in tf.items()))
+        for neg, t, c in scored[:3]:
+            rows.append((doc_id, t, c, df_count[t], -neg))
+    want = (pd.DataFrame(rows, columns=["doc_id", "tok", "tf", "df",
+                                        "score_micros"])
+            .sort_values(["doc_id", "tok"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
