@@ -164,3 +164,43 @@ def quantile_query(points: np.ndarray, weights: np.ndarray, q: float):
     target = q * cum[-1]
     return float(points[min(np.searchsorted(cum, target),
                             len(points) - 1)])
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970): fixed-size OR-mergeable membership sketch.
+# Used as a join prefilter (stages/join.py) — build on one side's keys,
+# broadcast once, drop the other side's definite non-matches BEFORE the
+# all-to-all. No false negatives, so the join result is exact; false
+# positives only waste shuffle bytes. Double hashing (Kirsch & Mitzenmacher
+# 2006): k probe positions from two 64-bit halves of one hash pass.
+# ---------------------------------------------------------------------------
+
+
+def bloom_set(bits: np.ndarray, h: np.ndarray, nhash: int) -> None:
+    """OR the ``nhash`` probe bits of each uint64 hash into ``bits``
+    (a uint8 byte array; nbits = len(bits) * 8)."""
+    nbits = np.uint64(len(bits) * 8)
+    h = h.astype(np.uint64, copy=False)
+    h2 = (h >> np.uint64(33)) | np.uint64(1)  # odd: full-period stride
+    for i in range(nhash):
+        idx = (h + np.uint64(i) * h2) % nbits
+        np.bitwise_or.at(
+            bits,
+            (idx >> np.uint64(3)).astype(np.int64),
+            np.left_shift(1, (idx & np.uint64(7)).astype(np.int64)).astype(np.uint8),
+        )
+
+
+def bloom_contains(bits: np.ndarray, h: np.ndarray, nhash: int) -> np.ndarray:
+    """Vectorized membership probe: True where ALL probe bits are set
+    (definite non-members come back False — never a false negative)."""
+    nbits = np.uint64(len(bits) * 8)
+    h = h.astype(np.uint64, copy=False)
+    h2 = (h >> np.uint64(33)) | np.uint64(1)
+    ok = np.ones(len(h), bool)
+    for i in range(nhash):
+        idx = (h + np.uint64(i) * h2) % nbits
+        byte = bits[(idx >> np.uint64(3)).astype(np.int64)]
+        bit = np.left_shift(1, (idx & np.uint64(7)).astype(np.int64)).astype(np.uint8)
+        ok &= (byte & bit) != 0
+    return ok

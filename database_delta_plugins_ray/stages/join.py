@@ -39,7 +39,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["shuffle_hash_join"]
+__all__ = ["shuffle_hash_join", "bloom_of_keys"]
 
 _SIDE = "__jside"
 _SALT = "__jsalt"
@@ -82,6 +82,41 @@ def _tagged(
         _PART, pa.array((h % np.uint64(nparts)).astype(np.int32)))
 
 
+def bloom_of_keys(ds, keys: Sequence[str], nbits: int = 1 << 22,
+                  nhash: int = 4) -> np.ndarray:
+    """Build a Bloom filter over a dataset's key column(s).
+
+    Fixed-size OR-mergeable partials: each batch contributes one
+    ``nbits/8``-byte array; one map_batches fold pass ORs 64 partials at a
+    time so the driver only folds ``ceil(n_blocks / 64)`` arrays — the
+    reduction payload is O(nbits), independent of row count. Key hashing
+    is ``pd.util.hash_pandas_object`` over the key frame, the same
+    function the probe side uses, so build/probe agree bit-for-bit."""
+    nbytes = nbits // 8
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..functions.sketch import bloom_set
+
+        kdf = t.select(list(keys)).to_pandas()
+        h = pd.util.hash_pandas_object(kdf, index=False).to_numpy()
+        b = np.zeros(nbytes, np.uint8)
+        bloom_set(b, h, nhash)
+        return pa.table({"b": pa.array([b.tobytes()], pa.large_binary())})
+
+    def orfold(t: pa.Table) -> pa.Table:
+        acc = np.zeros(nbytes, np.uint8)
+        for buf in t["b"].to_pylist():
+            acc |= np.frombuffer(buf, np.uint8)
+        return pa.table({"b": pa.array([acc.tobytes()], pa.large_binary())})
+
+    folded = (ds.map_batches(partial, batch_format="pyarrow")
+              .map_batches(orfold, batch_format="pyarrow", batch_size=64))
+    acc = np.zeros(nbytes, np.uint8)
+    for row in folded.take_all():
+        acc |= np.frombuffer(row["b"], np.uint8)
+    return acc
+
+
 def shuffle_hash_join(
     left,
     right,
@@ -90,6 +125,9 @@ def shuffle_hash_join(
     salt: int = 1,
     nparts: int = 64,
     post=None,
+    prefilter: bool = False,
+    prefilter_bits: int = 1 << 22,
+    prefilter_hashes: int = 4,
 ):
     """Equi-join two Ray Data datasets on column(s) ``on``.
 
@@ -111,6 +149,32 @@ def shuffle_hash_join(
     if post is not None and salt > 1:
         raise ValueError("post= requires salt=1 (salted keys span partitions)")
     keys = [on] if isinstance(on, str) else list(on)
+
+    if prefilter:
+        # Bloom semi-join prune ahead of the all-to-all: build the filter
+        # on the side whose rows MUST all survive, probe-and-drop on the
+        # other (no false negatives -> result exact; false positives just
+        # ride the shuffle). inner: right keys filter left rows; left
+        # join: left keys filter right rows (left rows can never be
+        # dropped — unmatched ones surface with null right payload).
+        import ray
+
+        build, probe_left = (right, True) if how == "inner" else (left, False)
+        bloom_ref = ray.put(bloom_of_keys(
+            build, keys, nbits=prefilter_bits, nhash=prefilter_hashes))
+
+        def probe(t: pa.Table) -> pa.Table:
+            from ..functions.sketch import bloom_contains
+
+            bits = ray.get(bloom_ref)
+            kdf = t.select(keys).to_pandas()
+            h = pd.util.hash_pandas_object(kdf, index=False).to_numpy()
+            return t.filter(pa.array(bloom_contains(bits, h, prefilter_hashes)))
+
+        if probe_left:
+            left = left.map_batches(probe, batch_format="pyarrow")
+        else:
+            right = right.map_batches(probe, batch_format="pyarrow")
 
     lsch, rsch = left.schema(), right.schema()
     lpay = [n for n in lsch.names if n not in keys]

@@ -141,3 +141,38 @@ def test_percentile_rule_matches_duckdb(ray_session, tmp_path):
         want.astype({"n_docs": "int64", "p50": "int64",
                      "p90": "int64", "p99": "int64"}),
     )
+
+
+def test_bloom_prefilter_parity_inner_and_left(ray_session):
+    """prefilter=True must change nothing about the result (no false
+    negatives) while actually pruning definite non-matches before the
+    shuffle."""
+    from database_delta_plugins_ray.stages.join import (
+        bloom_of_keys,
+        shuffle_hash_join,
+    )
+
+    rng = np.random.default_rng(11)
+    left = _ds([{"k": int(k), "a": f"a{i}"}
+                for i, k in enumerate(rng.integers(0, 5000, 4000))])
+    right = _ds([{"k": int(k), "b": float(i)}
+                 for i, k in enumerate(rng.integers(4000, 9000, 3000))])
+
+    for how in ("inner", "left"):
+        plain = pd.DataFrame(
+            shuffle_hash_join(left, right, on="k", how=how).take_all())
+        fast = pd.DataFrame(
+            shuffle_hash_join(left, right, on="k", how=how,
+                              prefilter=True).take_all())
+        cols = ["k", "a", "b"]
+        ps = sorted(map(tuple, plain[cols].astype(str).itertuples(index=False)))
+        fs = sorted(map(tuple, fast[cols].astype(str).itertuples(index=False)))
+        assert ps == fs, how
+
+    # the filter demonstrably prunes: disjoint-key left side shrinks to ~0
+    bits = bloom_of_keys(right, ["k"])
+    from database_delta_plugins_ray.functions.sketch import bloom_contains
+
+    lk = pd.DataFrame({"k": rng.integers(20000, 30000, 5000)})
+    h = pd.util.hash_pandas_object(lk, index=False).to_numpy()
+    assert bloom_contains(bits, h, 4).mean() < 0.01
