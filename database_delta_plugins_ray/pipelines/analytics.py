@@ -913,6 +913,22 @@ Q3_SEGMENT = "BUILDING"
 Q3_CUTOFF = "1998-01-01"
 
 
+def customers_without_events(sf_dir: str):
+    """Distributed ANTI join (NOT EXISTS): customers with no activity in
+    the events stream. Exercises the existence-join path of the shuffle
+    hash join — the right side ships only its (deduped-per-partition) key
+    column, and prefilter=True prunes event user_ids absent from the
+    customer side with a broadcast Bloom filter before the all-to-all
+    (stages/join.py)."""
+    from ..stages.join import shuffle_hash_join
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    ev = _t(sf_dir, "events", ["user_id"]).map_batches(
+        lambda t: t.rename_columns(["c_custkey"]), batch_format="pyarrow")
+    return shuffle_hash_join(cust, ev, on="c_custkey", how="anti",
+                             nparts=32, prefilter=True)
+
+
 def q3_shipping_priority(sf_dir: str):
     """TPC-H Q3 shape: top-10 unshipped orders by revenue. Exercises the
     general LARGE x LARGE shuffle hash join (``stages/join.py``) that
@@ -1773,6 +1789,11 @@ SELECT doc_id, lang, n_tokens FROM c WHERE cum <= {MIX_TOKEN_BUDGET}
 """
 
 
+ANALYTICS_ORACLE_SQL["customers_without_events"] = r"""
+SELECT c_custkey, c_name, c_acctbal FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+"""
+
 ANALYTICS_ORACLE_SQL["q3_shipping_priority"] = f"""
 SELECT o_orderkey, o_orderdate,
        round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -2077,6 +2098,7 @@ ANALYTICS_QUERIES = {
     "redact_pii_documents": redact_pii_documents,
     "mix_token_budget_documents": mix_token_budget_documents,
     "q3_shipping_priority": q3_shipping_priority,
+    "customers_without_events": customers_without_events,
     "doc_length_percentiles": doc_length_percentiles,
     "distinct_users_per_type": distinct_users_per_type,
     "q5_local_supplier_volume": q5_local_supplier_volume,

@@ -133,8 +133,11 @@ def shuffle_hash_join(
 
     Non-key column names must be disjoint between the two sides (rename
     before joining); key columns must share names and types. ``how`` is
-    ``inner`` or ``left``.  Returns a dataset with key columns + left
-    payload + right payload.
+    ``inner``, ``left``, ``semi`` (left rows with a right match, left
+    payload only) or ``anti`` (left rows with NO right match). Existence
+    joins ship only the right side's key columns through the shuffle.
+    Returns a dataset with key columns + left payload (+ right payload
+    for inner/left).
 
     ``post`` (optional, ``DataFrame -> DataFrame``) runs on each
     partition's joined frame INSIDE the join task.  Because partitions
@@ -144,11 +147,15 @@ def shuffle_hash_join(
     key reuses the join's partitioning" plan).  Not available with
     ``salt > 1`` (a salted hot key spans partitions).
     """
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported join type: {how}")
     if post is not None and salt > 1:
         raise ValueError("post= requires salt=1 (salted keys span partitions)")
     keys = [on] if isinstance(on, str) else list(on)
+    if how in ("semi", "anti"):
+        # existence joins never read right payload: ship right KEYS only
+        # through the shuffle (the right side collapses to its key set)
+        right = right.select_columns(keys)
 
     if prefilter:
         # Bloom semi-join prune ahead of the all-to-all: build the filter
@@ -159,7 +166,12 @@ def shuffle_hash_join(
         # dropped — unmatched ones surface with null right payload).
         import ray
 
-        build, probe_left = (right, True) if how == "inner" else (left, False)
+        # semi behaves like inner (a left row the bloom rejects is a
+        # definite non-member — semi excludes it anyway); anti behaves
+        # like left (left rows must all survive; right keys absent from
+        # the left are irrelevant to the existence test)
+        probe_is_left = how in ("inner", "semi")
+        build, probe_left = (right, True) if probe_is_left else (left, False)
         bloom_ref = ray.put(bloom_of_keys(
             build, keys, nbits=prefilter_bits, nhash=prefilter_hashes))
 
@@ -209,9 +221,17 @@ def shuffle_hash_join(
         lmask = g[_SIDE].to_numpy()
         l = g.loc[lmask, merge_keys + lpay]
         r = g.loc[~lmask, merge_keys + rpay]
-        if l.empty or (r.empty and how == "inner"):
+        if l.empty or (r.empty and how in ("inner", "semi")):
             return post(proto) if post is not None else proto
-        out = l.merge(r, on=merge_keys, how=how)[out_names]
+        if how in ("semi", "anti"):
+            # existence test: dedup right keys so each left row appears
+            # at most once, then keep matches (semi) / non-matches (anti)
+            rk = r[merge_keys].drop_duplicates()
+            m = l.merge(rk, on=merge_keys, how="left", indicator=True)
+            keep = m["_merge"] == ("both" if how == "semi" else "left_only")
+            out = m.loc[keep, out_names]
+        else:
+            out = l.merge(r, on=merge_keys, how=how)[out_names]
         return post(out) if post is not None else out
 
     return both.groupby(_PART).map_groups(join_part, batch_format="pandas")

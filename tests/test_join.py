@@ -176,3 +176,37 @@ def test_bloom_prefilter_parity_inner_and_left(ray_session):
     lk = pd.DataFrame({"k": rng.integers(20000, 30000, 5000)})
     h = pd.util.hash_pandas_object(lk, index=False).to_numpy()
     assert bloom_contains(bits, h, 4).mean() < 0.01
+
+
+def test_semi_and_anti_join(ray_session):
+    from database_delta_plugins_ray.stages.join import shuffle_hash_join
+
+    left = _ds([
+        {"k": 1, "a": "x"}, {"k": 1, "a": "x2"},
+        {"k": 2, "a": "y"}, {"k": 3, "a": "z"},
+    ])
+    right = _ds([{"k": 1, "b": 1.0}, {"k": 1, "b": 2.0}, {"k": 9, "b": 3.0}])
+
+    semi = pd.DataFrame(
+        shuffle_hash_join(left, right, on="k", how="semi").take_all())
+    # duplicate right keys must NOT multiply left rows; right payload absent
+    assert sorted(semi.columns) == ["a", "k"]
+    assert sorted(map(tuple, semi[["k", "a"]].itertuples(index=False))) == [
+        (1, "x"), (1, "x2")]
+
+    anti = pd.DataFrame(
+        shuffle_hash_join(left, right, on="k", how="anti").take_all())
+    assert sorted(map(tuple, anti[["k", "a"]].itertuples(index=False))) == [
+        (2, "y"), (3, "z")]
+
+    # prefilter parity for both existence joins + salted semi
+    for how in ("semi", "anti"):
+        fast = pd.DataFrame(shuffle_hash_join(
+            left, right, on="k", how=how, prefilter=True).take_all())
+        base = semi if how == "semi" else anti
+        assert (sorted(map(tuple, fast[["k", "a"]].itertuples(index=False)))
+                == sorted(map(tuple, base[["k", "a"]].itertuples(index=False))))
+    salted = pd.DataFrame(shuffle_hash_join(
+        left, right, on="k", how="semi", salt=3).take_all())
+    assert (sorted(map(tuple, salted[["k", "a"]].itertuples(index=False)))
+            == [(1, "x"), (1, "x2")])
