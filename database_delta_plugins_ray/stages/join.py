@@ -133,11 +133,11 @@ def shuffle_hash_join(
 
     Non-key column names must be disjoint between the two sides (rename
     before joining); key columns must share names and types. ``how`` is
-    ``inner``, ``left``, ``semi`` (left rows with a right match, left
-    payload only) or ``anti`` (left rows with NO right match). Existence
-    joins ship only the right side's key columns through the shuffle.
-    Returns a dataset with key columns + left payload (+ right payload
-    for inner/left).
+    ``inner``, ``left``, ``outer`` (full outer), ``semi`` (left rows
+    with a right match, left payload only) or ``anti`` (left rows with
+    NO right match). Existence joins ship only the right side's key
+    columns through the shuffle. Returns a dataset with key columns +
+    left payload (+ right payload for inner/left/outer).
 
     ``post`` (optional, ``DataFrame -> DataFrame``) runs on each
     partition's joined frame INSIDE the join task.  Because partitions
@@ -147,8 +147,15 @@ def shuffle_hash_join(
     key reuses the join's partitioning" plan).  Not available with
     ``salt > 1`` (a salted hot key spans partitions).
     """
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "outer", "semi", "anti"):
         raise ValueError(f"unsupported join type: {how}")
+    if prefilter and how == "outer":
+        raise ValueError("prefilter is unavailable for outer joins "
+                         "(neither side's rows may be dropped)")
+    if salt > 1 and how == "outer":
+        # salting replicates the right side once per salt value; an
+        # unmatched right row would then surface ``salt`` times
+        raise ValueError("salt > 1 is unavailable for outer joins")
     if post is not None and salt > 1:
         raise ValueError("post= requires salt=1 (salted keys span partitions)")
     keys = [on] if isinstance(on, str) else list(on)
@@ -221,6 +228,11 @@ def shuffle_hash_join(
         lmask = g[_SIDE].to_numpy()
         l = g.loc[lmask, merge_keys + lpay]
         r = g.loc[~lmask, merge_keys + rpay]
+        if how == "outer":
+            if l.empty and r.empty:
+                return post(proto) if post is not None else proto
+            out = l.merge(r, on=merge_keys, how="outer")[out_names]
+            return post(out) if post is not None else out
         if l.empty or (r.empty and how in ("inner", "semi")):
             return post(proto) if post is not None else proto
         if how in ("semi", "anti"):

@@ -210,3 +210,27 @@ def test_semi_and_anti_join(ray_session):
         left, right, on="k", how="semi", salt=3).take_all())
     assert (sorted(map(tuple, salted[["k", "a"]].itertuples(index=False)))
             == [(1, "x"), (1, "x2")])
+
+
+def test_outer_join(ray_session):
+    from database_delta_plugins_ray.stages.join import shuffle_hash_join
+
+    left = _ds([{"k": 1, "a": "x"}, {"k": 2, "a": "y"}])
+    right = _ds([{"k": 1, "b": 7.0}, {"k": 9, "b": 8.0}])
+    out = pd.DataFrame(
+        shuffle_hash_join(left, right, on="k", how="outer").take_all())
+    got = sorted(map(tuple, out[["k", "a", "b"]].astype(str)
+                     .itertuples(index=False)))
+    want = sorted([("1", "x", "7.0"), ("2", "y", "nan"), ("9", "nan", "8.0")])
+    assert got == want
+    with pytest.raises(ValueError):
+        shuffle_hash_join(left, right, on="k", how="outer", prefilter=True)
+
+
+def test_outer_join_salt_rejected(ray_session):
+    from database_delta_plugins_ray.stages.join import shuffle_hash_join
+
+    left = _ds([{"k": 1, "a": "x"}])
+    right = _ds([{"k": 1, "b": 1.0}])
+    with pytest.raises(ValueError):
+        shuffle_hash_join(left, right, on="k", how="outer", salt=2)
