@@ -104,7 +104,7 @@ def test_join_rejects_overlap_and_bad_how(ray_session):
     with pytest.raises(ValueError, match="overlap"):
         shuffle_hash_join(l, r, on="k")
     with pytest.raises(ValueError, match="join type"):
-        shuffle_hash_join(l, _ds([{"k": 1, "y": 2}]), on="k", how="outer")
+        shuffle_hash_join(l, _ds([{"k": 1, "y": 2}]), on="k", how="cross")
 
 
 def test_percentile_rule_matches_duckdb(ray_session, tmp_path):
