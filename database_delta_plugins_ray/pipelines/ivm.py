@@ -1,0 +1,210 @@
+"""Incremental view maintenance (IVM): keep a downstream aggregate table
+in sync with the change stream WITHOUT recomputing it from the lake.
+
+The classic CDC-consumer pattern (self-maintainable view over a
+consistent change stream): every DML event contributes a signed DELTA to
+the grouped aggregate —
+
+    INSERT  ->  (+1 row,  +len(after.content) chars)
+    UPDATE  ->  ( 0 rows, +len(after) - len(before))
+    DELETE  ->  (-1 row,  -len(before))
+
+so the maintained table ``repo -> (n_paths, total_chars)`` equals a full
+recompute over the lake's LWW final state, at the cost of reading only
+the NEW events. Correctness requires the stream invariant Debezium
+provides and the generator upholds: each UPDATE/DELETE's before-image
+equals the previous after-image for that key (full before-image mode).
+
+Deltas are NOT idempotent (unlike the lake's LWW upserts), so the
+exactly-once fence is load-bearing: per-partition manifests record the
+last-applied lsn, every normalize task drops events at/below ITS target
+partition's watermark (the per-part watermark array is tiny and ships
+with the task), and commits reuse the lake's fenced atomic protocol
+(state/checkpoint.py) — a crash between partition commits replays only
+the unfenced partitions, and re-running a finished increment is a no-op.
+
+Scale shape: one pruned read (columns lsn/op/before.content/after.content
++ keys, ``lsn > min watermark`` row-group pushdown) -> per-batch delta
+partials aggregated to (part, repo) rows — bounded by groups-per-batch,
+never events — -> ONE small shuffle of partial rows -> per-partition
+merge into the partitioned view table. The view itself is hash-
+partitioned Parquet, so a view with 10^9 groups never touches the
+driver.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import ray
+import ray.data
+
+from ..state import checkpoint as ckpt
+from .replicate import log_files, log_max_lsn
+
+VIEW_COLS = ["repo", "n_paths", "total_chars"]
+
+
+def _part_of(repo: pd.Series, num_partitions: int) -> np.ndarray:
+    h = pd.util.hash_pandas_object(repo, index=False).to_numpy()
+    return (h % np.uint64(num_partitions)).astype(np.int32)
+
+
+def maintain_view(
+    log_dir: str,
+    view_dir: str,
+    *,
+    num_partitions: int = 16,
+    upto_lsn: int | None = None,
+    merge_concurrency: int | None = None,
+) -> dict:
+    """Apply the log's new events to the per-repo aggregate view.
+
+    Returns a lineage summary. Idempotent: re-running on the same log is
+    a no-op; resumable mid-increment via per-partition fences.
+    """
+    t0 = time.time()
+    os.makedirs(os.path.join(view_dir, ckpt.CHECKPOINT_DIR), exist_ok=True)
+    mx = log_max_lsn(log_dir)
+    consumed = mx if upto_lsn is None else min(upto_lsn, mx)
+
+    manifests = ckpt.all_manifests(view_dir)
+    wm = np.zeros(num_partitions, np.int64)
+    for p, m in manifests.items():
+        wm[p] = m["last_lsn"]
+    min_wm = int(wm.min()) if len(manifests) == num_partitions else 0
+    if min_wm >= consumed:
+        return {"groups_touched": 0, "wall_s": time.time() - t0,
+                "watermark": min_wm}
+
+    flt = pads.field("lsn") > min_wm
+    if consumed < mx:
+        flt = flt & (pads.field("lsn") <= consumed)
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    ds = ray.data.read_parquet(
+        log_files(log_dir),
+        columns=["lsn", "op", "before", "after"],
+        filter=flt,
+        override_num_blocks=max(2 * cpus, 8),
+    )
+
+    def delta_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["op"], "DDL"))
+        if t.num_rows == 0:
+            return pa.table({"part": pa.array([], pa.int32()),
+                             "repo": pa.array([], pa.string()),
+                             "rows_d": pa.array([], pa.int64()),
+                             "chars_d": pa.array([], pa.int64())})
+        after, before = t["after"], t["before"]
+        repo = pc.coalesce(pc.struct_field(after, "repo"),
+                           pc.struct_field(before, "repo"))
+        # char length of the row image; null image (insert's before,
+        # delete's after) contributes 0
+        a_len = pc.coalesce(pc.utf8_length(pc.struct_field(after, "content")),
+                            pa.scalar(0, pa.int64())).cast(pa.int64())
+        b_len = pc.coalesce(pc.utf8_length(pc.struct_field(before, "content")),
+                            pa.scalar(0, pa.int64())).cast(pa.int64())
+        op = t["op"].to_pandas()
+        rows_d = (op == "I").to_numpy(np.int64) - (op == "D").to_numpy(np.int64)
+        df = pd.DataFrame({
+            "lsn": t["lsn"].to_numpy(),
+            "repo": repo.to_pandas(),
+            "rows_d": rows_d,
+            "chars_d": a_len.to_numpy() - b_len.to_numpy(),
+        })
+        df["part"] = _part_of(df["repo"], num_partitions)
+        # per-partition duplicate-replay fence: deltas are not idempotent,
+        # so an event at/below its target partition's watermark must never
+        # be re-counted (crash-resume replays only unfenced partitions)
+        df = df[df["lsn"].to_numpy() > wm[df["part"].to_numpy()]]
+        g = (df.groupby(["part", "repo"], sort=False, as_index=False)
+             [["rows_d", "chars_d"]].sum())
+        return pa.Table.from_pandas(
+            g.astype({"part": np.int32, "rows_d": np.int64,
+                      "chars_d": np.int64}), preserve_index=False)
+
+    import pyarrow.parquet as pq
+
+    view_dir_b = view_dir
+    consumed_b = consumed
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g["part"].iloc[0])
+        m = ckpt.read_manifest(view_dir_b, part)
+        if m is not None and m["last_lsn"] >= consumed_b:
+            return pd.DataFrame({"part": [part], "groups": [0],
+                                 "rows": [int(m["rows"])]})
+        agg = (g.groupby("repo", as_index=False)[["rows_d", "chars_d"]].sum())
+        if m is not None:
+            old = pq.read_table(m["file"]).to_pandas()
+        else:
+            old = pd.DataFrame({"repo": pd.Series([], dtype=str),
+                                "n_paths": pd.Series([], dtype=np.int64),
+                                "total_chars": pd.Series([], dtype=np.int64)})
+        new = old.merge(agg, on="repo", how="outer")
+        for c in ("n_paths", "total_chars", "rows_d", "chars_d"):
+            new[c] = new[c].fillna(0).astype(np.int64)
+        new["n_paths"] += new["rows_d"]
+        new["total_chars"] += new["chars_d"]
+        new = (new.loc[new["n_paths"] > 0, VIEW_COLS]
+               .sort_values("repo").reset_index(drop=True))
+        tbl = pa.Table.from_pandas(new, preserve_index=False)
+        ckpt.commit_partition(
+            view_dir_b, part, tbl, consumed_b,
+            lambda t, p: pq.write_table(t, p),
+            {"rows": len(new), "delta_rows": int(len(g))},
+        )
+        return pd.DataFrame({"part": [part], "groups": [len(agg)],
+                             "rows": [len(new)]})
+
+    kw = {}
+    if merge_concurrency:
+        kw["concurrency"] = merge_concurrency
+    summary = (ds.map_batches(delta_partial, batch_format="pyarrow")
+               .groupby("part")
+               .map_groups(merge_part, batch_format="pandas", **kw)
+               .to_pandas())
+
+    # partitions untouched by this increment still advance their fence so
+    # the next run's min-watermark read prunes at the newest lsn
+    for p in range(num_partitions):
+        m = ckpt.read_manifest(view_dir_b, p)
+        if m is None:
+            d = ckpt.part_dir(view_dir_b, p)
+            os.makedirs(d, exist_ok=True)
+            empty = pa.table({"repo": pa.array([], pa.string()),
+                              "n_paths": pa.array([], pa.int64()),
+                              "total_chars": pa.array([], pa.int64())})
+            ckpt.commit_partition(
+                view_dir_b, p, empty, consumed_b,
+                lambda t, pth: pq.write_table(t, pth),
+                {"rows": 0, "events": 0})
+        elif m["last_lsn"] < consumed_b:
+            ckpt.write_manifest(view_dir_b, p,
+                                dict(m, last_lsn=consumed_b))
+
+    return {
+        #: (part, repo) delta rows applied — the shuffle payload, which is
+        #: what bounds this increment's cost (events never leave the read)
+        "groups_touched": int(summary["groups"].sum()),
+        "partitions": len(summary),
+        "wall_s": time.time() - t0,
+        "watermark": consumed,
+    }
+
+
+def read_view(view_dir: str) -> "ray.data.Dataset":
+    """The maintained view as a Ray Dataset (live manifest files only)."""
+    manifests = ckpt.all_manifests(view_dir)
+    if not manifests:
+        raise FileNotFoundError(f"no committed view partitions under {view_dir}")
+    files = [m["file"] for m in manifests.values()]
+    # explicit columns: read_parquet would otherwise hive-infer a "part"
+    # column from the part=NNNNN directory names
+    return ray.data.read_parquet(files, columns=VIEW_COLS)

@@ -345,6 +345,23 @@ def cdc_tx_consistent(sf_dir: str):
     return final_state(lake, columns=FINAL_COLS)
 
 
+def cdc_view_repo_stats(sf_dir: str):
+    """Incremental view maintenance (pipelines/ivm.py): a per-repo
+    aggregate (live path count + total content chars) kept in sync by
+    applying signed DELTAS from the change stream — never recomputed from
+    the lake. Maintained in TWO increments (2/3 of the log, then the
+    rest) so the gate proves incrementality; the oracle recomputes the
+    same aggregate from scratch over the LWW final state."""
+    from .ivm import maintain_view, read_view
+
+    log = ensure_log(sf_dir)
+    view = fresh_lake(sf_dir, "view_repo")
+    mx = log_max_lsn(log)
+    maintain_view(log, view, num_partitions=8, upto_lsn=mx * 2 // 3)
+    maintain_view(log, view, num_partitions=8)
+    return read_view(view)
+
+
 def cdc_all_datatypes(sf_dir: str):
     """End-to-end replication of the ALL-DATATYPES table: the reference's
     type-conformance core (33-column e2e fixture, pluginParameters.
@@ -511,6 +528,14 @@ SELECT k_repo AS repo, k_path AS path, "commit", lang, stars, language,
        content_sha, lsn AS _sequence_num
 FROM ranked WHERE rn = 1 AND op <> 'D'
 """,
+        "cdc_view_repo_stats": lww.replace(
+            "sha256(after.content) AS content_sha",
+            "length(after.content) AS n_chars")
+        + """
+SELECT k_repo AS repo, CAST(count(*) AS BIGINT) AS n_paths,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM ranked WHERE rn = 1 AND op <> 'D' GROUP BY 1
+""",
         "cdc_tx_consistent": f"""
 WITH mx AS (
   SELECT 3 * max(lsn) // 5 AS l FROM read_parquet('{_variant_glob(sf, "tx_log")}')
@@ -587,6 +612,7 @@ CDC_QUERIES = {
     "cdc_ddl_blacklist": cdc_ddl_blacklist,
     "cdc_first_seen_synthesis": cdc_first_seen_synthesis,
     "cdc_tx_consistent": cdc_tx_consistent,
+    "cdc_view_repo_stats": cdc_view_repo_stats,
     "cdc_table_filter": cdc_table_filter,
     "cdc_truncate_fence": cdc_truncate_fence,
 }
