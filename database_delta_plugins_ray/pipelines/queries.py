@@ -345,6 +345,26 @@ def cdc_tx_consistent(sf_dir: str):
     return final_state(lake, columns=FINAL_COLS)
 
 
+def cdc_incremental_snapshot(sf_dir: str):
+    """DBLog-style incremental snapshot (Andreakis & Papapanagiotou 2019;
+    Debezium's incremental-snapshot feature): no blocking base dump — the
+    base table is read in PK-range CHUNKS interleaved with the live
+    stream, each chunk reflecting table state at its low-watermark
+    position. The engine orders chunk rows at the low watermark
+    (tx_id "chunk:<lsn>" -> effective sequence), so stream events past
+    the watermark win reconciliation and the final lake equals the
+    effective-lsn LWW the oracle computes. The interesting property:
+    ARRIVAL order != commit order here, which plain replay never
+    exercises."""
+    log = ensure_variant_log(sf_dir, "dblog_log", incremental_snapshot=True,
+                             ddl_plan=False, snapshot_chunks=8)
+    lake = fresh_lake(sf_dir, "lake_dblog")
+    run_replication(log, lake, num_partitions=8, incremental_snapshot=True)
+    return final_state(
+        lake, columns=["repo", "path", "commit", "content_sha",
+                       "_sequence_num"])
+
+
 def cdc_view_repo_stats(sf_dir: str):
     """Incremental view maintenance (pipelines/ivm.py): a per-repo
     aggregate (live path count + total content chars) kept in sync by
@@ -528,6 +548,27 @@ SELECT k_repo AS repo, k_path AS path, "commit", lang, stars, language,
        content_sha, lsn AS _sequence_num
 FROM ranked WHERE rn = 1 AND op <> 'D'
 """,
+        "cdc_incremental_snapshot": f"""
+WITH ev AS (
+  SELECT CASE WHEN tx_id LIKE 'chunk:%'
+              THEN CAST(string_split(tx_id, ':')[2] AS BIGINT)
+              ELSE lsn END AS eff,
+         op,
+         coalesce(after.repo, before.repo)  AS k_repo,
+         coalesce(after.path, before.path)  AS k_path,
+         after."commit" AS "commit",
+         sha256(after.content) AS content_sha
+  FROM read_parquet('{_variant_glob(sf, "dblog_log")}')
+  WHERE op <> 'DDL'
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY k_repo, k_path ORDER BY eff DESC) AS rn
+  FROM ev
+)
+SELECT k_repo AS repo, k_path AS path, "commit", content_sha,
+       eff AS _sequence_num
+FROM ranked WHERE rn = 1 AND op <> 'D'
+""",
         "cdc_view_repo_stats": lww.replace(
             "sha256(after.content) AS content_sha",
             "length(after.content) AS n_chars")
@@ -613,6 +654,7 @@ CDC_QUERIES = {
     "cdc_first_seen_synthesis": cdc_first_seen_synthesis,
     "cdc_tx_consistent": cdc_tx_consistent,
     "cdc_view_repo_stats": cdc_view_repo_stats,
+    "cdc_incremental_snapshot": cdc_incremental_snapshot,
     "cdc_table_filter": cdc_table_filter,
     "cdc_truncate_fence": cdc_truncate_fence,
 }

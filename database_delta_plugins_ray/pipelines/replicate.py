@@ -147,6 +147,7 @@ def run_replication(
     normalize_parallelism: int | None = None,
     snapshot_restart: str = "continue",
     tx_consistent: bool = False,
+    incremental_snapshot: bool = False,
 ) -> dict:
     """Replay the event log into the Parquet lake; returns a lineage summary.
 
@@ -184,10 +185,17 @@ def run_replication(
     phases: dict = {}
     os.makedirs(lake_dir, exist_ok=True)
 
-    if tx_consistent and upto_lsn is not None:
+    if (tx_consistent or incremental_snapshot) and upto_lsn is not None:
         # never half-apply a transaction: drop the bound to the last
         # complete-tx commit boundary (a bound-less replay consumes the
-        # whole log, where every tx is complete by definition)
+        # whole log, where every tx is complete by definition). Chunked
+        # snapshots REQUIRE this fence: a chunk block is atomic for
+        # bounded replay — its rows carry an effective lsn (the chunk's
+        # low watermark) BELOW their arrival lsn, so rows of a split
+        # block would land behind the resume watermark and be fenced out
+        # on the next run. Chunk tx_ids ("chunk:<low_wm>") encode their
+        # block start exactly like binlog tx_ids encode the tx start, so
+        # the same one-aggregate fence covers both.
         upto_lsn = tx_consistent_lsn(log_dir, upto_lsn)
 
     # pin the partitioning config per lake: per-partition watermarks are
@@ -321,6 +329,7 @@ def run_replication(
         partition_mode=partition_mode,
         repo_salt=repo_salt,
         primary_key=primary_key,
+        incremental_snapshot=incremental_snapshot,
     )
     # Bandwidth-wall cap: this string-heavy normalize saturates a node's
     # memory bus near ~16 concurrent tasks (BASELINE.md: 8-16 CPUs beat 32

@@ -90,6 +90,16 @@ class GenConfig:
     #: the reference stamps the same transactionId on each DMLEvent,
     #: MySqlRecordConsumer.java:209-225).
     tx_size: int = 1
+    #: DBLog-style chunked snapshot (Andreakis & Papapanagiotou 2019;
+    #: Debezium "incremental snapshot"): instead of a blocking base dump
+    #: before the stream, the base table is read in PK-range CHUNKS
+    #: interleaved WITH the live stream. Each chunk's rows reflect the
+    #: table state at the chunk's low-watermark position and carry
+    #: tx_id "chunk:<low_watermark_lsn>"; the engine orders them at the
+    #: low watermark so later stream events win reconciliation. Requires
+    #: the fixed-schema single-table shape (no ddl_plan / truncate).
+    incremental_snapshot: bool = False
+    snapshot_chunks: int = 8
 
     def table_names(self) -> list[str]:
         return [self.table] + [f"{self.table}_{i}" for i in range(1, self.n_tables)]
@@ -311,6 +321,12 @@ def generate_log(out_dir: str, cfg: GenConfig | None = None, **kw) -> dict:
     rng = np.random.default_rng(cfg.seed)
     n_base = cfg.resolved_base() if cfg.snapshot else 0
     n = cfg.n_events
+    if cfg.incremental_snapshot:
+        if cfg.ddl_plan or cfg.truncate_frac is not None or cfg.n_tables > 1:
+            raise ValueError(
+                "incremental_snapshot models a fixed-schema single-table "
+                "chunk scan (set ddl_plan=False, no truncate, n_tables=1)")
+        n_base = cfg.resolved_base()
 
     # --- stream key draws (log order) ---
     if cfg.skew == "zipf":
@@ -413,7 +429,7 @@ def generate_log(out_dir: str, cfg: GenConfig | None = None, **kw) -> dict:
             )
         )
         lsn_cursor = m + 1
-        if n_base:
+        if n_base and not cfg.incremental_snapshot:
             bkeys = np.arange(n_base, dtype=np.int64)
             bver = np.ones(n_base, dtype=np.int64)
             bsv = np.zeros(n_base, dtype=np.int32)
@@ -445,7 +461,49 @@ def generate_log(out_dir: str, cfg: GenConfig | None = None, **kw) -> dict:
     # stream: interleave DDL at their positions; lsn = cursor + position + #ddl before
     ddl_positions = np.array([p for p, *_ in ddl_rows], dtype=np.int64)
     ddl_before = np.searchsorted(ddl_positions, np.arange(n), side="right")
-    lsn_stream = lsn_cursor + np.arange(n, dtype=np.int64) + ddl_before
+
+    # --- DBLog chunked snapshot: PK-range chunks of the base table read at
+    # positions spread over the first 60% of the stream, each reflecting
+    # the per-key state AS OF its position (composite searchsorted over the
+    # (key, position) event index). Chunk blocks occupy their own lsns,
+    # shifting the stream exactly like interleaved DDL does.
+    chunk_block = None
+    chunk_pos = np.array([], dtype=np.int64)
+    if cfg.incremental_snapshot and n_base and n:
+        C = max(1, min(cfg.snapshot_chunks, n_base))
+        chunk_pos = (np.arange(1, C + 1, dtype=np.int64) * 3 * n) // (5 * (C + 1))
+        if len(np.unique(chunk_pos)) != C:
+            raise ValueError("n_events too small for snapshot_chunks")
+        kbounds = np.linspace(0, n_base, C + 1).astype(np.int64)
+        comp = key_ids * np.int64(n + 1) + np.arange(n, dtype=np.int64)
+        order_c = np.argsort(comp)
+        comp_s = comp[order_c]
+        keys_all, vers_all, svs_all = [], [], []
+        sizes = np.zeros(C, np.int64)
+        for c in range(C):
+            kc = np.arange(kbounds[c], kbounds[c + 1], dtype=np.int64)
+            q = kc * np.int64(n + 1) + np.int64(chunk_pos[c])
+            idx = np.searchsorted(comp_s, q) - 1
+            has = (idx >= 0) & (comp_s[np.maximum(idx, 0)] // np.int64(n + 1) == kc)
+            last = order_c[np.maximum(idx, 0)]
+            # untouched base keys carry the v1 base image; a key whose last
+            # pre-chunk event deleted it is absent from the chunk read
+            alive = np.where(has, op[last] != OP_DELETE, True)
+            ver = np.where(has, version[last], 1)
+            svp = np.where(has, sv_stream[last], 0).astype(np.int32)
+            sizes[c] = int(alive.sum())
+            keys_all.append(kc[alive])
+            vers_all.append(ver[alive])
+            svs_all.append(svp[alive])
+        csum = np.cumsum(sizes)
+        k_at = np.searchsorted(chunk_pos, np.arange(n), side="right")
+        chunk_before = np.where(k_at > 0, csum[np.maximum(k_at - 1, 0)], 0)
+        block_starts = lsn_cursor + chunk_pos + np.r_[0, csum[:-1]]
+        chunk_block = (keys_all, vers_all, svs_all, block_starts, sizes)
+    else:
+        chunk_before = np.zeros(n, dtype=np.int64)
+
+    lsn_stream = lsn_cursor + np.arange(n, dtype=np.int64) + ddl_before + chunk_before
     lsn_ddl = lsn_cursor + ddl_positions + np.arange(len(ddl_rows), dtype=np.int64)
 
     # DML stream table
@@ -467,6 +525,8 @@ def generate_log(out_dir: str, cfg: GenConfig | None = None, **kw) -> dict:
         is_start = rng.integers(0, cfg.tx_size, n) == 0
         is_start[0] = True
         is_start[1:] |= ddl_before[1:] != ddl_before[:-1]
+        if len(chunk_pos):  # a tx cannot span an interleaved chunk block
+            is_start[chunk_pos[chunk_pos < n]] = True
         is_start[1:] |= np.asarray(seg_no)[1:] != np.asarray(seg_no)[:-1]
         start_idx = np.maximum.accumulate(np.where(is_start, np.arange(n), 0))
         tx_lsn = lsn_stream[start_idx]
@@ -489,6 +549,31 @@ def generate_log(out_dir: str, cfg: GenConfig | None = None, **kw) -> dict:
         schema=event_log_schema(),
     )
     tables.append(stream_tbl)
+    if chunk_block is not None:
+        keys_all, vers_all, svs_all, block_starts, sizes = chunk_block
+        for c in range(len(sizes)):
+            m_c = int(sizes[c])
+            if m_c == 0:
+                continue
+            lsns_c = int(block_starts[c]) + np.arange(m_c, dtype=np.int64)
+            after_c = _payload_struct(keys_all[c], vers_all[c], svs_all[c],
+                                      np.ones(m_c, bool), cfg)
+            tables.append(pa.table(
+                {
+                    "lsn": pa.array(lsns_c),
+                    "tx_id": pa.array([f"chunk:{int(block_starts[c])}"] * m_c),
+                    "op": pa.array(np.full(m_c, OP_INSERT)),
+                    "table": pa.array(key_table[keys_all[c]]),
+                    "before": _null_struct(m_c, PAYLOAD_STRUCT),
+                    "after": after_c,
+                    "ddl": _null_struct(m_c, DDL_STRUCT),
+                    "is_snapshot": pa.array(np.ones(m_c, bool)),
+                    "ingest_ts": pa.array(lsns_c + _INGEST_EPOCH_MS,
+                                          pa.timestamp("ms")),
+                    "schema_version": pa.array(svs_all[c], pa.int32()),
+                },
+                schema=event_log_schema(),
+            ))
     if ddl_rows:
         svs = np.searchsorted(alter_pos, ddl_positions, side="right").astype(np.int32)
         tables.append(

@@ -128,6 +128,7 @@ class Normalizer:
         partition_mode: str = "key_hash",
         repo_salt: dict[str, int] | None = None,
         primary_key: tuple[str, ...] = ("repo", "path"),
+        incremental_snapshot: bool = False,
     ) -> None:
         """``partition_mode`` controls the shuffle key (SURVEY.md §4 skew):
 
@@ -154,6 +155,7 @@ class Normalizer:
         self.partition_mode = partition_mode
         self.repo_salt = repo_salt or {}
         self.primary_key = tuple(primary_key)
+        self.incremental_snapshot = incremental_snapshot
         if partition_mode in ("repo", "repo_salted") and len(self.primary_key) < 2:
             raise ValueError(
                 f"partition_mode {partition_mode!r} needs a composite primary "
@@ -230,6 +232,23 @@ class Normalizer:
     # -- main ------------------------------------------------------------
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.incremental_snapshot:
+            # DBLog-style chunked snapshot (Andreakis & Papapanagiotou,
+            # "DBLog: A Watermark Based Change-Data-Capture Framework",
+            # 2019): chunk rows carry tx_id "chunk:<low_watermark_lsn>" and
+            # take the chunk's LOW watermark as their EFFECTIVE sequence —
+            # any stream event past the watermark beats the chunk row in
+            # LWW (the watermark-window reconciliation), while chunk rows
+            # beat nothing newer. Arrival lsns (used by the resume fence)
+            # stay untouched; only the ordering key is rewritten.
+            is_chunk = pc.starts_with(batch["tx_id"], "chunk:")
+            if pc.any(is_chunk).as_py():
+                eff = pc.cast(
+                    pc.list_element(pc.split_pattern(batch["tx_id"], ":"), 1),
+                    pa.int64())
+                batch = batch.set_column(
+                    batch.schema.get_field_index("lsn"), "lsn",
+                    pc.if_else(is_chunk, eff, batch["lsn"]))
         # op normalization + drop DDL rows and unknown ops (M5/M6)
         ops = map_ops(batch["op"])
         batch = batch.set_column(
