@@ -1411,6 +1411,27 @@ def kmeans_embeddings(sf_dir: str):
     return assigns
 
 
+def pca_embeddings(sf_dir: str):
+    """Distributed PCA (stages/pca.py): one moment-partials pass fits the
+    model on the driver's O(d^2) fold, one stateless matmul pass projects.
+    Returns the top-4 principal coordinates per vector. Rows-only (eigh
+    has no SQL shape); planted-subspace recovery / variance-accounting /
+    batch-invariance tests gate it."""
+    from ..stages.pca import pca_fit, pca_transform
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    model = pca_fit(ds, n_components=4)
+    proj = pca_transform(ds, model, keep=["vec_id"])
+
+    def widen(df: pd.DataFrame) -> pd.DataFrame:
+        pcs = np.stack(df["pc"].to_list())
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].to_numpy(),
+            **{f"pc{i + 1}": pcs[:, i] for i in range(pcs.shape[1])}})
+
+    return proj.map_batches(widen, batch_format="pandas")
+
+
 def repetition_stats_documents(sf_dir: str):
     """Gopher-style repetition filter features per document (integer
     counts only, so the SQL oracle matches hash-exactly)."""
@@ -2111,6 +2132,7 @@ ANALYTICS_QUERIES = {
     "approx_distinct_users_hll": approx_distinct_users_hll,
     "heavy_hitters_tokens": heavy_hitters_tokens,
     "kmeans_embeddings": kmeans_embeddings,
+    "pca_embeddings": pca_embeddings,
     "approx_quantiles_event_value": approx_quantiles_event_value,
     "corpus_report_documents": corpus_report_documents,
     "dedup_incremental_documents": dedup_incremental_documents,

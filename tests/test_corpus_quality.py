@@ -624,3 +624,43 @@ def test_tfidf_top_terms_brute_parity(ray_session):
                                         "score_micros"])
             .sort_values(["doc_id", "tok"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_pca_planted_subspace(ray_session):
+    """pca_fit recovers a planted low-rank subspace: variance concentrates
+    in the planted directions, projections are decorrelated with variance
+    == eigenvalues, and the fit is invariant to block partitioning."""
+    from database_delta_plugins_ray.stages.pca import pca_fit, pca_transform
+
+    rng = np.random.default_rng(5)
+    n, d, k = 4000, 24, 3
+    basis, _ = np.linalg.qr(rng.normal(size=(d, k)))
+    scales = np.array([9.0, 5.0, 2.0])
+    z = rng.normal(size=(n, k)) * scales
+    x = 0.7 + z @ basis.T + rng.normal(scale=0.05, size=(n, d))
+    rows = [{"vec_id": i, "embedding": x[i].astype(np.float32).tolist()}
+            for i in range(n)]
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(8)
+
+    m = pca_fit(ds, n_components=k)
+    # planted directions recovered: each component lies in the planted span
+    proj = m["components"] @ basis            # (k, k)
+    assert np.allclose(np.linalg.norm(proj, axis=1), 1.0, atol=0.02)
+    # eigenvalues match the planted scales^2 (sample noise tolerance)
+    assert np.allclose(np.sqrt(m["explained_variance"]), scales, rtol=0.1)
+    # top-3 explain ~all variance
+    assert m["explained_variance"].sum() / m["total_variance"] > 0.95
+
+    # projections: mean ~0, covariance ~diag(eigenvalues)
+    out = pca_transform(ds, m, keep=["vec_id"]).to_pandas()
+    pcs = np.stack(out["pc"].to_list()).astype(np.float64)
+    assert np.allclose(pcs.mean(axis=0), 0, atol=0.05)
+    cov = np.cov(pcs.T)
+    assert np.allclose(np.diag(cov), m["explained_variance"], rtol=0.05)
+    assert np.abs(cov - np.diag(np.diag(cov))).max() < 0.15
+
+    # partitioning invariance (moment sums reorder, eigh unchanged within fp)
+    m2 = pca_fit(ray.data.from_pandas(pd.DataFrame(rows)).repartition(2),
+                 n_components=k)
+    assert np.allclose(np.abs(np.sum(m["components"] * m2["components"],
+                                     axis=1)), 1.0, atol=1e-6)
