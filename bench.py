@@ -222,6 +222,27 @@ def run_bench() -> dict:
         best = min(best, time.time() - t0)
     timings["cdc_all_datatypes"] = best
 
+    # incremental view maintenance over the SAME 2.1M-event log: full
+    # one-shot maintain (fresh view per sample, min-of-2), then the
+    # caught-up no-op poll (the steady-state incremental cost)
+    import shutil as _shutil
+
+    from database_delta_plugins_ray.pipelines.ivm import maintain_view
+    from database_delta_plugins_ray.pipelines.queries import log_dir_for
+
+    log_dir = log_dir_for(SF_DIR)
+    view_dir = os.path.join("/tmp/ddpr_cache", f"sf{sf}", "bench_view")
+    best = float("inf")
+    for _ in range(2):
+        _shutil.rmtree(view_dir, ignore_errors=True)
+        t0 = time.time()
+        maintain_view(log_dir, view_dir, num_partitions=32)
+        best = min(best, time.time() - t0)
+    timings["ivm_maintain_view"] = best
+    t0 = time.time()
+    maintain_view(log_dir, view_dir, num_partitions=32)
+    timings["ivm_incremental_noop"] = time.time() - t0
+
     ray.shutdown()
     return {
         "metric": "cdc_replay_sec",

@@ -86,29 +86,22 @@ def maintain_view(
     flt = pads.field("lsn") > min_wm
     if consumed < mx:
         flt = flt & (pads.field("lsn") <= consumed)
-    cpus = int(ray.cluster_resources().get("CPU", 4))
-    ds = ray.data.read_parquet(
-        log_files(log_dir),
-        columns=["lsn", "op", "before", "after"],
-        filter=flt,
-        override_num_blocks=max(2 * cpus, 8),
-    )
 
-    def delta_partial(t: pa.Table) -> pa.Table:
+    _empty = pa.table({"part": pa.array([], pa.int32()),
+                       "repo": pa.array([], pa.string()),
+                       "rows_d": pa.array([], pa.int64()),
+                       "chars_d": pa.array([], pa.int64())})
+
+    def _deltas_of(t: pa.Table) -> pd.DataFrame | None:
         t = t.filter(pc.not_equal(t["op"], "DDL"))
         if t.num_rows == 0:
-            return pa.table({"part": pa.array([], pa.int32()),
-                             "repo": pa.array([], pa.string()),
-                             "rows_d": pa.array([], pa.int64()),
-                             "chars_d": pa.array([], pa.int64())})
-        after, before = t["after"], t["before"]
-        repo = pc.coalesce(pc.struct_field(after, "repo"),
-                           pc.struct_field(before, "repo"))
+            return None
+        repo = pc.coalesce(t["a_repo"], t["b_repo"])
         # char length of the row image; null image (insert's before,
         # delete's after) contributes 0
-        a_len = pc.coalesce(pc.utf8_length(pc.struct_field(after, "content")),
+        a_len = pc.coalesce(pc.utf8_length(t["a_content"]),
                             pa.scalar(0, pa.int64())).cast(pa.int64())
-        b_len = pc.coalesce(pc.utf8_length(pc.struct_field(before, "content")),
+        b_len = pc.coalesce(pc.utf8_length(t["b_content"]),
                             pa.scalar(0, pa.int64())).cast(pa.int64())
         op = t["op"].to_pandas()
         rows_d = (op == "I").to_numpy(np.int64) - (op == "D").to_numpy(np.int64)
@@ -123,11 +116,45 @@ def maintain_view(
         # so an event at/below its target partition's watermark must never
         # be re-counted (crash-resume replays only unfenced partitions)
         df = df[df["lsn"].to_numpy() > wm[df["part"].to_numpy()]]
-        g = (df.groupby(["part", "repo"], sort=False, as_index=False)
+        return df
+
+    #: dotted nested projection: the aggregate needs SIX leaf columns
+    #: (lsn, op, both repos, both content-lengths) — reading the full
+    #: before/after structs would also decode path/commit/lang/stars/
+    #: language for every event. ray.data.read_parquet can't express
+    #: nested projection, so read tasks stream each file's row groups
+    #: through a pyarrow scanner (lsn filter pushdown intact) and fold
+    #: deltas as they go — task memory stays one scanner batch.
+    _PROJ = {
+        "lsn": pads.field("lsn"),
+        "op": pads.field("op"),
+        "a_repo": pads.field("after", "repo"),
+        "b_repo": pads.field("before", "repo"),
+        "a_content": pads.field("after", "content"),
+        "b_content": pads.field("before", "content"),
+    }
+
+    def delta_partial(batch: pa.Table) -> pa.Table:
+        frames = []
+        for f in batch["file"].to_pylist():
+            scanner = pads.dataset(f, format="parquet").scanner(
+                columns=_PROJ, filter=flt, batch_size=65536)
+            for rb in scanner.to_batches():
+                d = _deltas_of(pa.Table.from_batches([rb]))
+                if d is not None and len(d):
+                    frames.append(d)
+        if not frames:
+            return _empty
+        g = (pd.concat(frames, ignore_index=True)
+             .groupby(["part", "repo"], sort=False, as_index=False)
              [["rows_d", "chars_d"]].sum())
         return pa.Table.from_pandas(
             g.astype({"part": np.int32, "rows_d": np.int64,
                       "chars_d": np.int64}), preserve_index=False)
+
+    ds = ray.data.from_items(
+        [{"file": f} for f in log_files(log_dir)]
+    ).map_batches(delta_partial, batch_format="pyarrow", batch_size=1)
 
     import pyarrow.parquet as pq
 
@@ -166,8 +193,7 @@ def maintain_view(
     kw = {}
     if merge_concurrency:
         kw["concurrency"] = merge_concurrency
-    summary = (ds.map_batches(delta_partial, batch_format="pyarrow")
-               .groupby("part")
+    summary = (ds.groupby("part")
                .map_groups(merge_part, batch_format="pandas", **kw)
                .to_pandas())
 
