@@ -87,6 +87,14 @@ def main(argv: list[str] | None = None) -> int:
     pv.add_argument("--lake", required=True)
     pv.add_argument("--prune-below", type=int, default=None)
 
+    pvw = sub.add_parser(
+        "view", help="incrementally maintain the per-repo aggregate view "
+                     "from the change log (pipelines/ivm.py)")
+    pvw.add_argument("--log", required=True)
+    pvw.add_argument("--view", required=True)
+    pvw.add_argument("--partitions", type=int, default=16)
+    pvw.add_argument("--upto-lsn", type=int, default=None)
+
     ps = sub.add_parser("stats")
     ps.add_argument("--lake", required=True)
 
@@ -156,6 +164,18 @@ def main(argv: list[str] | None = None) -> int:
 
         request_stop(a.lake)
         print(json.dumps({"stop_requested": a.lake}))
+        return 0
+
+    if a.cmd == "view":
+        _ray_init(a.num_cpus)
+        from .pipelines.ivm import maintain_view
+
+        print(json.dumps(maintain_view(
+            a.log, a.view, num_partitions=a.partitions,
+            upto_lsn=a.upto_lsn)))
+        import ray
+
+        ray.shutdown()
         return 0
 
     if a.cmd == "vacuum":
