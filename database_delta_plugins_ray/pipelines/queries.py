@@ -365,6 +365,30 @@ def cdc_incremental_snapshot(sf_dir: str):
                        "_sequence_num"])
 
 
+def cdc_dead_letter_queue(sf_dir: str):
+    """errors.tolerance=all + dead-letter queue (Debezium/Kafka-Connect
+    operational contract): a log carrying ~3% poisoned events (unknown op
+    codes, missing row images) replays with ``on_error='dlq'`` — poison
+    routes to ``lake/_dlq`` and the job COMPLETES; the lake equals the
+    LWW over the clean events only (which is what the oracle computes)."""
+    log = ensure_variant_log(sf_dir, "poison_log", poison_frac=0.03)
+    lake = fresh_lake(sf_dir, "lake_dlq")
+    run_replication(log, lake, num_partitions=8, on_error="dlq")
+    return final_state(lake, columns=FINAL_COLS)
+
+
+def cdc_dlq_contents(sf_dir: str):
+    """The dead-letter queue itself: exactly the poisoned events, with
+    machine-readable reasons, deduped by lsn (the DLQ write is
+    at-least-once; the queue read is exact)."""
+    from .replicate import read_dlq
+
+    log = ensure_variant_log(sf_dir, "poison_log", poison_frac=0.03)
+    lake = fresh_lake(sf_dir, "lake_dlq2")
+    run_replication(log, lake, num_partitions=8, on_error="dlq")
+    return read_dlq(lake).select_columns(["lsn", "op", "reason"])
+
+
 def cdc_view_repo_stats(sf_dir: str):
     """Incremental view maintenance (pipelines/ivm.py): a per-repo
     aggregate (live path count + total content chars) kept in sync by
@@ -548,6 +572,37 @@ SELECT k_repo AS repo, k_path AS path, "commit", lang, stars, language,
        content_sha, lsn AS _sequence_num
 FROM ranked WHERE rn = 1 AND op <> 'D'
 """,
+        "cdc_dead_letter_queue": f"""
+WITH ev AS (
+  SELECT lsn, op,
+         coalesce(after.repo, before.repo)  AS k_repo,
+         coalesce(after.path, before.path)  AS k_path,
+         after."commit" AS "commit",
+         coalesce(after.language, after.lang) AS language,
+         after.stars AS stars,
+         sha256(after.content) AS content_sha
+  FROM read_parquet('{_variant_glob(sf, "poison_log")}')
+  WHERE op IN ('I', 'U', 'D')
+    AND ((op = 'D' AND before IS NOT NULL)
+         OR (op <> 'D' AND after IS NOT NULL))
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY k_repo, k_path ORDER BY lsn DESC) AS rn
+  FROM ev
+)
+SELECT k_repo AS repo, k_path AS path, "commit", language, stars, content_sha,
+       lsn AS _sequence_num
+FROM ranked WHERE rn = 1 AND op <> 'D'
+""",
+        "cdc_dlq_contents": f"""
+SELECT lsn, op,
+       CASE WHEN op = 'X' THEN 'unknown_op'
+            ELSE 'null_primary_key' END AS reason
+FROM read_parquet('{_variant_glob(sf, "poison_log")}')
+WHERE op = 'X'
+   OR (op IN ('I', 'U') AND after IS NULL)
+   OR (op = 'D' AND before IS NULL)
+""",
         "cdc_incremental_snapshot": f"""
 WITH ev AS (
   SELECT CASE WHEN tx_id LIKE 'chunk:%'
@@ -655,6 +710,8 @@ CDC_QUERIES = {
     "cdc_tx_consistent": cdc_tx_consistent,
     "cdc_view_repo_stats": cdc_view_repo_stats,
     "cdc_incremental_snapshot": cdc_incremental_snapshot,
+    "cdc_dead_letter_queue": cdc_dead_letter_queue,
+    "cdc_dlq_contents": cdc_dlq_contents,
     "cdc_table_filter": cdc_table_filter,
     "cdc_truncate_fence": cdc_truncate_fence,
 }

@@ -148,6 +148,7 @@ def run_replication(
     snapshot_restart: str = "continue",
     tx_consistent: bool = False,
     incremental_snapshot: bool = False,
+    on_error: str = "fail",
 ) -> dict:
     """Replay the event log into the Parquet lake; returns a lineage summary.
 
@@ -330,6 +331,8 @@ def run_replication(
         repo_salt=repo_salt,
         primary_key=primary_key,
         incremental_snapshot=incremental_snapshot,
+        on_error=on_error,
+        dlq_dir=(os.path.join(lake_dir, "_dlq") if on_error == "dlq" else None),
     )
     # Bandwidth-wall cap: this string-heavy normalize saturates a node's
     # memory bus near ~16 concurrent tasks (BASELINE.md: 8-16 CPUs beat 32
@@ -844,6 +847,23 @@ def read_lake(lake_dir: str, columns: list[str] | None = None) -> "ray.data.Data
     return ray.data.from_items(items).map_batches(
         load, batch_format="pyarrow", batch_size=1
     )
+
+
+def read_dlq(lake_dir: str) -> "ray.data.Dataset":
+    """Dead-letter queue as a Ray Dataset, deduped by lsn (the DLQ write
+    is at-least-once: a retried normalize task or a crash-replayed
+    increment may re-route the same poisoned event)."""
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(lake_dir, "_dlq", "dlq-*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no dead-letter files under {lake_dir}/_dlq")
+    ds = ray.data.read_parquet(files)
+
+    def first_per_lsn(g):
+        return g.head(1)
+
+    return ds.groupby("lsn").map_groups(first_per_lsn, batch_format="pandas")
 
 
 def final_state(lake_dir: str, columns: list[str] | None = None) -> "ray.data.Dataset":

@@ -100,6 +100,13 @@ class GenConfig:
     #: the fixed-schema single-table shape (no ddl_plan / truncate).
     incremental_snapshot: bool = False
     snapshot_chunks: int = 8
+    #: fraction of stream events emitted POISONED (malformed, the
+    #: errors.tolerance=all / dead-letter-queue scenario): half get an
+    #: unknown op code ("X"), half lose the row image their op needs
+    #: (insert/update: null after; delete: null before). Poisoned events
+    #: occupy their lsn slot but carry no applicable row, so the correct
+    #: final state is the LWW over the CLEAN events only.
+    poison_frac: float = 0.0
 
     def table_names(self) -> list[str]:
         return [self.table] + [f"{self.table}_{i}" for i in range(1, self.n_tables)]
@@ -509,6 +516,21 @@ def generate_log(out_dir: str, cfg: GenConfig | None = None, **kw) -> dict:
     # DML stream table
     has_after = op != OP_DELETE
     has_before = op != OP_INSERT
+    op_out = op
+    if cfg.poison_frac > 0 and n:
+        prng = np.random.default_rng(cfg.seed + 311)
+        pmask = prng.random(n) < cfg.poison_frac
+        pidx = np.flatnonzero(pmask)
+        bad_op = pidx[::2]          # unknown op code
+        bad_img = pidx[1::2]        # needed row image nulled
+        op_out = op.copy()
+        op_out[bad_op] = "X"
+        null_after = bad_img[op[bad_img] != OP_DELETE]
+        null_before = bad_img[op[bad_img] == OP_DELETE]
+        has_after = has_after.copy()
+        has_before = has_before.copy()
+        has_after[null_after] = False
+        has_before[null_before] = False
     before_ver = np.where(op == OP_DELETE, version, version - 1)
     after = _payload_struct(key_ids, version, sv_stream, has_after, cfg)
     before = _payload_struct(key_ids, before_ver, sv_stream, has_before, cfg)
@@ -537,7 +559,7 @@ def generate_log(out_dir: str, cfg: GenConfig | None = None, **kw) -> dict:
         {
             "lsn": pa.array(lsn_stream),
             "tx_id": tx,
-            "op": pa.array(op),
+            "op": pa.array(op_out),
             "table": pa.array(key_table[key_ids]),
             "before": before,
             "after": after,

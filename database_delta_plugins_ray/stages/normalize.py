@@ -129,6 +129,8 @@ class Normalizer:
         repo_salt: dict[str, int] | None = None,
         primary_key: tuple[str, ...] = ("repo", "path"),
         incremental_snapshot: bool = False,
+        on_error: str = "fail",
+        dlq_dir: str | None = None,
     ) -> None:
         """``partition_mode`` controls the shuffle key (SURVEY.md §4 skew):
 
@@ -156,6 +158,12 @@ class Normalizer:
         self.repo_salt = repo_salt or {}
         self.primary_key = tuple(primary_key)
         self.incremental_snapshot = incremental_snapshot
+        if on_error not in ("fail", "dlq"):
+            raise ValueError(f"on_error must be 'fail' or 'dlq', got {on_error!r}")
+        if on_error == "dlq" and not dlq_dir:
+            raise ValueError("on_error='dlq' requires dlq_dir")
+        self.on_error = on_error
+        self.dlq_dir = dlq_dir
         if partition_mode in ("repo", "repo_salted") and len(self.primary_key) < 2:
             raise ValueError(
                 f"partition_mode {partition_mode!r} needs a composite primary "
@@ -229,6 +237,35 @@ class Normalizer:
         )
         return out
 
+    def _dlq_write(self, batch: pa.Table, mask, reason: str) -> None:
+        """Route poisoned rows to the dead-letter directory instead of
+        failing the job (Debezium errors.tolerance=all + DLQ analog).
+        Filenames are unique per (task, write); a retried/replayed task
+        may duplicate rows, so ``read_dlq`` dedups by lsn — the DLQ is
+        at-least-once by construction, the lake stays exactly-once."""
+        import os
+        import uuid
+
+        import pyarrow.parquet as _pq
+
+        bad = batch.filter(mask)
+        if bad.num_rows == 0:
+            return
+        tbl = pa.table({
+            "lsn": bad["lsn"],
+            "tx_id": bad["tx_id"],
+            "op": bad["op"],
+            "table": bad["table"],
+            "reason": pa.array(np.full(bad.num_rows, reason)),
+        })
+        os.makedirs(self.dlq_dir, exist_ok=True)
+        mn = pc.min(bad["lsn"]).as_py() or 0
+        path = os.path.join(
+            self.dlq_dir, f"dlq-{mn:020d}-{uuid.uuid4().hex[:12]}.parquet")
+        tmp = path + ".tmp"
+        _pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+
     # -- main ------------------------------------------------------------
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -251,6 +288,10 @@ class Normalizer:
                     pc.if_else(is_chunk, eff, batch["lsn"]))
         # op normalization + drop DDL rows and unknown ops (M5/M6)
         ops = map_ops(batch["op"])
+        if self.on_error == "dlq":
+            bad_op = pc.is_null(ops)
+            if pc.any(bad_op).as_py():
+                self._dlq_write(batch, bad_op, "unknown_op")
         batch = batch.set_column(
             batch.schema.get_field_index("op"), "op", ops
         ).filter(pc.and_kleene(pc.is_valid(ops), pc.not_equal(ops, OP_DDL)))
@@ -292,15 +333,30 @@ class Normalizer:
         # would churn every content byte of every superseded event (the
         # dominant cost at high update ratios).
         is_del = pc.equal(batch["op"], OP_DELETE)
-        pk_arrays: list[np.ndarray] = []
-        for pk_col in self.primary_key:
-            arr = pc.if_else(is_del, pc.struct_field(batch["before"], pk_col),
-                             pc.struct_field(batch["after"], pk_col))
-            # arrow-level null check: numpy object-equality misses NaN from
-            # nullable numeric PKs (SqlServerRecordConsumer.java:129-133)
-            if pc.any(pc.is_null(arr)).as_py():
+        pk_cols = [
+            pc.if_else(is_del, pc.struct_field(batch["before"], pk_col),
+                       pc.struct_field(batch["after"], pk_col))
+            for pk_col in self.primary_key
+        ]
+        # arrow-level null check: numpy object-equality misses NaN from
+        # nullable numeric PKs (SqlServerRecordConsumer.java:129-133)
+        null_pk = None
+        for arr in pk_cols:
+            m = pc.is_null(arr)
+            null_pk = m if null_pk is None else pc.or_(null_pk, m)
+        if pc.any(null_pk).as_py():
+            if self.on_error != "dlq":
                 raise DeltaFailure("null primary key value in change stream")
-            pk_arrays.append(arr.to_numpy(zero_copy_only=False))
+            # a null needed-image (insert/update without after, delete
+            # without before) or null PK field: dead-letter and continue
+            self._dlq_write(batch, null_pk, "null_primary_key")
+            keep_m = pc.invert(null_pk)
+            batch = batch.filter(keep_m)
+            if batch.num_rows == 0:
+                return self._empty()
+            is_del = pc.equal(batch["op"], OP_DELETE)
+            pk_cols = [pc.filter(a, keep_m) for a in pk_cols]
+        pk_arrays = [a.to_numpy(zero_copy_only=False) for a in pk_cols]
         tb = batch["table"].to_numpy(zero_copy_only=False)
 
         # partition hashing uses the rename-chain ROOT table id so a key's
