@@ -365,6 +365,63 @@ def cdc_incremental_snapshot(sf_dir: str):
                        "_sequence_num"])
 
 
+def cdc_changelog_prev_commit(sf_dir: str):
+    """Changelog audit: every DML event annotated with the PREVIOUS commit
+    sha of its key (per-key LAG over lsn order) — the lineage view a
+    downstream auditor joins against. One key-hash coarse shuffle, then a
+    vectorized per-partition sort + grouped shift; keys never span
+    partitions so the window needs no carry. The read uses dotted nested
+    projection (six leaf columns; content never leaves storage)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from .replicate import log_files
+
+    files = log_files(ensure_log(sf_dir))
+    nparts = 32
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        out = []
+        for f in batch["file"].to_pylist():
+            t = pads.dataset(f, format="parquet").to_table(
+                columns={"lsn": pads.field("lsn"),
+                         "op": pads.field("op"),
+                         "a_repo": pads.field("after", "repo"),
+                         "b_repo": pads.field("before", "repo"),
+                         "a_path": pads.field("after", "path"),
+                         "b_path": pads.field("before", "path"),
+                         "a_commit": pads.field("after", "commit")})
+            t = t.filter(pc.not_equal(t["op"], "DDL"))
+            repo = pc.coalesce(t["a_repo"], t["b_repo"])
+            path = pc.coalesce(t["a_path"], t["b_path"])
+            kdf = pa.table({"r": repo, "p": path}).to_pandas()
+            import pandas as _pd
+
+            h = _pd.util.hash_pandas_object(kdf, index=False).to_numpy()
+            out.append(pa.table({
+                "part": pa.array((h % np.uint64(nparts)).astype(np.int32)),
+                "repo": repo, "path": path,
+                "lsn": t["lsn"], "op": t["op"],
+                "commit": t["a_commit"]}))
+        return pa.concat_tables(out)
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["repo", "path", "lsn"])
+        prev = g.groupby(["repo", "path"], sort=False)["commit"].shift(1)
+        # pandas shift yields float NaN for missing strings; emit real
+        # nulls so the Arrow block (and the driver's hash) sees None
+        g["prev_commit"] = prev.astype(object).where(prev.notna(), None)
+        return g[["repo", "path", "lsn", "op", "commit", "prev_commit"]]
+
+    return (ray.data.from_items([{"file": f} for f in files])
+            .map_batches(prep, batch_format="pyarrow", batch_size=1)
+            .groupby("part")
+            .map_groups(window, batch_format="pandas"))
+
+
 def cdc_dead_letter_queue(sf_dir: str):
     """errors.tolerance=all + dead-letter queue (Debezium/Kafka-Connect
     operational contract): a log carrying ~3% poisoned events (unknown op
@@ -572,6 +629,18 @@ SELECT k_repo AS repo, k_path AS path, "commit", lang, stars, language,
        content_sha, lsn AS _sequence_num
 FROM ranked WHERE rn = 1 AND op <> 'D'
 """,
+        "cdc_changelog_prev_commit": f"""
+WITH ev AS (
+  SELECT lsn, op,
+         coalesce(after.repo, before.repo)  AS repo,
+         coalesce(after.path, before.path)  AS path,
+         after."commit" AS "commit"
+  FROM read_parquet('{glob}') WHERE op <> 'DDL'
+)
+SELECT repo, path, lsn, op, "commit",
+       lag("commit") OVER (PARTITION BY repo, path ORDER BY lsn) AS prev_commit
+FROM ev
+""",
         "cdc_dead_letter_queue": f"""
 WITH ev AS (
   SELECT lsn, op,
@@ -710,6 +779,7 @@ CDC_QUERIES = {
     "cdc_tx_consistent": cdc_tx_consistent,
     "cdc_view_repo_stats": cdc_view_repo_stats,
     "cdc_incremental_snapshot": cdc_incremental_snapshot,
+    "cdc_changelog_prev_commit": cdc_changelog_prev_commit,
     "cdc_dead_letter_queue": cdc_dead_letter_queue,
     "cdc_dlq_contents": cdc_dlq_contents,
     "cdc_table_filter": cdc_table_filter,
