@@ -228,10 +228,13 @@ def run_bench() -> dict:
     import shutil as _shutil
 
     from database_delta_plugins_ray.pipelines.ivm import maintain_view
-    from database_delta_plugins_ray.pipelines.queries import log_dir_for
+    from database_delta_plugins_ray.pipelines.queries import (
+        CACHE_ROOT,
+        log_dir_for,
+    )
 
     log_dir = log_dir_for(SF_DIR)
-    view_dir = os.path.join("/tmp/ddpr_cache", f"sf{sf}", "bench_view")
+    view_dir = os.path.join(CACHE_ROOT, f"sf{sf}", "bench_view")
     best = float("inf")
     for _ in range(2):
         _shutil.rmtree(view_dir, ignore_errors=True)

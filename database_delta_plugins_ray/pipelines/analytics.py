@@ -1137,14 +1137,15 @@ def dedup_passages_documents(sf_dir: str):
                          chunk=10)
 
 
-def vocab_document_frequency(sf_dir: str, k: int = 100):
-    """Tokenizer-vocabulary build: corpus-wide term and document
-    frequency, top-k by (df desc, tok). Per-batch partial (tok, tf,
-    df) rows — a document lives wholly inside one batch, so per-batch
-    distinct-doc counts SUM to the exact global df — then one small
-    groupby over the vocabulary and a sort-limit on the aggregated
-    (one-row-per-token) set, never the corpus."""
-    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+def _vocab_tf_df(ds, cap: int):
+    """Shared vocabulary build (tokenizer-vocab convention): per-batch
+    partial (tok, tf, df) rows — a document lives wholly inside one
+    batch, so per-batch distinct-doc counts SUM to the exact global df —
+    then one small groupby over the vocabulary and a (df desc, tok)
+    sort-limit on the aggregated one-row-per-token set, never the
+    corpus. Both vocab_document_frequency and the tf-idf idf table build
+    through HERE, so tokenization and the cap tie-break can never drift
+    apart."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         from ..functions.text import _flat_lower_tokens
@@ -1165,8 +1166,15 @@ def vocab_document_frequency(sf_dir: str, k: int = 100):
            .groupby("tok")
            .aggregate(Sum("tf", alias_name="tf"),
                       Sum("df", alias_name="df")))
-    return (agg.sort(["df", "tok"], descending=[True, False]).limit(k)
-            .to_pandas()[["tok", "df", "tf"]])
+    return (agg.sort(["df", "tok"], descending=[True, False]).limit(cap)
+            .to_pandas())
+
+
+def vocab_document_frequency(sf_dir: str, k: int = 100):
+    """Tokenizer-vocabulary build: corpus-wide term and document
+    frequency, top-k by (df desc, tok) — see ``_vocab_tf_df``."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return _vocab_tf_df(ds, k)[["tok", "df", "tf"]]
 
 
 def tfidf_top_terms_documents(sf_dir: str, k: int = 3, vocab_cap: int = 50_000):
@@ -1187,23 +1195,7 @@ def tfidf_top_terms_documents(sf_dir: str, k: int = 3, vocab_cap: int = 50_000):
     import ray
 
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
-
-    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
-        from ..functions.text import _flat_lower_tokens
-
-        flat, di, _ = _flat_lower_tokens(df["text"].reset_index(drop=True))
-        if len(flat) == 0:
-            return pd.DataFrame({"tok": pd.Series([], dtype=str),
-                                 "df": pd.Series([], dtype=np.int64)})
-        g = (pd.DataFrame({"tok": flat, "d": di})
-             .groupby("tok", sort=False)["d"].nunique()
-             .rename("df").reset_index())
-        return g
-
-    vocab = (ds.map_batches(df_partial, batch_format="pandas")
-             .groupby("tok").aggregate(Sum("df", alias_name="df"))
-             .sort(["df", "tok"], descending=[True, False]).limit(vocab_cap)
-             .to_pandas())
+    vocab = _vocab_tf_df(ds, vocab_cap)
     n_docs = float(ds.count())
     idf_ref = ray.put(pd.Series(vocab["df"].to_numpy(np.int64),
                                 index=vocab["tok"].to_numpy()))

@@ -71,6 +71,29 @@ def maintain_view(
     """
     t0 = time.time()
     os.makedirs(os.path.join(view_dir, ckpt.CHECKPOINT_DIR), exist_ok=True)
+
+    # pin the partitioning config per view (lake_config.json analog in
+    # replicate.py): per-partition watermarks are only valid under the
+    # SAME repo->partition mapping, and deltas are NON-idempotent — a
+    # silently changed num_partitions would re-apply fenced deltas under
+    # fresh watermarks and corrupt the aggregate
+    import json as _json
+
+    cfg_path = os.path.join(view_dir, ckpt.CHECKPOINT_DIR, "view_config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as fh:
+            stored = _json.load(fh)
+        if stored != {"num_partitions": num_partitions}:
+            raise ValueError(
+                f"view at {view_dir} was maintained with {stored}, got "
+                f"num_partitions={num_partitions}; use the stored value or "
+                "a new view directory (re-partitioning requires a rebuild)")
+    else:
+        tmp = cfg_path + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            _json.dump({"num_partitions": num_partitions}, fh)
+        os.replace(tmp, cfg_path)
+
     mx = log_max_lsn(log_dir)
     consumed = mx if upto_lsn is None else min(upto_lsn, mx)
 

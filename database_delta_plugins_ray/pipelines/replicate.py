@@ -860,10 +860,22 @@ def read_dlq(lake_dir: str) -> "ray.data.Dataset":
         raise FileNotFoundError(f"no dead-letter files under {lake_dir}/_dlq")
     ds = ray.data.read_parquet(files)
 
-    def first_per_lsn(g):
-        return g.head(1)
+    # coarse-partition dedup (the join/LSH co-location trick): one small
+    # shuffle on hash(lsn) % nparts, then ONE vectorized drop_duplicates
+    # per partition — never a per-lsn map_groups dispatch
+    def coarse(t: pa.Table) -> pa.Table:
+        import pandas as _pd
 
-    return ds.groupby("lsn").map_groups(first_per_lsn, batch_format="pandas")
+        h = _pd.util.hash_array(t["lsn"].to_numpy(zero_copy_only=False))
+        return t.append_column(
+            "__dpart", pa.array((h % np.uint64(64)).astype(np.int32)))
+
+    def drop_dupes(g):
+        return g.drop_duplicates("lsn").drop(columns="__dpart")
+
+    return (ds.map_batches(coarse, batch_format="pyarrow")
+            .groupby("__dpart")
+            .map_groups(drop_dupes, batch_format="pandas"))
 
 
 def final_state(lake_dir: str, columns: list[str] | None = None) -> "ray.data.Dataset":

@@ -276,8 +276,14 @@ class Normalizer:
             # take the chunk's LOW watermark as their EFFECTIVE sequence —
             # any stream event past the watermark beats the chunk row in
             # LWW (the watermark-window reconciliation), while chunk rows
-            # beat nothing newer. Arrival lsns (used by the resume fence)
-            # stay untouched; only the ordering key is rewritten.
+            # beat nothing newer. NOTE: this rewrites THE lsn column that
+            # the downstream merger fences on and records as the partition
+            # watermark — manifests of an incremental-snapshot lake carry
+            # effective lsns. Exactly-once therefore relies on chunk-block
+            # ATOMICITY for bounded replay: replicate.py forces the tx
+            # fence so no block is ever split across a resume boundary
+            # (a split block's tail, eff < watermark, would be fenced out).
+            # Only the parquet-level read filter sees arrival lsns.
             is_chunk = pc.starts_with(batch["tx_id"], "chunk:")
             if pc.any(is_chunk).as_py():
                 eff = pc.cast(

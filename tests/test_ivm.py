@@ -108,3 +108,17 @@ def test_partial_commit_resume_no_double_count(ray_session, ivm_log, tmp_path):
 
     maintain_view(ivm_log, view, num_partitions=4)
     pd.testing.assert_frame_equal(_view_df(view), _recompute(ivm_log))
+
+
+def test_changed_num_partitions_rejected(ray_session, ivm_log, tmp_path):
+    """Deltas are non-idempotent: re-keying an existing view to a
+    different partition count would re-apply fenced deltas under fresh
+    watermarks — the config pin must refuse."""
+    view = str(tmp_path / "vp")
+    maintain_view(ivm_log, view, num_partitions=4,
+                  upto_lsn=log_max_lsn(ivm_log) // 2)
+    with pytest.raises(ValueError, match="num_partitions"):
+        maintain_view(ivm_log, view, num_partitions=8)
+    # the pinned value still works
+    maintain_view(ivm_log, view, num_partitions=4)
+    pd.testing.assert_frame_equal(_view_df(view), _recompute(ivm_log))
