@@ -1403,6 +1403,63 @@ def kmeans_embeddings(sf_dir: str):
     return assigns
 
 
+def corpus_prep_pipeline(sf_dir: str, min_quality: float = 0.5,
+                         sample_permille: int = 500):
+    """End-to-end corpus-prep COMPOSITION — the pipeline a training-data
+    user actually runs: quality filter -> exact dedup (min-doc-id
+    survivor keeps its payload) -> deterministic 50% hash sample. One
+    corpus scan computes quality + md5 and drops low-quality docs BEFORE
+    the shuffle; the one shuffle moves only (md5, id, lang, n_chars,
+    score) survivor candidates coarse-partitioned by hash(md5), never
+    text; the sample is a stateless hash filter. The oracle chains the
+    same three stages in SQL, so composition itself is correctness-gated
+    (ordering note: dedup picks the MIN doc id, and the sample keys on
+    the survivor's id, so sample-after-dedup is the specified and tested
+    order)."""
+    import hashlib as _hl
+
+    from ..stages.sample import md5_u64
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+    nparts = 64
+
+    class Prep:
+        def __init__(self):
+            from ..functions import text as textmod
+
+            self.mod = textmod
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            q = self.mod.quality_scores(df["text"])
+            vals = df["text"].to_numpy()
+            md5s = np.fromiter(
+                (_hl.md5(s.encode()).hexdigest() for s in vals),
+                dtype="<U32", count=len(vals))
+            out = pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy(),
+                "lang": df["lang"].to_numpy(),
+                "n_chars": q["n_chars"].to_numpy(),
+                "quality_score": q["quality_score"].to_numpy(),
+                "text_md5": md5s,
+            })
+            out = out[out["quality_score"] >= min_quality]
+            h = pd.util.hash_array(out["text_md5"].to_numpy())
+            out["part"] = (h % np.uint64(nparts)).astype(np.int32)
+            return out
+
+    def dedup_and_sample(g: pd.DataFrame) -> pd.DataFrame:
+        surv = (g.sort_values("doc_id")
+                .groupby("text_md5", sort=False).head(1))
+        keep = md5_u64(surv["doc_id"].to_numpy()) % np.uint64(1000) \
+            < np.uint64(sample_permille)
+        return surv.loc[keep, ["doc_id", "lang", "n_chars",
+                               "quality_score"]]
+
+    return (ds.map_batches(Prep, batch_format="pandas", concurrency=2)
+            .groupby("part")
+            .map_groups(dedup_and_sample, batch_format="pandas"))
+
+
 def pca_embeddings(sf_dir: str):
     """Distributed PCA (stages/pca.py): one moment-partials pass fits the
     model on the driver's O(d^2) fold, one stateless matmul pass projects.
@@ -1767,6 +1824,21 @@ def _rate_case() -> str:
 
 # md5_number_lower == little-endian uint64 of md5-digest bytes 8..16 —
 # bit-identical to stages/sample.py:md5_u64 (verified vs duckdb 1.0)
+ANALYTICS_ORACLE_SQL["corpus_prep_pipeline"] = """
+WITH q AS ({Q}),
+j AS (
+  SELECT d.doc_id, d.lang, q.n_chars, q.quality_score, md5(d.text) AS text_md5
+  FROM documents d JOIN q USING (doc_id)
+  WHERE q.quality_score >= 0.5
+),
+s AS (
+  SELECT * FROM j
+  QUALIFY row_number() OVER (PARTITION BY text_md5 ORDER BY doc_id) = 1
+)
+SELECT doc_id, lang, n_chars, quality_score FROM s
+WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < 500
+""".replace("{Q}", ANALYTICS_ORACLE_SQL["quality_scores_documents"])
+
 ANALYTICS_ORACLE_SQL["sample_documents_deterministic"] = f"""
 SELECT doc_id, lang, source FROM documents
 WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < {_rate_case()}
@@ -2125,6 +2197,7 @@ ANALYTICS_QUERIES = {
     "heavy_hitters_tokens": heavy_hitters_tokens,
     "kmeans_embeddings": kmeans_embeddings,
     "pca_embeddings": pca_embeddings,
+    "corpus_prep_pipeline": corpus_prep_pipeline,
     "approx_quantiles_event_value": approx_quantiles_event_value,
     "corpus_report_documents": corpus_report_documents,
     "dedup_incremental_documents": dedup_incremental_documents,
