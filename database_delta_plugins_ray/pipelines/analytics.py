@@ -929,6 +929,51 @@ def customers_without_events(sf_dir: str):
                              nparts=32, prefilter=True)
 
 
+def customer_order_stats_right(sf_dir: str):
+    """Per-customer order rollup INCLUDING zero-order customers, via the
+    RIGHT-join path of the shuffle hash join (``stages/join.py``): order
+    partials (left — one row per (batch, custkey) after a per-batch
+    combiner) RIGHT JOIN customer (right — every customer survives;
+    unmatched ones carry null partials that fold to 0). ``post=`` sums
+    the partials per custkey INSIDE the join task — hash partitioning
+    means a key never spans partitions, so the rollup is exact with no
+    second all-to-all. prefilter=True Bloom-prunes order rows whose
+    custkey is absent from the customer table before the shuffle (for
+    a right join the build side is the right/customer side). Integer
+    cents keep the DuckDB oracle hash-exact."""
+    from ..stages.join import shuffle_hash_join
+
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        cents = np.floor(
+            df["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        g = (pd.DataFrame({"c_custkey": df["o_custkey"].to_numpy(),
+                           "n_part": np.int64(1), "cents_part": cents})
+             .groupby("c_custkey", sort=False, as_index=False).sum())
+        return pa.table({
+            "c_custkey": pa.array(g["c_custkey"], pa.int64()),
+            "n_part": pa.array(g["n_part"], pa.int64()),
+            "cents_part": pa.array(g["cents_part"], pa.int64()),
+        })
+
+    partials = orders.map_batches(combine, batch_format="pyarrow")
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["c_custkey", "c_name"], sort=False,
+                       as_index=False).agg(n_orders=("n_part", "sum"),
+                                           total_cents=("cents_part", "sum"))
+        # all-NaN groups (zero-order customers) sum to 0.0 float
+        g["n_orders"] = g["n_orders"].astype("int64")
+        g["total_cents"] = g["total_cents"].astype("int64")
+        return g
+
+    return shuffle_hash_join(partials, cust, on="c_custkey", how="right",
+                             nparts=32, prefilter=True, post=fold)
+
+
 def q3_shipping_priority(sf_dir: str):
     """TPC-H Q3 shape: top-10 unshipped orders by revenue. Exercises the
     general LARGE x LARGE shuffle hash join (``stages/join.py``) that
@@ -1879,6 +1924,15 @@ SELECT c_custkey, c_name, c_acctbal FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
 """
 
+ANALYTICS_ORACLE_SQL["customer_order_stats_right"] = r"""
+SELECT c_custkey, c_name,
+       COUNT(o_custkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(floor(o_totalprice*100.0 + 0.5) AS BIGINT)), 0)
+            AS BIGINT) AS total_cents
+FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+"""
+
 ANALYTICS_ORACLE_SQL["q3_shipping_priority"] = f"""
 SELECT o_orderkey, o_orderdate,
        round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -2184,6 +2238,7 @@ ANALYTICS_QUERIES = {
     "mix_token_budget_documents": mix_token_budget_documents,
     "q3_shipping_priority": q3_shipping_priority,
     "customers_without_events": customers_without_events,
+    "customer_order_stats_right": customer_order_stats_right,
     "doc_length_percentiles": doc_length_percentiles,
     "distinct_users_per_type": distinct_users_per_type,
     "q5_local_supplier_volume": q5_local_supplier_volume,

@@ -133,11 +133,11 @@ def shuffle_hash_join(
 
     Non-key column names must be disjoint between the two sides (rename
     before joining); key columns must share names and types. ``how`` is
-    ``inner``, ``left``, ``outer`` (full outer), ``semi`` (left rows
-    with a right match, left payload only) or ``anti`` (left rows with
-    NO right match). Existence joins ship only the right side's key
-    columns through the shuffle. Returns a dataset with key columns +
-    left payload (+ right payload for inner/left/outer).
+    ``inner``, ``left``, ``right``, ``outer`` (full outer), ``semi``
+    (left rows with a right match, left payload only) or ``anti`` (left
+    rows with NO right match). Existence joins ship only the right
+    side's key columns through the shuffle. Returns a dataset with key
+    columns + left payload (+ right payload for inner/left/right/outer).
 
     ``post`` (optional, ``DataFrame -> DataFrame``) runs on each
     partition's joined frame INSIDE the join task.  Because partitions
@@ -147,15 +147,15 @@ def shuffle_hash_join(
     key reuses the join's partitioning" plan).  Not available with
     ``salt > 1`` (a salted hot key spans partitions).
     """
-    if how not in ("inner", "left", "outer", "semi", "anti"):
+    if how not in ("inner", "left", "right", "outer", "semi", "anti"):
         raise ValueError(f"unsupported join type: {how}")
     if prefilter and how == "outer":
         raise ValueError("prefilter is unavailable for outer joins "
                          "(neither side's rows may be dropped)")
-    if salt > 1 and how == "outer":
+    if salt > 1 and how in ("right", "outer"):
         # salting replicates the right side once per salt value; an
         # unmatched right row would then surface ``salt`` times
-        raise ValueError("salt > 1 is unavailable for outer joins")
+        raise ValueError(f"salt > 1 is unavailable for {how} joins")
     if post is not None and salt > 1:
         raise ValueError("post= requires salt=1 (salted keys span partitions)")
     keys = [on] if isinstance(on, str) else list(on)
@@ -174,10 +174,11 @@ def shuffle_hash_join(
         import ray
 
         # semi behaves like inner (a left row the bloom rejects is a
-        # definite non-member — semi excludes it anyway); anti behaves
-        # like left (left rows must all survive; right keys absent from
-        # the left are irrelevant to the existence test)
-        probe_is_left = how in ("inner", "semi")
+        # definite non-member — semi excludes it anyway); right joins
+        # too (right rows must all survive, unmatched LEFT rows may be
+        # dropped); anti behaves like left (left rows must all survive;
+        # right keys absent from the left are irrelevant)
+        probe_is_left = how in ("inner", "semi", "right")
         build, probe_left = (right, True) if probe_is_left else (left, False)
         bloom_ref = ray.put(bloom_of_keys(
             build, keys, nbits=prefilter_bits, nhash=prefilter_hashes))
@@ -232,6 +233,14 @@ def shuffle_hash_join(
             if l.empty and r.empty:
                 return post(proto) if post is not None else proto
             out = l.merge(r, on=merge_keys, how="outer")[out_names]
+            return post(out) if post is not None else out
+        if how == "right":
+            # mirror of the left join: every right row survives (null
+            # left payload when unmatched); an empty right side yields
+            # nothing even when left rows are present
+            if r.empty:
+                return post(proto) if post is not None else proto
+            out = l.merge(r, on=merge_keys, how="right")[out_names]
             return post(out) if post is not None else out
         if l.empty or (r.empty and how in ("inner", "semi")):
             return post(proto) if post is not None else proto

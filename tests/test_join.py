@@ -234,3 +234,43 @@ def test_outer_join_salt_rejected(ray_session):
     right = _ds([{"k": 1, "b": 1.0}])
     with pytest.raises(ValueError):
         shuffle_hash_join(left, right, on="k", how="outer", salt=2)
+
+
+def test_right_join(ray_session):
+    from database_delta_plugins_ray.stages.join import shuffle_hash_join
+
+    left = _ds([{"k": 1, "a": "x"}, {"k": 1, "a": "z"}, {"k": 2, "a": "y"}])
+    right = _ds([{"k": 1, "b": 7.0}, {"k": 9, "b": 8.0}])
+    out = pd.DataFrame(
+        shuffle_hash_join(left, right, on="k", how="right").take_all())
+    got = sorted(map(tuple, out[["k", "a", "b"]].astype(str)
+                     .itertuples(index=False)))
+    # both left rows of k=1 match; k=2 (left-only) is dropped; k=9
+    # (right-only) survives with null left payload
+    want = sorted([("1", "x", "7.0"), ("1", "z", "7.0"), ("9", "nan", "8.0")])
+    assert got == want
+    with pytest.raises(ValueError):
+        shuffle_hash_join(left, right, on="k", how="right", salt=2)
+
+
+def test_right_join_matches_pandas_and_prefilter(ray_session):
+    from database_delta_plugins_ray.stages.join import shuffle_hash_join
+
+    rng = np.random.default_rng(13)
+    l = pd.DataFrame({"k": rng.integers(0, 40, 250),
+                      "a": rng.integers(0, 1000, 250)})
+    r = pd.DataFrame({"k": rng.integers(20, 60, 150),
+                      "b": rng.integers(0, 1000, 150)})
+    want = l.merge(r, on="k", how="right")
+    for pf in (False, True):
+        out = pd.DataFrame(
+            shuffle_hash_join(
+                ray.data.from_pandas(l), ray.data.from_pandas(r),
+                on="k", how="right", prefilter=pf,
+            ).take_all()
+        )
+        got = sorted(map(tuple, out[["k", "a", "b"]].astype(float).fillna(-1)
+                         .itertuples(index=False)))
+        exp = sorted(map(tuple, want[["k", "a", "b"]].astype(float).fillna(-1)
+                         .itertuples(index=False)))
+        assert got == exp
