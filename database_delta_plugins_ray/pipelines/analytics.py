@@ -606,6 +606,25 @@ def ann_topk_ivf_q(sf_dir: str):
     return df
 
 
+def ann_topk_lsh_q(sf_dir: str):
+    """Random-hyperplane LSH top-10 over the persisted bucketed index
+    (data-independent alternative to IVF; reads only the multiprobe
+    bucket set per table)."""
+    from ..stages.similarity import ann_topk_lsh
+
+    idx_dir = _cache_dir(sf_dir, "lsh_index")
+    df = ann_topk_lsh(
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"]), _query_vec(sf_dir),
+        # isotropic synthetic embeddings need wide probing for recall,
+        # same caveat as the IVF query's nprobe — real corpora cluster
+        k=10, index_dir=idx_dir, n_planes=6, n_tables=12, multiprobe=3,
+        source_tag=_source_fingerprint(
+            os.path.join(sf_dir, "embeddings.parquet")),
+    )
+    df["score"] = df["score"].round(5)
+    return df
+
+
 def events_running_revenue(sf_dir: str):
     """Global window function SUM(cents) OVER (ORDER BY ts, event_id)
     via the distributed range-bucket prefix scan (stages/scan.py) — no
@@ -2232,6 +2251,7 @@ ANALYTICS_QUERIES = {
     "dedup_embedding_vectors": dedup_embedding_vectors,
     "ann_topk_cosine": ann_topk_cosine,
     "ann_topk_ivf": ann_topk_ivf_q,
+    "ann_topk_lsh": ann_topk_lsh_q,
     "multimodal_features": multimodal_features,
     "sample_documents_deterministic": sample_documents_deterministic,
     "redact_pii_documents": redact_pii_documents,

@@ -9,6 +9,14 @@
   (``cluster=`` Parquet directories); every query then reads only the
   ``nprobe`` bucket directories — pruned IO, not scan-and-mask. Centroids
   from seeded k-means on a driver-side sample. Same output contract.
+* ``ann_topk_lsh`` / ``LSHDiskIndex`` — the LSH-bucketed alternative: L
+  random-hyperplane signatures (Charikar 2002, SimHash-for-cosine) bucket
+  each vector L times into ``tbl=/bucket=`` Parquet directories; queries
+  read only the multiprobe bucket set per table (base bucket + the
+  lowest-|margin| bit flips, Lv et al. 2007). Data-independent — no
+  training pass, so the index build is a single streaming scatter and
+  works on adversarial/drifting corpora where k-means centroids go stale.
+  Storage trade-off: vectors are written once per table (L x).
 """
 
 from __future__ import annotations
@@ -228,6 +236,189 @@ class IVFDiskIndex:
         ]
         sub = ray.data.read_parquet(files, columns=[id_col, vec_col])
         return ann_topk_bruteforce(sub, q, k, vec_col=vec_col, id_col=id_col)
+
+
+def _lsh_buckets(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Pack per-table sign bits into int bucket ids.
+
+    ``m`` is (n, d) unit vectors, ``planes`` is (L, b, d); returns
+    (n, L) int32 bucket ids where bit j of table t is
+    ``sign(m @ planes[t, j]) > 0``."""
+    L, b, d = planes.shape
+    proj = m @ planes.reshape(L * b, d).T  # (n, L*b)
+    bits = (proj > 0).astype(np.int32).reshape(len(m), L, b)
+    weights = (1 << np.arange(b, dtype=np.int32))
+    return (bits * weights).sum(axis=2, dtype=np.int32)  # (n, L)
+
+
+class LSHDiskIndex:
+    """Persisted random-hyperplane LSH index over a cosine embedding
+    column — the data-independent scale path beside ``IVFDiskIndex``.
+
+    ``build`` runs ONE streaming scatter: each vector's L per-table
+    bucket ids come from a single (n, d) @ (d, L*b) matmul inside
+    ``map_batches``; the batch is emitted L times tagged (tbl, bucket)
+    and written Parquet-partitioned by ``tbl=/bucket=`` (shuffle-free
+    partitioned write, same pattern as the IVF build). Atomic
+    tmp+rename build; ``source_tag`` invalidation.
+
+    ``search`` reads ONLY the multiprobe bucket directories: per table
+    the query's base bucket plus the ``multiprobe - 1`` buckets reached
+    by flipping the lowest-|projection-margin| bits (the bits most
+    likely to disagree for true neighbours). Candidates are deduped by
+    id across tables before the exact-cosine finish. Recall is governed
+    by (n_planes, n_tables, multiprobe); on isotropic synthetic vectors
+    (no cluster structure) wide probing is needed, like IVF's high
+    nprobe — real embedding corpora concentrate."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.planes = np.load(os.path.join(index_dir, "planes.npy"))
+
+    @classmethod
+    def build(
+        cls,
+        ds: "ray.data.Dataset",
+        index_dir: str,
+        *,
+        n_planes: int = 6,
+        n_tables: int = 12,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        seed: int = 1,
+        source_tag: str = "",
+    ) -> "LSHDiskIndex":
+        import shutil
+
+        dim = len(ds.limit(1).take_all()[0][vec_col])
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal(
+            (n_tables, n_planes, dim)).astype(np.float32)
+        p_ref = ray.put(planes)
+
+        def scatter(df: pd.DataFrame) -> pd.DataFrame:
+            p = ray.get(p_ref)
+            m = _unit(_as_matrix(df[vec_col]).astype(np.float32))
+            buckets = _lsh_buckets(m, p)  # (n, L)
+            n, L = buckets.shape
+            ids = df[id_col].to_numpy()
+            return pd.DataFrame(
+                {
+                    id_col: np.tile(ids, L),
+                    vec_col: list(np.tile(m, (L, 1)).astype(np.float32)),
+                    "tbl": np.repeat(np.arange(L, dtype=np.int32), n),
+                    "bucket": buckets.T.reshape(-1),
+                }
+            )
+
+        tmp_dir = index_dir + f".tmp.{os.getpid()}"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        os.makedirs(tmp_dir, exist_ok=True)
+        ds.map_batches(scatter, batch_format="pandas").write_parquet(
+            os.path.join(tmp_dir, "data"), partition_cols=["tbl", "bucket"]
+        )
+        if source_tag:
+            with open(os.path.join(tmp_dir, "source.txt"), "w") as fh:
+                fh.write(source_tag)
+        np.save(os.path.join(tmp_dir, "planes.npy"), planes)
+        shutil.rmtree(index_dir, ignore_errors=True)
+        os.rename(tmp_dir, index_dir)
+        return cls(index_dir)
+
+    def probe_buckets(self, query: np.ndarray, multiprobe: int) -> list:
+        """(tbl, bucket) list: base bucket per table + the multiprobe-1
+        single-bit flips with the smallest |projection| (the hyperplanes
+        the query sits closest to)."""
+        q = _unit(query.reshape(1, -1).astype(np.float32))
+        L, b, d = self.planes.shape
+        proj = (q @ self.planes.reshape(L * b, d).T).reshape(L, b)
+        base = _lsh_buckets(q, self.planes)[0]  # (L,)
+        out = []
+        for t in range(L):
+            out.append((t, int(base[t])))
+            flips = np.argsort(np.abs(proj[t]))[: max(0, multiprobe - 1)]
+            for j in flips:
+                out.append((t, int(base[t]) ^ (1 << int(j))))
+        return out
+
+    def search(
+        self,
+        query: np.ndarray,
+        k: int = 10,
+        *,
+        multiprobe: int = 3,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> pd.DataFrame:
+        import glob as _glob
+
+        q = _unit(query.reshape(1, -1).astype(np.float32))[0]
+        files = [
+            f
+            for t, bkt in self.probe_buckets(query, multiprobe)
+            for f in _glob.glob(
+                os.path.join(self.index_dir, "data",
+                             f"tbl={t}", f"bucket={bkt}", "*.parquet"))
+        ]
+        if not files:
+            return pd.DataFrame({id_col: [], "score": []})
+        sub = ray.data.read_parquet(files, columns=[id_col, vec_col])
+        q_ref = ray.put(q)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            qq = ray.get(q_ref)
+            m = _unit(_as_matrix(df[vec_col]).astype(np.float32))
+            scores = m @ qq
+            if len(scores) > k:
+                idx = np.argpartition(-scores, k)[:k]
+            else:
+                idx = np.arange(len(scores))
+            return pd.DataFrame({id_col: df[id_col].to_numpy()[idx],
+                                 "score": scores[idx].astype(np.float64)})
+
+        partials = sub.map_batches(partial, batch_format="pandas").take_all()
+        # a vector appears once per table it collided in — dedup by id
+        # before the exact finish or the same id could fill two top-k slots
+        best: dict = {}
+        for r in partials:
+            vid = r[id_col]
+            if vid not in best or r["score"] > best[vid]:
+                best[vid] = r["score"]
+        top = heapq.nsmallest(k, best.items(), key=lambda t: (-t[1], t[0]))
+        return pd.DataFrame(top, columns=[id_col, "score"])
+
+
+def ann_topk_lsh(
+    ds: "ray.data.Dataset",
+    query: np.ndarray,
+    k: int = 10,
+    *,
+    index_dir: str,
+    n_planes: int = 6,
+    n_tables: int = 12,
+    multiprobe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 1,
+    source_tag: str = "",
+) -> pd.DataFrame:
+    """LSH top-k over a persisted bucketed index (built once per
+    ``index_dir``, reused across queries); reads only the multiprobe
+    bucket set. A ``source_tag`` mismatch forces a rebuild."""
+    stamp = os.path.join(index_dir, "source.txt")
+    valid = os.path.exists(os.path.join(index_dir, "planes.npy"))
+    if valid and source_tag:
+        stored = open(stamp).read() if os.path.exists(stamp) else None
+        valid = stored == source_tag
+    if valid:
+        index = LSHDiskIndex(index_dir)
+    else:
+        index = LSHDiskIndex.build(
+            ds, index_dir, n_planes=n_planes, n_tables=n_tables,
+            vec_col=vec_col, id_col=id_col, seed=seed, source_tag=source_tag,
+        )
+    return index.search(query, k, multiprobe=multiprobe,
+                        vec_col=vec_col, id_col=id_col)
 
 
 def ann_topk_ivf(

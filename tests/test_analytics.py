@@ -262,3 +262,57 @@ def test_ann_multi_query_matches_single(ray_session):
     q0 = queries[0] / np.linalg.norm(queries[0])
     ref = np.argsort(-(u @ q0))[:k]
     assert list(multi[multi["query_idx"] == 0]["vec_id"]) == list(ref)
+
+
+def test_ann_lsh_clustered_recall_and_pruned_read(ray_session, tmp_path):
+    """Persisted LSH index: high recall on clustered data while reading
+    only the multiprobe bucket set; reopen reuses the index."""
+    import glob
+
+    from database_delta_plugins_ray.stages.similarity import (
+        LSHDiskIndex,
+        ann_topk_bruteforce,
+        ann_topk_lsh,
+    )
+
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((8, 16)) * 4
+    vecs = (centers[rng.integers(0, 8, 600)] +
+            rng.standard_normal((600, 16))).astype(np.float32)
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(600)]
+    )
+    q = vecs[11]
+    idx_dir = str(tmp_path / "lsh")
+    exact = set(ann_topk_bruteforce(ds, q, k=10)["vec_id"])
+    approx = set(ann_topk_lsh(ds, q, k=10, index_dir=idx_dir,
+                              n_planes=6, n_tables=8, multiprobe=3)["vec_id"])
+    assert len(exact & approx) >= 9  # clustered data -> high recall
+
+    # persisted layout: one dir tree per table, bucket dirs inside
+    tables = glob.glob(str(tmp_path / "lsh" / "data" / "tbl=*"))
+    assert len(tables) == 8
+    idx = LSHDiskIndex(idx_dir)
+    # probe set is a strict subset: 3 buckets per table out of 2^6
+    probes = idx.probe_buckets(q, 3)
+    assert len(probes) == 8 * 3
+    assert len({t for t, _ in probes}) == 8
+    again = set(idx.search(q, k=10, multiprobe=3)["vec_id"])
+    assert again == approx
+
+
+def test_ann_lsh_dedups_cross_table_candidates(ray_session, tmp_path):
+    """A vector colliding in several tables must fill only ONE top-k slot."""
+    from database_delta_plugins_ray.stages.similarity import ann_topk_lsh
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16).astype(np.float32)
+    rows = [{"vec_id": i,
+             "embedding": (base + 0.01 * rng.standard_normal(16)
+                           .astype(np.float32)).tolist()}
+            for i in range(12)]  # 12 near-identical vectors: collide in ALL tables
+    ds = ray.data.from_items(rows)
+    out = ann_topk_lsh(ds, base, k=10, index_dir=str(tmp_path / "lsh2"),
+                       n_planes=4, n_tables=6, multiprobe=2)
+    assert out["vec_id"].is_unique
+    assert len(out) == 10

@@ -272,3 +272,23 @@ def test_cluster_query_collapses_planted_groups(planted):
         assert labels.get(a) == labels.get(b) == min(a, b)
     survivors = {d for d, c in labels.items() if d == c}
     assert survivors == {min(a, b) for a, b in expected}
+
+
+def test_lsh_query_recall_vs_bruteforce(ray_session):
+    """Query-level LSH (persisted index) vs exact brute force on the driver
+    testdata: recall@10 >= 0.8 on isotropic vectors with wide probing."""
+    import glob
+    import shutil
+
+    from database_delta_plugins_ray.pipelines.analytics import (
+        ann_topk_cosine,
+        ann_topk_lsh_q,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    shutil.rmtree("/tmp/ddpr_cache/sf0.001/lsh_index", ignore_errors=True)
+    exact = set(ann_topk_cosine(sf)["vec_id"])
+    approx = set(ann_topk_lsh_q(sf)["vec_id"])
+    assert len(exact & approx) >= 8
+    tables = glob.glob("/tmp/ddpr_cache/sf0.001/lsh_index/data/tbl=*")
+    assert len(tables) == 12
