@@ -506,6 +506,27 @@ def quality_scores_documents(sf_dir: str):
     return ds.map_batches(Scorer, batch_format="pandas", concurrency=2)
 
 
+def compression_ratio_documents(sf_dir: str):
+    """Per-document zlib compression-ratio quality signal
+    (``functions/text.py:compression_stats``). Rows-only: DuckDB has no
+    zlib, so the gate checks rows/schema; determinism + flag-rule parity
+    are pinned by ``tests/test_corpus_quality.py`` against direct zlib."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    class Scorer:
+        def __init__(self):
+            from ..functions import text as textmod
+
+            self.mod = textmod
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            out = self.mod.compression_stats(df["text"])
+            out.insert(0, "doc_id", df["doc_id"].to_numpy())
+            return out
+
+    return ds.map_batches(Scorer, batch_format="pandas", concurrency=2)
+
+
 def dedup_minhash_documents(sf_dir: str):
     from ..stages.dedup import minhash_lsh_pairs
 
@@ -2244,6 +2265,7 @@ ANALYTICS_QUERIES = {
     "docs_per_lang_source": docs_per_lang_source,
     "lang_id_documents": lang_id_documents,
     "quality_scores_documents": quality_scores_documents,
+    "compression_ratio_documents": compression_ratio_documents,
     "dedup_minhash_documents": dedup_minhash_documents,
     "dedup_simhash_documents": dedup_simhash_documents,
     "dedup_ngram_documents": dedup_ngram_documents,

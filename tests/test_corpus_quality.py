@@ -664,3 +664,40 @@ def test_pca_planted_subspace(ray_session):
                  n_components=k)
     assert np.allclose(np.abs(np.sum(m["components"] * m2["components"],
                                      axis=1)), 1.0, atol=1e-6)
+
+
+def test_compression_stats_parity_and_flags(ray_session):
+    """compression_stats matches direct zlib byte counts; the flag rule
+    catches repetitive (highly compressible) and random-like text."""
+    import zlib
+
+    import pandas as pd
+
+    from database_delta_plugins_ray.functions.text import compression_stats
+
+    rng = np.random.default_rng(5)
+    randomish = "".join(chr(0x21 + int(c)) for c in rng.integers(0, 94, 4000))
+    texts = pd.Series([
+        "the quick brown fox jumps over the lazy dog. " * 3,  # normal prose
+        "spam spam spam " * 400,                              # repetitive
+        randomish,                                            # high-entropy
+        "",                                                   # empty
+    ])
+    out = compression_stats(texts)
+    for i, t in enumerate(texts):
+        b = t.encode("utf-8")
+        assert out["n_bytes"][i] == len(b)
+        assert out["n_zbytes"][i] == len(zlib.compress(b, 6))
+    assert out["flagged"].tolist() == [0, 1, 1, 0]  # empty never flagged
+
+
+def test_compression_ratio_query_runs(ray_session):
+    from database_delta_plugins_ray.pipelines.analytics import (
+        compression_ratio_documents,
+    )
+
+    df = pd.DataFrame(
+        compression_ratio_documents("/root/testdata/sf0.001").take_all())
+    assert set(df.columns) == {"doc_id", "n_bytes", "n_zbytes", "flagged"}
+    assert len(df) > 0
+    assert (df["n_zbytes"] > 0).all()
