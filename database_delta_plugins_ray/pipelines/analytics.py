@@ -903,6 +903,29 @@ def sample_documents_deterministic(sf_dir: str):
     )
 
 
+def sample_documents_weighted(sf_dir: str):
+    """Length-proportional deterministic sample: keep a document with
+    probability min(1, n_chars/1000) via the integer cross-multiplied
+    hash rule (``stages/sample.py:weighted_hash_sample``) — the "sample
+    by mass" shape for mixture corpora, long documents proportionally
+    likelier. No shuffle, no RNG; DuckDB oracle is hash-exact."""
+    from ..stages.sample import weighted_hash_sample
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def n_chars(df: pd.DataFrame) -> np.ndarray:
+        return df["text"].str.len().to_numpy(dtype=np.int64)
+
+    picked = weighted_hash_sample(
+        ds, id_col="doc_id", weight_fn=n_chars, num=1, den=1, denom=1000)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"], "lang": df["lang"],
+                             "n_chars": n_chars(df)})
+
+    return picked.map_batches(project, batch_format="pandas")
+
+
 def redact_pii_documents(sf_dir: str):
     """Email/phone scrub over the corpus: four vectorized RE2 kernels
     per batch (count+replace x2), embarrassingly parallel."""
@@ -1929,6 +1952,11 @@ SELECT doc_id, lang, source FROM documents
 WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < {_rate_case()}
 """
 
+ANALYTICS_ORACLE_SQL["sample_documents_weighted"] = r"""
+SELECT doc_id, lang, length(text) AS n_chars FROM documents
+WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < length(text)
+"""
+
 
 def _pii_sql() -> str:
     from ..functions.text import EMAIL_RE, PHONE_RE
@@ -2276,6 +2304,7 @@ ANALYTICS_QUERIES = {
     "ann_topk_lsh": ann_topk_lsh_q,
     "multimodal_features": multimodal_features,
     "sample_documents_deterministic": sample_documents_deterministic,
+    "sample_documents_weighted": sample_documents_weighted,
     "redact_pii_documents": redact_pii_documents,
     "mix_token_budget_documents": mix_token_budget_documents,
     "q3_shipping_priority": q3_shipping_priority,

@@ -264,3 +264,34 @@ def hash_rank(ds, id_col: str = "doc_id", nbuckets: int = 1024):
         return pd.DataFrame({id_col: g[id_col].to_numpy(), "rank": r})
 
     return rows.groupby("b").map_groups(rank_bucket, batch_format="pandas")
+
+
+def weighted_hash_sample(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str,
+    weight_fn,
+    num: int = 1,
+    den: int = 1,
+    denom: int = 1000,
+) -> "ray.data.Dataset":
+    """Weight-proportional deterministic Bernoulli sample: keep a row
+    iff ``(md5_u64(id) % denom) * den < weight * num`` — inclusion
+    probability ``min(1, weight*num/(den*denom))``, proportional to the
+    per-row weight (capped at 1). The comparison cross-multiplies in
+    integer space, so there is no float rounding to drift from the SQL
+    oracle. Same scale properties as ``hash_sample``: a pure
+    ``map_batches`` filter — no shuffle, no RNG state, identical at any
+    parallelism and across resume; this is the "sample by token/byte
+    mass" shape used to build mixture corpora where long documents
+    should carry proportionally more selection weight.
+
+    ``weight_fn(df) -> int64 ndarray`` computes the per-row weight
+    vectorized (e.g. character or token count)."""
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = md5_u64(df[id_col].to_numpy()) % np.uint64(denom)
+        w = weight_fn(df).astype(np.int64)
+        return df[h.astype(np.int64) * den < w * num]
+
+    return ds.map_batches(keep, batch_format="pandas")

@@ -116,3 +116,46 @@ def test_token_budget_exact_boundary(ray_session):
             budget=budget, bucket_width=64,
         ).take_all()
         assert sorted(r["doc_id"] for r in got) == list(range(budget))
+
+
+def test_weighted_hash_sample_proportional_and_invariant(ray_session):
+    """Inclusion rate tracks the weight; output is identical at any
+    parallelism; cap at probability 1 works."""
+    import pandas as pd
+
+    from database_delta_plugins_ray.stages.sample import (
+        md5_u64,
+        weighted_hash_sample,
+    )
+
+    n = 4000
+    df = pd.DataFrame({
+        "id": np.arange(n),
+        # three weight classes: 100 (10%), 500 (50%), 2000 (capped 100%)
+        "w": np.where(np.arange(n) % 3 == 0, 100,
+                      np.where(np.arange(n) % 3 == 1, 500, 2000)),
+    })
+
+    def wfn(d):
+        return d["w"].to_numpy(dtype=np.int64)
+
+    got = {}
+    for nblocks in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        out = pd.DataFrame(weighted_hash_sample(
+            ds, id_col="id", weight_fn=wfn, denom=1000).take_all())
+        got[nblocks] = set(out["id"])
+    assert got[1] == got[7]  # parallelism-invariant
+
+    picked = got[1]
+    # capped class: every row kept
+    assert all(i in picked for i in range(n) if i % 3 == 2)
+    # rates within binomial noise of w/1000
+    r100 = sum(1 for i in picked if i % 3 == 0) / (n / 3)
+    r500 = sum(1 for i in picked if i % 3 == 1) / (n / 3)
+    assert 0.06 < r100 < 0.14
+    assert 0.44 < r500 < 0.56
+    # membership equals the integer rule exactly
+    h = md5_u64(df["id"].to_numpy()) % np.uint64(1000)
+    want = set(df["id"][h.astype(np.int64) < df["w"].to_numpy()])
+    assert picked == want
