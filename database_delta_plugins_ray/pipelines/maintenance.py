@@ -57,6 +57,9 @@ def _compact_partition(lake_dir: str, part: int, prune_below: int) -> dict:
         lake_dir, part, kept, manifest["last_lsn"], write_fn,
         dict(manifest, rows=kept.num_rows,
              live_rows=manifest["live_rows"]),
+        # a time-travel lake keeps its retained versions through a
+        # tombstone vacuum (vacuum_history prunes those separately)
+        keep_history=bool(ckpt.version_log(lake_dir, part)),
     )
     return {"part": part, "pruned": n_dead, "rows": kept.num_rows}
 
@@ -95,3 +98,49 @@ def lake_stats(lake_dir: str) -> dict:
         "max_watermark": max(m["last_lsn"] for m in manifests.values()),
         "tables": sorted({t for m in manifests.values() for t in m.get("tables", [])}),
     }
+
+
+def vacuum_history(lake_dir: str, keep_from_lsn: int) -> dict:
+    """Prune retained time-travel versions (``history=True`` lakes):
+    drop version-log entries with ``last_lsn < keep_from_lsn`` and delete
+    data files referenced ONLY by dropped versions. The current manifest's
+    files always survive (they serve live reads), so after this call
+    ``read_lake(as_of_lsn=...)`` works for positions >= the horizon and
+    raises for older ones — the Delta-Lake retention contract.
+
+    Metadata-sized driver work: version logs hold O(commits) small JSON
+    rows per partition; only ``os.remove`` touches data."""
+    import glob as _glob
+    import json as _json
+
+    total_dropped = 0
+    total_files = 0
+    parts = 0
+    for logp in _glob.glob(os.path.join(
+            lake_dir, ckpt.CHECKPOINT_DIR, "part-*.log.jsonl")):
+        part = int(os.path.basename(logp)[len("part-"):-len(".log.jsonl")])
+        versions = ckpt.version_log(lake_dir, part)
+        if not versions:
+            continue
+        parts += 1
+        keep = [m for m in versions if int(m["last_lsn"]) >= keep_from_lsn]
+        drop = [m for m in versions if int(m["last_lsn"]) < keep_from_lsn]
+        if not drop:
+            continue
+        current = ckpt.read_manifest(lake_dir, part) or {}
+        live = {f for m in keep for f in (m.get("files") or [m["file"]])}
+        live |= set(current.get("files") or
+                    ([current["file"]] if current.get("file") else []))
+        for m in drop:
+            for f in (m.get("files") or [m["file"]]):
+                if f not in live and os.path.exists(f):
+                    os.remove(f)
+                    total_files += 1
+        total_dropped += len(drop)
+        tmp = logp + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            for m in keep:
+                fh.write(_json.dumps(m) + "\n")
+        os.replace(tmp, logp)
+    return {"partitions": parts, "versions_dropped": total_dropped,
+            "files_deleted": total_files, "keep_from_lsn": keep_from_lsn}

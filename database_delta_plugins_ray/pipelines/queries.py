@@ -108,6 +108,40 @@ def cdc_resume_equivalence(sf_dir: str):
     return final_state(lake, columns=FINAL_COLS)
 
 
+def _time_travel_boundary(log: str) -> int:
+    """Midpoint between the last DDL and the end of the log — past all
+    schema evolution (so the historical state has the final column set)
+    yet strictly before ~15% of the stream. Computed from the log's own
+    (lsn, op) columns so the SQL oracle can derive the identical constant
+    with one aggregate subquery."""
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(sorted(
+        __import__("glob").glob(os.path.join(log, "seg-*.parquet"))))
+    t = dset.to_table(columns=["lsn", "op"])
+    max_lsn = int(pc.max(t["lsn"]).as_py())
+    ddl = t.filter(pc.equal(t["op"], "DDL"))
+    last_ddl = int(pc.max(ddl["lsn"]).as_py()) if ddl.num_rows else 0
+    return (max_lsn + last_ddl) // 2
+
+
+def cdc_time_travel(sf_dir: str):
+    """Time travel (Delta-Lake-style retained versions): replay in two
+    bounded legs with ``history=True``, then read the lake AS OF the
+    first leg's boundary — each partition resolves to its retained
+    version at/below the position (``state/checkpoint.py:manifest_as_of``).
+    The oracle replays LWW over only the events ``lsn <= boundary``,
+    proving the reconstructed historical state is exactly the state the
+    engine had committed at that position."""
+    log = ensure_log(sf_dir)
+    boundary = _time_travel_boundary(log)
+    lake = fresh_lake(sf_dir, "lake_ttravel")
+    run_replication(log, lake, num_partitions=16, upto_lsn=boundary,
+                    history=True)
+    run_replication(log, lake, num_partitions=16, history=True)
+    return final_state(lake, columns=FINAL_COLS, as_of_lsn=boundary)
+
+
 def cdc_from_debezium_jsonl(sf_dir: str):
     """Flagship replay driven from a Debezium-envelope JSONL feed (the
     reference's native wire format) instead of the Parquet log: envelopes
@@ -533,9 +567,17 @@ SELECT k_repo AS repo, k_path AS path, "commit", language, stars, content_sha,
 FROM ranked WHERE rn = 1 AND op <> 'D'
 """
     )
+    # time travel: the same LWW replay restricted to events at/below the
+    # boundary the engine computed — (last DDL lsn + max lsn) // 2
+    bound = (f"(SELECT (max(lsn) + max(CASE WHEN op = 'DDL' THEN lsn "
+             f"ELSE 0 END)) // 2 FROM read_parquet('{glob}'))")
+    ttravel_sql = final_sql.replace(
+        "WHERE op <> 'DDL'", f"WHERE op <> 'DDL' AND lsn <= {bound}")
+    assert ttravel_sql != final_sql
     return {
         "cdc_final_state": final_sql,
         "cdc_resume_equivalence": final_sql,
+        "cdc_time_travel": ttravel_sql,
         "cdc_from_debezium_jsonl": final_sql,
         "cdc_op_counts": f"""
 SELECT op, count(*) AS n FROM read_parquet('{glob}') GROUP BY op
@@ -766,6 +808,7 @@ WHERE rn = 1 AND op <> 'D' AND lsn > (SELECT f FROM fence)
 CDC_QUERIES = {
     "cdc_final_state": cdc_final_state,
     "cdc_resume_equivalence": cdc_resume_equivalence,
+    "cdc_time_travel": cdc_time_travel,
     "cdc_from_debezium_jsonl": cdc_from_debezium_jsonl,
     "cdc_op_counts": cdc_op_counts,
     "cdc_events_per_repo": cdc_events_per_repo,

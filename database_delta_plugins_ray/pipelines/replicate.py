@@ -149,6 +149,7 @@ def run_replication(
     tx_consistent: bool = False,
     incremental_snapshot: bool = False,
     on_error: str = "fail",
+    history: bool = False,
 ) -> dict:
     """Replay the event log into the Parquet lake; returns a lineage summary.
 
@@ -366,6 +367,7 @@ def run_replication(
             num_partitions=num_partitions,
             scatter_batch_size=scatter_batch_size or max(4 * batch_size, 131072),
             fragment_buckets=fragment_buckets,
+            keep_history=history,
         )
     else:
         # autoscaling pool (1, N): a fixed pool would pre-start N actors that
@@ -375,7 +377,8 @@ def run_replication(
             PartitionMerger,
             fn_constructor_args=(lake_dir, reg_ref, payload_columns),
             fn_constructor_kwargs=dict(
-                key_columns=("table", *primary_key), max_delta_files=max_delta_files
+                key_columns=("table", *primary_key),
+                max_delta_files=max_delta_files, keep_history=history,
             ),
             batch_format="pyarrow",
             concurrency=(1, merge_concurrency),
@@ -427,9 +430,17 @@ def _wipe_lake_state(lake_dir: str) -> None:
                 os.remove(f)
             except OSError:
                 pass
+    # history mode retains superseded versions outside any manifest
+    for f in _glob.glob(os.path.join(lake_dir, "part=*", "data-*.parquet")):
+        try:
+            os.remove(f)
+        except OSError:
+            pass
     cdir = os.path.join(lake_dir, ckpt.CHECKPOINT_DIR)
     for p in _glob.glob(os.path.join(cdir, "part-*.json")):
         os.remove(p)
+    for p in _glob.glob(os.path.join(cdir, "part-*.log.jsonl")):
+        os.remove(p)  # retained-version history restarts with the snapshot
     hist = os.path.join(cdir, "schema_history.jsonl")
     if os.path.exists(hist):
         os.remove(hist)
@@ -443,7 +454,8 @@ def _fragment_exchange(ds, lake_dir: str, reg_ref, payload_columns,
                        phases: dict | None = None,
                        num_partitions: int = 32,
                        scatter_batch_size: int = 131072,
-                       fragment_buckets: int | None = None) -> list[dict]:
+                       fragment_buckets: int | None = None,
+                       keep_history: bool = False) -> list[dict]:
     """Hash-partitioned-write exchange: normalized batches append
     partition-bucketed Parquet fragments (parallel, barrier-free), then one
     Ray task per partition folds its rows into the fenced partition state.
@@ -579,6 +591,7 @@ def _fragment_exchange(ds, lake_dir: str, reg_ref, payload_columns,
         merger = PartitionMerger(
             lake_dir, reg_ref, payload_columns,
             key_columns=key_columns, max_delta_files=max_delta_files,
+            keep_history=keep_history,
         )
         # row-group pruned read: only this partition's row groups leave
         # storage (slices were written part-aligned; leftover files from
@@ -794,15 +807,31 @@ def lake_files(lake_dir: str) -> list[str]:
             for f in (m.get("files") or [m["file"]])]
 
 
-def read_lake(lake_dir: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+def read_lake(lake_dir: str, columns: list[str] | None = None,
+              as_of_lsn: int | None = None) -> "ray.data.Dataset":
     """The lake as a Ray Dataset (includes soft-deleted rows, like the
     reference target table — filter ``_is_deleted`` for final state).
 
     Partitions carrying delta commits (manifest lists base + delta files)
     are reduced at read time: one task per partition reads its files and
     keeps the max-``_sequence_num`` row per key — no shuffle, the commit
-    layout already co-locates each key's files."""
-    manifests = ckpt.all_manifests(lake_dir)
+    layout already co-locates each key's files.
+
+    ``as_of_lsn`` (time travel, requires a lake replicated with
+    ``history=True``): each partition resolves to its latest RETAINED
+    version with ``last_lsn <= as_of_lsn`` — commit-granularity
+    reconstruction of an earlier state, Delta-Lake-style. A partition
+    with no commit at/below the position simply contributes no rows
+    (it did not exist yet)."""
+    if as_of_lsn is not None:
+        manifests = ckpt.all_manifests_as_of(lake_dir, as_of_lsn)
+        if not manifests:
+            raise FileNotFoundError(
+                f"no retained version at/below lsn {as_of_lsn} under "
+                f"{lake_dir} (was the lake replicated with history=True, "
+                "or did vacuum_history prune past this position?)")
+    else:
+        manifests = ckpt.all_manifests(lake_dir)
     if not manifests:
         raise FileNotFoundError(f"no committed partitions under {lake_dir}")
     multi = [m for m in manifests.values() if len(m.get("files") or ()) > 1]
@@ -878,10 +907,13 @@ def read_dlq(lake_dir: str) -> "ray.data.Dataset":
             .map_groups(drop_dupes, batch_format="pandas"))
 
 
-def final_state(lake_dir: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+def final_state(lake_dir: str, columns: list[str] | None = None,
+                as_of_lsn: int | None = None) -> "ray.data.Dataset":
     """Live rows only (the reference e2e comparison filters _is_deleted,
-    BQValidation.java:86-90)."""
-    ds = read_lake(lake_dir, columns=None if columns is None else columns + ["_is_deleted"])
+    BQValidation.java:86-90). ``as_of_lsn`` time-travels (see read_lake)."""
+    ds = read_lake(lake_dir,
+                   columns=None if columns is None else columns + ["_is_deleted"],
+                   as_of_lsn=as_of_lsn)
     ds = ds.filter(expr="_is_deleted == False")
     if columns is not None:
         ds = ds.select_columns(columns)

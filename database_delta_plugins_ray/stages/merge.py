@@ -95,6 +95,7 @@ class PartitionMerger:
         key_columns: tuple[str, ...] = ("table", "repo", "path"),
         keep_tombstones: bool = True,
         max_delta_files: int = 4,
+        keep_history: bool = False,
     ) -> None:
         import ray
 
@@ -106,6 +107,7 @@ class PartitionMerger:
         self.key_columns = key_columns
         self.keep_tombstones = keep_tombstones
         self.max_delta_files = max(1, max_delta_files)
+        self.keep_history = keep_history
         self.fences = registry.fences()
 
     # -- helpers ---------------------------------------------------------
@@ -253,6 +255,7 @@ class PartitionMerger:
                     "fence_max_applied": manifest.get("fence_max_applied", 0),
                 },
                 extra_files=base_files,
+                keep_history=self.keep_history,
             )
             return self._result(part, events_in, group.num_rows, rows, live, last_lsn)
 
@@ -280,7 +283,8 @@ class PartitionMerger:
             state,
             last_lsn,
             write_fn,
-            {
+            keep_history=self.keep_history,
+            manifest={
                 "events_applied": prior_applied + group.num_rows,
                 "rows": state.num_rows,
                 "live_rows": live,

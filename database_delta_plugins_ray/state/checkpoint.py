@@ -101,8 +101,76 @@ def data_file(lake_dir: str, part: int, last_lsn: int) -> str:
     return os.path.join(part_dir(lake_dir, part), f"data-{last_lsn:020d}.parquet")
 
 
+def version_log_path(lake_dir: str, part: int) -> str:
+    return os.path.join(lake_dir, CHECKPOINT_DIR, f"part-{part:05d}.log.jsonl")
+
+
+def append_version(lake_dir: str, part: int, manifest: dict) -> None:
+    """Append a committed manifest to the partition's version log
+    (history mode). Single writer per partition (the merger); a resumed
+    run re-committing the same boundary appends a duplicate line, which
+    ``version_log`` dedups by last_lsn keeping the LAST occurrence."""
+    p = version_log_path(lake_dir, part)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p, "ab") as fh:
+        if fh.tell() > 0:
+            # a crash mid-append can leave a torn line missing its
+            # newline; terminate it so THIS entry starts a fresh line
+            # (the torn fragment then parses as its own skipped line
+            # instead of swallowing this one)
+            with open(p, "rb") as rd:
+                rd.seek(-1, os.SEEK_END)
+                torn = rd.read(1) != b"\n"
+            if torn:
+                fh.write(b"\n")
+        fh.write((json.dumps(manifest) + "\n").encode())
+
+
+def version_log(lake_dir: str, part: int) -> list[dict]:
+    """The partition's committed versions, ascending by last_lsn, deduped
+    (last write of a boundary wins). Empty when history was never on."""
+    p = version_log_path(lake_dir, part)
+    if not os.path.exists(p):
+        return []
+    by_lsn: dict[int, dict] = {}
+    with open(p) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                m = json.loads(line)
+            except json.JSONDecodeError:
+                continue  # torn trailing line from a crash mid-append
+            by_lsn[int(m["last_lsn"])] = m
+    return [by_lsn[k] for k in sorted(by_lsn)]
+
+
+def manifest_as_of(lake_dir: str, part: int, as_of_lsn: int) -> dict | None:
+    """Latest retained version with ``last_lsn <= as_of_lsn`` — commit-
+    granularity time travel (Delta-Lake-style: versions, not arbitrary
+    positions). None when the partition had no commit at/below the
+    position (it did not exist yet, or history was vacuumed past it)."""
+    best = None
+    for m in version_log(lake_dir, part):
+        if int(m["last_lsn"]) <= as_of_lsn:
+            best = m
+    return best
+
+
+def all_manifests_as_of(lake_dir: str, as_of_lsn: int) -> dict[int, dict]:
+    out = {}
+    for p in glob.glob(os.path.join(lake_dir, CHECKPOINT_DIR, "part-*.log.jsonl")):
+        part = int(os.path.basename(p)[len("part-"):-len(".log.jsonl")])
+        m = manifest_as_of(lake_dir, part, as_of_lsn)
+        if m is not None:
+            out[part] = m
+    return out
+
+
 def commit_partition(lake_dir: str, part: int, table, last_lsn: int,
-                     write_fn, manifest: dict, extra_files: list[str] | None = None) -> str:
+                     write_fn, manifest: dict, extra_files: list[str] | None = None,
+                     keep_history: bool = False) -> str:
     """Fenced atomic commit: write parquet to tmp, rename to the fenced name,
     commit the manifest, and only THEN drop superseded data files. A crash
     between the data rename and the manifest write leaves the old manifest
@@ -114,7 +182,14 @@ def commit_partition(lake_dir: str, part: int, table, last_lsn: int,
 
     ``extra_files`` lists additional live data files (delta commits) that the
     manifest should reference alongside the newly written one; files not in
-    the live set are garbage-collected after the manifest commit."""
+    the live set are garbage-collected after the manifest commit.
+
+    ``keep_history=True`` (time-travel mode): superseded data files are
+    RETAINED and the committed manifest is appended to the partition's
+    version log, so ``manifest_as_of`` can reconstruct the state at any
+    earlier commit boundary until ``vacuum_history`` prunes it. Run a
+    lake consistently in one mode — a history=False commit on a lake
+    with retained versions garbage-collects them."""
     d = part_dir(lake_dir, part)
     os.makedirs(d, exist_ok=True)
     final = data_file(lake_dir, part, last_lsn)
@@ -125,9 +200,12 @@ def commit_partition(lake_dir: str, part: int, table, last_lsn: int,
     manifest = dict(manifest, part=part, last_lsn=last_lsn, file=final,
                     files=sorted(live))
     write_manifest(lake_dir, part, manifest)
-    for old in glob.glob(os.path.join(d, "data-*.parquet")):
-        if old not in live:
-            os.remove(old)
+    if keep_history:
+        append_version(lake_dir, part, manifest)
+    if not keep_history:
+        for old in glob.glob(os.path.join(d, "data-*.parquet")):
+            if old not in live:
+                os.remove(old)
     for stale_tmp in glob.glob(os.path.join(d, "data-*.parquet.tmp.*")):
         if stale_tmp != tmp:
             os.remove(stale_tmp)
