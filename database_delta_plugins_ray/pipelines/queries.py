@@ -142,6 +142,31 @@ def cdc_time_travel(sf_dir: str):
     return final_state(lake, columns=FINAL_COLS, as_of_lsn=boundary)
 
 
+def cdc_point_lookup(sf_dir: str):
+    """Point lookups on the lake's primary index (the key-hash partition
+    layout): a deterministic md5-selected probe set of live keys is
+    fetched via ``lookup_keys`` — each key routes to EXACTLY its
+    partition (``partition_of_keys`` reproduces the Normalizer hash from
+    the pinned lake config) and only the touched partitions' files are
+    read, with key-column predicate pushdown. The probe-set SELECTION
+    scans the lake once (it's the query's setup); the lookup itself is
+    O(keys)."""
+    import hashlib as _hashlib
+
+    from .replicate import lookup_keys
+
+    log = ensure_log(sf_dir)
+    lake = fresh_lake(sf_dir, "lake_lookup")
+    run_replication(log, lake, num_partitions=16)
+    live = final_state(lake, columns=["table", "repo", "path"]).take_all()
+    keys = [
+        (r["table"], r["repo"], r["path"]) for r in live
+        if int.from_bytes(_hashlib.md5(
+            f"{r['repo']}|{r['path']}".encode()).digest()[8:], "little") % 29 == 0
+    ]
+    return lookup_keys(lake, keys, columns=FINAL_COLS)
+
+
 def cdc_from_debezium_jsonl(sf_dir: str):
     """Flagship replay driven from a Debezium-envelope JSONL feed (the
     reference's native wire format) instead of the Parquet log: envelopes
@@ -578,6 +603,10 @@ FROM ranked WHERE rn = 1 AND op <> 'D'
         "cdc_final_state": final_sql,
         "cdc_resume_equivalence": final_sql,
         "cdc_time_travel": ttravel_sql,
+        "cdc_point_lookup": final_sql.replace(
+            "WHERE rn = 1 AND op <> 'D'",
+            "WHERE rn = 1 AND op <> 'D' AND "
+            "md5_number_lower(k_repo || '|' || k_path) % 29 = 0"),
         "cdc_from_debezium_jsonl": final_sql,
         "cdc_op_counts": f"""
 SELECT op, count(*) AS n FROM read_parquet('{glob}') GROUP BY op
@@ -809,6 +838,7 @@ CDC_QUERIES = {
     "cdc_final_state": cdc_final_state,
     "cdc_resume_equivalence": cdc_resume_equivalence,
     "cdc_time_travel": cdc_time_travel,
+    "cdc_point_lookup": cdc_point_lookup,
     "cdc_from_debezium_jsonl": cdc_from_debezium_jsonl,
     "cdc_op_counts": cdc_op_counts,
     "cdc_events_per_repo": cdc_events_per_repo,

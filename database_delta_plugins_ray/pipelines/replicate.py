@@ -878,6 +878,104 @@ def read_lake(lake_dir: str, columns: list[str] | None = None,
     )
 
 
+def partition_of_keys(lake_dir: str, keys: list[tuple]) -> np.ndarray:
+    """Exact shuffle-partition id for each key tuple (in the lake's
+    key_columns order, default ``(table, repo, path)``), reproducing the
+    Normalizer's routing from the lake's pinned partitioning config:
+    mode + num_partitions (+ per-repo salt factors) come from
+    ``lake_config.json``; table names resolve to their ROOT (rename
+    history) exactly as events were hashed."""
+    import json as _json
+
+    from ..stages.normalize import hash_key
+
+    cfg_path = os.path.join(lake_dir, ckpt.CHECKPOINT_DIR, "lake_config.json")
+    with open(cfg_path) as fh:
+        cfg = _json.load(fh)
+    hist = os.path.join(lake_dir, ckpt.CHECKPOINT_DIR, "schema_history.jsonl")
+    roots = Registry.load(hist).table_roots if os.path.exists(hist) else {}
+    tb = np.array([roots.get(k[0], k[0]) for k in keys])
+    pk = [np.array([k[i] for k in keys]) for i in range(1, len(keys[0]))]
+    nparts = np.uint64(cfg["num_partitions"])
+    mode = cfg.get("partition_mode", "key_hash")
+    if mode == "key_hash":
+        return (hash_key(tb, *pk) % nparts).astype(np.int64)
+    rh = hash_key(tb, pk[0])
+    if mode == "repo":
+        return (rh % nparts).astype(np.int64)
+    if mode == "repo_salted":
+        ph = hash_key(*pk[1:])
+        salt = cfg.get("repo_salt") or {}
+        ks = np.array([max(1, int(salt.get(r, 1))) for r in pk[0]], np.uint64)
+        return ((rh + ph % ks) % nparts).astype(np.int64)
+    raise ValueError(f"unknown partition_mode {mode!r}")
+
+
+def lookup_keys(lake_dir: str, keys: list[tuple],
+                columns: list[str] | None = None) -> pa.Table:
+    """Point lookup: the current live row for each key, reading ONLY the
+    partitions the keys route to — O(touched partitions), independent of
+    lake size (the key-hash layout is the lake's primary index). Keys are
+    tuples in the lake's key_columns order (default (table, repo, path));
+    absent keys and soft-deleted rows return no row.
+
+    One Ray task per touched partition reads that partition's manifest
+    files with key-column predicate pushdown (dictionary/row-group
+    pruning), LWW-reduces delta commits, then exact-filters to the
+    requested tuples."""
+    from ..model import IS_DELETED, SEQUENCE_NUM
+    from ..stages.merge import exact_lww_indices
+
+    if not keys:
+        raise ValueError("no keys given")
+    manifests = ckpt.all_manifests(lake_dir)
+    if not manifests:
+        raise FileNotFoundError(f"no committed partitions under {lake_dir}")
+    any_m = next(iter(manifests.values()))
+    key_cols = list(any_m.get("key_columns") or ["table", "repo", "path"])
+    if any(len(k) != len(key_cols) for k in keys):
+        raise ValueError(f"keys must be {tuple(key_cols)} tuples")
+    parts = partition_of_keys(lake_dir, keys)
+    by_part: dict[int, list[tuple]] = {}
+    for k, p in zip(keys, parts):
+        by_part.setdefault(int(p), []).append(k)
+
+    @ray.remote(num_cpus=1)
+    def fetch(m: dict, want: list[tuple]) -> "pa.Table":
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        files = m.get("files") or [m["file"]]
+        # pushdown: per-column IN-set conjunction (a superset of the
+        # requested tuples; exact tuple filter follows)
+        flt = [(c, "in", sorted({k[i] for k in want}))
+               for i, c in enumerate(key_cols)]
+        t = pa.concat_tables(
+            [pq.read_table(f, filters=flt) for f in files],
+            promote_options="default",
+        )
+        if len(files) > 1 and t.num_rows:
+            idx = exact_lww_indices(t, tuple(key_cols), SEQUENCE_NUM)
+            if len(idx) < t.num_rows:
+                t = t.take(pa.array(idx))
+        if t.num_rows:
+            rows = set(want)
+            mask = [tuple(t[c][i].as_py() for c in key_cols) in rows
+                    for i in range(t.num_rows)]
+            t = t.filter(pa.array(mask))
+            t = t.filter(pc.invert(t[IS_DELETED]))
+        return t
+
+    futs = [fetch.remote(manifests[p], want)
+            for p, want in by_part.items() if p in manifests]
+    tables = [t for t in ray.get(futs) if t.num_rows]
+    if not tables:
+        empty = pa.table({})
+        return empty
+    out = pa.concat_tables(tables, promote_options="default")
+    return out.select(columns) if columns is not None else out
+
+
 def read_dlq(lake_dir: str) -> "ray.data.Dataset":
     """Dead-letter queue as a Ray Dataset, deduped by lsn (the DLQ write
     is at-least-once: a retried normalize task or a crash-replayed
