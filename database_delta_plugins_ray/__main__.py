@@ -6,7 +6,9 @@ replicate  --log DIR --lake DIR [--partitions N] [--mode key_hash|repo|repo_salt
            [--follow [--poll-interval S] [--max-polls N] [--idle-stop N]]
 stop       --lake DIR        (graceful stop of a follow loop; it flushes)
 gen        --out DIR [--keys N] [--events N] [--seed S] ...
-vacuum     --lake DIR [--prune-below LSN]
+vacuum     --lake DIR [--prune-below LSN] [--history-keep-from LSN]
+lookup     --lake DIR --key TABLE,REPO,PATH [--key ...]
+read       --lake DIR [--as-of-lsn LSN] [--limit N]   (time travel)
 stats      --lake DIR
 catalog    --lake DIR [--table NAME]
 query      [--name QUERY] [--sf-dir DIR] [--limit N]   (omit name to list)
@@ -86,6 +88,26 @@ def main(argv: list[str] | None = None) -> int:
     pv = sub.add_parser("vacuum")
     pv.add_argument("--lake", required=True)
     pv.add_argument("--prune-below", type=int, default=None)
+    pv.add_argument("--history-keep-from", type=int, default=None,
+                    help="also prune retained time-travel versions with "
+                         "last_lsn below this horizon (history lakes)")
+
+    plk = sub.add_parser(
+        "lookup", help="point lookup of live rows by primary key "
+                       "(reads only the routed partitions)")
+    plk.add_argument("--lake", required=True)
+    plk.add_argument("--key", action="append", required=True,
+                     help="comma-separated key tuple in the lake's "
+                          "key-column order, e.g. "
+                          "inventory.code_files,repo-0001,src/a.rs "
+                          "(repeatable)")
+
+    prd = sub.add_parser(
+        "read", help="read the live lake state, optionally AS OF an "
+                     "earlier commit boundary (history lakes)")
+    prd.add_argument("--lake", required=True)
+    prd.add_argument("--as-of-lsn", type=int, default=None)
+    prd.add_argument("--limit", type=int, default=20)
 
     pvw = sub.add_parser(
         "view", help="incrementally maintain the per-repo aggregate view "
@@ -180,9 +202,39 @@ def main(argv: list[str] | None = None) -> int:
 
     if a.cmd == "vacuum":
         _ray_init(a.num_cpus)
-        from .pipelines.maintenance import vacuum_lake
+        from .pipelines.maintenance import vacuum_history, vacuum_lake
 
-        print(json.dumps(vacuum_lake(a.lake, a.prune_below)))
+        out = vacuum_lake(a.lake, a.prune_below)
+        if a.history_keep_from is not None:
+            out["history"] = vacuum_history(a.lake, a.history_keep_from)
+        print(json.dumps(out))
+        import ray
+
+        ray.shutdown()
+        return 0
+
+    if a.cmd == "lookup":
+        _ray_init(a.num_cpus)
+        from .pipelines.replicate import lookup_keys
+
+        keys = [tuple(k.split(",")) for k in a.key]
+        t = lookup_keys(a.lake, keys)
+        print(json.dumps({"rows": t.num_rows,
+                          "result": t.to_pylist()}, default=str))
+        import ray
+
+        ray.shutdown()
+        return 0
+
+    if a.cmd == "read":
+        _ray_init(a.num_cpus)
+        from .pipelines.replicate import final_state
+
+        ds = final_state(a.lake, as_of_lsn=a.as_of_lsn)
+        n = ds.count()
+        head = ds.limit(a.limit).take_all()
+        print(json.dumps({"rows": n, "as_of_lsn": a.as_of_lsn,
+                          "head": head}, default=str))
         import ray
 
         ray.shutdown()

@@ -84,3 +84,21 @@ def test_lookup_salted_mode_exact(ray_session, tmp_path):
     out = lookup_keys(lake, keys)
     got = {(r["table"], r["repo"], r["path"]) for r in out.to_pylist()}
     assert got == set(keys)
+
+
+def test_cli_lookup_and_read(lookup_lake):
+    """CLI verbs wrap lookup_keys / final_state(as_of)."""
+    import json
+    import subprocess
+    import sys
+
+    _, lake = lookup_lake
+    want = _final_by_key(lake)
+    k = sorted(want)[0]
+    r = subprocess.run(
+        [sys.executable, "-m", "database_delta_plugins_ray", "--num-cpus",
+         "2", "lookup", "--lake", lake, "--key", ",".join(k)],
+        capture_output=True, text=True, timeout=300)
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["rows"] == 1
+    assert out["result"][0]["content_sha"] == want[k]["content_sha"]
