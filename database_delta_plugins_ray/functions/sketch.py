@@ -204,3 +204,41 @@ def bloom_contains(bits: np.ndarray, h: np.ndarray, nhash: int) -> np.ndarray:
         bit = np.left_shift(1, (idx & np.uint64(7)).astype(np.int64)).astype(np.uint8)
         ok &= (byte & bit) != 0
     return ok
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005, "An improved data stream
+# summary: the count-min sketch and its applications" — public algorithm)
+# ---------------------------------------------------------------------------
+
+_CMS_HASH_KEYS = [f"cms_hashkey_{i:04d}" for i in range(16)]
+
+
+def cms_build(values, counts: np.ndarray | None = None,
+              depth: int = 4, width: int = 1024) -> np.ndarray:
+    """(depth, width) int64 counter matrix for a batch of values (with
+    optional per-value counts). Each row uses an independent seeded
+    ``pd.util.hash_array`` pass; updates are one ``np.add.at`` scatter
+    per row — fully vectorized, O(n * depth). Sketches SUM-merge, so
+    partials are depth*width*8 bytes per batch regardless of
+    cardinality; estimates overcount only (min over rows), with the
+    standard guarantee err <= e/width * total at prob 1 - e^-depth."""
+    v = np.asarray(values)
+    if counts is None:
+        counts = np.ones(len(v), np.int64)
+    m = np.zeros((depth, width), np.int64)
+    for d in range(depth):
+        h = pd.util.hash_array(v, hash_key=_CMS_HASH_KEYS[d]) % np.uint64(width)
+        np.add.at(m[d], h.astype(np.int64), counts)
+    return m
+
+
+def cms_query(m: np.ndarray, values) -> np.ndarray:
+    """Point frequency estimates (never under the true count)."""
+    v = np.asarray(values)
+    depth, width = m.shape
+    est = np.full(len(v), np.iinfo(np.int64).max, np.int64)
+    for d in range(depth):
+        h = pd.util.hash_array(v, hash_key=_CMS_HASH_KEYS[d]) % np.uint64(width)
+        est = np.minimum(est, m[d, h.astype(np.int64)])
+    return est

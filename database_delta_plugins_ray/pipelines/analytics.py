@@ -926,6 +926,25 @@ def sample_documents_weighted(sf_dir: str):
     return picked.map_batches(project, batch_format="pandas")
 
 
+def split_documents_train_val_test(sf_dir: str):
+    """Deterministic train/val/test assignment: bucket = md5_u64(doc_id)
+    % 100 -> test (<5) / val (<10) / train. A pure map_batches projection
+    — no RNG, no shuffle; the split is stable across reruns, resumes and
+    parallelism, and ADDING documents never reassigns existing ones (the
+    property a random split lacks: eval contamination on re-splits)."""
+    from ..stages.sample import md5_u64
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        b = (md5_u64(df["doc_id"].to_numpy()) % np.uint64(100)).astype(np.int64)
+        split = np.where(b < 5, "test", np.where(b < 10, "val", "train"))
+        return pd.DataFrame({"doc_id": df["doc_id"], "lang": df["lang"],
+                             "split": split})
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
 def redact_pii_documents(sf_dir: str):
     """Email/phone scrub over the corpus: four vectorized RE2 kernels
     per batch (count+replace x2), embarrassingly parallel."""
@@ -1465,6 +1484,46 @@ def heavy_hitters_tokens(sf_dir: str, capacity: int = 64, topn: int = 10):
             .head(topn).reset_index(drop=True))
 
 
+def approx_token_freq_cms(sf_dir: str, depth: int = 4, width: int = 4096,
+                          topn: int = 10):
+    """Count-Min frequency estimates for the MG-selected heavy hitters —
+    the two sketches composed: MG finds WHICH tokens are hot, CMS
+    estimates HOW hot with a fixed-size mergeable counter matrix. Each
+    batch ships one (depth x width) int64 partial (sum-merged 32 at a
+    time in a fold pass, then on the driver — O(depth*width), never the
+    vocabulary). CMS never undercounts; with width >> vocabulary the
+    estimate is exact, which the pytest gate asserts against the exact
+    groupby. Rows-only (approximate by design)."""
+    from ..functions.sketch import cms_build, cms_query
+
+    hh = heavy_hitters_tokens(sf_dir, topn=topn)
+    ds = _t(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.text import _flat_lower_tokens
+
+        flat, _, _ = _flat_lower_tokens(df["text"].reset_index(drop=True))
+        m = cms_build(flat.astype(str), depth=depth, width=width)
+        return pd.DataFrame({"m": [m.tobytes()]})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(depth * width, np.int64)
+        for buf in df["m"]:
+            acc += np.frombuffer(buf, np.int64)
+        return pd.DataFrame({"m": [acc.tobytes()]})
+
+    folded = (ds.map_batches(partial, batch_format="pandas")
+              .map_batches(fold, batch_format="pandas", batch_size=32)
+              .take_all())
+    acc = np.zeros(depth * width, np.int64)
+    for r in folded:
+        acc += np.frombuffer(r["m"], np.int64)
+    m = acc.reshape(depth, width)
+    toks = hh["tok"].to_numpy()
+    return pd.DataFrame({"tok": toks,
+                         "est": cms_query(m, toks.astype(str))})
+
+
 def approx_quantiles_event_value(sf_dir: str, s: int = 512):
     """Approximate p50/p90/p99 of event value per type via mergeable
     rank-spaced quantile summaries (functions/sketch.py): each batch
@@ -1952,6 +2011,16 @@ SELECT doc_id, lang, source FROM documents
 WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < {_rate_case()}
 """
 
+ANALYTICS_ORACLE_SQL["split_documents_train_val_test"] = r"""
+SELECT doc_id, lang,
+       CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 5
+            THEN 'test'
+            WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10
+            THEN 'val'
+            ELSE 'train' END AS split
+FROM documents
+"""
+
 ANALYTICS_ORACLE_SQL["sample_documents_weighted"] = r"""
 SELECT doc_id, lang, length(text) AS n_chars FROM documents
 WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < length(text)
@@ -2305,6 +2374,7 @@ ANALYTICS_QUERIES = {
     "multimodal_features": multimodal_features,
     "sample_documents_deterministic": sample_documents_deterministic,
     "sample_documents_weighted": sample_documents_weighted,
+    "split_documents_train_val_test": split_documents_train_val_test,
     "redact_pii_documents": redact_pii_documents,
     "mix_token_budget_documents": mix_token_budget_documents,
     "q3_shipping_priority": q3_shipping_priority,
@@ -2321,6 +2391,7 @@ ANALYTICS_QUERIES = {
     "shuffle_rank_documents": shuffle_rank_documents,
     "approx_distinct_users_hll": approx_distinct_users_hll,
     "heavy_hitters_tokens": heavy_hitters_tokens,
+    "approx_token_freq_cms": approx_token_freq_cms,
     "kmeans_embeddings": kmeans_embeddings,
     "pca_embeddings": pca_embeddings,
     "corpus_prep_pipeline": corpus_prep_pipeline,

@@ -701,3 +701,27 @@ def test_compression_ratio_query_runs(ray_session):
     assert set(df.columns) == {"doc_id", "n_bytes", "n_zbytes", "flagged"}
     assert len(df) > 0
     assert (df["n_zbytes"] > 0).all()
+
+
+def test_cms_query_exact_in_wide_regime(ray_session):
+    """approx_token_freq_cms: with width >> vocabulary, CMS estimates for
+    the heavy hitters equal the exact counts (and never undercount by
+    construction)."""
+    import duckdb
+
+    from database_delta_plugins_ray.pipelines.analytics import (
+        approx_token_freq_cms,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = approx_token_freq_cms(sf)
+    exact = duckdb.sql(f"""
+        SELECT tok, count(*) AS n FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+          FROM '{sf}/documents.parquet') GROUP BY tok
+    """).df().set_index("tok")["n"]
+    for tok, est in zip(got["tok"], got["est"]):
+        assert est >= exact.get(tok, 0)
+    # wide regime: the top tokens' estimates should be exact
+    assert all(int(est) == int(exact[tok])
+               for tok, est in zip(got["tok"], got["est"]) if tok in exact.index)

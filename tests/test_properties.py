@@ -261,3 +261,27 @@ def test_quantile_summary_rank_invariant(vals, s, n_splits):
         target = q * len(arr)
         slack = 2 * len(arr) / s + 2
         assert lo - slack <= target <= hi + slack
+
+
+@given(st.lists(st.integers(0, 50), min_size=1, max_size=400),
+       st.integers(1, 7))
+@settings(max_examples=40, deadline=None)
+def test_cms_merge_equals_whole_and_never_undercounts(xs, nsplit):
+    """CMS partials SUM-merge exactly; estimates never undercount."""
+    import numpy as np
+
+    from database_delta_plugins_ray.functions.sketch import cms_build, cms_query
+
+    xs = np.array(xs, np.int64)
+    whole = cms_build(xs, width=64, depth=3)
+    parts = np.array_split(xs, nsplit)
+    merged = sum(cms_build(p, width=64, depth=3) for p in parts if len(p))
+    assert np.array_equal(whole, merged)
+    uniq, true = np.unique(xs, return_counts=True)
+    est = cms_query(whole, uniq)
+    assert (est >= true).all()
+    # error bound: overcount <= total for every item (loose sanity) and
+    # exact when the domain is far smaller than the width
+    if len(uniq) <= 8:
+        small = cms_build(xs, width=1024, depth=4)
+        assert np.array_equal(cms_query(small, uniq), true)
