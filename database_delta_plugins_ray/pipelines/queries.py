@@ -142,6 +142,25 @@ def cdc_time_travel(sf_dir: str):
     return final_state(lake, columns=FINAL_COLS, as_of_lsn=boundary)
 
 
+def cdc_changefeed(sf_dir: str):
+    """Change data feed between two retained lake versions (the Delta
+    Lake CDF shape): replay with history in two legs, then diff the
+    boundary version against the final one — one 'c'/'u'/'d' row per key
+    whose live state changed, computed partition-locally with no shuffle
+    (``replicate.py:lake_diff``). The oracle full-outer-joins the two
+    SQL LWW replays."""
+    from .replicate import lake_diff
+
+    log = ensure_log(sf_dir)
+    boundary = _time_travel_boundary(log)
+    lake = fresh_lake(sf_dir, "lake_cdf")
+    run_replication(log, lake, num_partitions=16, upto_lsn=boundary,
+                    history=True)
+    run_replication(log, lake, num_partitions=16, history=True)
+    return lake_diff(lake, boundary).select_columns(
+        ["repo", "path", "change", "commit", "content_sha"])
+
+
 def cdc_point_lookup(sf_dir: str):
     """Point lookups on the lake's primary index (the key-hash partition
     layout): a deterministic md5-selected probe set of live keys is
@@ -599,10 +618,44 @@ FROM ranked WHERE rn = 1 AND op <> 'D'
     ttravel_sql = final_sql.replace(
         "WHERE op <> 'DDL'", f"WHERE op <> 'DDL' AND lsn <= {bound}")
     assert ttravel_sql != final_sql
+    cdf_sql = f"""
+WITH ev AS (
+  SELECT lsn, op,
+         coalesce(after.repo, before.repo)  AS k_repo,
+         coalesce(after.path, before.path)  AS k_path,
+         after."commit" AS "commit",
+         sha256(after.content) AS content_sha
+  FROM read_parquet('{glob}')
+  WHERE op <> 'DDL'
+),
+old AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY k_repo, k_path
+                                 ORDER BY lsn DESC) AS rn
+    FROM ev WHERE lsn <= {bound})
+  WHERE rn = 1 AND op <> 'D'
+),
+new AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY k_repo, k_path
+                                 ORDER BY lsn DESC) AS rn
+    FROM ev)
+  WHERE rn = 1 AND op <> 'D'
+)
+SELECT coalesce(n.k_repo, o.k_repo) AS repo,
+       coalesce(n.k_path, o.k_path) AS path,
+       CASE WHEN o.k_repo IS NULL THEN 'c'
+            WHEN n.k_repo IS NULL THEN 'd' ELSE 'u' END AS change,
+       n."commit" AS "commit", n.content_sha AS content_sha
+FROM new n FULL OUTER JOIN old o
+  ON n.k_repo = o.k_repo AND n.k_path = o.k_path
+WHERE o.k_repo IS NULL OR n.k_repo IS NULL OR n.lsn <> o.lsn
+"""
     return {
         "cdc_final_state": final_sql,
         "cdc_resume_equivalence": final_sql,
         "cdc_time_travel": ttravel_sql,
+        "cdc_changefeed": cdf_sql,
         "cdc_point_lookup": final_sql.replace(
             "WHERE rn = 1 AND op <> 'D'",
             "WHERE rn = 1 AND op <> 'D' AND "
@@ -839,6 +892,7 @@ CDC_QUERIES = {
     "cdc_resume_equivalence": cdc_resume_equivalence,
     "cdc_time_travel": cdc_time_travel,
     "cdc_point_lookup": cdc_point_lookup,
+    "cdc_changefeed": cdc_changefeed,
     "cdc_from_debezium_jsonl": cdc_from_debezium_jsonl,
     "cdc_op_counts": cdc_op_counts,
     "cdc_events_per_repo": cdc_events_per_repo,

@@ -976,6 +976,81 @@ def lookup_keys(lake_dir: str, keys: list[tuple],
     return out.select(columns) if columns is not None else out
 
 
+def lake_diff(lake_dir: str, from_lsn: int,
+              to_lsn: int | None = None) -> "ray.data.Dataset":
+    """Change data feed between two retained lake versions (the Delta
+    Lake CDF shape, enabled by ``history=True``): one row per key whose
+    LIVE state differs between the version at ``from_lsn`` and the
+    version at ``to_lsn`` (current state when None) —
+    ``change`` = 'c' (created), 'u' (updated: different winning
+    ``_sequence_num``), 'd' (deleted); new-side payload columns are null
+    on 'd'.
+
+    No shuffle: both versions of a key live in the SAME partition
+    directory (pinned partitioning config), so one task per partition
+    outer-merges its two file sets vectorized. A partition with no
+    retained version at/below ``from_lsn`` did not exist yet — all its
+    current keys surface as 'c'."""
+    from ..model import IS_DELETED, SEQUENCE_NUM
+    from ..stages.merge import exact_lww_indices
+
+    new_manifests = (ckpt.all_manifests(lake_dir) if to_lsn is None
+                     else ckpt.all_manifests_as_of(lake_dir, to_lsn))
+    if not new_manifests:
+        raise FileNotFoundError(f"no committed partitions under {lake_dir}")
+    items = []
+    for part, nm in new_manifests.items():
+        om = ckpt.manifest_as_of(lake_dir, part, from_lsn)
+        items.append({
+            "new_files": nm.get("files") or [nm["file"]],
+            "old_files": (om.get("files") or [om["file"]]) if om else [],
+            "key_columns": list(nm.get("key_columns")
+                                or ["table", "repo", "path"]),
+        })
+
+    def diff(batch: pa.Table) -> pa.Table:
+        import pandas as _pd
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as pq
+
+        out = []
+        for row in batch.to_pylist():
+            keys = tuple(row["key_columns"])
+
+            def live(files):
+                if not files:
+                    return None
+                t = pa.concat_tables([pq.read_table(f) for f in files],
+                                     promote_options="default")
+                if len(files) > 1 and t.num_rows:
+                    idx = exact_lww_indices(t, keys, SEQUENCE_NUM)
+                    if len(idx) < t.num_rows:
+                        t = t.take(pa.array(idx))
+                return t.filter(_pc.invert(t[IS_DELETED])).to_pandas()
+
+            new = live(row["new_files"])
+            old = live(row["old_files"])
+            if old is None:
+                old = new.iloc[0:0]
+            m = new.merge(old[[*keys, SEQUENCE_NUM]], on=list(keys),
+                          how="outer", suffixes=("", "__old"),
+                          indicator=True)
+            oldseq = m[SEQUENCE_NUM + "__old"]
+            change = np.where(
+                m["_merge"] == "left_only", "c",
+                np.where(m["_merge"] == "right_only", "d", "u"))
+            keep = (m["_merge"] != "both") | (m[SEQUENCE_NUM] != oldseq)
+            m = m.assign(change=change)[keep]
+            cols = [*keys, "change",
+                    *[c for c in new.columns if c not in keys]]
+            out.append(pa.Table.from_pandas(m[cols],
+                                            preserve_index=False))
+        return pa.concat_tables(out, promote_options="default")
+
+    return ray.data.from_items(items).map_batches(
+        diff, batch_format="pyarrow", batch_size=1)
+
+
 def read_dlq(lake_dir: str) -> "ray.data.Dataset":
     """Dead-letter queue as a Ray Dataset, deduped by lsn (the DLQ write
     is at-least-once: a retried normalize task or a crash-replayed

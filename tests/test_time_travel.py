@@ -122,3 +122,35 @@ def test_append_after_torn_tail_is_not_swallowed(tmp_path):
         fh.write('{"last_lsn": 99')  # crash mid-append
     ckpt.append_version(lake, 0, {"last_lsn": 2, "file": "b"})
     assert [m["last_lsn"] for m in ckpt.version_log(lake, 0)] == [1, 2]
+
+
+def test_lake_diff_change_kinds(travel_lake):
+    """lake_diff classifies c/u/d against a brute-force comparison of the
+    two final_state reads."""
+    import pandas as pd
+
+    from database_delta_plugins_ray.pipelines.replicate import lake_diff
+
+    log, lake, boundary, _ = travel_lake
+    old = _rows(lake, as_of_lsn=boundary)
+    new = _rows(lake)
+    want = {}
+    for k in new.keys() | old.keys():
+        if k not in old:
+            want[k] = "c"
+        elif k not in new:
+            want[k] = "d"
+        elif new[k][2] != old[k][2]:  # winning _sequence_num differs
+            want[k] = "u"
+    got_rows = lake_diff(lake, boundary).take_all()
+    got = {(r["repo"], r["path"]): r["change"] for r in got_rows}
+    assert got == want
+    # new-side payload rides along; null on deletes
+    by_key = {(r["repo"], r["path"]): r for r in got_rows}
+    for k, kind in want.items():
+        if kind in ("c", "u"):
+            assert by_key[k]["content_sha"] == new[k][1]
+        else:
+            assert by_key[k]["content_sha"] is None or \
+                by_key[k]["content_sha"] != by_key[k]["content_sha"]  # null/NaN
+    assert set(want.values()) == {"c", "u", "d"}  # all three kinds occur
