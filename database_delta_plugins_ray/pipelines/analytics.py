@@ -1670,6 +1670,43 @@ def pq_read(sf_dir: str, name: str, columns=None) -> pa.Table:
                          columns=columns)
 
 
+def filter_docs_above_median_length(sf_dir: str):
+    """Dynamic-threshold filter: keep documents at/above their
+    language's MEDIAN length — the "drop the bottom half by a quality
+    signal" corpus op where the threshold is corpus-derived, not fixed.
+    Two passes: the exact value-count histogram computes each language's
+    percentile_disc(0.5) (O(langs x distinct lengths) shuffle payload,
+    same machinery as doc_length_percentiles), the tiny threshold map
+    broadcasts in the task closure, and ONE map_batches filter streams
+    the corpus."""
+    ds = _t(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "n_chars"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    med = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("n_chars")
+        cum = g["cnt"].to_numpy().cumsum()
+        k = max(int(np.ceil(0.5 * cum[-1])), 1)
+        med[lang] = int(g["n_chars"].to_numpy()[
+            np.searchsorted(cum, k, side="left")])
+
+    full = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["n_chars"] >= df["lang"].map(med).to_numpy()]
+
+    return full.map_batches(keep, batch_format="pandas")
+
+
 def doc_length_percentiles(sf_dir: str):
     """Exact per-language length percentiles (p50/p90/p99) at corpus
     scale WITHOUT a sort: per-batch (lang, n_chars) value-count partials
@@ -2009,6 +2046,14 @@ WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < 500
 ANALYTICS_ORACLE_SQL["sample_documents_deterministic"] = f"""
 SELECT doc_id, lang, source FROM documents
 WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < {_rate_case()}
+"""
+
+ANALYTICS_ORACLE_SQL["filter_docs_above_median_length"] = r"""
+SELECT doc_id, lang, n_chars FROM documents
+JOIN (SELECT lang,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS med
+      FROM documents GROUP BY lang) USING (lang)
+WHERE n_chars >= med
 """
 
 ANALYTICS_ORACLE_SQL["split_documents_train_val_test"] = r"""
@@ -2381,6 +2426,7 @@ ANALYTICS_QUERIES = {
     "customers_without_events": customers_without_events,
     "customer_order_stats_right": customer_order_stats_right,
     "doc_length_percentiles": doc_length_percentiles,
+    "filter_docs_above_median_length": filter_docs_above_median_length,
     "distinct_users_per_type": distinct_users_per_type,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "decontaminate_documents": decontaminate_documents,
