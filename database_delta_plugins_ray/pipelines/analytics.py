@@ -627,6 +627,18 @@ def ann_topk_ivf_q(sf_dir: str):
     return df
 
 
+def ann_topk_int8_q(sf_dir: str):
+    """Quantized (int8) brute-force top-10 — the 4x-bandwidth exhaustive
+    scan; rows-only, overlap vs exact gated in pytest."""
+    from ..stages.similarity import ann_topk_int8
+
+    df = ann_topk_int8(
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        _query_vec(sf_dir), k=10)
+    df["score"] = df["score"].round(5)
+    return df
+
+
 def ann_topk_lsh_q(sf_dir: str):
     """Random-hyperplane LSH top-10 over the persisted bucketed index
     (data-independent alternative to IVF; reads only the multiprobe
@@ -2416,6 +2428,7 @@ ANALYTICS_QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "ann_topk_ivf": ann_topk_ivf_q,
     "ann_topk_lsh": ann_topk_lsh_q,
+    "ann_topk_int8": ann_topk_int8_q,
     "multimodal_features": multimodal_features,
     "sample_documents_deterministic": sample_documents_deterministic,
     "sample_documents_weighted": sample_documents_weighted,

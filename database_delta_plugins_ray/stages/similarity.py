@@ -123,6 +123,42 @@ def ann_topk_bruteforce_multi(
     return pd.DataFrame(out, columns=["query_idx", id_col, "score", "rank"])
 
 
+def ann_topk_int8(
+    ds: "ray.data.Dataset",
+    query: np.ndarray,
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Quantized brute-force top-k: unit vectors round to int8 (x127)
+    and scores come from an integer matmul rescaled by 1/127^2 — the
+    4x-bandwidth-reduction scale path for exhaustive scans (the shuffle
+    /object-store payload of an int8 corpus is a quarter of float32's;
+    per-dim quantization error <= 1/254 keeps top-k overlap ~exact on
+    real embeddings). Same output contract as ann_topk_bruteforce."""
+    q = _unit(query.reshape(1, -1).astype(np.float32))[0]
+    q8 = np.clip(np.rint(q * 127), -127, 127).astype(np.int8)
+    q_ref = ray.put(q8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        qq = ray.get(q_ref).astype(np.int32)
+        m = _unit(_as_matrix(df[vec_col]).astype(np.float32))
+        m8 = np.clip(np.rint(m * 127), -127, 127).astype(np.int8)
+        scores = (m8.astype(np.int32) @ qq).astype(np.float64) / (127.0 * 127.0)
+        if len(scores) > k:
+            idx = np.argpartition(-scores, k)[:k]
+        else:
+            idx = np.arange(len(scores))
+        return pd.DataFrame({id_col: df[id_col].to_numpy()[idx],
+                             "score": scores[idx]})
+
+    partials = ds.map_batches(partial, batch_format="pandas").take_all()
+    rows = [(r[id_col], r["score"]) for r in partials]
+    top = heapq.nsmallest(k, rows, key=lambda t: (-t[1], t[0]))
+    return pd.DataFrame(top, columns=[id_col, "score"])
+
+
 class IVFIndex:
     """Tiny deterministic IVF: seeded k-means (few Lloyd iterations) on a
     driver-side sample; centroids broadcast to assignment/search stages."""
