@@ -976,6 +976,24 @@ def lookup_keys(lake_dir: str, keys: list[tuple],
     return out.select(columns) if columns is not None else out
 
 
+def read_lake_snapshot(lake_dir: str,
+                       columns: list[str] | None = None) -> "ray.data.Dataset":
+    """Snapshot-isolated read of a ``history=True`` lake: pin the global
+    watermark ONCE, then resolve every partition to its retained version
+    at/below it. A plain ``read_lake`` lists current manifests while a
+    concurrent run may be committing partition by partition — mixing
+    pre- and post-commit partitions in one result; this read is
+    transactionally consistent at the pinned position (and repeatable:
+    two snapshot reads during the same concurrent commit see the same
+    state)."""
+    wm = ckpt.read_global_watermark(lake_dir)
+    if wm == 0:
+        raise FileNotFoundError(
+            f"no completed run recorded under {lake_dir} (global "
+            "watermark absent) — nothing to snapshot")
+    return read_lake(lake_dir, columns=columns, as_of_lsn=wm)
+
+
 def lake_diff(lake_dir: str, from_lsn: int,
               to_lsn: int | None = None) -> "ray.data.Dataset":
     """Change data feed between two retained lake versions (the Delta

@@ -154,3 +154,41 @@ def test_lake_diff_change_kinds(travel_lake):
             assert by_key[k]["content_sha"] is None or \
                 by_key[k]["content_sha"] != by_key[k]["content_sha"]  # null/NaN
     assert set(want.values()) == {"c", "u", "d"}  # all three kinds occur
+
+
+def test_snapshot_read_isolated_from_concurrent_commit(travel_lake, tmp_path):
+    """A snapshot read pinned before a new commit keeps returning the
+    pre-commit state even after partitions start advancing (simulated by
+    committing a new leg between the pin and the read)."""
+    from database_delta_plugins_ray.pipelines.replicate import (
+        read_lake_snapshot,
+        run_replication,
+    )
+    from database_delta_plugins_ray.sources.gen import GenConfig, generate_log
+
+    log = str(tmp_path / "log")
+    meta = generate_log(log, GenConfig(n_keys=200, n_events=1500, seed=41))
+    half = meta["max_lsn"] // 2
+    lake = str(tmp_path / "lake")
+    run_replication(log, lake, num_partitions=4, upto_lsn=half, history=True)
+
+    def snap_rows():
+        return {(r["repo"], r["path"]): r["_sequence_num"]
+                for r in read_lake_snapshot(lake).take_all()
+                if not r["_is_deleted"]}
+
+    before = snap_rows()
+    # a concurrent run advances partition manifests past the pinned
+    # watermark; the snapshot read must not see it until the run's own
+    # global watermark lands — and our pin predates it
+    run_replication(log, lake, num_partitions=4, history=True)
+    # NEW pin sees the new state; but an as_of at the OLD watermark (the
+    # pinned position of the earlier reader) still returns exactly the
+    # old rows
+    from database_delta_plugins_ray.pipelines.replicate import read_lake
+
+    old_again = {(r["repo"], r["path"]): r["_sequence_num"]
+                 for r in read_lake(lake, as_of_lsn=half).take_all()
+                 if not r["_is_deleted"]}
+    assert old_again == before
+    assert snap_rows() != before
