@@ -9,6 +9,7 @@ gen        --out DIR [--keys N] [--events N] [--seed S] ...
 vacuum     --lake DIR [--prune-below LSN] [--history-keep-from LSN]
 lookup     --lake DIR --key TABLE,REPO,PATH [--key ...]
 read       --lake DIR [--as-of-lsn LSN] [--limit N]   (time travel)
+diff       --lake DIR --from-lsn LSN [--to-lsn LSN]   (change feed)
 stats      --lake DIR
 catalog    --lake DIR [--table NAME]
 query      [--name QUERY] [--sf-dir DIR] [--limit N]   (omit name to list)
@@ -108,6 +109,14 @@ def main(argv: list[str] | None = None) -> int:
     prd.add_argument("--lake", required=True)
     prd.add_argument("--as-of-lsn", type=int, default=None)
     prd.add_argument("--limit", type=int, default=20)
+
+    pdf = sub.add_parser(
+        "diff", help="change data feed between two retained versions "
+                     "(c/u/d rows; history lakes)")
+    pdf.add_argument("--lake", required=True)
+    pdf.add_argument("--from-lsn", type=int, required=True)
+    pdf.add_argument("--to-lsn", type=int, default=None)
+    pdf.add_argument("--limit", type=int, default=20)
 
     pvw = sub.add_parser(
         "view", help="incrementally maintain the per-repo aggregate view "
@@ -221,6 +230,20 @@ def main(argv: list[str] | None = None) -> int:
         t = lookup_keys(a.lake, keys)
         print(json.dumps({"rows": t.num_rows,
                           "result": t.to_pylist()}, default=str))
+        import ray
+
+        ray.shutdown()
+        return 0
+
+    if a.cmd == "diff":
+        _ray_init(a.num_cpus)
+        from .pipelines.replicate import lake_diff
+
+        ds = lake_diff(a.lake, a.from_lsn, a.to_lsn)
+        n = ds.count()
+        head = ds.limit(a.limit).take_all()
+        print(json.dumps({"rows": n, "from_lsn": a.from_lsn,
+                          "to_lsn": a.to_lsn, "head": head}, default=str))
         import ray
 
         ray.shutdown()

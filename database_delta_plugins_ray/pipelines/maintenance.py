@@ -113,6 +113,21 @@ def vacuum_history(lake_dir: str, keep_from_lsn: int) -> dict:
     import glob as _glob
     import json as _json
 
+    # persist the retention horizon FIRST: a reader asking for a position
+    # below it must error rather than silently reconstruct a partial /
+    # everything-looks-created state (a crash after this write and before
+    # any pruning merely over-declares the horizon — safe direction)
+    hpath = os.path.join(lake_dir, ckpt.CHECKPOINT_DIR, "history_horizon.json")
+    prev = 0
+    if os.path.exists(hpath):
+        with open(hpath) as fh:
+            prev = _json.load(fh).get("keep_from_lsn", 0)
+    if keep_from_lsn > prev:
+        tmp = hpath + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            _json.dump({"keep_from_lsn": keep_from_lsn}, fh)
+        os.replace(tmp, hpath)
+
     total_dropped = 0
     total_files = 0
     parts = 0

@@ -441,6 +441,9 @@ def _wipe_lake_state(lake_dir: str) -> None:
         os.remove(p)
     for p in _glob.glob(os.path.join(cdir, "part-*.log.jsonl")):
         os.remove(p)  # retained-version history restarts with the snapshot
+    hpath = os.path.join(cdir, "history_horizon.json")
+    if os.path.exists(hpath):
+        os.remove(hpath)
     hist = os.path.join(cdir, "schema_history.jsonl")
     if os.path.exists(hist):
         os.remove(hist)
@@ -824,6 +827,11 @@ def read_lake(lake_dir: str, columns: list[str] | None = None,
     with no commit at/below the position simply contributes no rows
     (it did not exist yet)."""
     if as_of_lsn is not None:
+        horizon = ckpt.history_horizon(lake_dir)
+        if as_of_lsn < horizon:
+            raise ValueError(
+                f"as_of_lsn {as_of_lsn} predates the history retention "
+                f"horizon {horizon} (vacuum_history pruned those versions)")
         manifests = ckpt.all_manifests_as_of(lake_dir, as_of_lsn)
         if not manifests:
             raise FileNotFoundError(
@@ -1012,6 +1020,11 @@ def lake_diff(lake_dir: str, from_lsn: int,
     from ..model import IS_DELETED, SEQUENCE_NUM
     from ..stages.merge import exact_lww_indices
 
+    horizon = ckpt.history_horizon(lake_dir)
+    if from_lsn < horizon:
+        raise ValueError(
+            f"from_lsn {from_lsn} predates the history retention horizon "
+            f"{horizon} (vacuum_history pruned those versions)")
     new_manifests = (ckpt.all_manifests(lake_dir) if to_lsn is None
                      else ckpt.all_manifests_as_of(lake_dir, to_lsn))
     if not new_manifests:

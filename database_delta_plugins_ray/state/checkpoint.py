@@ -158,6 +158,18 @@ def manifest_as_of(lake_dir: str, part: int, as_of_lsn: int) -> dict | None:
     return best
 
 
+def history_horizon(lake_dir: str) -> int:
+    """Oldest position time travel can still reconstruct (0 = never
+    vacuumed). Written by ``vacuum_history`` before it prunes, so a
+    reader asking below it errors instead of silently reconstructing a
+    partial state."""
+    p = os.path.join(lake_dir, CHECKPOINT_DIR, "history_horizon.json")
+    if not os.path.exists(p):
+        return 0
+    with open(p) as fh:
+        return int(json.load(fh).get("keep_from_lsn", 0))
+
+
 def all_manifests_as_of(lake_dir: str, as_of_lsn: int) -> dict[int, dict]:
     out = {}
     for p in glob.glob(os.path.join(lake_dir, CHECKPOINT_DIR, "part-*.log.jsonl")):

@@ -91,28 +91,6 @@ def test_tombstone_vacuum_preserves_history(travel_lake):
     assert _rows(lake, as_of_lsn=boundary) == before
 
 
-def test_vacuum_history_prunes_and_keeps_live(travel_lake):
-    log, lake, boundary, d = travel_lake
-    live_before = _rows(lake)
-    old_files = {
-        f for p in ckpt.all_manifests(lake)
-        for m in ckpt.version_log(lake, p) if m["last_lsn"] <= boundary
-        for f in (m.get("files") or [m["file"]])
-    }
-    assert old_files
-    res = vacuum_history(lake, keep_from_lsn=boundary + 1)
-    assert res["versions_dropped"] >= 1
-    with pytest.raises(FileNotFoundError):
-        final_state(lake, as_of_lsn=boundary)
-    assert _rows(lake) == live_before  # live read untouched
-    current = {
-        f for m in ckpt.all_manifests(lake).values()
-        for f in (m.get("files") or [m["file"]])
-    }
-    for f in old_files - current:
-        assert not os.path.exists(f)
-
-
 def test_append_after_torn_tail_is_not_swallowed(tmp_path):
     """A torn tail must not concatenate with (and swallow) the NEXT
     legitimate append."""
@@ -192,3 +170,52 @@ def test_snapshot_read_isolated_from_concurrent_commit(travel_lake, tmp_path):
                  if not r["_is_deleted"]}
     assert old_again == before
     assert snap_rows() != before
+
+
+def test_reads_below_horizon_error_not_partial(ray_session, tmp_path):
+    """After vacuum_history, asking for a position below the horizon must
+    raise — NOT silently reconstruct an everything-looks-created state."""
+    from database_delta_plugins_ray.pipelines.maintenance import vacuum_history
+    from database_delta_plugins_ray.pipelines.replicate import (
+        lake_diff,
+        read_lake,
+        run_replication,
+    )
+    from database_delta_plugins_ray.sources.gen import GenConfig, generate_log
+
+    log = str(tmp_path / "log")
+    meta = generate_log(log, GenConfig(n_keys=150, n_events=1200, seed=51))
+    half = meta["max_lsn"] // 2
+    lake = str(tmp_path / "lake")
+    run_replication(log, lake, num_partitions=4, upto_lsn=half, history=True)
+    run_replication(log, lake, num_partitions=4, history=True)
+    assert lake_diff(lake, half).count() > 0  # works pre-vacuum
+    vacuum_history(lake, keep_from_lsn=half + 1)
+    with pytest.raises(ValueError, match="horizon"):
+        lake_diff(lake, half)
+    with pytest.raises(ValueError, match="horizon"):
+        read_lake(lake, as_of_lsn=half)
+
+
+def test_vacuum_history_prunes_and_keeps_live(travel_lake):
+    """Runs LAST on the shared lake: vacuuming is destructive to its
+    retained history."""
+    log, lake, boundary, d = travel_lake
+    live_before = _rows(lake)
+    old_files = {
+        f for p in ckpt.all_manifests(lake)
+        for m in ckpt.version_log(lake, p) if m["last_lsn"] <= boundary
+        for f in (m.get("files") or [m["file"]])
+    }
+    assert old_files
+    res = vacuum_history(lake, keep_from_lsn=boundary + 1)
+    assert res["versions_dropped"] >= 1
+    with pytest.raises(ValueError, match="horizon"):
+        final_state(lake, as_of_lsn=boundary)
+    assert _rows(lake) == live_before  # live read untouched
+    current = {
+        f for m in ckpt.all_manifests(lake).values()
+        for f in (m.get("files") or [m["file"]])
+    }
+    for f in old_files - current:
+        assert not os.path.exists(f)
