@@ -738,6 +738,23 @@ def export_documents_shards(sf_dir: str, nshards: int = 16):
         .sort_values("shard").reset_index(drop=True))
 
 
+def export_documents_jsonl(sf_dir: str, nshards: int = 16):
+    """JSONL export (stages/export.py:export_corpus_jsonl) — same
+    deterministic md5 shard routing and manifest contract as the parquet
+    export, gated by the same per-shard-count oracle."""
+    from ..stages.export import export_corpus_jsonl
+
+    m = export_corpus_jsonl(
+        _t(sf_dir, "documents", ["doc_id", "text", "lang"]),
+        _cache_dir(sf_dir, "corpus_jsonl"), nshards=nshards,
+        source_tag=_source_fingerprint(
+            os.path.join(sf_dir, "documents.parquet")))
+    return (pd.DataFrame(
+        {"shard": [int(s) for s in m["shards"]],
+         "n_rows": [np.int64(v) for v in m["shards"].values()]})
+        .sort_values("shard").reset_index(drop=True))
+
+
 def events_late_data_windows(sf_dir: str,
                              lateness_min: int = 30):
     """Streaming late-data semantics: the watermark at each event is
@@ -2287,6 +2304,9 @@ SELECT CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 16 AS INTEGER)
 FROM documents GROUP BY shard ORDER BY shard
 """
 
+ANALYTICS_ORACLE_SQL["export_documents_jsonl"] = \
+    ANALYTICS_ORACLE_SQL["export_documents_shards"]
+
 ANALYTICS_ORACLE_SQL["events_moving_revenue"] = r"""
 SELECT event_id,
        CAST(SUM(CAST(floor(value*100.0 + 0.5) AS BIGINT))
@@ -2460,6 +2480,7 @@ ANALYTICS_QUERIES = {
     "events_running_revenue": events_running_revenue,
     "events_moving_revenue": events_moving_revenue,
     "export_documents_shards": export_documents_shards,
+    "export_documents_jsonl": export_documents_jsonl,
     "events_running_value_per_user": events_running_value_per_user,
     "events_row_number": events_row_number,
     "events_lag_revenue": events_lag_revenue,
