@@ -974,6 +974,35 @@ def split_documents_train_val_test(sf_dir: str):
     return ds.map_batches(assign, batch_format="pandas")
 
 
+def sample_fixed_per_lang(sf_dir: str, n_per_lang: int = 30):
+    """Exactly-N-per-stratum deterministic sample: within each language,
+    keep the N smallest (md5_u64(doc_id), doc_id) — a fixed-COUNT quota
+    (the rate-based hash_sample can't hit an exact count). Per-batch
+    partial top-N per language (<= N x langs rows leave each batch, so
+    the shuffle moves O(batches x langs x N), never the corpus), then a
+    per-language exact finish in map_groups. Ordering is the md5 rule
+    DuckDB reproduces, so the oracle is hash-exact."""
+    from ..stages.sample import md5_u64
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = md5_u64(df["doc_id"].to_numpy())
+        out = (pd.DataFrame({"doc_id": df["doc_id"], "lang": df["lang"],
+                             "h": h})
+               .sort_values(["h", "doc_id"])
+               .groupby("lang", sort=False).head(n_per_lang))
+        return out
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"]).head(n_per_lang)
+        return g[["doc_id", "lang"]]
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("lang")
+            .map_groups(finish, batch_format="pandas"))
+
+
 def redact_pii_documents(sf_dir: str):
     """Email/phone scrub over the corpus: four vectorized RE2 kernels
     per batch (count+replace x2), embarrassingly parallel."""
@@ -2095,6 +2124,14 @@ SELECT doc_id, lang,
 FROM documents
 """
 
+ANALYTICS_ORACLE_SQL["sample_fixed_per_lang"] = r"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang, row_number() OVER (
+    PARTITION BY lang
+    ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents) WHERE rn <= 30
+"""
+
 ANALYTICS_ORACLE_SQL["sample_documents_weighted"] = r"""
 SELECT doc_id, lang, length(text) AS n_chars FROM documents
 WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < length(text)
@@ -2453,6 +2490,7 @@ ANALYTICS_QUERIES = {
     "sample_documents_deterministic": sample_documents_deterministic,
     "sample_documents_weighted": sample_documents_weighted,
     "split_documents_train_val_test": split_documents_train_val_test,
+    "sample_fixed_per_lang": sample_fixed_per_lang,
     "redact_pii_documents": redact_pii_documents,
     "mix_token_budget_documents": mix_token_budget_documents,
     "q3_shipping_priority": q3_shipping_priority,
