@@ -356,6 +356,21 @@ def cdc_table_filter(sf_dir: str):
     )
 
 
+def cdc_multi_table_final(sf_dir: str):
+    """Full multi-table replication (no filter): both tables of the
+    2-table log land in ONE lake, LWW keyed by (table, repo, path) — the
+    reference's multiple-SourceTable shape. The output carries the table
+    column so the oracle's per-table LWW gates the key-space isolation
+    (same (repo, path) under different tables must not collide)."""
+    log = ensure_variant_log(sf_dir, "mt_log", n_tables=2, ddl_plan=False)
+    lake = fresh_lake(sf_dir, "lake_mtall")
+    run_replication(log, lake, num_partitions=8)
+    return final_state(
+        lake, columns=["table", "repo", "path", "commit", "lang",
+                       "content_sha", "_sequence_num"]
+    )
+
+
 def cdc_truncate_fence(sf_dir: str):
     """TRUNCATE fence (M13 / §2.6): rows whose winning event predates the
     mid-stream TRUNCATE are dead in the final state."""
@@ -692,6 +707,26 @@ SELECT k_repo AS repo, k_path AS path, "commit", language, stars, content_sha,
        lsn AS _sequence_num
 FROM ranked WHERE rn = 1
 """,
+        "cdc_multi_table_final": f"""
+WITH ev AS (
+  SELECT lsn, op, "table",
+         coalesce(after.repo, before.repo)  AS k_repo,
+         coalesce(after.path, before.path)  AS k_path,
+         after."commit" AS "commit",
+         after.lang AS lang,
+         sha256(after.content) AS content_sha
+  FROM read_parquet('{_variant_glob(sf, "mt_log")}')
+  WHERE op <> 'DDL'
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY "table", k_repo, k_path
+                               ORDER BY lsn DESC) AS rn
+  FROM ev
+)
+SELECT "table", k_repo AS repo, k_path AS path, "commit", lang,
+       content_sha, lsn AS _sequence_num
+FROM ranked WHERE rn = 1 AND op <> 'D'
+""",
         "cdc_table_filter": f"""
 WITH ev AS (
   SELECT lsn, op,
@@ -910,5 +945,6 @@ CDC_QUERIES = {
     "cdc_dead_letter_queue": cdc_dead_letter_queue,
     "cdc_dlq_contents": cdc_dlq_contents,
     "cdc_table_filter": cdc_table_filter,
+    "cdc_multi_table_final": cdc_multi_table_final,
     "cdc_truncate_fence": cdc_truncate_fence,
 }
