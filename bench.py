@@ -370,7 +370,15 @@ def run_scaling() -> dict:
     the CPU-scaling signal is only visible below the bandwidth ceiling —
     on a real multi-node cluster each node brings its own bandwidth. The
     8-vs-32 pair is reported alongside for transparency; override with
-    RAY_GRAFT_SCALING_CPUS="lo,hi"."""
+    RAY_GRAFT_SCALING_CPUS="lo,hi".
+
+    When ``taskset`` is available (RAY_GRAFT_SCALING_PINNED=0 disables),
+    each leg's WHOLE Ray process tree is affinity-pinned to exactly N
+    cores — the faithful fixed-size-node model. Unpinned, Ray's driver/
+    raylet/plasma daemons run outside the num_cpus budget and help the
+    small-N leg disproportionately (~1.5 ambient cores), structurally
+    capping the measured ratio at ~0.68 regardless of engine linearity
+    (BASELINE.md quantifies this)."""
 
     def one(ncpu: int, control: str | None = None) -> dict:
         # ARROW_IO_THREADS=1: pyarrow's parquet scanner decodes on its own
@@ -381,8 +389,18 @@ def run_scaling() -> dict:
                    RAY_GRAFT_HEADLINE_ONLY="1", ARROW_IO_THREADS="1")
         if control:
             env["RAY_GRAFT_CONTROL"] = control
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        if _PINNED:
+            # OS-level affinity pins the WHOLE Ray process tree (driver,
+            # raylet, plasma, workers) to exactly ncpu cores — the
+            # faithful fixed-size-node model. Without it, Ray's ambient
+            # daemons run on cores OUTSIDE the num_cpus budget and help
+            # the small-N leg disproportionately (~1.5 bonus cores),
+            # structurally capping the measured ratio at ~0.68 no matter
+            # how linear the engine is (see BASELINE.md).
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            cmd,
             env=env, capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
@@ -391,6 +409,10 @@ def run_scaling() -> dict:
     pair = os.environ.get("RAY_GRAFT_SCALING_CPUS", "2,8")
     rounds = int(os.environ.get("RAY_GRAFT_SCALING_ROUNDS", "2"))
     lo, hi = (int(x) for x in pair.split(","))
+    import shutil as _shutil
+
+    _PINNED = (_shutil.which("taskset") is not None
+               and os.environ.get("RAY_GRAFT_SCALING_PINNED", "1") != "0")
     # the sandbox host is oversubscribed (steal time spikes) AND its
     # absolute speed drifts >4x across hours: interleave lo/hi rounds,
     # take the per-level MIN, and ALSO normalize each sample by its own
@@ -419,6 +441,7 @@ def run_scaling() -> dict:
     eff_norm = (n_lo / n_hi) / (hi / lo)
     out = {
         "metric": "cdc_replay_scaling",
+        "affinity_pinned": _PINNED,
         "sf": sf,
         f"sec_{lo}": t_lo,
         f"sec_{hi}": t_hi,
@@ -463,11 +486,19 @@ def run_controls(lo: int, hi: int, rounds: int = 2) -> dict:
     job that moves these bytes; ``engine_vs_scan_ceiling`` near 1.0 means
     the replay scales as well as a bare parallel scan of its own input."""
 
+    import shutil as _shutil
+
+    pinned = (_shutil.which("taskset") is not None
+              and os.environ.get("RAY_GRAFT_SCALING_PINNED", "1") != "0")
+
     def one(ncpu: int, control: str) -> float:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    RAY_GRAFT_CONTROL=control, ARROW_IO_THREADS="1")
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        if pinned:  # same affinity model as the replay legs
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            cmd,
             env=env, capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
