@@ -1765,6 +1765,47 @@ def filter_docs_above_median_length(sf_dir: str):
     return full.map_batches(keep, batch_format="pandas")
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot_type_counts(sf_dir: str):
+    """PIVOT: one row per user, one count column per event type —
+    per-batch crosstab partials (a vectorized pandas crosstab, emitting
+    <= users-in-batch rows with 5 int columns) then ONE small groupby
+    sum; the shuffle moves partial count rows, never events. Column set
+    is the fixed event-type domain, so the conditional-aggregation
+    oracle is hash-exact."""
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(df["user_id"], df["event_type"])
+        ct = ct.reindex(columns=list(EVENT_TYPES), fill_value=0)
+        out = ct.reset_index()
+        out.columns = ["user_id"] + [f"n_{t}" for t in EVENT_TYPES]
+        return out.astype({f"n_{t}": "int64" for t in EVENT_TYPES})
+
+    cols = [f"n_{t}" for t in EVENT_TYPES]
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("user_id")
+            .aggregate(*[Sum(c, alias_name=c) for c in cols]))
+
+
+def events_unpivot_type_counts(sf_dir: str):
+    """UNPIVOT/melt — the wide pivot result back to long
+    (user_id, event_type, n) rows INCLUDING explicit zeros (the melt
+    contract; a plain groupby would drop absent combinations). Pure
+    per-batch ``DataFrame.melt``, no extra shuffle beyond the pivot's."""
+    wide = events_pivot_type_counts(sf_dir)
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.melt(id_vars="user_id", var_name="event_type",
+                      value_name="n")
+        out["event_type"] = out["event_type"].str[2:]
+        return out
+
+    return wide.map_batches(melt, batch_format="pandas")
+
+
 def doc_length_percentiles(sf_dir: str):
     """Exact per-language length percentiles (p50/p90/p99) at corpus
     scale WITHOUT a sort: per-batch (lang, n_chars) value-count partials
@@ -2105,6 +2146,23 @@ ANALYTICS_ORACLE_SQL["sample_documents_deterministic"] = f"""
 SELECT doc_id, lang, source FROM documents
 WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < {_rate_case()}
 """
+
+ANALYTICS_ORACLE_SQL["events_pivot_type_counts"] = r"""
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY user_id
+"""
+
+ANALYTICS_ORACLE_SQL["events_unpivot_type_counts"] = (
+    "WITH w AS (" + ANALYTICS_ORACLE_SQL["events_pivot_type_counts"] + ")\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT user_id, '{t}' AS event_type, n_{t} AS n FROM w"
+        for t in EVENT_TYPES)
+)
 
 ANALYTICS_ORACLE_SQL["filter_docs_above_median_length"] = r"""
 SELECT doc_id, lang, n_chars FROM documents
@@ -2499,6 +2557,8 @@ ANALYTICS_QUERIES = {
     "doc_length_percentiles": doc_length_percentiles,
     "filter_docs_above_median_length": filter_docs_above_median_length,
     "distinct_users_per_type": distinct_users_per_type,
+    "events_pivot_type_counts": events_pivot_type_counts,
+    "events_unpivot_type_counts": events_unpivot_type_counts,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "decontaminate_documents": decontaminate_documents,
     "repetition_stats_documents": repetition_stats_documents,
