@@ -1860,6 +1860,200 @@ def distinct_users_per_type(sf_dir: str):
     return df.sort_values("event_type").reset_index(drop=True)
 
 
+def orders_rollup_status_priority(sf_dir: str):
+    """GROUPING SETS / ROLLUP over (o_orderstatus, o_orderpriority): ONE
+    distributed aggregate at the finest grain — the only pass over the
+    data — then the coarser levels (per-status subtotal, grand total)
+    re-aggregated from that tiny result. At 100 TB the re-aggregation
+    input is |status| x |priority| rows regardless of input size, so
+    ROLLUP costs exactly one shuffle, same as a plain GROUP BY."""
+    ds = _t(sf_dir, "orders",
+            ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")])
+        return pa.table({
+            "o_orderstatus": g["o_orderstatus"],
+            "o_orderpriority": g["o_orderpriority"],
+            "p_sum": g["o_totalprice_sum"], "p_n": g["o_totalprice_count"]})
+
+    fine = (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["o_orderstatus", "o_orderpriority"])
+            .aggregate(Sum("p_sum", alias_name="s"),
+                       Sum("p_n", alias_name="n"))
+            .to_pandas())
+    lvl1 = fine.groupby("o_orderstatus", as_index=False).agg(
+        s=("s", "sum"), n=("n", "sum"))
+    lvl1["o_orderpriority"] = None
+    total = pd.DataFrame({
+        "o_orderstatus": [None], "o_orderpriority": [None],
+        "s": [fine["s"].sum()], "n": [fine["n"].sum()]})
+    out = pd.concat([fine, lvl1, total], ignore_index=True)
+    out["total_price"] = out["s"].round(2)
+    out["n_orders"] = out["n"].astype("int64")
+    return (out[["o_orderstatus", "o_orderpriority", "total_price",
+                 "n_orders"]]
+            .sort_values(["o_orderstatus", "o_orderpriority"],
+                         na_position="last")
+            .reset_index(drop=True))
+
+
+def promo_revenue_monthly(sf_dir: str):
+    """TPC-H-Q14-shape conditional aggregate over a broadcast dimension
+    join: part's (p_partkey -> is-promo) map is ``ray.put`` once and read
+    inside every batch; each lineitem batch reduces to one row per ship
+    month (promo + total discounted revenue), so the final groupby is
+    over ~#months x #blocks rows however large lineitem is."""
+    import pyarrow.parquet as _pq
+
+    import ray
+
+    part = _pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                          columns=["p_partkey", "p_type"])
+    promo = {k: (t == "PROMO") for k, t in
+             zip(part["p_partkey"].to_pylist(), part["p_type"].to_pylist())}
+    ref = ray.put(promo)
+
+    ds = _t(sf_dir, "lineitem",
+            ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(ref)
+        # per-row integer-cents conversion (floor(v*100+0.5), the repo's
+        # exact-money convention) so sums are order-insensitive integers
+        rev = (df["l_extendedprice"].to_numpy()
+               * (1.0 - df["l_discount"].to_numpy()))
+        cents = np.floor(rev * 100.0 + 0.5).astype(np.int64)
+        is_promo = df["l_partkey"].map(lut).to_numpy(dtype=bool)
+        return (pd.DataFrame({
+            "ship_month": df["l_shipdate"].dt.strftime("%Y-%m"),
+            "cents": cents,
+            "promo_cents": np.where(is_promo, cents, 0),
+        }).groupby("ship_month", as_index=False).sum())
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("ship_month")
+           .aggregate(Sum("cents", alias_name="cents"),
+                      Sum("promo_cents", alias_name="promo_cents")))
+    df = agg.to_pandas()
+    share = 100.0 * df["promo_cents"].to_numpy() / df["cents"].to_numpy()
+    df["promo_share"] = np.floor(share * 10_000.0 + 0.5) / 10_000.0
+    df["total_revenue"] = df["cents"].to_numpy() / 100.0
+    return (df[["ship_month", "promo_share", "total_revenue"]]
+            .sort_values("ship_month").reset_index(drop=True))
+
+
+def normalize_text_documents(sf_dir: str):
+    """Unicode canonicalization entirely in Arrow kernels — NFC normalize
+    -> lowercase -> collapse whitespace runs -> trim spaces — the standard
+    pre-tokenization cleanup pass of an LLM corpus pipeline. Output is
+    fingerprinted (md5) so the oracle compares arbitrarily long cleaned
+    texts by hash; both engines run the SAME RE2 ``\\s+`` semantics
+    (pyarrow and DuckDB both bind RE2). NFC runs through unicodedata with
+    an ASCII fast path — pyarrow 16's pc.utf8_normalize silently returns
+    its input unchanged (verified on NFD bytes), so it cannot be used."""
+    import hashlib
+    import unicodedata
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _nfc(col: "pa.ChunkedArray") -> pa.Array:
+        ascii_mask = pc.string_is_ascii(col)
+        if pc.all(ascii_mask).as_py():
+            return col.combine_chunks() if hasattr(col, "combine_chunks") \
+                else col
+        norm_one = unicodedata.normalize
+        return pa.array(
+            [x if a else (x if x is None else norm_one("NFC", x))
+             for x, a in zip(col.to_pylist(), ascii_mask.to_pylist())],
+            type=pa.string())
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = _nfc(t["text"])
+        s = pc.utf8_lower(s)
+        s = pc.replace_substring_regex(s, r"\s+", " ")
+        s = pc.utf8_trim(s, characters=" ")
+        vals = s.to_pandas().to_numpy()
+        md5 = hashlib.md5
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "norm_md5": pa.array(np.fromiter(
+                (md5(x.encode()).hexdigest() for x in vals),
+                dtype="<U32", count=len(vals))),
+            "n_chars_norm": pc.utf8_length(s).cast(pa.int64()),
+        })
+
+    return ds.map_batches(norm, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def dq_expectations(sf_dir: str):
+    """Data-quality expectation report (Great-Expectations/Deequ-shape):
+    each rule is evaluated DISTRIBUTED and reduces to one count row —
+    null / range / domain rules as per-batch filter-count partials,
+    primary-key uniqueness via the count-distinct combiner, and
+    referential integrity (orphan lineitems) via the shuffle ANTI join
+    (both sides large; only keys ride the exchange). Zero-violation
+    rules still emit their row — the report shape is the contract."""
+    from ..stages.join import shuffle_hash_join
+
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_totalprice"])
+    events = _t(sf_dir, "events", ["value"])
+
+    def order_partials(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "rule": pa.array(["orders_null_custkey",
+                              "orders_nonpositive_total",
+                              "orders_total_above_490k"]),
+            "n": pa.array([
+                t["o_custkey"].null_count,
+                pc.sum(pc.less_equal(t["o_totalprice"], 0.0)).as_py() or 0,
+                pc.sum(pc.greater(t["o_totalprice"], 490_000.0)).as_py() or 0,
+            ], type=pa.int64()),
+        })
+
+    def event_partials(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "rule": pa.array(["events_negative_value"]),
+            "n": pa.array(
+                [pc.sum(pc.less(t["value"], 0.0)).as_py() or 0],
+                type=pa.int64()),
+        })
+
+    filt = (orders.map_batches(order_partials, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .union(events.map_batches(event_partials,
+                                      batch_format="pyarrow",
+                                      zero_copy_batch=True))
+            .groupby("rule").aggregate(Sum("n", alias_name="n_violations"))
+            .to_pandas())
+
+    # PK uniqueness: distinct-count combiner (batch-local dedup, then a
+    # keyed groupby whose group count is the distinct count)
+    keys = orders.select_columns(["o_orderkey"])
+    n_rows = keys.count()
+    n_distinct = (keys.map_batches(lambda df: df.drop_duplicates(),
+                                   batch_format="pandas")
+                  .groupby("o_orderkey").aggregate(Count(alias_name="_c"))
+                  .count())
+    # referential integrity: lineitem.l_orderkey ⊆ orders.o_orderkey
+    li = (_t(sf_dir, "lineitem", ["l_orderkey"])
+          .map_batches(lambda t: t.rename_columns(["o_orderkey"]),
+                       batch_format="pyarrow"))
+    orphans = shuffle_hash_join(li, keys, on="o_orderkey", how="anti",
+                                nparts=16).count()
+
+    extra = pd.DataFrame({
+        "rule": ["orders_duplicate_orderkey", "lineitem_orphan_orderkey"],
+        "n_violations": [n_rows - n_distinct, orphans]})
+    out = pd.concat([filt, extra], ignore_index=True)
+    out["n_violations"] = out["n_violations"].astype("int64")
+    return out.sort_values("rule").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -2516,6 +2710,62 @@ FROM l JOIN q USING (doc_id) JOIN r USING (doc_id)
 """
 
 
+ANALYTICS_ORACLE_SQL["orders_rollup_status_priority"] = r"""
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) AS total_price,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+ANALYTICS_ORACLE_SQL["promo_revenue_monthly"] = r"""
+WITH c AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         CAST(floor((l_extendedprice * (1 - l_discount)) * 100.0 + 0.5)
+              AS BIGINT) AS cents,
+         (p_type = 'PROMO') AS ispromo
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT ship_month,
+       floor(100.0 * sum(CASE WHEN ispromo THEN cents ELSE 0 END)
+             / sum(cents) * 10000.0 + 0.5) / 10000.0 AS promo_share,
+       sum(cents) / 100.0 AS total_revenue
+FROM c GROUP BY ship_month
+"""
+
+# both engines bind RE2, so '\s+' means the same ASCII whitespace class;
+# nfc_normalize/lower are unicode-full on both sides
+ANALYTICS_ORACLE_SQL["normalize_text_documents"] = r"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'),
+              ' ') AS norm
+  FROM documents
+)
+SELECT doc_id, md5(norm) AS norm_md5,
+       CAST(length(norm) AS BIGINT) AS n_chars_norm
+FROM n
+"""
+
+ANALYTICS_ORACLE_SQL["dq_expectations"] = r"""
+WITH r AS (
+  SELECT 'orders_null_custkey' AS "rule",
+         count(*) FILTER (WHERE o_custkey IS NULL) AS n FROM orders
+  UNION ALL SELECT 'orders_nonpositive_total',
+         count(*) FILTER (WHERE o_totalprice <= 0) FROM orders
+  UNION ALL SELECT 'orders_total_above_490k',
+         count(*) FILTER (WHERE o_totalprice > 490000.0) FROM orders
+  UNION ALL SELECT 'events_negative_value',
+         count(*) FILTER (WHERE value < 0) FROM events
+  UNION ALL SELECT 'orders_duplicate_orderkey',
+         count(*) - count(DISTINCT o_orderkey) FROM orders
+  UNION ALL SELECT 'lineitem_orphan_orderkey',
+         (SELECT count(*) FROM lineitem l
+          LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_orderkey IS NULL)
+)
+SELECT "rule", CAST(n AS BIGINT) AS n_violations FROM r
+"""
+
 ANALYTICS_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "events_latest_per_user": events_latest_per_user,
@@ -2583,6 +2833,10 @@ ANALYTICS_QUERIES = {
     "events_row_number": events_row_number,
     "events_lag_revenue": events_lag_revenue,
     "events_late_data_windows": events_late_data_windows,
+    "orders_rollup_status_priority": orders_rollup_status_priority,
+    "promo_revenue_monthly": promo_revenue_monthly,
+    "normalize_text_documents": normalize_text_documents,
+    "dq_expectations": dq_expectations,
 }
 
 #: subset timed by bench.py at sf0.1

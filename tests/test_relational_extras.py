@@ -1,0 +1,144 @@
+"""Round-3 relational extras: ROLLUP grouping sets, conditional-aggregate
+broadcast join (TPC-H Q14 shape), vectorized unicode canonicalization, and
+the data-quality expectation report — each checked against its DuckDB
+oracle over the sf0.001 driver testdata, plus semantic unit tests on
+planted inputs."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(sql: str, sf: str = SF, tables=("orders", "lineitem", "part",
+                                            "events", "documents")):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    return con.execute(sql).df()
+
+
+def _assert_parity(got: pd.DataFrame, want: pd.DataFrame, sort_cols):
+    got = got.sort_values(sort_cols).reset_index(drop=True)
+    want = want[got.columns].sort_values(sort_cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_rollup_matches_duckdb(ray_session):
+    from database_delta_plugins_ray.pipelines.analytics import (
+        ANALYTICS_ORACLE_SQL,
+        orders_rollup_status_priority,
+    )
+
+    got = orders_rollup_status_priority(SF)
+    want = _oracle(ANALYTICS_ORACLE_SQL["orders_rollup_status_priority"])
+    _assert_parity(got, want, ["o_orderstatus", "o_orderpriority"])
+    # internal consistency: the subtotal level reproduces the grand total
+    fine = got[got.o_orderpriority.notna()]
+    sub = got[got.o_orderpriority.isna() & got.o_orderstatus.notna()]
+    grand = got[got.o_orderstatus.isna()]
+    assert len(grand) == 1
+    assert int(fine.n_orders.sum()) == int(grand.n_orders.iloc[0])
+    assert int(sub.n_orders.sum()) == int(grand.n_orders.iloc[0])
+
+
+def test_promo_revenue_matches_duckdb(ray_session):
+    from database_delta_plugins_ray.pipelines.analytics import (
+        ANALYTICS_ORACLE_SQL,
+        promo_revenue_monthly,
+    )
+
+    got = promo_revenue_monthly(SF)
+    want = _oracle(ANALYTICS_ORACLE_SQL["promo_revenue_monthly"])
+    _assert_parity(got, want, ["ship_month"])
+    assert ((got.promo_share >= 0) & (got.promo_share <= 100)).all()
+
+
+def test_normalize_text_matches_duckdb(ray_session):
+    from database_delta_plugins_ray.pipelines.analytics import (
+        ANALYTICS_ORACLE_SQL,
+        normalize_text_documents,
+    )
+
+    got = normalize_text_documents(SF).to_pandas()
+    want = _oracle(ANALYTICS_ORACLE_SQL["normalize_text_documents"])
+    _assert_parity(got, want, ["doc_id"])
+
+
+def test_normalize_text_semantics(ray_session, tmp_path):
+    """NFD input folds to the NFC fingerprint; case and whitespace runs
+    collapse; two spellings of the same text share one hash."""
+    import hashlib
+
+    from database_delta_plugins_ray.pipelines.analytics import (
+        normalize_text_documents,
+    )
+
+    d = str(tmp_path)
+    rows = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "Café  du   Monde",      # NFD e + combining acute
+            "café du monde",          # NFC, lowercase, single spaces
+            "  Tabs\tand\nnewlines  ",
+        ]),
+    })
+    pq.write_table(rows, os.path.join(d, "documents.parquet"))
+    out = normalize_text_documents(d).to_pandas().set_index("doc_id")
+    assert out.loc[1, "norm_md5"] == out.loc[2, "norm_md5"]
+    assert out.loc[1, "n_chars_norm"] == len("café du monde")
+    want = hashlib.md5("tabs and newlines".encode()).hexdigest()
+    assert out.loc[3, "norm_md5"] == want
+
+
+def test_dq_expectations_matches_duckdb(ray_session):
+    from database_delta_plugins_ray.pipelines.analytics import (
+        ANALYTICS_ORACLE_SQL,
+        dq_expectations,
+    )
+
+    got = dq_expectations(SF)
+    want = _oracle(ANALYTICS_ORACLE_SQL["dq_expectations"])
+    _assert_parity(got, want, ["rule"])
+    # the clean driver data violates nothing structural
+    z = got.set_index("rule")["n_violations"]
+    assert z["orders_null_custkey"] == 0
+    assert z["lineitem_orphan_orderkey"] == 0
+    assert z["orders_duplicate_orderkey"] == 0
+
+
+def test_dq_expectations_detects_planted_violations(ray_session, tmp_path):
+    """Planted nulls, dup PKs, orphans and out-of-range values are each
+    counted exactly."""
+    from database_delta_plugins_ray.pipelines.analytics import (
+        dq_expectations,
+    )
+
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 2, 3], pa.int64()),   # dup PK 2
+        "o_custkey": pa.array([10, None, 12, 13], pa.int64()),  # 1 null
+        "o_totalprice": pa.array([-5.0, 100.0, 500_000.0, 1.0]),
+        # 1 nonpositive, 1 above 490k
+    }), os.path.join(d, "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2, 99, 98], pa.int64()),  # 2 orphans
+    }), os.path.join(d, "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "value": pa.array([1.0, -2.0, -3.0]),                # 2 negative
+    }), os.path.join(d, "events.parquet"))
+
+    z = dq_expectations(d).set_index("rule")["n_violations"]
+    assert z["orders_null_custkey"] == 1
+    assert z["orders_duplicate_orderkey"] == 1
+    assert z["orders_nonpositive_total"] == 1
+    assert z["orders_total_above_490k"] == 1
+    assert z["lineitem_orphan_orderkey"] == 2
+    assert z["events_negative_value"] == 2
