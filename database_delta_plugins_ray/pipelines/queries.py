@@ -515,6 +515,72 @@ def cdc_changelog_prev_commit(sf_dir: str):
             .map_groups(window, batch_format="pandas"))
 
 
+def cdc_scd2_history(sf_dir: str):
+    """SCD Type 2 dimension history derived from the change stream: one
+    row per UPSERT VERSION of a key, carrying ``valid_from`` (its lsn)
+    and ``valid_to`` (the lsn of the key's NEXT event — update or delete
+    — NULL while still current). The standard slowly-changing-dimension
+    build a warehouse runs off CDC (reference contract: the
+    before/after image pairing of DMLEvent, SURVEY §2 M7, re-expressed
+    as interval versioning). Same distributed shape as
+    cdc_changelog_prev_commit: one key-hash coarse shuffle (no content —
+    six leaf columns via dotted nested projection), per-partition sort +
+    grouped shift(-1); keys never span partitions so the LEAD window
+    needs no carry."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from .replicate import log_files
+
+    files = log_files(ensure_log(sf_dir))
+    nparts = 32
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        out = []
+        for f in batch["file"].to_pylist():
+            t = pads.dataset(f, format="parquet").to_table(
+                columns={"lsn": pads.field("lsn"),
+                         "op": pads.field("op"),
+                         "a_repo": pads.field("after", "repo"),
+                         "b_repo": pads.field("before", "repo"),
+                         "a_path": pads.field("after", "path"),
+                         "b_path": pads.field("before", "path"),
+                         "a_commit": pads.field("after", "commit")})
+            t = t.filter(pc.not_equal(t["op"], "DDL"))
+            repo = pc.coalesce(t["a_repo"], t["b_repo"])
+            path = pc.coalesce(t["a_path"], t["b_path"])
+            kdf = pa.table({"r": repo, "p": path}).to_pandas()
+            h = pd.util.hash_pandas_object(kdf, index=False).to_numpy()
+            out.append(pa.table({
+                "part": pa.array((h % np.uint64(nparts)).astype(np.int32)),
+                "repo": repo, "path": path,
+                "lsn": t["lsn"], "op": t["op"],
+                "commit": t["a_commit"]}))
+        return pa.concat_tables(out)
+
+    def versions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["repo", "path", "lsn"])
+        # LEAD(lsn): the next event of the SAME key closes this version
+        nxt = g.groupby(["repo", "path"], sort=False)["lsn"].shift(-1)
+        g["valid_from"] = g["lsn"]
+        # float64, not nullable Int64: DuckDB's .df() coerces BIGINT-with-
+        # NULL to float64, and the driver hashes the string form — keep
+        # both sides in the identical representation (NaN == open interval)
+        g["valid_to"] = nxt
+        g["is_current"] = (nxt.isna()).astype("int64")
+        g = g[g["op"] != "D"]  # deletes close intervals, never open one
+        return g[["repo", "path", "commit", "valid_from", "valid_to",
+                  "is_current"]]
+
+    return (ray.data.from_items([{"file": f} for f in files])
+            .map_batches(prep, batch_format="pyarrow", batch_size=1)
+            .groupby("part")
+            .map_groups(versions, batch_format="pandas"))
+
+
 def cdc_dead_letter_queue(sf_dir: str):
     """errors.tolerance=all + dead-letter queue (Debezium/Kafka-Connect
     operational contract): a log carrying ~3% poisoned events (unknown op
@@ -800,6 +866,23 @@ SELECT repo, path, lsn, op, "commit",
        lag("commit") OVER (PARTITION BY repo, path ORDER BY lsn) AS prev_commit
 FROM ev
 """,
+        "cdc_scd2_history": f"""
+WITH ev AS (
+  SELECT lsn, op,
+         coalesce(after.repo, before.repo)  AS repo,
+         coalesce(after.path, before.path)  AS path,
+         after."commit" AS "commit"
+  FROM read_parquet('{glob}') WHERE op <> 'DDL'
+), v AS (
+  SELECT *, lead(lsn) OVER (PARTITION BY repo, path ORDER BY lsn)
+              AS valid_to
+  FROM ev
+)
+SELECT repo, path, "commit", lsn AS valid_from, valid_to,
+       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_current
+FROM v WHERE op <> 'D'
+""",
         "cdc_dead_letter_queue": f"""
 WITH ev AS (
   SELECT lsn, op,
@@ -942,6 +1025,7 @@ CDC_QUERIES = {
     "cdc_view_repo_stats": cdc_view_repo_stats,
     "cdc_incremental_snapshot": cdc_incremental_snapshot,
     "cdc_changelog_prev_commit": cdc_changelog_prev_commit,
+    "cdc_scd2_history": cdc_scd2_history,
     "cdc_dead_letter_queue": cdc_dead_letter_queue,
     "cdc_dlq_contents": cdc_dlq_contents,
     "cdc_table_filter": cdc_table_filter,

@@ -142,3 +142,34 @@ def test_dq_expectations_detects_planted_violations(ray_session, tmp_path):
     assert z["orders_total_above_490k"] == 1
     assert z["lineitem_orphan_orderkey"] == 2
     assert z["events_negative_value"] == 2
+
+
+def test_scd2_history_invariants(ray_session):
+    """SCD2 intervals chain correctly and the open (is_current) versions
+    are EXACTLY the oracle replay's final state, commit for commit."""
+    from database_delta_plugins_ray.pipelines.oracle import replay
+    from database_delta_plugins_ray.pipelines.queries import (
+        cdc_scd2_history,
+        ensure_log,
+    )
+
+    log = ensure_log(SF)
+    hist = cdc_scd2_history(SF).to_pandas()
+
+    assert (hist.loc[hist.valid_to.notna(), "valid_to"]
+            > hist.loc[hist.valid_to.notna(), "valid_from"]).all()
+    cur = hist[hist.is_current == 1]
+    assert cur.valid_to.isna().all()
+    # at most one open version per key
+    assert not cur.duplicated(["repo", "path"]).any()
+    # versions of one key never overlap: each valid_to <= next valid_from
+    h = hist.sort_values(["repo", "path", "valid_from"])
+    nxt_from = h.groupby(["repo", "path"], sort=False)["valid_from"].shift(-1)
+    closed = h.valid_to.notna() & nxt_from.notna()
+    assert (h.loc[closed, "valid_to"] <= nxt_from[closed]).all()
+
+    want = replay(log)
+    want_keys = {(k[1], k[2]) if len(k) == 3 else k: v["commit"]
+                 for k, v in want.items()}
+    got_keys = dict(zip(zip(cur.repo, cur.path), cur["commit"]))
+    assert got_keys == want_keys
