@@ -86,6 +86,16 @@ def main(argv: list[str] | None = None) -> int:
     pg.add_argument("--no-snapshot", action="store_true")
     pg.add_argument("--no-ddl", action="store_true")
 
+    po = sub.add_parser(
+        "optimize", help="clustered rewrite: fold each partition's "
+                         "base+delta files into one file sorted by "
+                         "--cluster-by for footer-stat pruning")
+    po.add_argument("--lake", required=True)
+    po.add_argument("--cluster-by", default=None,
+                    help="comma-separated sort columns (default: the "
+                         "lake's key columns)")
+    po.add_argument("--row-group-size", type=int, default=None)
+
     pv = sub.add_parser("vacuum")
     pv.add_argument("--lake", required=True)
     pv.add_argument("--prune-below", type=int, default=None)
@@ -204,6 +214,18 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(maintain_view(
             a.log, a.view, num_partitions=a.partitions,
             upto_lsn=a.upto_lsn)))
+        import ray
+
+        ray.shutdown()
+        return 0
+
+    if a.cmd == "optimize":
+        _ray_init(a.num_cpus)
+        from .pipelines.maintenance import optimize_lake
+
+        cols = a.cluster_by.split(",") if a.cluster_by else None
+        print(json.dumps(optimize_lake(
+            a.lake, cluster_by=cols, row_group_size=a.row_group_size)))
         import ray
 
         ray.shutdown()

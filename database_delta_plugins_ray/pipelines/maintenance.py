@@ -83,6 +83,73 @@ def vacuum_lake(lake_dir: str, prune_below: int | None = None) -> dict:
     }
 
 
+@ray.remote
+def _optimize_partition(lake_dir: str, part: int, cluster_by,
+                        row_group_size: int | None) -> dict:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..stages.merge import exact_lww_indices
+
+    manifest = ckpt.read_manifest(lake_dir, part)
+    if manifest is None:
+        return {"part": part, "rows": 0, "files_before": 0}
+    files = manifest.get("files") or [manifest["file"]]
+    tbl = pa.concat_tables(
+        [pq.read_table(f) for f in files], promote_options="default"
+    )
+    keys = tuple(manifest.get("key_columns") or ("table", "repo", "path"))
+    if len(files) > 1:
+        idx = exact_lww_indices(tbl, keys, SEQUENCE_NUM)
+        if len(idx) < tbl.num_rows:
+            tbl = tbl.take(pa.array(idx))
+    cols = [c for c in (cluster_by or list(keys)) if c in tbl.column_names]
+    if cols:
+        order = pc.sort_indices(
+            tbl, sort_keys=[(c, "ascending") for c in cols])
+        tbl = tbl.take(order)
+
+    def write_fn(t, path):
+        pq.write_table(t, path, row_group_size=row_group_size or 131_072)
+
+    ckpt.commit_partition(
+        lake_dir, part, tbl, manifest["last_lsn"], write_fn,
+        dict(manifest, rows=tbl.num_rows, clustered_by=cols),
+        keep_history=bool(ckpt.version_log(lake_dir, part)),
+    )
+    return {"part": part, "rows": tbl.num_rows, "files_before": len(files)}
+
+
+def optimize_lake(lake_dir: str, cluster_by: list[str] | None = None,
+                  row_group_size: int | None = None) -> dict:
+    """OPTIMIZE (Delta-Lake-style clustered rewrite): fold each
+    partition's base+delta files into ONE file whose rows are sorted by
+    ``cluster_by`` (default: the lake's key columns), written in bounded
+    row groups so parquet min/max footer statistics prune selective
+    reads. One Ray task per partition, no shuffle — partitions are
+    independent and the rewrite reuses the fenced atomic commit
+    (manifest-before-delete), so a crash mid-OPTIMIZE never dangles and
+    resume/watermark semantics are untouched (``last_lsn`` is
+    preserved; incremental replication continues on the optimized
+    lake). Tombstones are retained — pruning them is ``vacuum_lake``'s
+    job, gated on the watermark."""
+    manifests = ckpt.all_manifests(lake_dir)
+    if not manifests:
+        return {"partitions": 0}
+    results = ray.get([
+        _optimize_partition.remote(lake_dir, p, cluster_by, row_group_size)
+        for p in manifests
+    ])
+    return {
+        "partitions": len(results),
+        "rows": sum(r["rows"] for r in results),
+        "files_before": sum(r["files_before"] for r in results),
+        "files_after": len(results),
+        "clustered_by": cluster_by or None,
+    }
+
+
 def lake_stats(lake_dir: str) -> dict:
     """Lineage/metrics rollup from the checkpoint manifests (the engine's
     health surface, M19 analog: events applied, watermarks, row counts)."""

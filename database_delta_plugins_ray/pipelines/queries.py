@@ -515,6 +515,22 @@ def cdc_changelog_prev_commit(sf_dir: str):
             .map_groups(window, batch_format="pandas"))
 
 
+def cdc_final_state_optimized(sf_dir: str):
+    """Replay, then OPTIMIZE (clustered rewrite: one sorted file per
+    partition, bounded row groups) — the final state must be IDENTICAL
+    to the unoptimized replay (same oracle as cdc_final_state); tests
+    additionally assert the file-count collapse and footer-stat
+    prunability."""
+    from .maintenance import optimize_lake
+
+    log = ensure_log(sf_dir)
+    lake = fresh_lake(sf_dir, "lake_optimized")
+    run_replication(log, lake, num_partitions=16)
+    optimize_lake(lake, cluster_by=["language", "stars"],
+                  row_group_size=4096)
+    return final_state(lake, columns=FINAL_COLS)
+
+
 def cdc_scd2_history(sf_dir: str):
     """SCD Type 2 dimension history derived from the change stream: one
     row per UPSERT VERSION of a key, carrying ``valid_from`` (its lsn)
@@ -735,6 +751,7 @@ WHERE o.k_repo IS NULL OR n.k_repo IS NULL OR n.lsn <> o.lsn
     return {
         "cdc_final_state": final_sql,
         "cdc_resume_equivalence": final_sql,
+        "cdc_final_state_optimized": final_sql,
         "cdc_time_travel": ttravel_sql,
         "cdc_changefeed": cdf_sql,
         "cdc_point_lookup": final_sql.replace(
@@ -1026,6 +1043,7 @@ CDC_QUERIES = {
     "cdc_incremental_snapshot": cdc_incremental_snapshot,
     "cdc_changelog_prev_commit": cdc_changelog_prev_commit,
     "cdc_scd2_history": cdc_scd2_history,
+    "cdc_final_state_optimized": cdc_final_state_optimized,
     "cdc_dead_letter_queue": cdc_dead_letter_queue,
     "cdc_dlq_contents": cdc_dlq_contents,
     "cdc_table_filter": cdc_table_filter,

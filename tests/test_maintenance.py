@@ -292,3 +292,95 @@ def test_widen_migrates_committed_state(tmp_path):
     got = {(r["repo"], r["path"]): r["stars"] for r in final_state(lake).take_all()}
     assert got == {("r", "a"): 5_000_000_000, ("r", "b"): 9, ("r", "c"): 1}
     assert all(isinstance(v, int) for v in got.values())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_optimize_compacts_preserves_state_and_resume(small_log, tmp_path):
+    """OPTIMIZE folds delta files to one sorted file per partition,
+    changes NO row of the state, and replication resumes on top of the
+    optimized lake exactly-once."""
+    import glob as _glob
+
+    from database_delta_plugins_ray.pipelines.maintenance import optimize_lake
+
+    # DDL-free log: a schema change forces a full rewrite, so deltas (the
+    # multi-file layout OPTIMIZE folds) only accumulate without one
+    log_dir = str(tmp_path / "log")
+    meta = generate_log(log_dir, GenConfig(
+        n_keys=300, n_events=2000, n_repos=10, seed=43, n_segments=4,
+        ddl_plan=False))
+    lake = str(tmp_path / "lake")
+    half = meta["max_lsn"] // 2
+    # two legs force delta commits (multi-file partitions) pre-OPTIMIZE
+    run_replication(log_dir, lake, num_partitions=6, upto_lsn=half)
+    run_replication(log_dir, lake, num_partitions=6,
+                    upto_lsn=(half + meta["max_lsn"]) // 2)
+
+    def snap(rows):
+        return {(r["table"], r["repo"], r["path"]):
+                (r["commit"], r["content_sha"], r["_sequence_num"],
+                 r["_is_deleted"]) for r in rows}
+
+    before = snap(read_lake(lake).take_all())
+    s = optimize_lake(lake, cluster_by=["language", "stars"],
+                      row_group_size=64)
+    assert s["files_before"] > s["files_after"] == s["partitions"]
+    files = _glob.glob(os.path.join(lake, "part=*", "data-*.parquet"))
+    assert len(files) == s["partitions"]
+    assert snap(read_lake(lake).take_all()) == before
+
+    # resume continues from the preserved watermark; final parity
+    run_replication(log_dir, lake, num_partitions=6)
+    want = replay(log_dir)
+    got = {k: r for k, r in
+           ((r["table"], r["repo"], r["path"]) for r in []) or []}
+    rows = final_state(lake).take_all()
+    got = {(r["table"], r["repo"], r["path"]): r for r in rows}
+    assert set(got) == set(want)
+    for k, o in want.items():
+        assert got[k]["content_sha"] == o["content_sha"]
+        assert got[k]["_sequence_num"] == o["_sequence_num"]
+    # idempotent rerun stays a no-op
+    assert run_replication(log_dir, lake,
+                           num_partitions=6)["events_applied"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_optimize_clusters_row_groups_for_pruning(tmp_path):
+    """After OPTIMIZE(cluster_by=language) each file's row-group lang
+    stats are sorted with at most (n_langs - 1) boundary-straddling
+    groups, so a language-filtered read prunes to a contiguous group
+    range via footer statistics alone."""
+    import glob as _glob
+
+    from database_delta_plugins_ray.pipelines.maintenance import optimize_lake
+
+    log_dir = str(tmp_path / "log")
+    generate_log(log_dir, GenConfig(n_keys=2000, n_events=4000, n_repos=10,
+                                    seed=44, n_segments=4, ddl_plan=False))
+    lake = str(tmp_path / "lake")
+    run_replication(log_dir, lake, num_partitions=4)
+    optimize_lake(lake, cluster_by=["lang"], row_group_size=32)
+
+    all_stats, langs = [], set()
+    for f in _glob.glob(os.path.join(lake, "part=*", "data-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        sch = md.schema.to_arrow_schema()
+        li = sch.names.index("lang")
+        stats = []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(li).statistics
+            assert st is not None and st.has_min_max
+            stats.append((st.min, st.max))
+            langs.update((st.min, st.max))
+        # sorted rewrite: group ranges are non-decreasing and non-overlapping
+        for (lo1, hi1), (lo2, hi2) in zip(stats, stats[1:]):
+            assert lo1 <= hi1 <= lo2 <= hi2
+        all_stats.extend(stats)
+    assert all_stats and len(langs) > 1
+    # pruning selectivity: a single-language predicate matches only the
+    # contiguous group range covering that language — a small fraction of
+    # all groups (an unclustered layout matches ~100%)
+    sel = [sum(1 for lo, hi in all_stats if lo <= lg <= hi) / len(all_stats)
+           for lg in sorted(langs)]
+    assert sum(sel) / len(sel) <= 0.45
