@@ -95,6 +95,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated sort columns (default: the "
                          "lake's key columns)")
     po.add_argument("--row-group-size", type=int, default=None)
+    po.add_argument("--zorder", action="store_true",
+                    help="bit-interleaved multi-dim clustering instead of "
+                         "lexicographic sort (prunes on every cluster-by "
+                         "column, not just the leading one)")
 
     pv = sub.add_parser("vacuum")
     pv.add_argument("--lake", required=True)
@@ -225,7 +229,8 @@ def main(argv: list[str] | None = None) -> int:
 
         cols = a.cluster_by.split(",") if a.cluster_by else None
         print(json.dumps(optimize_lake(
-            a.lake, cluster_by=cols, row_group_size=a.row_group_size)))
+            a.lake, cluster_by=cols, row_group_size=a.row_group_size,
+            zorder=a.zorder)))
         import ray
 
         ray.shutdown()
