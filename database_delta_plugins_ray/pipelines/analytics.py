@@ -1891,6 +1891,49 @@ def events_json_props_stats(sf_dir: str):
     return df.sort_values("event_type").reset_index(drop=True)
 
 
+def pack_sequences_documents(sf_dir: str, seq_tokens: int = 512):
+    """Sequence packing for LLM training: lay the corpus out in the
+    deterministic shuffle order (md5 rank — same order as
+    shuffle_rank_documents) and pack documents contiguously into fixed
+    token-budget sequences; a document's sequence id is
+    ``exclusive_prefix_tokens // budget``. Every stage is distributed —
+    vectorized regex token counts, then the range-bucket prefix scan
+    (stages/scan.py) for the global cumulative sum with NO global sort
+    barrier; at 100 TB the only exchange is the nbuckets-sized partial
+    table."""
+    from ..functions.text import token_counts
+    from ..stages.sample import md5_u64
+    from ..stages.scan import ordered_cumsum
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        # wrap-shift u64 -> i64 (x + 2^63 mod 2^64): order-isomorphic to
+        # the oracle's unsigned md5_number_lower, in the int64 domain the
+        # prefix scan's key mapping supports
+        h = (md5_u64(ids) + np.uint64(1 << 63)).view(np.int64)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "h": h,
+            "n_tokens": token_counts(df["text"]).astype("int64"),
+        })
+
+    res = ordered_cumsum(ds.map_batches(prep, batch_format="pandas"),
+                         order_col="h", tiebreak_col="doc_id",
+                         value_col="n_tokens")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        excl = (df["running_total"] - df["n_tokens"]).to_numpy()
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_tokens": df["n_tokens"],
+            "seq_id": (excl // seq_tokens).astype("int64"),
+        })
+
+    return res.map_batches(project, batch_format="pandas")
+
+
 def orders_rollup_status_priority(sf_dir: str):
     """GROUPING SETS / ROLLUP over (o_orderstatus, o_orderpriority): ONE
     distributed aggregate at the finest grain — the only pass over the
@@ -2741,6 +2784,24 @@ FROM l JOIN q USING (doc_id) JOIN r USING (doc_id)
 """
 
 
+ANALYTICS_ORACLE_SQL["pack_sequences_documents"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens,
+         md5_number_lower(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), w AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS excl
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(excl // 512 AS BIGINT) AS seq_id
+FROM w
+"""
+
 ANALYTICS_ORACLE_SQL["events_json_props_stats"] = r"""
 WITH j AS (
   SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
@@ -2876,6 +2937,7 @@ ANALYTICS_QUERIES = {
     "events_lag_revenue": events_lag_revenue,
     "events_late_data_windows": events_late_data_windows,
     "events_json_props_stats": events_json_props_stats,
+    "pack_sequences_documents": pack_sequences_documents,
     "orders_rollup_status_priority": orders_rollup_status_priority,
     "promo_revenue_monthly": promo_revenue_monthly,
     "normalize_text_documents": normalize_text_documents,

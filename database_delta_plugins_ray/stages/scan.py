@@ -41,6 +41,14 @@ def _order_u64(a: np.ndarray) -> np.ndarray:
     if np.issubdtype(a.dtype, np.floating):
         bits = np.ascontiguousarray(a, dtype=np.float64).view(np.uint64)
         return np.where(bits & _SIGN != 0, ~bits, bits | _SIGN)
+    if np.issubdtype(a.dtype, np.unsignedinteger):
+        # the scalar path (driver-side Min/Max) cannot distinguish a
+        # uint64 value from an int64 one, so unsigned keys would map
+        # inconsistently between passes — callers wrap-shift instead:
+        # (u + 2^63).view(int64) is order-isomorphic
+        raise TypeError(
+            "unsigned order_col unsupported: wrap-shift to int64 first "
+            "((x + 2**63).view(int64) preserves order)")
     return a.astype(np.int64).view(np.uint64) + _SIGN
 
 

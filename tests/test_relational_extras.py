@@ -173,3 +173,24 @@ def test_scd2_history_invariants(ray_session):
                  for k, v in want.items()}
     got_keys = dict(zip(zip(cur.repo, cur.path), cur["commit"]))
     assert got_keys == want_keys
+
+
+def test_pack_sequences_matches_duckdb_and_invariants(ray_session):
+    from database_delta_plugins_ray.pipelines.analytics import (
+        ANALYTICS_ORACLE_SQL,
+        pack_sequences_documents,
+    )
+
+    got = pack_sequences_documents(SF).to_pandas()
+    want = _oracle(ANALYTICS_ORACLE_SQL["pack_sequences_documents"])
+    _assert_parity(got, want, ["doc_id"])
+    # a document starts in the bin its exclusive prefix falls into:
+    # bin token-starts are therefore < budget apart and bins are dense
+    per_seq = got.groupby("seq_id")["n_tokens"].sum()
+    assert per_seq.index.min() == 0
+    assert set(per_seq.index) == set(range(per_seq.index.max() + 1))
+    # bins cover the stream: no bin past the exclusive-prefix bound,
+    # and every non-final bin is non-empty
+    total = int(got["n_tokens"].sum())
+    assert per_seq.index.max() <= (total - 1) // 512
+    assert per_seq.iloc[:-1].ge(1).all()
