@@ -1934,6 +1934,76 @@ def pack_sequences_documents(sf_dir: str, seq_tokens: int = 512):
     return res.map_batches(project, batch_format="pandas")
 
 
+def events_value_trend(sf_dir: str):
+    """Grouped closed-form linear regression: per event_type, the OLS
+    slope of value (integer cents) against time (integer days since
+    1995-01-01). The five sufficient statistics (n, Sx, Sy, Sxx, Sxy)
+    are INTEGER partials summed inside map_batches — exact regardless of
+    summation order, so the only float op is the final division, which
+    both engines perform on identical big integers. One tiny groupby
+    moves |event_type| x |blocks| rows however large events is."""
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+    epoch = pd.Timestamp("1995-01-01")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = ((df["ts"] - epoch).dt.days).to_numpy(dtype="int64")
+        y = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        g = pd.DataFrame({
+            "event_type": df["event_type"], "n": 1, "sx": x, "sy": y,
+            "sxx": x * x, "sxy": x * y,
+        }).groupby("event_type", as_index=False).sum()
+        return g
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                      Sum("sy", alias_name="sy"),
+                      Sum("sxx", alias_name="sxx"),
+                      Sum("sxy", alias_name="sxy")))
+    df = agg.to_pandas()
+    out = []
+    for r in df.itertuples(index=False):
+        num = int(r.n) * int(r.sxy) - int(r.sx) * int(r.sy)
+        den = int(r.n) * int(r.sxx) - int(r.sx) * int(r.sx)
+        # float(big)/float(big) mirrors the oracle's HUGEINT->DOUBLE cast
+        slope = float(num) / float(den) if den else None
+        out.append((r.event_type, round(slope, 6), int(r.n)))
+    res = pd.DataFrame(out, columns=["event_type", "slope_cents_per_day",
+                                     "n"])
+    return res.sort_values("event_type").reset_index(drop=True)
+
+
+def doc_length_deciles(sf_dir: str):
+    """Global decile bucketing by document length: exact global rank over
+    (n_chars, doc_id) from the range-bucket prefix scan (COUNT instance
+    of the ordered cumsum — no global sort), then the NTILE-free decile
+    formula ``(rank-1)*10 // N`` computed identically in the oracle."""
+    from ..stages.scan import ordered_cumsum
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_chars": df["text"].str.len().astype("int64"),
+            "one": np.ones(len(df), dtype="int64"),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pandas")
+    n_total = prepped.count()
+    ranked = ordered_cumsum(prepped, order_col="n_chars",
+                            tiebreak_col="doc_id", value_col="one")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        rank = df["running_total"].to_numpy()
+        return pd.DataFrame({
+            "doc_id": df["doc_id"], "n_chars": df["n_chars"],
+            "decile": ((rank - 1) * 10 // n_total).astype("int64"),
+        })
+
+    return ranked.map_batches(project, batch_format="pandas")
+
+
 def orders_rollup_status_priority(sf_dir: str):
     """GROUPING SETS / ROLLUP over (o_orderstatus, o_orderpriority): ONE
     distributed aggregate at the finest grain — the only pass over the
@@ -2784,6 +2854,38 @@ FROM l JOIN q USING (doc_id) JOIN r USING (doc_id)
 """
 
 
+ANALYTICS_ORACLE_SQL["events_value_trend"] = r"""
+WITH p AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '1995-01-01', ts) AS BIGINT) AS x,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x*x) AS HUGEINT) AS sxx,
+         CAST(sum(x*y) AS HUGEINT) AS sxy
+  FROM p GROUP BY event_type
+)
+SELECT event_type,
+       round(CAST(n*sxy - sx*sy AS DOUBLE)
+             / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope_cents_per_day,
+       n
+FROM s
+"""
+
+ANALYTICS_ORACLE_SQL["doc_length_deciles"] = r"""
+WITH r AS (
+  SELECT doc_id, length(text) AS n_chars,
+         row_number() OVER (ORDER BY length(text), doc_id) AS rank,
+         count(*) OVER () AS n
+  FROM documents
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST((rank - 1) * 10 // n AS BIGINT) AS decile
+FROM r
+"""
+
 ANALYTICS_ORACLE_SQL["pack_sequences_documents"] = r"""
 WITH t AS (
   SELECT doc_id,
@@ -2938,6 +3040,8 @@ ANALYTICS_QUERIES = {
     "events_late_data_windows": events_late_data_windows,
     "events_json_props_stats": events_json_props_stats,
     "pack_sequences_documents": pack_sequences_documents,
+    "events_value_trend": events_value_trend,
+    "doc_length_deciles": doc_length_deciles,
     "orders_rollup_status_priority": orders_rollup_status_priority,
     "promo_revenue_monthly": promo_revenue_monthly,
     "normalize_text_documents": normalize_text_documents,

@@ -194,3 +194,45 @@ def test_pack_sequences_matches_duckdb_and_invariants(ray_session):
     total = int(got["n_tokens"].sum())
     assert per_seq.index.max() <= (total - 1) // 512
     assert per_seq.iloc[:-1].ge(1).all()
+
+
+def test_events_value_trend_matches_duckdb(ray_session):
+    from database_delta_plugins_ray.pipelines.analytics import (
+        ANALYTICS_ORACLE_SQL,
+        events_value_trend,
+    )
+
+    got = events_value_trend(SF)
+    want = _oracle(ANALYTICS_ORACLE_SQL["events_value_trend"])
+    _assert_parity(got, want, ["event_type"])
+    # brute-force check of one group against numpy's lstsq
+    import duckdb as _d
+
+    raw = _d.connect().execute(
+        f"SELECT datediff('day', DATE '1995-01-01', ts) x, "
+        f"CAST(floor(value*100.0+0.5) AS BIGINT) y "
+        f"FROM read_parquet('{SF}/events.parquet') "
+        f"WHERE event_type = 'click'").df()
+    slope = np.polyfit(raw.x.to_numpy(float), raw.y.to_numpy(float), 1)[0]
+    ours = float(got.set_index("event_type").loc["click",
+                                                 "slope_cents_per_day"])
+    assert abs(slope - ours) < 1e-4
+
+
+def test_doc_length_deciles_matches_duckdb(ray_session):
+    from database_delta_plugins_ray.pipelines.analytics import (
+        ANALYTICS_ORACLE_SQL,
+        doc_length_deciles,
+    )
+
+    got = doc_length_deciles(SF).to_pandas()
+    want = _oracle(ANALYTICS_ORACLE_SQL["doc_length_deciles"])
+    _assert_parity(got, want, ["doc_id"])
+    # deciles are balanced (sizes differ by at most 1) and ordered by
+    # length: every doc in decile d is <= every doc in decile d+1
+    sizes = got.groupby("decile").size()
+    assert set(sizes.index) == set(range(10))
+    assert sizes.max() - sizes.min() <= 1
+    bounds = got.groupby("decile")["n_chars"].agg(["min", "max"]).sort_index()
+    assert (bounds["max"].to_numpy()[:-1]
+            <= bounds["min"].to_numpy()[1:]).all()
