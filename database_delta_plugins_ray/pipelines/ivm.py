@@ -248,6 +248,195 @@ def maintain_view(
     }
 
 
+JOIN_VIEW_COLS = ["repo", "n_paths_a", "n_paths_b"]
+
+
+def maintain_join_view(
+    log_dir: str,
+    view_dir: str,
+    *,
+    table_a: str,
+    table_b: str,
+    num_partitions: int = 16,
+    upto_lsn: int | None = None,
+) -> dict:
+    """Incrementally-maintained JOIN view (Materialize-style streaming
+    join of two self-maintainable aggregates): ``V(repo) = A(repo) ⋈
+    B(repo)`` where each side is that table's live-key count per repo.
+
+    Both sides' aggregate rows hash-partition by the JOIN key (repo), so
+    maintenance is partition-local: each side's signed ±1 deltas (insert
+    +1, delete -1, update 0 — the same stream invariant maintain_view
+    relies on) land in the partition that owns the repo, the merge task
+    updates both counters in ONE state table and the join row is simply
+    the counters' conjunction (emit iff both sides > 0). No join is ever
+    recomputed from base tables; an increment costs one pruned read +
+    one (part, repo, side)-bounded shuffle. Exactly-once via the same
+    per-partition watermark fences as maintain_view (deltas are not
+    idempotent)."""
+    t0 = time.time()
+    os.makedirs(os.path.join(view_dir, ckpt.CHECKPOINT_DIR), exist_ok=True)
+
+    import json as _json
+
+    cfg = {"num_partitions": num_partitions, "table_a": table_a,
+           "table_b": table_b}
+    cfg_path = os.path.join(view_dir, ckpt.CHECKPOINT_DIR, "view_config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as fh:
+            stored = _json.load(fh)
+        if stored != cfg:
+            raise ValueError(
+                f"join view at {view_dir} was maintained with {stored}, "
+                f"got {cfg}; deltas are not idempotent under a changed "
+                "config — use a new view directory")
+    else:
+        tmp = cfg_path + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            _json.dump(cfg, fh)
+        os.replace(tmp, cfg_path)
+
+    mx = log_max_lsn(log_dir)
+    consumed = mx if upto_lsn is None else min(upto_lsn, mx)
+
+    manifests = ckpt.all_manifests(view_dir)
+    wm = np.zeros(num_partitions, np.int64)
+    for p, m in manifests.items():
+        wm[p] = m["last_lsn"]
+    min_wm = int(wm.min()) if len(manifests) == num_partitions else 0
+    if min_wm >= consumed:
+        return {"groups_touched": 0, "wall_s": time.time() - t0,
+                "watermark": min_wm}
+
+    flt = pads.field("lsn") > min_wm
+    if consumed < mx:
+        flt = flt & (pads.field("lsn") <= consumed)
+
+    _empty = pa.table({"part": pa.array([], pa.int32()),
+                       "repo": pa.array([], pa.string()),
+                       "a_d": pa.array([], pa.int64()),
+                       "b_d": pa.array([], pa.int64())})
+
+    _PROJ = {
+        "lsn": pads.field("lsn"),
+        "op": pads.field("op"),
+        "table": pads.field("table"),
+        "a_repo": pads.field("after", "repo"),
+        "b_repo": pads.field("before", "repo"),
+    }
+
+    def delta_partial(batch: pa.Table) -> pa.Table:
+        frames = []
+        for f in batch["file"].to_pylist():
+            scanner = pads.dataset(f, format="parquet").scanner(
+                columns=_PROJ, filter=flt, batch_size=65536)
+            for rb in scanner.to_batches():
+                t = pa.Table.from_batches([rb])
+                t = t.filter(pc.is_in(
+                    t["table"], value_set=pa.array([table_a, table_b])))
+                t = t.filter(pc.not_equal(t["op"], "DDL"))
+                if t.num_rows == 0:
+                    continue
+                op = t["table"].to_pandas()
+                side_a = (op == table_a).to_numpy()
+                o = t["op"].to_pandas()
+                d = ((o == "I").to_numpy(np.int64)
+                     - (o == "D").to_numpy(np.int64))
+                df = pd.DataFrame({
+                    "lsn": t["lsn"].to_numpy(),
+                    "repo": pc.coalesce(t["a_repo"],
+                                        t["b_repo"]).to_pandas(),
+                    "a_d": np.where(side_a, d, 0),
+                    "b_d": np.where(side_a, 0, d),
+                })
+                df["part"] = _part_of(df["repo"], num_partitions)
+                df = df[df["lsn"].to_numpy() > wm[df["part"].to_numpy()]]
+                if len(df):
+                    frames.append(df)
+        if not frames:
+            return _empty
+        g = (pd.concat(frames, ignore_index=True)
+             .groupby(["part", "repo"], sort=False, as_index=False)
+             [["a_d", "b_d"]].sum())
+        return pa.Table.from_pandas(
+            g.astype({"part": np.int32, "a_d": np.int64, "b_d": np.int64}),
+            preserve_index=False)
+
+    ds = ray.data.from_items(
+        [{"file": f} for f in log_files(log_dir)]
+    ).map_batches(delta_partial, batch_format="pyarrow", batch_size=1)
+
+    import pyarrow.parquet as pq
+
+    view_dir_b, consumed_b = view_dir, consumed
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g["part"].iloc[0])
+        m = ckpt.read_manifest(view_dir_b, part)
+        if m is not None and m["last_lsn"] >= consumed_b:
+            return pd.DataFrame({"part": [part], "groups": [0]})
+        agg = g.groupby("repo", as_index=False)[["a_d", "b_d"]].sum()
+        if m is not None:
+            old = pq.read_table(m["file"]).to_pandas()
+        else:
+            old = pd.DataFrame({"repo": pd.Series([], dtype=str),
+                                "n_paths_a": pd.Series([], dtype=np.int64),
+                                "n_paths_b": pd.Series([], dtype=np.int64)})
+        new = old.merge(agg, on="repo", how="outer")
+        for c in ("n_paths_a", "n_paths_b", "a_d", "b_d"):
+            new[c] = new[c].fillna(0).astype(np.int64)
+        new["n_paths_a"] += new["a_d"]
+        new["n_paths_b"] += new["b_d"]
+        # the STATE keeps every repo either side has live keys for (a
+        # one-sided repo must survive so a later match on the other side
+        # joins correctly); the JOIN surfaces only two-sided rows
+        new = (new.loc[(new["n_paths_a"] > 0) | (new["n_paths_b"] > 0),
+                       JOIN_VIEW_COLS]
+               .sort_values("repo").reset_index(drop=True))
+        tbl = pa.Table.from_pandas(new, preserve_index=False)
+        ckpt.commit_partition(
+            view_dir_b, part, tbl, consumed_b,
+            lambda t, p: pq.write_table(t, p),
+            {"rows": len(new), "delta_rows": int(len(g))})
+        return pd.DataFrame({"part": [part], "groups": [len(agg)]})
+
+    summary = (ds.groupby("part")
+               .map_groups(merge_part, batch_format="pandas")
+               .to_pandas())
+
+    for p in range(num_partitions):
+        m = ckpt.read_manifest(view_dir_b, p)
+        if m is None:
+            d = ckpt.part_dir(view_dir_b, p)
+            os.makedirs(d, exist_ok=True)
+            empty = pa.table({"repo": pa.array([], pa.string()),
+                              "n_paths_a": pa.array([], pa.int64()),
+                              "n_paths_b": pa.array([], pa.int64())})
+            ckpt.commit_partition(
+                view_dir_b, p, empty, consumed_b,
+                lambda t, pth: pq.write_table(t, pth),
+                {"rows": 0})
+        elif m["last_lsn"] < consumed_b:
+            ckpt.write_manifest(view_dir_b, p,
+                                dict(m, last_lsn=consumed_b))
+
+    return {"groups_touched": int(summary["groups"].sum()),
+            "partitions": len(summary),
+            "wall_s": time.time() - t0, "watermark": consumed}
+
+
+def read_join_view(view_dir: str) -> "ray.data.Dataset":
+    """The join view: state rows where BOTH sides are live (the inner
+    join's conjunction, evaluated at read from the co-located counters)."""
+    manifests = ckpt.all_manifests(view_dir)
+    if not manifests:
+        raise FileNotFoundError(
+            f"no committed view partitions under {view_dir}")
+    files = [m["file"] for m in manifests.values()]
+    ds = ray.data.read_parquet(files, columns=JOIN_VIEW_COLS)
+    return ds.filter(expr="n_paths_a > 0 and n_paths_b > 0")
+
+
 def read_view(view_dir: str) -> "ray.data.Dataset":
     """The maintained view as a Ray Dataset (live manifest files only)."""
     manifests = ckpt.all_manifests(view_dir)

@@ -638,6 +638,25 @@ def cdc_view_repo_stats(sf_dir: str):
     return read_view(view)
 
 
+def cdc_view_repo_join(sf_dir: str):
+    """Incrementally-maintained JOIN view over the TWO-table log
+    (pipelines/ivm.py:maintain_join_view): per-repo live-key counts of
+    both SourceTables, co-partitioned by the JOIN key and merged
+    partition-locally — the streaming join-of-aggregates a warehouse
+    keeps over multi-table CDC. Two increments prove incrementality;
+    the oracle joins full per-table recomputes of the LWW final state."""
+    from .ivm import maintain_join_view, read_join_view
+
+    log = ensure_variant_log(sf_dir, "mt_log", n_tables=2, ddl_plan=False)
+    view = fresh_lake(sf_dir, "view_repo_join")
+    mx = log_max_lsn(log)
+    kw = dict(table_a="inventory.code_files",
+              table_b="inventory.code_files_1", num_partitions=8)
+    maintain_join_view(log, view, upto_lsn=mx * 2 // 3, **kw)
+    maintain_join_view(log, view, **kw)
+    return read_join_view(view)
+
+
 def cdc_all_datatypes(sf_dir: str):
     """End-to-end replication of the ALL-DATATYPES table: the reference's
     type-conformance core (33-column e2e fixture, pluginParameters.
@@ -809,6 +828,26 @@ ranked AS (
 SELECT "table", k_repo AS repo, k_path AS path, "commit", lang,
        content_sha, lsn AS _sequence_num
 FROM ranked WHERE rn = 1 AND op <> 'D'
+""",
+        "cdc_view_repo_join": f"""
+WITH ev AS (
+  SELECT lsn, op, "table",
+         coalesce(after.repo, before.repo)  AS k_repo,
+         coalesce(after.path, before.path)  AS k_path
+  FROM read_parquet('{_variant_glob(sf, "mt_log")}')
+  WHERE op <> 'DDL'
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY "table", k_repo, k_path
+                               ORDER BY lsn DESC) AS rn
+  FROM ev
+),
+fin AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D'),
+a AS (SELECT k_repo AS repo, CAST(count(*) AS BIGINT) AS n_paths_a
+      FROM fin WHERE "table" = 'inventory.code_files' GROUP BY 1),
+b AS (SELECT k_repo AS repo, CAST(count(*) AS BIGINT) AS n_paths_b
+      FROM fin WHERE "table" = 'inventory.code_files_1' GROUP BY 1)
+SELECT repo, n_paths_a, n_paths_b FROM a JOIN b USING (repo)
 """,
         "cdc_table_filter": f"""
 WITH ev AS (
@@ -1040,6 +1079,7 @@ CDC_QUERIES = {
     "cdc_first_seen_synthesis": cdc_first_seen_synthesis,
     "cdc_tx_consistent": cdc_tx_consistent,
     "cdc_view_repo_stats": cdc_view_repo_stats,
+    "cdc_view_repo_join": cdc_view_repo_join,
     "cdc_incremental_snapshot": cdc_incremental_snapshot,
     "cdc_changelog_prev_commit": cdc_changelog_prev_commit,
     "cdc_scd2_history": cdc_scd2_history,

@@ -122,3 +122,121 @@ def test_changed_num_partitions_rejected(ray_session, ivm_log, tmp_path):
     # the pinned value still works
     maintain_view(ivm_log, view, num_partitions=4)
     pd.testing.assert_frame_equal(_view_df(view), _recompute(ivm_log))
+
+
+@pytest.fixture(scope="module")
+def mt_log(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("mtlog") / "log")
+    generate_log(d, GenConfig(n_keys=600, n_events=4_000, n_repos=12,
+                              n_segments=4, seed=14, n_tables=2,
+                              ddl_plan=False))
+    return d
+
+
+def _recompute_join(log_dir, ta, tb):
+    """Brute-force oracle: per-table LWW live sets, then per-repo counts,
+    inner-joined."""
+    import pyarrow.dataset as pads
+
+    segs = [os.path.join(log_dir, f) for f in sorted(os.listdir(log_dir))
+            if f.startswith("seg-")]
+    t = pads.dataset(segs, format="parquet").to_table(
+        columns=["lsn", "op", "table", "before", "after"]).to_pandas()
+    t = t[t["op"] != "DDL"].sort_values("lsn")
+    state = {}
+    for _, r in t.iterrows():
+        key_img = r["after"] if r["after"] is not None else r["before"]
+        key = (r["table"], key_img["repo"], key_img["path"])
+        if r["op"] == "D":
+            state.pop(key, None)
+        else:
+            state[key] = True
+    counts = {}
+    for (tbl, repo, _), _v in state.items():
+        counts.setdefault(repo, {ta: 0, tb: 0})
+        if tbl in counts[repo]:
+            counts[repo][tbl] += 1
+    return {r: (c[ta], c[tb]) for r, c in counts.items()
+            if c[ta] > 0 and c[tb] > 0}
+
+
+TA, TB = "inventory.code_files", "inventory.code_files_1"
+
+
+def test_join_view_incremental_equals_recompute(ray_session, mt_log,
+                                                tmp_path):
+    from database_delta_plugins_ray.pipelines.ivm import (
+        maintain_join_view,
+        read_join_view,
+    )
+
+    view = str(tmp_path / "jview")
+    mx = log_max_lsn(mt_log)
+    kw = dict(table_a=TA, table_b=TB, num_partitions=5)
+    # three increments, then a rerun that must be a no-op
+    maintain_join_view(mt_log, view, upto_lsn=mx // 3, **kw)
+    maintain_join_view(mt_log, view, upto_lsn=2 * mx // 3, **kw)
+    maintain_join_view(mt_log, view, **kw)
+    s = maintain_join_view(mt_log, view, **kw)
+    assert s["groups_touched"] == 0
+
+    got = {r["repo"]: (r["n_paths_a"], r["n_paths_b"])
+           for r in read_join_view(view).take_all()}
+    assert got == _recompute_join(mt_log, TA, TB)
+
+    # one-shot build agrees with the incremental one
+    view2 = str(tmp_path / "jview2")
+    maintain_join_view(mt_log, view2, **kw)
+    got2 = {r["repo"]: (r["n_paths_a"], r["n_paths_b"])
+            for r in read_join_view(view2).take_all()}
+    assert got2 == got
+
+
+def test_join_view_one_sided_repo_survives(ray_session, tmp_path):
+    """A repo live on only one side must not surface in the join — but
+    its state row must survive so a later event on the other side joins
+    without a rebuild."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database_delta_plugins_ray.model import event_log_schema
+    from database_delta_plugins_ray.pipelines.ivm import (
+        maintain_join_view,
+        read_join_view,
+    )
+
+    def ev(lsn, op, table, repo, path):
+        img = {"repo": repo, "path": path, "commit": "c" * 40,
+               "lang": "py", "content": "x", "stars": None,
+               "language": None}
+        return {"lsn": lsn, "tx_id": f"t{lsn}", "op": op, "table": table,
+                "before": img if op == "D" else None,
+                "after": None if op == "D" else img,
+                "ddl": None, "is_snapshot": False,
+                "ingest_ts": 1, "schema_version": 0}
+
+    log = str(tmp_path / "log")
+    os.makedirs(log)
+    pq.write_table(pa.Table.from_pylist(
+        [ev(1, "I", TA, "r1", "a"), ev(2, "I", TA, "r2", "a")],
+        schema=event_log_schema()), os.path.join(log, "seg-00000.parquet"))
+    with open(os.path.join(log, "meta.json"), "w") as fh:
+        json.dump({"max_lsn": 2}, fh)
+
+    view = str(tmp_path / "v")
+    kw = dict(table_a=TA, table_b=TB, num_partitions=3)
+    maintain_join_view(log, view, **kw)
+    assert read_join_view(view).count() == 0  # one-sided: joins empty
+
+    # the other side arrives later: the join materializes incrementally
+    pq.write_table(pa.Table.from_pylist(
+        [ev(3, "I", TB, "r1", "z")],
+        schema=event_log_schema()), os.path.join(log, "seg-00001.parquet"))
+    with open(os.path.join(log, "meta.json"), "w") as fh:
+        json.dump({"max_lsn": 3}, fh)
+    maintain_join_view(log, view, **kw)
+    got = {r["repo"]: (r["n_paths_a"], r["n_paths_b"])
+           for r in read_join_view(view).take_all()}
+    assert got == {"r1": (1, 1)}
