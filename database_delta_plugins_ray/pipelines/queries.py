@@ -531,6 +531,25 @@ def cdc_final_state_optimized(sf_dir: str):
     return final_state(lake, columns=FINAL_COLS)
 
 
+def cdc_language_slice(sf_dir: str):
+    """Predicate-pushdown read off the OPTIMIZED lake: replicate, cluster
+    by language, then read only the ``language='py'`` slice — the filter
+    is a pads expression pushed into the parquet scan, so the clustered
+    row-group footer stats prune everything else (the read path OPTIMIZE
+    exists to serve)."""
+    import pyarrow.dataset as pads
+
+    from .maintenance import optimize_lake
+
+    log = ensure_log(sf_dir)
+    lake = fresh_lake(sf_dir, "lake_lang_slice")
+    run_replication(log, lake, num_partitions=16)
+    optimize_lake(lake, cluster_by=["language", "stars"],
+                  row_group_size=4096)
+    return final_state(lake, columns=FINAL_COLS,
+                       predicate=(pads.field("language") == "py"))
+
+
 def cdc_scd2_history(sf_dir: str):
     """SCD Type 2 dimension history derived from the change stream: one
     row per UPSERT VERSION of a key, carrying ``valid_from`` (its lsn)
@@ -771,6 +790,9 @@ WHERE o.k_repo IS NULL OR n.k_repo IS NULL OR n.lsn <> o.lsn
         "cdc_final_state": final_sql,
         "cdc_resume_equivalence": final_sql,
         "cdc_final_state_optimized": final_sql,
+        "cdc_language_slice": final_sql.replace(
+            "WHERE rn = 1 AND op <> 'D'",
+            "WHERE rn = 1 AND op <> 'D' AND language = 'py'"),
         "cdc_time_travel": ttravel_sql,
         "cdc_changefeed": cdf_sql,
         "cdc_point_lookup": final_sql.replace(
@@ -1084,6 +1106,7 @@ CDC_QUERIES = {
     "cdc_changelog_prev_commit": cdc_changelog_prev_commit,
     "cdc_scd2_history": cdc_scd2_history,
     "cdc_final_state_optimized": cdc_final_state_optimized,
+    "cdc_language_slice": cdc_language_slice,
     "cdc_dead_letter_queue": cdc_dead_letter_queue,
     "cdc_dlq_contents": cdc_dlq_contents,
     "cdc_table_filter": cdc_table_filter,

@@ -811,7 +811,8 @@ def lake_files(lake_dir: str) -> list[str]:
 
 
 def read_lake(lake_dir: str, columns: list[str] | None = None,
-              as_of_lsn: int | None = None) -> "ray.data.Dataset":
+              as_of_lsn: int | None = None,
+              predicate=None) -> "ray.data.Dataset":
     """The lake as a Ray Dataset (includes soft-deleted rows, like the
     reference target table — filter ``_is_deleted`` for final state).
 
@@ -825,7 +826,16 @@ def read_lake(lake_dir: str, columns: list[str] | None = None,
     version with ``last_lsn <= as_of_lsn`` — commit-granularity
     reconstruction of an earlier state, Delta-Lake-style. A partition
     with no commit at/below the position simply contributes no rows
-    (it did not exist yet)."""
+    (it did not exist yet).
+
+    ``predicate`` (a ``pyarrow.dataset`` expression): pushed into the
+    parquet scan — row-group footer statistics prune the read, which is
+    what OPTIMIZE's clustered rewrite exists for. Pushdown is only
+    legal where a key appears ONCE per file: single-file partitions
+    push down fully; partitions carrying delta commits must LWW-reduce
+    FIRST and filter after (an old version of a key may match the
+    predicate while the current one does not — pushing down would
+    resurrect it), which this function handles per partition."""
     if as_of_lsn is not None:
         horizon = ckpt.history_horizon(lake_dir)
         if as_of_lsn < horizon:
@@ -845,7 +855,8 @@ def read_lake(lake_dir: str, columns: list[str] | None = None,
     multi = [m for m in manifests.values() if len(m.get("files") or ()) > 1]
     if not multi:
         return ray.data.read_parquet(
-            [m["file"] for m in manifests.values()], columns=columns
+            [m["file"] for m in manifests.values()], columns=columns,
+            filter=predicate,
         )
 
     from ..model import SEQUENCE_NUM
@@ -860,6 +871,7 @@ def read_lake(lake_dir: str, columns: list[str] | None = None,
     ]
 
     def load(batch: pa.Table) -> pa.Table:
+        import pyarrow.dataset as pads
         import pyarrow.parquet as pq
 
         out = []
@@ -868,14 +880,37 @@ def read_lake(lake_dir: str, columns: list[str] | None = None,
             read_cols = None
             if columns is not None:
                 read_cols = list(dict.fromkeys([*columns, *keys, SEQUENCE_NUM]))
-            t = pa.concat_tables(
-                [pq.read_table(f, columns=read_cols) for f in row["files"]],
-                promote_options="default",
-            )
-            if len(row["files"]) > 1:
+            single = len(row["files"]) <= 1
+            if not single and predicate is not None:
+                # the in-memory post-reduce filter needs the predicate's
+                # columns present, and expressions don't expose their
+                # field names — read the delta partition whole (OPTIMIZE
+                # folds it to the pushdown-eligible single-file layout)
+                read_cols = None
+            if single and predicate is not None:
+                # each key appears once: pushdown is exact and prunes
+                # row groups via footer stats
+                t = pa.concat_tables(
+                    [pads.dataset(f, format="parquet").to_table(
+                        columns=read_cols, filter=predicate)
+                     for f in row["files"]],
+                    promote_options="default",
+                )
+            else:
+                t = pa.concat_tables(
+                    [pq.read_table(f, columns=read_cols)
+                     for f in row["files"]],
+                    promote_options="default",
+                )
+            if not single:
                 idx = exact_lww_indices(t, keys, SEQUENCE_NUM)
                 if len(idx) < t.num_rows:
                     t = t.take(pa.array(idx))
+                if predicate is not None:
+                    # filter AFTER the reduce: an old version matching
+                    # the predicate must never resurrect a key whose
+                    # current version does not
+                    t = pads.dataset(t).to_table(filter=predicate)
             if columns is not None:
                 t = t.select(columns)
             out.append(t)
@@ -1112,12 +1147,14 @@ def read_dlq(lake_dir: str) -> "ray.data.Dataset":
 
 
 def final_state(lake_dir: str, columns: list[str] | None = None,
-                as_of_lsn: int | None = None) -> "ray.data.Dataset":
+                as_of_lsn: int | None = None,
+                predicate=None) -> "ray.data.Dataset":
     """Live rows only (the reference e2e comparison filters _is_deleted,
-    BQValidation.java:86-90). ``as_of_lsn`` time-travels (see read_lake)."""
+    BQValidation.java:86-90). ``as_of_lsn`` time-travels; ``predicate``
+    pushes a pads expression into the scan (see read_lake)."""
     ds = read_lake(lake_dir,
                    columns=None if columns is None else columns + ["_is_deleted"],
-                   as_of_lsn=as_of_lsn)
+                   as_of_lsn=as_of_lsn, predicate=predicate)
     ds = ds.filter(expr="_is_deleted == False")
     if columns is not None:
         ds = ds.select_columns(columns)

@@ -453,3 +453,63 @@ def test_optimize_zorder_prunes_both_dims(tmp_path):
     b = sorted((r["repo"], r["path"], r["content_sha"])
                for r in final_state(zo).take_all())
     assert a == b
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_predicate_pushdown_never_resurrects_superseded_rows(tmp_path):
+    """read_lake(predicate=...) on a DELTA-carrying partition must reduce
+    BEFORE filtering: a key whose OLD version matches the predicate but
+    whose current version does not must stay absent; on the single-file
+    (optimized) layout the same predicate pushes straight into the scan."""
+    import pyarrow.dataset as pads
+
+    from database_delta_plugins_ray.pipelines.maintenance import optimize_lake
+
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    create = {"op": "CREATE_TABLE", "table": "db.t", "prev_table": "",
+              "payload": json.dumps({
+                  "columns": [["repo", "string"], ["path", "string"],
+                              ["commit", "string"], ["lang", "string"],
+                              ["content", "large_string"]],
+                  "primary_key": ["repo", "path"]})}
+    seg0 = [
+        _event(1, "DDL", "db.t", ddl=create),
+        _event(2, "I", "db.t", after={"repo": "r", "path": "a",
+                                      "lang": "py"}),
+        _event(3, "I", "db.t", after={"repo": "r", "path": "b",
+                                      "lang": "py"}),
+    ]
+    # leg 2: a flips to go (old py version superseded), c is new py
+    seg1 = [
+        _event(4, "U", "db.t", after={"repo": "r", "path": "a",
+                                      "lang": "go"},
+               before={"repo": "r", "path": "a", "lang": "py"}),
+        _event(5, "I", "db.t", after={"repo": "r", "path": "c",
+                                      "lang": "py"}),
+    ]
+    sch = event_log_schema()
+    pq.write_table(pa.Table.from_pylist(seg0, schema=sch),
+                   os.path.join(log_dir, "seg-00000.parquet"))
+    pq.write_table(pa.Table.from_pylist(seg1, schema=sch),
+                   os.path.join(log_dir, "seg-00001.parquet"))
+    with open(os.path.join(log_dir, "meta.json"), "w") as fh:
+        json.dump({"max_lsn": 5}, fh)
+
+    lake = str(tmp_path / "lake")
+    run_replication(log_dir, lake, num_partitions=1, upto_lsn=3)
+    run_replication(log_dir, lake, num_partitions=1)
+    # the single partition must actually carry a delta (multi-file)
+    from database_delta_plugins_ray.state import checkpoint as ckpt
+    m = ckpt.read_manifest(lake, 0)
+    assert len(m.get("files") or []) > 1
+
+    pred = pads.field("lang") == "py"
+    got = {r["path"] for r in
+           final_state(lake, predicate=pred).take_all()}
+    assert got == {"b", "c"}          # 'a' must NOT resurrect
+
+    optimize_lake(lake, cluster_by=["lang"], row_group_size=2)
+    got2 = {r["path"] for r in
+            final_state(lake, predicate=pred).take_all()}
+    assert got2 == {"b", "c"}         # pushdown path agrees
