@@ -1934,6 +1934,39 @@ def pack_sequences_documents(sf_dir: str, seq_tokens: int = 512):
     return res.map_batches(project, batch_format="pandas")
 
 
+def funnel_view_purchase(sf_dir: str, within_hours: int = 1):
+    """Funnel conversion: users who VIEWED, and users whose view was
+    followed by a PURCHASE within the window — the classic behavioral
+    funnel. One user-keyed shuffle co-locates each user's events; inside
+    the group a sorted searchsorted checks every view against the
+    purchase timeline vectorized (no pairwise join blowup — at 100 TB
+    the self-join the SQL oracle writes would be quadratic per user)."""
+    ds = _t(sf_dir, "events", ["user_id", "event_type", "ts"])
+    win = np.timedelta64(within_hours * 3600, "s")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        et = g["event_type"].to_numpy()
+        ts = g["ts"].to_numpy(dtype="datetime64[us]")
+        views = np.sort(ts[et == "view"])
+        if len(views) == 0:
+            return pd.DataFrame({"viewed": [0], "converted": [0]})
+        buys = np.sort(ts[et == "purchase"])
+        # a view converts iff some purchase lands in (view, view + win]
+        lo = np.searchsorted(buys, views, side="right")
+        hi = np.searchsorted(buys, views + win, side="right")
+        return pd.DataFrame({"viewed": [1],
+                             "converted": [int((hi > lo).any())]})
+
+    per = ds.groupby("user_id").map_groups(per_user,
+                                           batch_format="pandas")
+    agg = per.aggregate(Sum("viewed", alias_name="viewed"),
+                        Sum("converted", alias_name="converted"))
+    return pd.DataFrame({
+        "stage": ["converted", "viewed"],
+        "n_users": [int(agg["converted"]), int(agg["viewed"])],
+    })
+
+
 def events_value_trend(sf_dir: str):
     """Grouped closed-form linear regression: per event_type, the OLS
     slope of value (integer cents) against time (integer days since
@@ -2854,6 +2887,20 @@ FROM l JOIN q USING (doc_id) JOIN r USING (doc_id)
 """
 
 
+ANALYTICS_ORACLE_SQL["funnel_view_purchase"] = r"""
+WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+c AS (
+  SELECT DISTINCT e1.user_id
+  FROM events e1 JOIN events e2
+    ON e1.user_id = e2.user_id
+   AND e1.event_type = 'view' AND e2.event_type = 'purchase'
+   AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+)
+SELECT 'viewed' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+UNION ALL
+SELECT 'converted', CAST(count(*) AS BIGINT) FROM c
+"""
+
 ANALYTICS_ORACLE_SQL["events_value_trend"] = r"""
 WITH p AS (
   SELECT event_type,
@@ -3042,6 +3089,7 @@ ANALYTICS_QUERIES = {
     "pack_sequences_documents": pack_sequences_documents,
     "events_value_trend": events_value_trend,
     "doc_length_deciles": doc_length_deciles,
+    "funnel_view_purchase": funnel_view_purchase,
     "orders_rollup_status_priority": orders_rollup_status_priority,
     "promo_revenue_monthly": promo_revenue_monthly,
     "normalize_text_documents": normalize_text_documents,

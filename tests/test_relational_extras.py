@@ -236,3 +236,32 @@ def test_doc_length_deciles_matches_duckdb(ray_session):
     bounds = got.groupby("decile")["n_chars"].agg(["min", "max"]).sort_index()
     assert (bounds["max"].to_numpy()[:-1]
             <= bounds["min"].to_numpy()[1:]).all()
+
+
+def test_funnel_semantics_planted(ray_session, tmp_path):
+    """Window edges: converts only when a purchase lands strictly after
+    the view and within the hour; earlier purchases don't count."""
+    from database_delta_plugins_ray.pipelines.analytics import (
+        funnel_view_purchase,
+    )
+
+    t0 = pd.Timestamp("2024-01-01 12:00:00")
+
+    def ev(uid, et, minutes):
+        return {"user_id": uid, "event_type": et,
+                "ts": t0 + pd.Timedelta(minutes=minutes), "event_id": 0,
+                "value": 0.0, "props": "{}"}
+
+    rows = [
+        ev(1, "view", 0), ev(1, "purchase", 30),    # converts
+        ev(2, "view", 0), ev(2, "purchase", 120),   # too late
+        ev(3, "purchase", 0), ev(3, "view", 30),    # purchase BEFORE view
+        ev(4, "click", 0),                          # never viewed
+        ev(5, "view", 0), ev(5, "purchase", 60),    # exactly at the edge
+    ]
+    d = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(rows), os.path.join(
+        d, "events.parquet"))
+    got = funnel_view_purchase(d).set_index("stage")["n_users"]
+    assert got["viewed"] == 4
+    assert got["converted"] == 2  # users 1 and 5 (inclusive edge)
