@@ -100,6 +100,14 @@ def main(argv: list[str] | None = None) -> int:
                          "lexicographic sort (prunes on every cluster-by "
                          "column, not just the leading one)")
 
+    prs = sub.add_parser(
+        "reshard", help="re-partition a committed lake P -> P' into a new "
+                        "directory (cluster resize); replication continues "
+                        "on the new layout from the carried watermark")
+    prs.add_argument("--lake", required=True)
+    prs.add_argument("--dest", required=True)
+    prs.add_argument("--partitions", type=int, required=True)
+
     pv = sub.add_parser("vacuum")
     pv.add_argument("--lake", required=True)
     pv.add_argument("--prune-below", type=int, default=None)
@@ -231,6 +239,16 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(optimize_lake(
             a.lake, cluster_by=cols, row_group_size=a.row_group_size,
             zorder=a.zorder)))
+        import ray
+
+        ray.shutdown()
+        return 0
+
+    if a.cmd == "reshard":
+        _ray_init(a.num_cpus)
+        from .pipelines.maintenance import reshard_lake
+
+        print(json.dumps(reshard_lake(a.lake, a.dest, a.partitions)))
         import ray
 
         ray.shutdown()

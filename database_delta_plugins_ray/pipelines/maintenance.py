@@ -263,3 +263,161 @@ def vacuum_history(lake_dir: str, keep_from_lsn: int) -> dict:
         os.replace(tmp, logp)
     return {"partitions": parts, "versions_dropped": total_dropped,
             "files_deleted": total_files, "keep_from_lsn": keep_from_lsn}
+
+
+def reshard_lake(lake_dir: str, dest_dir: str, new_partitions: int,
+                 repo_salt: dict[str, int] | None = None) -> dict:
+    """Re-shard a committed lake from P to P' partitions — the cluster
+    resize operation (BASELINE north rule: the engine runs at N and 4N
+    nodes; the key->partition layout should grow with the cluster).
+
+    The partition count is pinned in ``lake_config.json`` because it IS
+    the key->partition mapping: changing it in place would mis-fence
+    events. Resharding therefore builds a NEW lake at ``dest_dir``:
+
+    * one Ray task per SOURCE partition loads its committed state
+      (base + deltas LWW-reduced, rows migrated to the CURRENT registry
+      schema, TRUNCATE/DROP fences applied), routes every row to its new
+      partition with the same Normalizer hash under the new config;
+    * ONE ``groupby("part")`` shuffle co-locates each new partition's
+      rows; a writer task commits them with the lake's fenced atomic
+      manifest contract.
+
+    Exactly-once continuation: every new partition's watermark is the
+    source lake's GLOBAL watermark G (every event with lsn <= G is
+    already reflected in the carried state), so ``run_replication(log,
+    dest_dir, num_partitions=P')`` resumes from G and applies only newer
+    events. Resharding a lake whose per-partition manifests run PAST the
+    global watermark (a crashed run) is refused — complete a replication
+    run first, otherwise the G fence would skip the crash window.
+
+    Lineage: ``events_applied`` restarts at the carried row count;
+    ``_checkpoints/reshard.json`` records (source, cut lsn, P -> P').
+    Time-travel history does NOT span a reshard — the new lake's history
+    horizon is set to G so as-of reads below the cut raise instead of
+    reconstructing a partial state.
+    """
+    import json as _json
+    import shutil
+
+    import pyarrow as pa
+
+    from ..state.ddl import Registry
+    from ..stages.merge import PartitionMerger, exact_lww_indices, schema_sig
+    from ..model import SEQUENCE_NUM, IS_DELETED
+    from .replicate import route_parts, _payload_columns
+
+    manifests = ckpt.all_manifests(lake_dir)
+    if not manifests:
+        raise FileNotFoundError(f"no committed partitions under {lake_dir}")
+    g = ckpt.read_global_watermark(lake_dir)
+    hi = max(m["last_lsn"] for m in manifests.values())
+    if g < hi:
+        raise ValueError(
+            f"lake has partition commits (lsn {hi}) past the global "
+            f"watermark ({g}) — an interrupted run; complete a "
+            "replication run before resharding")
+    cfg_path = os.path.join(lake_dir, ckpt.CHECKPOINT_DIR, "lake_config.json")
+    with open(cfg_path) as fh:
+        cfg = _json.load(fh)
+    if int(new_partitions) < 1:
+        raise ValueError("new_partitions must be >= 1")
+    new_cfg = dict(cfg, num_partitions=int(new_partitions))
+    if repo_salt is not None:
+        new_cfg["repo_salt"] = repo_salt
+    any_m = next(iter(manifests.values()))
+    key_cols = tuple(any_m.get("key_columns") or ("table", "repo", "path"))
+    hist = os.path.join(lake_dir, ckpt.CHECKPOINT_DIR, "schema_history.jsonl")
+    registry = Registry.load(hist) if os.path.exists(hist) else Registry()
+    compute_sha = any("content_sha:" in s
+                      for m in manifests.values()
+                      for s in (m.get("schema_sig") or ()))
+    payload_cols = _payload_columns(registry, None, compute_sha)
+
+    dest_ckpt = os.path.join(dest_dir, ckpt.CHECKPOINT_DIR)
+    if os.path.isdir(dest_ckpt) and os.listdir(dest_ckpt):
+        raise FileExistsError(f"{dest_dir} already holds a lake")
+    os.makedirs(dest_ckpt, exist_ok=True)
+    with open(os.path.join(dest_ckpt, "lake_config.json"), "w") as fh:
+        _json.dump(new_cfg, fh)
+    if os.path.exists(hist):
+        shutil.copyfile(hist,
+                        os.path.join(dest_ckpt, "schema_history.jsonl"))
+    reg_ref = ray.put(registry)
+    fmax = max(registry.fences().values(), default=0)
+    roots = registry.table_roots
+
+    def load_route(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        out = []
+        helper = PartitionMerger(dest_dir, reg_ref, payload_cols, key_cols)
+        for row in batch.to_pylist():
+            m = ckpt.read_manifest(lake_dir, int(row["part"]))
+            files = m.get("files") or [m["file"]]
+            t = pa.concat_tables(
+                [helper._migrate_state(pq.read_table(f)) for f in files],
+                promote_options="default")
+            idx = exact_lww_indices(t, key_cols, SEQUENCE_NUM)
+            if len(idx) < t.num_rows:
+                t = t.take(pa.array(idx))
+            t = helper._apply_fences(t)
+            tb = t[key_cols[0]].to_numpy(zero_copy_only=False)
+            if roots:
+                tb = np.array([roots.get(x, x) for x in tb])
+            pk = [t[c].to_numpy(zero_copy_only=False) for c in key_cols[1:]]
+            parts = route_parts(new_cfg, tb, pk)
+            i = t.schema.get_field_index("part")
+            col = pa.array(parts, pa.int64())
+            t = (t.set_column(i, "part", col) if i >= 0
+                 else t.append_column("part", col))
+            out.append(t)
+        return pa.concat_tables(out, promote_options="default")
+
+    def write_part(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        part = int(group["part"][0].as_py())
+        live = group.num_rows - int(
+            pc.sum(pc.cast(group[IS_DELETED], pa.int64())).as_py() or 0)
+        ckpt.commit_partition(
+            dest_dir, part, group, g, lambda t, p: pq.write_table(t, p),
+            manifest={
+                "events_applied": group.num_rows,
+                "rows": group.num_rows,
+                "live_rows": live,
+                "tables": sorted(set(pc.unique(group["table"]).to_pylist())),
+                "schema_sig": schema_sig(group),
+                "key_columns": list(key_cols),
+                "fence_max_applied": fmax,
+            })
+        return pa.table({"part": pa.array([part], pa.int64()),
+                         "rows": pa.array([group.num_rows], pa.int64()),
+                         "live_rows": pa.array([live], pa.int64())})
+
+    items = [{"part": m["part"]} for m in manifests.values()]
+    summaries = (
+        ray.data.from_items(items)
+        .map_batches(load_route, batch_format="pyarrow", batch_size=1)
+        .groupby("part")
+        .map_groups(write_part, batch_format="pyarrow")
+        .take_all())
+
+    ckpt.write_global_watermark(dest_dir, g)
+    # history never spans a reshard: pin the horizon at the cut
+    with open(os.path.join(dest_ckpt, "history_horizon.json"), "w") as fh:
+        _json.dump({"keep_from_lsn": int(g)}, fh)
+    with open(os.path.join(dest_ckpt, "reshard.json"), "w") as fh:
+        _json.dump({"source": os.path.abspath(lake_dir), "at_lsn": int(g),
+                    "old_partitions": int(cfg["num_partitions"]),
+                    "new_partitions": int(new_partitions)}, fh)
+    return {
+        "partitions": len(summaries),
+        "rows": int(sum(s["rows"] for s in summaries)),
+        "live_rows": int(sum(s["live_rows"] for s in summaries)),
+        "watermark": int(g),
+        "old_partitions": int(cfg["num_partitions"]),
+        "new_partitions": int(new_partitions),
+    }

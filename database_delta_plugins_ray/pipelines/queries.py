@@ -108,6 +108,27 @@ def cdc_resume_equivalence(sf_dir: str):
     return final_state(lake, columns=FINAL_COLS)
 
 
+def cdc_reshard_continuation(sf_dir: str):
+    """Cluster resize mid-stream: replicate half at P=8, reshard the lake
+    to P=16 (``maintenance.reshard_lake`` — one task per source partition,
+    one groupby shuffle, fenced atomic commits at the global watermark),
+    continue replication on the new layout — must equal one-shot replay
+    (same oracle SQL as cdc_final_state)."""
+    import json
+
+    from .maintenance import reshard_lake
+
+    log = ensure_log(sf_dir)
+    with open(os.path.join(log, "meta.json")) as fh:
+        half = json.load(fh)["max_lsn"] // 2
+    lake = fresh_lake(sf_dir, "lake_reshard_src")
+    dest = fresh_lake(sf_dir, "lake_reshard_dst")
+    run_replication(log, lake, num_partitions=8, upto_lsn=half)
+    reshard_lake(lake, dest, new_partitions=16)
+    run_replication(log, dest, num_partitions=16)
+    return final_state(dest, columns=FINAL_COLS)
+
+
 def _time_travel_boundary(log: str) -> int:
     """Midpoint between the last DDL and the end of the log — past all
     schema evolution (so the historical state has the final column set)
@@ -789,6 +810,7 @@ WHERE o.k_repo IS NULL OR n.k_repo IS NULL OR n.lsn <> o.lsn
     return {
         "cdc_final_state": final_sql,
         "cdc_resume_equivalence": final_sql,
+        "cdc_reshard_continuation": final_sql,
         "cdc_final_state_optimized": final_sql,
         "cdc_language_slice": final_sql.replace(
             "WHERE rn = 1 AND op <> 'D'",
@@ -1086,6 +1108,7 @@ WHERE rn = 1 AND op <> 'D' AND lsn > (SELECT f FROM fence)
 CDC_QUERIES = {
     "cdc_final_state": cdc_final_state,
     "cdc_resume_equivalence": cdc_resume_equivalence,
+    "cdc_reshard_continuation": cdc_reshard_continuation,
     "cdc_time_travel": cdc_time_travel,
     "cdc_point_lookup": cdc_point_lookup,
     "cdc_changefeed": cdc_changefeed,

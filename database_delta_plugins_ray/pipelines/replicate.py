@@ -921,24 +921,12 @@ def read_lake(lake_dir: str, columns: list[str] | None = None,
     )
 
 
-def partition_of_keys(lake_dir: str, keys: list[tuple]) -> np.ndarray:
-    """Exact shuffle-partition id for each key tuple (in the lake's
-    key_columns order, default ``(table, repo, path)``), reproducing the
-    Normalizer's routing from the lake's pinned partitioning config:
-    mode + num_partitions (+ per-repo salt factors) come from
-    ``lake_config.json``; table names resolve to their ROOT (rename
-    history) exactly as events were hashed."""
-    import json as _json
-
+def route_parts(cfg: dict, tb: np.ndarray, pk: list[np.ndarray]) -> np.ndarray:
+    """Vectorized key->partition routing from a pinned lake config
+    (the Normalizer's exact math). ``tb`` must already be root-resolved
+    table names; ``pk`` is the remaining key columns in key order."""
     from ..stages.normalize import hash_key
 
-    cfg_path = os.path.join(lake_dir, ckpt.CHECKPOINT_DIR, "lake_config.json")
-    with open(cfg_path) as fh:
-        cfg = _json.load(fh)
-    hist = os.path.join(lake_dir, ckpt.CHECKPOINT_DIR, "schema_history.jsonl")
-    roots = Registry.load(hist).table_roots if os.path.exists(hist) else {}
-    tb = np.array([roots.get(k[0], k[0]) for k in keys])
-    pk = [np.array([k[i] for k in keys]) for i in range(1, len(keys[0]))]
     nparts = np.uint64(cfg["num_partitions"])
     mode = cfg.get("partition_mode", "key_hash")
     if mode == "key_hash":
@@ -952,6 +940,25 @@ def partition_of_keys(lake_dir: str, keys: list[tuple]) -> np.ndarray:
         ks = np.array([max(1, int(salt.get(r, 1))) for r in pk[0]], np.uint64)
         return ((rh + ph % ks) % nparts).astype(np.int64)
     raise ValueError(f"unknown partition_mode {mode!r}")
+
+
+def partition_of_keys(lake_dir: str, keys: list[tuple]) -> np.ndarray:
+    """Exact shuffle-partition id for each key tuple (in the lake's
+    key_columns order, default ``(table, repo, path)``), reproducing the
+    Normalizer's routing from the lake's pinned partitioning config:
+    mode + num_partitions (+ per-repo salt factors) come from
+    ``lake_config.json``; table names resolve to their ROOT (rename
+    history) exactly as events were hashed."""
+    import json as _json
+
+    cfg_path = os.path.join(lake_dir, ckpt.CHECKPOINT_DIR, "lake_config.json")
+    with open(cfg_path) as fh:
+        cfg = _json.load(fh)
+    hist = os.path.join(lake_dir, ckpt.CHECKPOINT_DIR, "schema_history.jsonl")
+    roots = Registry.load(hist).table_roots if os.path.exists(hist) else {}
+    tb = np.array([roots.get(k[0], k[0]) for k in keys])
+    pk = [np.array([k[i] for k in keys]) for i in range(1, len(keys[0]))]
+    return route_parts(cfg, tb, pk)
 
 
 def lookup_keys(lake_dir: str, keys: list[tuple],
