@@ -1967,6 +1967,45 @@ def funnel_view_purchase(sf_dir: str, within_hours: int = 1):
     })
 
 
+def cohort_retention_weekly(sf_dir: str, nparts: int = 64):
+    """Cohort retention: users grouped by first-activity week, counted
+    distinctly in each later week offset — the classic product-analytics
+    retention triangle.
+
+    Shape: one user-keyed COARSE shuffle. ``scatter`` reduces each batch
+    to distinct (user, week) pairs first (bounded by users x weeks, far
+    below raw events), stamps ``part = user_id % nparts``; the per-part
+    task derives each user's cohort (min week) and distinct offsets with
+    vectorized pandas groupbys. Users never span partitions, so the
+    per-part distinct counts SUM exactly in the final tiny aggregate —
+    COUNT(DISTINCT) without shipping user ids through a global shuffle."""
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+    epoch = pd.Timestamp("1995-01-01")
+
+    def scatter(df: pd.DataFrame) -> pd.DataFrame:
+        wk = ((df["ts"] - epoch).dt.days // 7).astype("int64")
+        out = pd.DataFrame({"user_id": df["user_id"], "wk": wk})
+        out = out.drop_duplicates()
+        out["part"] = (out["user_id"] % nparts).astype("int64")
+        return out
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["user_id", "wk"])
+        cohort = df.groupby("user_id")["wk"].transform("min")
+        d = pd.DataFrame({
+            "cohort_week": cohort,
+            "week_offset": df["wk"] - cohort,
+            "user_id": df["user_id"],
+        }).drop_duplicates()
+        return (d.groupby(["cohort_week", "week_offset"], sort=False)
+                 .size().reset_index(name="n_users"))
+
+    part = (ds.map_batches(scatter, batch_format="pandas")
+              .groupby("part").map_groups(per_part, batch_format="pandas"))
+    return (part.groupby(["cohort_week", "week_offset"])
+                .aggregate(Sum("n_users", alias_name="n_users")))
+
+
 def events_value_trend(sf_dir: str):
     """Grouped closed-form linear regression: per event_type, the OLS
     slope of value (integer cents) against time (integer days since
@@ -2901,6 +2940,23 @@ UNION ALL
 SELECT 'converted', CAST(count(*) AS BIGINT) FROM c
 """
 
+ANALYTICS_ORACLE_SQL["cohort_retention_weekly"] = r"""
+WITH w AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) // 7 AS wk
+  FROM events
+), f AS (
+  SELECT user_id, MIN(wk) AS cohort FROM w GROUP BY user_id
+), a AS (
+  SELECT DISTINCT w.user_id, f.cohort, w.wk - f.cohort AS off
+  FROM w JOIN f USING (user_id)
+)
+SELECT CAST(cohort AS BIGINT) AS cohort_week,
+       CAST(off AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a GROUP BY 1, 2
+"""
+
 ANALYTICS_ORACLE_SQL["events_value_trend"] = r"""
 WITH p AS (
   SELECT event_type,
@@ -3090,6 +3146,7 @@ ANALYTICS_QUERIES = {
     "events_value_trend": events_value_trend,
     "doc_length_deciles": doc_length_deciles,
     "funnel_view_purchase": funnel_view_purchase,
+    "cohort_retention_weekly": cohort_retention_weekly,
     "orders_rollup_status_priority": orders_rollup_status_priority,
     "promo_revenue_monthly": promo_revenue_monthly,
     "normalize_text_documents": normalize_text_documents,

@@ -265,3 +265,40 @@ def test_funnel_semantics_planted(ray_session, tmp_path):
     got = funnel_view_purchase(d).set_index("stage")["n_users"]
     assert got["viewed"] == 4
     assert got["converted"] == 2  # users 1 and 5 (inclusive edge)
+
+
+def test_cohort_retention_planted(ray_session, tmp_path):
+    """Cohort = first-activity week; a user counts once per distinct
+    offset week; users never leak across cohorts."""
+    from database_delta_plugins_ray.pipelines.analytics import (
+        cohort_retention_weekly,
+    )
+
+    t0 = pd.Timestamp("1995-01-02")  # week 0 since the 1995-01-01 epoch
+
+    def ev(uid, days):
+        return {"user_id": uid, "event_type": "view",
+                "ts": t0 + pd.Timedelta(days=days), "event_id": 0,
+                "value": 0.0, "props": "{}"}
+
+    rows = [
+        # user 1: cohort week 0, active weeks 0, 1, 3 (twice in week 1)
+        ev(1, 0), ev(1, 7), ev(1, 9), ev(1, 21),
+        # user 2: cohort week 0, active week 0 only
+        ev(2, 1),
+        # user 3: cohort week 2, active weeks 2 and 3
+        ev(3, 14), ev(3, 22),
+    ]
+    d = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(rows),
+                   os.path.join(d, "events.parquet"))
+    got = cohort_retention_weekly(d).to_pandas()
+    m = {(r.cohort_week, r.week_offset): r.n_users
+         for r in got.itertuples()}
+    assert m == {
+        (0, 0): 2,   # users 1 and 2
+        (0, 1): 1,   # user 1 (deduped within the week)
+        (0, 3): 1,   # user 1
+        (2, 0): 1,   # user 3
+        (2, 1): 1,   # user 3
+    }
