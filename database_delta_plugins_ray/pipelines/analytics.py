@@ -658,6 +658,26 @@ def ann_topk_lsh_q(sf_dir: str):
     return df
 
 
+def search_documents_terms(sf_dir: str, terms=("query", "window"),
+                           mode: str = "and"):
+    """Keyword search over the PERSISTED inverted index
+    (stages/invindex.py): build once per corpus fingerprint (one
+    streaming scan, bucket-partitioned postings), then answer term
+    queries by reading ONLY the terms' bucket files with a ``tok IN``
+    pushdown — O(query), never O(corpus). AND semantics: a doc must
+    match every term; score = sum of the terms' tfs (integer, so the
+    DuckDB oracle — same lower + [a-z0-9_]+ RE2 tokenizer — is
+    hash-exact)."""
+    from ..stages.invindex import InvertedIndex
+
+    idx = InvertedIndex.ensure(
+        lambda: _t(sf_dir, "documents", ["doc_id", "text"]),
+        _cache_dir(sf_dir, "inverted_index"),
+        _source_fingerprint(os.path.join(sf_dir, "documents.parquet")))
+    out = idx.lookup(list(terms), mode=mode)
+    return out.select_columns(["doc_id", "score"])
+
+
 def events_running_revenue(sf_dir: str):
     """Global window function SUM(cents) OVER (ORDER BY ts, event_id)
     via the distributed range-bucket prefix scan (stages/scan.py) — no
@@ -2940,6 +2960,21 @@ UNION ALL
 SELECT 'converted', CAST(count(*) AS BIGINT) FROM c
 """
 
+ANALYTICS_ORACLE_SQL["search_documents_terms"] = r"""
+WITH flat AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+  FROM documents
+), m AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM flat WHERE tok IN ('query', 'window') GROUP BY 1, 2
+), a AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score,
+         count(DISTINCT tok) AS nt
+  FROM m GROUP BY 1
+)
+SELECT doc_id, score FROM a WHERE nt = 2
+"""
+
 ANALYTICS_ORACLE_SQL["cohort_retention_weekly"] = r"""
 WITH w AS (
   SELECT DISTINCT user_id,
@@ -3147,6 +3182,7 @@ ANALYTICS_QUERIES = {
     "doc_length_deciles": doc_length_deciles,
     "funnel_view_purchase": funnel_view_purchase,
     "cohort_retention_weekly": cohort_retention_weekly,
+    "search_documents_terms": search_documents_terms,
     "orders_rollup_status_priority": orders_rollup_status_priority,
     "promo_revenue_monthly": promo_revenue_monthly,
     "normalize_text_documents": normalize_text_documents,
