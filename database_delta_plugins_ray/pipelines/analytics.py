@@ -678,6 +678,22 @@ def search_documents_terms(sf_dir: str, terms=("query", "window"),
     return out.select_columns(["doc_id", "score"])
 
 
+def search_documents_bm25(sf_dir: str, terms=("query", "window")):
+    """BM25-ranked keyword search over the same persisted inverted index
+    as ``search_documents_terms`` (postings carry the denormalized doc
+    length, so ranking never joins back to the corpus). Integer-micros
+    scores with the float expression mirrored operation-for-operation in
+    the DuckDB oracle."""
+    from ..stages.invindex import InvertedIndex
+
+    idx = InvertedIndex.ensure(
+        lambda: _t(sf_dir, "documents", ["doc_id", "text"]),
+        _cache_dir(sf_dir, "inverted_index"),
+        _source_fingerprint(os.path.join(sf_dir, "documents.parquet")))
+    out = idx.lookup_bm25(list(terms), mode="and")
+    return out.select_columns(["doc_id", "score_micros"])
+
+
 def events_running_revenue(sf_dir: str):
     """Global window function SUM(cents) OVER (ORDER BY ts, event_id)
     via the distributed range-bucket prefix scan (stages/scan.py) — no
@@ -2975,6 +2991,36 @@ WITH flat AS (
 SELECT doc_id, score FROM a WHERE nt = 2
 """
 
+ANALYTICS_ORACLE_SQL["search_documents_bm25"] = r"""
+WITH flat AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+  FROM documents
+), post AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM flat GROUP BY 1, 2
+), dls AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM flat GROUP BY 1
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS total_tokens FROM flat),
+m AS (
+  SELECT p.doc_id, p.tok, p.tf, d.dl
+  FROM post p JOIN dls d USING (doc_id)
+  WHERE p.tok IN ('query', 'window')
+), dfs AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM m GROUP BY 1
+), scored AS (
+  SELECT m.doc_id,
+         CAST(floor(
+           ln(1.0 + (n.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * m.tf * (1.2 + 1.0)
+           / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * m.dl
+                / (CAST(tot.total_tokens AS DOUBLE) / n.n_docs)))
+           * 1e6 + 0.5) AS BIGINT) AS s
+  FROM m JOIN dfs USING (tok), n, tot
+)
+SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_micros
+FROM scored GROUP BY doc_id HAVING count(*) = 2
+"""
+
 ANALYTICS_ORACLE_SQL["cohort_retention_weekly"] = r"""
 WITH w AS (
   SELECT DISTINCT user_id,
@@ -3183,6 +3229,7 @@ ANALYTICS_QUERIES = {
     "funnel_view_purchase": funnel_view_purchase,
     "cohort_retention_weekly": cohort_retention_weekly,
     "search_documents_terms": search_documents_terms,
+    "search_documents_bm25": search_documents_bm25,
     "orders_rollup_status_priority": orders_rollup_status_priority,
     "promo_revenue_monthly": promo_revenue_monthly,
     "normalize_text_documents": normalize_text_documents,

@@ -75,3 +75,32 @@ def test_ensure_rebuilds_on_new_source_tag(ray_session, tmp_path):
     InvertedIndex.ensure(mk, d, "tag2", n_buckets=8)       # invalidated
     assert len(calls) == 2
     assert _rows(InvertedIndex(d).lookup(["beta"]))["c"] == (1, 1)
+
+
+def test_bm25_brute_parity(index):
+    import numpy as np
+
+    got = {r["doc_id"]: r["score_micros"]
+           for r in index.lookup_bm25(["alpha", "gamma"],
+                                      mode="or").take_all()}
+    # brute force over the planted corpus
+    toks = {d["doc_id"]: d["text"].lower().split() for d in DOCS}
+    n_docs = len(DOCS)
+    total = sum(len(t) for t in toks.values())
+    avgdl = total / n_docs
+    want = {}
+    for term in ("alpha", "gamma"):
+        df = sum(1 for t in toks.values() if term in t)
+        idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        for did, t in toks.items():
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            s = idf * tf * (1.2 + 1.0) / (
+                tf + 1.2 * (1.0 - 0.75 + 0.75 * len(t) / avgdl))
+            want[did] = want.get(did, 0) + int(np.floor(s * 1e6 + 0.5))
+    assert got == want
+    # AND narrows to docs holding both terms
+    both = {r["doc_id"] for r in
+            index.lookup_bm25(["alpha", "gamma"], mode="and").take_all()}
+    assert both == {"a", "b"}
