@@ -658,6 +658,98 @@ def ann_topk_lsh_q(sf_dir: str):
     return df
 
 
+def events_value_outliers(sf_dir: str):
+    """Per-type 3-sigma outlier counts with the comparison decided in
+    EXACT integer space: flag v iff (n*v - S)^2 > 9*(n*Svv - S^2) — the
+    |z| > 3 rule cleared of divisions and square roots, so no float ever
+    decides membership and the DuckDB HUGEINT oracle is hash-exact.
+
+    Two streaming passes, zero corpus shuffles: pass 1 sums the integer
+    sufficient statistics (n, S, Svv) per type inside map_batches (tiny
+    groupby of partials); the per-type right-hand sides broadcast as
+    PYTHON ints (arbitrary precision); pass 2 evaluates d = n*v - S
+    vectorized in int64 and escalates only |d| > 3e9 rows (whose square
+    would overflow int64) to exact Python-int comparison — at any scale
+    the math stays exact, at every tested scale it stays vectorized."""
+    import ray
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # Svv exceeds int64 long before any realistic corpus ends, so the
+        # squared sums travel as base-2^32 LIMBS: vv splits element-wise
+        # into (hi, lo) int64 columns that sum safely through the shuffle
+        # (lo < 2^32 per element; hi < 2^31 for |v| <= 3e9), and the
+        # driver reassembles (sum_hi << 32) + sum_lo as a Python bigint.
+        # Rows with |v| > 3e9 (whose square overflows int64 even once)
+        # escalate element-wise to exact Python ints.
+        v = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        big = np.abs(v) > 3_000_000_000
+        vsafe = np.where(big, 0, v)
+        vv = vsafe * vsafe
+        g = pd.DataFrame({
+            "event_type": df["event_type"],
+            "v": v,
+            "hi": vv >> np.int64(32),
+            "lo": vv & np.int64(0xFFFFFFFF),
+        })
+        out = g.groupby("event_type", sort=False).agg(
+            n=("v", "size"), s=("v", "sum"),
+            svv_hi=("hi", "sum"), svv_lo=("lo", "sum")).reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        if big.any():
+            et = df["event_type"].to_numpy()
+            out = out.set_index("event_type")
+            for i in np.flatnonzero(big):
+                sq = int(v[i]) * int(v[i])
+                out.loc[et[i], "svv_hi"] += sq >> 32
+                out.loc[et[i], "svv_lo"] += sq & 0xFFFFFFFF
+            out = out.reset_index()
+        return out
+
+    stats = (ds.map_batches(partial, batch_format="pandas")
+               .groupby("event_type")
+               .aggregate(Sum("n", alias_name="n"),
+                          Sum("s", alias_name="s"),
+                          Sum("svv_hi", alias_name="svv_hi"),
+                          Sum("svv_lo", alias_name="svv_lo"))).take_all()
+    # exact bigint RHS per type (n*Svv - S^2 can exceed int64 at scale)
+    side = {}
+    for r in stats:
+        n, s = int(r["n"]), int(r["s"])
+        svv = (int(r["svv_hi"]) << 32) + int(r["svv_lo"])
+        side[r["event_type"]] = (n, s, 9 * (n * svv - s * s))
+    side_ref = ray.put(side)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        sd = ray.get(side_ref)
+        v = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        et = df["event_type"].to_numpy()
+        out = []
+        for t in pd.unique(et):
+            n, s, rhs = sd[t]
+            m = et == t
+            d = n * v[m] - s
+            big = np.abs(d) > 3_000_000_000
+            hits = np.zeros(len(d), dtype=bool)
+            small = ~big
+            # |d| <= 3e9 squares within int64; a rhs past int64 max can
+            # never be exceeded by such a square, so clamping is exact
+            hits[small] = d[small] * d[small] > min(rhs, 2**63 - 1)
+            for i in np.flatnonzero(big):
+                hits[i] = int(d[i]) * int(d[i]) > rhs
+            out.append(pd.DataFrame({
+                "event_type": [t],
+                "n_outliers": [np.int64(hits.sum())],
+                "n_events": [np.int64(m.sum())]}))
+        return pd.concat(out, ignore_index=True)
+
+    return (ds.map_batches(flag, batch_format="pandas")
+              .groupby("event_type")
+              .aggregate(Sum("n_outliers", alias_name="n_outliers"),
+                         Sum("n_events", alias_name="n_events")))
+
+
 def search_documents_terms(sf_dir: str, terms=("query", "window"),
                            mode: str = "and"):
     """Keyword search over the PERSISTED inverted index
@@ -2991,6 +3083,24 @@ WITH flat AS (
 SELECT doc_id, score FROM a WHERE nt = 2
 """
 
+ANALYTICS_ORACLE_SQL["events_value_outliers"] = r"""
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+), st AS (
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(v) AS HUGEINT) AS s,
+         sum(CAST(v AS HUGEINT) * v) AS svv
+  FROM c GROUP BY 1
+)
+SELECT c.event_type,
+       CAST(sum(CASE WHEN (st.n * c.v - st.s) * (st.n * c.v - st.s)
+                          > 9 * (st.n * st.svv - st.s * st.s)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM c JOIN st USING (event_type) GROUP BY 1
+"""
+
 ANALYTICS_ORACLE_SQL["search_documents_bm25"] = r"""
 WITH flat AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
@@ -3230,6 +3340,7 @@ ANALYTICS_QUERIES = {
     "cohort_retention_weekly": cohort_retention_weekly,
     "search_documents_terms": search_documents_terms,
     "search_documents_bm25": search_documents_bm25,
+    "events_value_outliers": events_value_outliers,
     "orders_rollup_status_priority": orders_rollup_status_priority,
     "promo_revenue_monthly": promo_revenue_monthly,
     "normalize_text_documents": normalize_text_documents,

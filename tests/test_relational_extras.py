@@ -302,3 +302,49 @@ def test_cohort_retention_planted(ray_session, tmp_path):
         (2, 0): 1,   # user 3
         (2, 1): 1,   # user 3
     }
+
+
+def test_value_outliers_exact_integer_rule(ray_session, tmp_path):
+    """(n*v - S)^2 > 9*(n*Svv - S^2) decided exactly, including the
+    |d| > 3e9 escalation path (a square that overflows int64)."""
+    from database_delta_plugins_ray.pipelines.analytics import (
+        events_value_outliers,
+    )
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    # huge-magnitude group: d for the big value is ~1.2e10 (> 3e9)
+    for val in (0.01, 0.01, 0.01, 40_000_000.00):
+        rows.append({"event_id": 0, "ts": t0, "user_id": 1,
+                     "event_type": "huge", "value": val, "props": "{}"})
+    # zero-variance group: no outliers by definition
+    for _ in range(5):
+        rows.append({"event_id": 0, "ts": t0, "user_id": 1,
+                     "event_type": "flat", "value": 2.50, "props": "{}"})
+    # normal group with one clear outlier
+    for val in ([1.00] * 20) + [1000.00]:
+        rows.append({"event_id": 0, "ts": t0, "user_id": 1,
+                     "event_type": "norm", "value": val, "props": "{}"})
+    d = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(rows),
+                   os.path.join(d, "events.parquet"))
+    got = {r["event_type"]: (r["n_outliers"], r["n_events"])
+           for r in events_value_outliers(d).take_all()}
+
+    # brute force with Python bigints
+    def brute(vals):
+        v = [int(np.floor(x * 100 + 0.5)) for x in vals]
+        n, s = len(v), sum(v)
+        rhs = 9 * (n * sum(x * x for x in v) - s * s)
+        return sum(1 for x in v if (n * x - s) ** 2 > rhs)
+
+    assert got == {
+        "huge": (brute([0.01, 0.01, 0.01, 40_000_000.0]), 4),
+        "flat": (0, 5),
+        "norm": (brute([1.0] * 20 + [1000.0]), 21),
+    }
+    # max attainable |z| in a group of n is (n-1)/sqrt(n): ~1.5 for n=4,
+    # so the huge group flags nothing (the extreme point owns the mean) —
+    # what matters is that its 1.6e19 square went through the limb path
+    # without overflow; the 21-row group isolates its single outlier
+    assert got["huge"][0] == 0 and got["norm"][0] == 1
