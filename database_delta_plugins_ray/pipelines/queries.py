@@ -129,6 +129,42 @@ def cdc_reshard_continuation(sf_dir: str):
     return final_state(dest, columns=FINAL_COLS)
 
 
+def cdc_search_lake_content(sf_dir: str):
+    """CDC-maintained full-text search: replicate HALF the log
+    (history=True), build the lake text index at that watermark, finish
+    replication, REFRESH the index from the change data feed (never
+    re-tokenizing the corpus), then answer a term query — the result
+    must equal tokenizing the final replayed state in SQL, which only
+    holds if the refresh fenced superseded generations and deletions
+    correctly (the second half of the log updates and deletes keys,
+    and the 'v2' term only exists in post-update content)."""
+    import json
+
+    from ..stages.invindex import _SEP, LakeTextIndex
+
+    log = ensure_log(sf_dir)
+    with open(os.path.join(log, "meta.json")) as fh:
+        half = json.load(fh)["max_lsn"] // 2
+    lake = fresh_lake(sf_dir, "lake_search")
+    idx_dir = fresh_lake(sf_dir, "lake_search_index")
+    run_replication(log, lake, num_partitions=16, history=True,
+                    upto_lsn=half)
+    idx = LakeTextIndex.build(lake, idx_dir)
+    run_replication(log, lake, num_partitions=16, history=True)
+    idx = LakeTextIndex(idx_dir)
+    idx.refresh(lake)
+
+    def split_key(df):
+        import pandas as pd
+
+        parts = df["doc_key"].str.split(_SEP, expand=True)
+        return pd.DataFrame({"repo": parts[1], "path": parts[2],
+                             "score": df["score"]})
+
+    return (idx.lookup(["def", "v2"], mode="and")
+               .map_batches(split_key, batch_format="pandas"))
+
+
 def _time_travel_boundary(log: str) -> int:
     """Midpoint between the last DDL and the end of the log — past all
     schema evolution (so the historical state has the final column set)
@@ -767,6 +803,40 @@ SELECT k_repo AS repo, k_path AS path, "commit", language, stars, content_sha,
 FROM ranked WHERE rn = 1 AND op <> 'D'
 """
     )
+    # lake text search: tokenize the final replayed state's content the
+    # same way the index does (lower + [a-z0-9_]+, RE2 both sides) and
+    # score the AND query — equals the engine only when the refresh
+    # fenced superseded generations and deletions correctly
+    search_sql = f"""
+WITH ev AS (
+  SELECT lsn, op,
+         coalesce(after.repo, before.repo)  AS k_repo,
+         coalesce(after.path, before.path)  AS k_path,
+         after.content AS content
+  FROM read_parquet('{glob}')
+  WHERE op <> 'DDL'
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY k_repo, k_path
+                               ORDER BY lsn DESC) AS rn
+  FROM ev
+),
+live AS (
+  SELECT k_repo AS repo, k_path AS path, content
+  FROM ranked WHERE rn = 1 AND op <> 'D'
+),
+flat AS (
+  SELECT repo, path,
+         unnest(regexp_extract_all(lower(content), '[a-z0-9_]+')) AS tok
+  FROM live
+),
+m AS (
+  SELECT repo, path, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM flat WHERE tok IN ('def', 'v2') GROUP BY 1, 2, 3
+)
+SELECT repo, path, CAST(sum(tf) AS BIGINT) AS score
+FROM m GROUP BY 1, 2 HAVING count(*) = 2
+"""
     # time travel: the same LWW replay restricted to events at/below the
     # boundary the engine computed — (last DDL lsn + max lsn) // 2
     bound = (f"(SELECT (max(lsn) + max(CASE WHEN op = 'DDL' THEN lsn "
@@ -811,6 +881,7 @@ WHERE o.k_repo IS NULL OR n.k_repo IS NULL OR n.lsn <> o.lsn
         "cdc_final_state": final_sql,
         "cdc_resume_equivalence": final_sql,
         "cdc_reshard_continuation": final_sql,
+        "cdc_search_lake_content": search_sql,
         "cdc_final_state_optimized": final_sql,
         "cdc_language_slice": final_sql.replace(
             "WHERE rn = 1 AND op <> 'D'",
@@ -1109,6 +1180,7 @@ CDC_QUERIES = {
     "cdc_final_state": cdc_final_state,
     "cdc_resume_equivalence": cdc_resume_equivalence,
     "cdc_reshard_continuation": cdc_reshard_continuation,
+    "cdc_search_lake_content": cdc_search_lake_content,
     "cdc_time_travel": cdc_time_travel,
     "cdc_point_lookup": cdc_point_lookup,
     "cdc_changefeed": cdc_changefeed,

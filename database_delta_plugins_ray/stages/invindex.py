@@ -35,6 +35,7 @@ import shutil
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray
 import ray.data
@@ -230,5 +231,425 @@ class InvertedIndex:
             agg = agg.filter(lambda r: r["n_terms"] == need)
         if k is not None:
             agg = agg.sort(["score_micros", id_col],
+                           descending=[True, False]).limit(k)
+        return agg
+
+
+_SEP = "\x1f"
+_DOC_FORMAT = 1
+
+
+class LakeTextIndex:
+    """CDC-MAINTAINED full-text index over the replicated lake: built
+    once at a lake watermark, then kept current by REFRESHING from the
+    change data feed instead of re-tokenizing the corpus — the search
+    engine a CDC pipeline exists to feed.
+
+    Layout (all under ``index_dir``):
+
+    * ``data/bucket=N/`` — postings (doc_key, tok, tf, dl, seq) where
+      ``doc_key = table\\x1frepo\\x1fpath`` and ``seq`` is the row's
+      winning ``_sequence_num`` when indexed (the posting GENERATION);
+    * ``docs/shard=M/`` — per-doc sidecar (doc_key, dl, seq, alive):
+      APPEND-ONLY, LWW-reduced by ``seq`` at read (the lake's own delta
+      pattern) — gives refresh the superseded generation's exact doc
+      length without touching token-partitioned postings;
+    * ``overlay.json`` — live ``seq`` per doc CHANGED since build (the
+      Lucene live-docs analog): lookups keep a matched posting iff its
+      ``seq`` equals the doc's live generation (absent -> build
+      generation, -1 -> deleted). Bounded by churn since the last
+      compaction; a compaction (rebuild) resets it.
+
+    ``refresh`` cost is O(changed keys), never O(corpus): one
+    ``lake_diff`` (partition-local, history lakes), a pruned
+    ``lookup_keys`` for the changed keys' live content, tokenization of
+    ONLY those docs (materialized — they are the change set, not the
+    corpus), appended posting/sidecar files, and exact integer
+    maintenance of (n_docs, total_tokens) so BM25 after a refresh is
+    bit-identical to BM25 after a full rebuild — proven by the parity
+    tests.
+    """
+
+    KEY_COLS = ("table", "repo", "path")
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "meta.json")) as fh:
+            self.meta = json.load(fh)
+        op = os.path.join(index_dir, "overlay.json")
+        with open(op) as fh:
+            self.overlay = json.load(fh)
+
+    # -- shared kernels ----------------------------------------------------
+
+    @staticmethod
+    def _scatter_fn(n_buckets: int):
+        def scatter(df: pd.DataFrame) -> pd.DataFrame:
+            from ..functions.text import _flat_lower_tokens
+
+            key = (df["table"].astype(str) + _SEP + df["repo"].astype(str)
+                   + _SEP + df["path"].astype(str)).to_numpy(dtype=object)
+            seq = df["_sequence_num"].to_numpy(np.int64)
+            flat, doc_idx, lens = _flat_lower_tokens(
+                df["content"].reset_index(drop=True))
+            if len(flat) == 0:
+                return pd.DataFrame({
+                    "doc_key": pd.Series([], dtype=object),
+                    "tok": pd.Series([], dtype=object),
+                    "tf": pd.Series([], dtype=np.int64),
+                    "dl": pd.Series([], dtype=np.int64),
+                    "seq": pd.Series([], dtype=np.int64),
+                    "bucket": pd.Series([], dtype=np.int64)})
+            lens = np.asarray(lens)
+            g = (pd.DataFrame({
+                    "doc_key": key[doc_idx], "tok": flat,
+                    "dl": lens[doc_idx].astype(np.int64),
+                    "seq": seq[doc_idx]})
+                   .groupby(["doc_key", "tok", "dl", "seq"], sort=False)
+                   .size().reset_index(name="tf"))
+            g["tf"] = g["tf"].astype(np.int64)
+            g["bucket"] = _tok_bucket(g["tok"].to_numpy(), n_buckets)
+            return g[["doc_key", "tok", "tf", "dl", "seq", "bucket"]]
+
+        return scatter
+
+    @staticmethod
+    def _doc_rows(posts: "ray.data.Dataset", n_shards: int):
+        """Distinct (doc_key, dl, seq, alive) rows derived from postings
+        (column-pruned, per-batch dedup only — the per-SHARD dedup at
+        read time is exact because a doc hashes to one shard)."""
+        def dd(df: pd.DataFrame) -> pd.DataFrame:
+            d = df[["doc_key", "dl", "seq"]].drop_duplicates()
+            d = d.assign(alive=True)
+            d["shard"] = _tok_bucket(d["doc_key"].to_numpy(), n_shards)
+            return d
+
+        return posts.map_batches(dd, batch_format="pandas")
+
+    def _sidecar_live(self, doc_keys: list[str]) -> pd.DataFrame:
+        """Latest sidecar row per requested doc (LWW by seq), pruned to
+        the docs' shards with a doc_key IN pushdown."""
+        import pyarrow.dataset as pads
+
+        n_shards = self.meta["n_shards"]
+        shards = sorted(set(_tok_bucket(
+            np.array(doc_keys, dtype=object), n_shards).tolist()))
+        files = [f for s in shards for f in _glob.glob(os.path.join(
+            self.index_dir, "docs", f"shard={s}", "*.parquet"))]
+        if not files:
+            return pd.DataFrame(
+                {"doc_key": [], "dl": [], "seq": [], "alive": []})
+        t = (pads.dataset(files, format="parquet")
+             .to_table(columns=["doc_key", "dl", "seq", "alive"],
+                       filter=pads.field("doc_key").isin(doc_keys)))
+        df = t.to_pandas()
+        df = (df.sort_values("seq", kind="stable")
+                .drop_duplicates("doc_key", keep="last"))
+        return df
+
+    # -- build ---------------------------------------------------------
+
+    @classmethod
+    def build(cls, lake_dir: str, index_dir: str, *, n_buckets: int = 64,
+              n_shards: int = 32) -> "LakeTextIndex":
+        from ..pipelines.replicate import final_state
+        from ..state import checkpoint as ckpt
+
+        g = ckpt.read_global_watermark(lake_dir)
+        ds = final_state(lake_dir, columns=[*cls.KEY_COLS, "content",
+                                            "_sequence_num"])
+        tmp = index_dir + f".tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        ds.map_batches(cls._scatter_fn(n_buckets),
+                       batch_format="pandas").write_parquet(
+            os.path.join(tmp, "data"), partition_cols=["bucket"])
+        posts = ray.data.read_parquet(
+            os.path.join(tmp, "data"), columns=["doc_key", "dl", "seq"])
+        cls._doc_rows(posts, n_shards).write_parquet(
+            os.path.join(tmp, "docs"), partition_cols=["shard"])
+        n_docs, total = cls._exact_totals(os.path.join(tmp, "docs"))
+        with open(os.path.join(tmp, "meta.json"), "w") as fh:
+            json.dump({"doc_format": _DOC_FORMAT, "n_buckets": n_buckets,
+                       "n_shards": n_shards, "n_docs": n_docs,
+                       "total_tokens": total, "watermark": int(g),
+                       "lake": os.path.abspath(lake_dir)}, fh)
+        with open(os.path.join(tmp, "overlay.json"), "w") as fh:
+            json.dump({}, fh)
+        shutil.rmtree(index_dir, ignore_errors=True)
+        os.rename(tmp, index_dir)
+        return cls(index_dir)
+
+    @staticmethod
+    def _exact_totals(docs_dir: str) -> tuple[int, int]:
+        """(n_docs, total_tokens) with per-shard exact dedup — one task
+        per shard, each doc wholly inside one shard."""
+        def per_shard(batch: pa.Table) -> pa.Table:
+            import pyarrow.parquet as pq
+
+            t = pa.concat_tables(
+                [pq.read_table(f, columns=["doc_key", "dl", "seq", "alive"])
+                 for f in batch["file"].to_pylist()])
+            df = (t.to_pandas().sort_values("seq", kind="stable")
+                   .drop_duplicates("doc_key", keep="last"))
+            df = df[df["alive"]]
+            return pa.table({"n": pa.array([len(df)], pa.int64()),
+                             "tok": pa.array([int(df["dl"].sum())],
+                                             pa.int64())})
+
+        shards = {}
+        for f in _glob.glob(os.path.join(docs_dir, "shard=*", "*.parquet")):
+            shards.setdefault(os.path.dirname(f), []).append(f)
+        res = (ray.data.from_items([{"file": fs} for fs in shards.values()])
+               .map_batches(per_shard, batch_format="pyarrow", batch_size=1)
+               .take_all())
+        return (int(sum(r["n"] for r in res)),
+                int(sum(r["tok"] for r in res)))
+
+    # -- refresh ---------------------------------------------------------
+
+    def refresh(self, lake_dir: str) -> dict:
+        """Advance the index from its build/last-refresh watermark to the
+        lake's current one using the change data feed (requires a
+        ``history=True`` lake whose horizon still covers the index
+        watermark; a vacuumed horizon means compact —
+        ``LakeTextIndex.build`` again). O(changed keys) end to end."""
+        from ..pipelines.replicate import lake_diff, lookup_keys
+        from ..state import checkpoint as ckpt
+
+        g0 = int(self.meta["watermark"])
+        g1 = int(ckpt.read_global_watermark(lake_dir))
+        if g1 <= g0:
+            return {"changed": 0, "watermark": g0}
+        # the change set is O(churn between watermarks) — it lives on the
+        # driver exactly like the overlay it feeds (documented bound)
+        diff = lake_diff(lake_dir, g0).take_all()
+        if not diff:
+            self._commit_meta(watermark=g1)
+            return {"changed": 0, "watermark": g1}
+        keys = [tuple(r[c] for c in self.KEY_COLS) for r in diff]
+        doc_keys = [_SEP.join(map(str, k)) for k in keys]
+
+        # superseded generations' exact doc lengths from the sidecar
+        old = self._sidecar_live(doc_keys)
+        old = old[old["alive"]]
+        old_alive, old_tokens = len(old), int(old["dl"].sum())
+
+        # live content for created/updated keys (deleted -> no row),
+        # tokenized DISTRIBUTED over just the change set
+        live = lookup_keys(lake_dir, keys,
+                           columns=[*self.KEY_COLS, "content",
+                                    "_sequence_num"])
+        n_buckets = self.meta["n_buckets"]
+        n_shards = self.meta["n_shards"]
+        new_alive = new_tokens = 0
+        live_seq: dict[str, int] = {}
+        # all refresh files carry the TARGET watermark in a deterministic
+        # name and are written tmp+rename: a crashed refresh re-run (meta
+        # still at g0) overwrites the same files byte-identically instead
+        # of appending duplicates — the lake's own fence pattern
+        index_dir = self.index_dir
+
+        def fenced_writer(root: str, part_col: str, stem: str):
+            def write(group: pa.Table) -> pa.Table:
+                import pyarrow.parquet as pq
+
+                pid = int(group[part_col][0].as_py())
+                d = os.path.join(index_dir, root, f"{part_col}={pid}")
+                os.makedirs(d, exist_ok=True)
+                final = os.path.join(d, f"{stem}.parquet")
+                tmp = final + f".tmp.{os.getpid()}"
+                pq.write_table(group.drop_columns([part_col]), tmp)
+                os.replace(tmp, final)
+                return pa.table({part_col: pa.array([pid], pa.int64())})
+
+            return write
+
+        if live.num_rows:
+            posts = (ray.data.from_arrow(live)
+                     .map_batches(self._scatter_fn(n_buckets),
+                                  batch_format="pandas")
+                     .materialize())
+            (posts.groupby("bucket")
+                  .map_groups(fenced_writer("data", "bucket",
+                                            f"refresh-{g1:020d}"),
+                              batch_format="pyarrow")
+                  .take_all())
+            (self._doc_rows(posts.drop_columns(["tok", "tf"]), n_shards)
+                 .groupby("shard")
+                 .map_groups(fenced_writer("docs", "shard",
+                                           f"refresh-{g1:020d}"),
+                             batch_format="pyarrow")
+                 .take_all())
+            seen = (posts.map_batches(
+                        lambda df: df[["doc_key", "dl", "seq"]]
+                        .drop_duplicates("doc_key"),
+                        batch_format="pandas")
+                    .take_all())  # ~one row per changed doc
+            per_doc = {}
+            for r in seen:
+                per_doc[r["doc_key"]] = (int(r["dl"]), int(r["seq"]))
+            new_alive = len(per_doc)
+            new_tokens = sum(d for d, _ in per_doc.values())
+            live_seq = {k: s for k, (_, s) in per_doc.items()}
+            # empty-content live docs never produce postings rows: count
+            # them via the lookup result so n_docs stays exact
+            lk = live.to_pydict()
+            for i in range(live.num_rows):
+                dk = _SEP.join(str(lk[c][i]) for c in self.KEY_COLS)
+                if dk not in live_seq:
+                    live_seq[dk] = int(lk["_sequence_num"][i])
+                    new_alive += 1
+
+        # deleted docs: tombstone sidecar rows at a seq past every
+        # retained generation (the new watermark is monotone); tiny,
+        # written driver-side under the same fenced names. Alive docs
+        # whose new content tokenizes to NOTHING also get a (dl=0,
+        # alive) row here — they produce no postings to derive one from
+        dead = [dk for dk in doc_keys if dk not in live_seq]
+        empty_alive = [dk for dk in live_seq
+                       if dk not in per_doc] if live.num_rows else []
+        if dead or empty_alive:
+            import pyarrow.parquet as pq
+
+            side_keys = dead + empty_alive
+            rows = pd.DataFrame({
+                "doc_key": side_keys,
+                "dl": np.int64(0),
+                "seq": ([np.int64(g1)] * len(dead)
+                        + [np.int64(live_seq[dk]) for dk in empty_alive]),
+                "alive": [False] * len(dead) + [True] * len(empty_alive),
+                "shard": _tok_bucket(np.array(side_keys, dtype=object),
+                                     n_shards)})
+            for s, grp in rows.groupby("shard"):
+                d = os.path.join(index_dir, "docs", f"shard={int(s)}")
+                os.makedirs(d, exist_ok=True)
+                final = os.path.join(d, f"refresh-{g1:020d}-dead.parquet")
+                tmp = final + f".tmp.{os.getpid()}"
+                pq.write_table(
+                    pa.Table.from_pandas(grp.drop(columns=["shard"]),
+                                         preserve_index=False), tmp)
+                os.replace(tmp, final)
+
+        overlay = dict(self.overlay)
+        for dk in dead:
+            overlay[dk] = -1
+        overlay.update(live_seq)
+        self._commit_meta(
+            watermark=g1,
+            n_docs=self.meta["n_docs"] + new_alive - old_alive,
+            total_tokens=(self.meta["total_tokens"]
+                          + new_tokens - old_tokens),
+            overlay=overlay)
+        return {"changed": len(doc_keys), "created_or_updated": new_alive,
+                "deleted": len(dead), "watermark": g1}
+
+    def _commit_meta(self, overlay: dict | None = None, **updates) -> None:
+        meta = dict(self.meta, **{k: int(v) for k, v in updates.items()})
+        mp = os.path.join(self.index_dir, "meta.json")
+        tmp = mp + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        if overlay is not None:
+            op = os.path.join(self.index_dir, "overlay.json")
+            otmp = op + f".tmp.{os.getpid()}"
+            with open(otmp, "w") as fh:
+                json.dump(overlay, fh)
+            os.replace(otmp, op)
+            self.overlay = overlay
+        os.replace(tmp, mp)
+        self.meta = meta
+
+    # -- lookup ----------------------------------------------------------
+
+    def _matched(self, terms: list[str]) -> "ray.data.Dataset":
+        import pyarrow.dataset as pads
+
+        buckets = sorted(set(_tok_bucket(
+            np.array(terms, dtype=object), self.meta["n_buckets"]).tolist()))
+        files = [f for b in buckets for f in _glob.glob(os.path.join(
+            self.index_dir, "data", f"bucket={b}", "*.parquet"))]
+        if not files:
+            return None
+        sub = ray.data.read_parquet(
+            files, columns=["doc_key", "tok", "tf", "dl", "seq"],
+            filter=pads.field("tok").isin(terms))
+        overlay = self.overlay
+        if not overlay:
+            return sub
+
+        def gen_filter(df: pd.DataFrame) -> pd.DataFrame:
+            live = df["doc_key"].map(overlay)
+            keep = live.isna() | (df["seq"] == live)
+            return df[keep.to_numpy(bool)]
+
+        return sub.map_batches(gen_filter, batch_format="pandas")
+
+    def lookup(self, terms: list[str], *, mode: str = "and",
+               k: int | None = None) -> "ray.data.Dataset":
+        """(doc_key, score, n_terms) over the CURRENT index state —
+        postings of superseded generations and deleted docs are fenced
+        by the overlay. Same AND/OR contract as InvertedIndex.lookup."""
+        if mode not in ("and", "or"):
+            raise ValueError("mode must be 'and' or 'or'")
+        terms = sorted({t.lower() for t in terms})
+        if not terms:
+            raise ValueError("no terms")
+        sub = self._matched(terms)
+        if sub is None:
+            return ray.data.from_items([])
+        agg = (sub.map_batches(lambda df: df.assign(_hit=np.int64(1)),
+                               batch_format="pandas")
+                  .groupby("doc_key")
+                  .aggregate(Sum("tf", alias_name="score"),
+                             Sum("_hit", alias_name="n_terms")))
+        if mode == "and":
+            need = len(terms)
+            agg = agg.filter(lambda r: r["n_terms"] == need)
+        if k is not None:
+            agg = agg.sort(["score", "doc_key"],
+                           descending=[True, False]).limit(k)
+        return agg
+
+    def lookup_bm25(self, terms: list[str], *, mode: str = "and",
+                    k1: float = 1.2, b: float = 0.75,
+                    k: int | None = None) -> "ray.data.Dataset":
+        """BM25 over the maintained index: n_docs/total_tokens are kept
+        exact through refreshes, so scores equal a full rebuild's."""
+        if mode not in ("and", "or"):
+            raise ValueError("mode must be 'and' or 'or'")
+        terms = sorted({t.lower() for t in terms})
+        if not terms:
+            raise ValueError("no terms")
+        n_docs = self.meta["n_docs"]
+        avgdl = self.meta["total_tokens"] / n_docs
+        sub = self._matched(terms)
+        if sub is None:
+            return ray.data.from_items([])
+        dfs = {r["tok"]: r["count()"]
+               for r in sub.groupby("tok").count().take_all()}
+        idf = {t: float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+               for t, df in dfs.items()}
+        idf_ref = ray.put(idf)
+
+        def score(df: pd.DataFrame) -> pd.DataFrame:
+            w = df["tok"].map(ray.get(idf_ref)).to_numpy(np.float64)
+            tf = df["tf"].to_numpy(np.float64)
+            dl = df["dl"].to_numpy(np.float64)
+            s = w * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            return pd.DataFrame({
+                "doc_key": df["doc_key"],
+                "score_micros": np.floor(s * 1e6 + 0.5).astype(np.int64),
+                "_hit": np.int64(1)})
+
+        agg = (sub.map_batches(score, batch_format="pandas")
+                  .groupby("doc_key")
+                  .aggregate(Sum("score_micros", alias_name="score_micros"),
+                             Sum("_hit", alias_name="n_terms")))
+        if mode == "and":
+            need = len(terms)
+            agg = agg.filter(lambda r: r["n_terms"] == need)
+        if k is not None:
+            agg = agg.sort(["score_micros", "doc_key"],
                            descending=[True, False]).limit(k)
         return agg

@@ -1,0 +1,114 @@
+"""CDC-maintained full-text index over the replicated lake
+(LakeTextIndex): build at a watermark, refresh from the change feed.
+
+Gold gate: build-on-half + replicate-rest + refresh must equal a full
+REBUILD on the final lake — for plain term lookup AND for BM25 (which
+additionally requires the maintained (n_docs, total_tokens) to be
+exactly the rebuild's)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from database_delta_plugins_ray.pipelines.replicate import (
+    lake_diff,
+    run_replication,
+)
+from database_delta_plugins_ray.stages.invindex import LakeTextIndex
+
+
+@pytest.fixture()
+def half_built(ray_session, small_log, tmp_path):
+    log_dir, _, meta = small_log
+    lake = str(tmp_path / "lake")
+    idx_dir = str(tmp_path / "idx")
+    half = meta["max_lsn"] // 2
+    run_replication(log_dir, lake, num_partitions=8, history=True,
+                    upto_lsn=half)
+    idx = LakeTextIndex.build(lake, idx_dir)
+    return log_dir, lake, idx, meta
+
+
+def _res(ds, score_col="score"):
+    return {r["doc_key"]: (r[score_col], r["n_terms"])
+            for r in ds.take_all()}
+
+
+TERMS = [["repo", "src"], ["def", "return"], ["v2"], ["v1", "def"]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_refresh_equals_rebuild(half_built, tmp_path):
+    log_dir, lake, idx, meta = half_built
+    run_replication(log_dir, lake, num_partitions=8, history=True)
+    s = idx.refresh(lake)
+    assert s["changed"] > 0 and s["deleted"] > 0
+    assert idx.overlay  # the live-docs overlay is doing real fencing
+
+    rebuilt = LakeTextIndex.build(lake, str(tmp_path / "idx_rebuild"))
+    assert idx.meta["n_docs"] == rebuilt.meta["n_docs"]
+    assert idx.meta["total_tokens"] == rebuilt.meta["total_tokens"]
+    assert idx.meta["watermark"] == rebuilt.meta["watermark"]
+
+    for terms in TERMS:
+        for mode in ("and", "or"):
+            assert _res(idx.lookup(terms, mode=mode)) == \
+                _res(rebuilt.lookup(terms, mode=mode)), (terms, mode)
+    # BM25 bit-parity includes the maintained avgdl
+    got = _res(idx.lookup_bm25(["def", "src"], mode="or"), "score_micros")
+    want = _res(rebuilt.lookup_bm25(["def", "src"], mode="or"),
+                "score_micros")
+    assert got == want and got
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_refresh_reflects_deletes_and_updates(half_built, tmp_path):
+    log_dir, lake, idx, meta = half_built
+    g0 = idx.meta["watermark"]
+    run_replication(log_dir, lake, num_partitions=8, history=True)
+    diff = lake_diff(lake, g0).take_all()
+    deleted = [r for r in diff if r["change"] == "d"]
+    updated = [r for r in diff if r["change"] == "u"]
+    assert deleted and updated
+    idx.refresh(lake)
+
+    # a deleted doc matches nothing, even for its own old tokens
+    dk = "\x1f".join(
+        str(deleted[0][c]) for c in ("table", "repo", "path"))
+    hits = _res(idx.lookup(["def"], mode="or"))
+    assert dk not in hits
+
+    # an updated doc surfaces ONCE (old generation fenced), with the
+    # new content's term frequency
+    uk = "\x1f".join(
+        str(updated[0][c]) for c in ("table", "repo", "path"))
+    rebuilt = LakeTextIndex.build(lake, str(tmp_path / "idx_rb2"))
+    assert _res(idx.lookup(["def"], mode="or")).get(uk) == \
+        _res(rebuilt.lookup(["def"], mode="or")).get(uk)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_refresh_noop_and_crash_rerun_idempotent(half_built):
+    log_dir, lake, idx, meta = half_built
+    base = _res(idx.lookup(["def"], mode="or"))
+
+    # same watermark -> no-op
+    s = idx.refresh(lake)
+    assert s["changed"] == 0
+    assert _res(idx.lookup(["def"], mode="or")) == base
+
+    run_replication(log_dir, lake, num_partitions=8, history=True)
+    # simulate a crash AFTER the data writes but BEFORE the meta commit:
+    # run a full refresh, then roll meta/overlay back and refresh again —
+    # fenced filenames must make the second pass byte-identical, not
+    # append duplicates
+    meta0 = dict(idx.meta)
+    overlay0 = dict(idx.overlay)
+    idx.refresh(lake)
+    after_first = _res(idx.lookup(["def"], mode="or"))
+    idx._commit_meta(overlay=overlay0, **{
+        k: meta0[k] for k in ("watermark", "n_docs", "total_tokens")})
+    s2 = idx.refresh(lake)
+    assert s2["changed"] > 0
+    assert _res(idx.lookup(["def"], mode="or")) == after_first
