@@ -148,6 +148,20 @@ def main(argv: list[str] | None = None) -> int:
     pvw.add_argument("--partitions", type=int, default=16)
     pvw.add_argument("--upto-lsn", type=int, default=None)
 
+    pix = sub.add_parser(
+        "index", help="full-text index over the lake's content: build at "
+                      "the current watermark, refresh from the change "
+                      "feed (history lakes), or search terms")
+    pix.add_argument("action", choices=["build", "refresh", "search"])
+    pix.add_argument("--lake", required=True)
+    pix.add_argument("--index", required=True, help="index directory")
+    pix.add_argument("--terms", default=None,
+                     help="comma-separated terms (search)")
+    pix.add_argument("--mode", choices=["and", "or"], default="and")
+    pix.add_argument("--bm25", action="store_true",
+                     help="BM25 ranking instead of tf sums")
+    pix.add_argument("--limit", type=int, default=20)
+
     ps = sub.add_parser("stats")
     ps.add_argument("--lake", required=True)
 
@@ -303,6 +317,29 @@ def main(argv: list[str] | None = None) -> int:
         head = ds.limit(a.limit).take_all()
         print(json.dumps({"rows": n, "as_of_lsn": a.as_of_lsn,
                           "head": head}, default=str))
+        import ray
+
+        ray.shutdown()
+        return 0
+
+    if a.cmd == "index":
+        _ray_init(a.num_cpus)
+        from .stages.invindex import LakeTextIndex
+
+        if a.action == "build":
+            idx = LakeTextIndex.build(a.lake, a.index)
+            print(json.dumps(idx.meta))
+        elif a.action == "refresh":
+            print(json.dumps(LakeTextIndex(a.index).refresh(a.lake)))
+        else:
+            if not a.terms:
+                raise SystemExit("search needs --terms")
+            idx = LakeTextIndex(a.index)
+            terms = a.terms.split(",")
+            ds = (idx.lookup_bm25(terms, mode=a.mode, k=a.limit) if a.bm25
+                  else idx.lookup(terms, mode=a.mode, k=a.limit))
+            for r in ds.take(a.limit):
+                print(json.dumps(r))
         import ray
 
         ray.shutdown()
