@@ -421,3 +421,144 @@ def reshard_lake(lake_dir: str, dest_dir: str, new_partitions: int,
         "old_partitions": int(cfg["num_partitions"]),
         "new_partitions": int(new_partitions),
     }
+
+
+_BLOOM_HASH_KEY = "bloomskip_hashkv"  # 16 bytes (pandas hash_array)
+
+
+def _bloom_hash(values) -> "np.ndarray":
+    import numpy as np
+    import pandas as pd
+
+    return pd.util.hash_array(
+        np.asarray(values, dtype=object), hash_key=_BLOOM_HASH_KEY)
+
+
+def _skip_index_path(lake_dir: str, column: str) -> str:
+    return os.path.join(lake_dir, ckpt.CHECKPOINT_DIR,
+                        f"skipindex-{column}.json")
+
+
+def build_skip_index(lake_dir: str, column: str,
+                     bits_per_row: int = 10, nhash: int = 4) -> dict:
+    """Per-FILE Bloom filters over ``column`` — the lakehouse
+    file-skipping index for point-equality on columns the clustered
+    sort does NOT lead with (footer min/max stats are useless for a
+    high-cardinality unclustered column like ``commit``; a Bloom bit
+    array prunes those reads with zero false negatives).
+
+    One Ray task per data file reads ONLY ``column`` and ORs its hashed
+    values into a bits-per-row-sized filter (functions/sketch.py
+    kernels). The index is a manifest-keyed JSON sidecar written
+    atomically; files committed AFTER the build are simply absent from
+    it, and absent means "must read" — staleness degrades pruning,
+    never correctness. Rebuild after replication or OPTIMIZE to restore
+    pruning."""
+    import base64
+
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.sketch import bloom_set
+
+    manifests = ckpt.all_manifests(lake_dir)
+    if not manifests:
+        raise FileNotFoundError(f"no committed partitions under {lake_dir}")
+    files = sorted({f for m in manifests.values()
+                    for f in (m.get("files") or [m["file"]])})
+
+    def per_file(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        out_f, out_b, out_n = [], [], []
+        for f in batch["file"].to_pylist():
+            col = pq.read_table(f, columns=[column])[column]
+            vals = col.to_numpy(zero_copy_only=False)
+            nbits = max(1024, int(len(vals) * bits_per_row))
+            nbits = 1 << (nbits - 1).bit_length()  # power of two
+            bits = np.zeros(nbits // 8, dtype=np.uint8)
+            if len(vals):
+                bloom_set(bits, _bloom_hash(vals), nhash)
+            out_f.append(f)
+            out_b.append(base64.b64encode(bits.tobytes()).decode())
+            out_n.append(len(vals))
+        return pa.table({"file": pa.array(out_f),
+                         "bloom": pa.array(out_b),
+                         "rows": pa.array(out_n, pa.int64())})
+
+    res = (ray.data.from_items([{"file": f} for f in files])
+           .map_batches(per_file, batch_format="pyarrow", batch_size=1)
+           .take_all())
+    idx = {"column": column, "nhash": nhash,
+           "files": {r["file"]: r["bloom"] for r in res}}
+    p = _skip_index_path(lake_dir, column)
+    import json as _json
+    tmp = p + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        _json.dump(idx, fh)
+    os.replace(tmp, p)
+    return {"column": column, "files": len(files),
+            "bytes": sum(len(r["bloom"]) * 3 // 4 for r in res)}
+
+
+def skip_scan_eq(lake_dir: str, column: str, value,
+                 columns: list[str] | None = None) -> "ray.data.Dataset":
+    """Live rows with ``column == value``, reading only partitions the
+    Bloom index cannot rule out.
+
+    Pruning discipline mirrors ``read_lake(predicate=...)``'s
+    delta-resurrection rule: a partition is skipped only when EVERY one
+    of its files rules the value out (an old version of a key may match
+    while the current one does not — so the partition reads whole and
+    LWW-reduces first whenever ANY file might match). Files missing
+    from the index never prune. Returns row-equality via the same
+    predicate pushdown as read_lake on the surviving partitions."""
+    import base64
+
+    import json as _json
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from ..functions.sketch import bloom_contains
+    from .replicate import read_lake
+
+    p = _skip_index_path(lake_dir, column)
+    blooms = {}
+    nhash = 4
+    if os.path.exists(p):
+        with open(p) as fh:
+            idx = _json.load(fh)
+        if idx.get("column") == column:
+            nhash = idx["nhash"]
+            blooms = idx["files"]
+    h = _bloom_hash([value])
+    manifests = ckpt.all_manifests(lake_dir)
+    keep = {}
+    pruned = 0
+    for part, m in manifests.items():
+        files = m.get("files") or [m["file"]]
+        may = False
+        for f in files:
+            b64 = blooms.get(f)
+            if b64 is None:
+                may = True  # not indexed -> must read
+                break
+            bits = np.frombuffer(base64.b64decode(b64), dtype=np.uint8)
+            if bool(bloom_contains(bits, h, nhash)[0]):
+                may = True
+                break
+        if may:
+            keep[part] = m
+        else:
+            pruned += 1
+    read_cols = (None if columns is None
+                 else list(dict.fromkeys([*columns, "_is_deleted"])))
+    ds = read_lake(lake_dir, columns=read_cols,
+                   predicate=(pads.field(column) == value),
+                   _manifests=keep)
+    if not keep:
+        return ds
+    ds = ds.filter(expr="_is_deleted == False")
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    return ds

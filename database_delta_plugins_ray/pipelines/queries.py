@@ -165,6 +165,25 @@ def cdc_search_lake_content(sf_dir: str):
                .map_batches(split_key, batch_format="pandas"))
 
 
+def cdc_commit_lookup(sf_dir: str):
+    """Point-equality on a high-cardinality UNCLUSTERED column via the
+    Bloom file-skipping index: replicate, OPTIMIZE (one file per
+    partition), index the ``commit`` column, then fetch the rows whose
+    commit equals the corpus-min commit — the index prunes every file
+    whose Bloom rules the value out (no false negatives; footer min/max
+    stats can't prune a column the sort doesn't lead with)."""
+    from .maintenance import build_skip_index, optimize_lake, skip_scan_eq
+
+    log = ensure_log(sf_dir)
+    lake = fresh_lake(sf_dir, "lake_commitidx")
+    run_replication(log, lake, num_partitions=16)
+    optimize_lake(lake)
+    build_skip_index(lake, "commit")
+    target = final_state(lake, columns=["commit"]).min("commit")
+    return skip_scan_eq(lake, "commit", target,
+                        columns=["repo", "path", "commit", "content_sha"])
+
+
 def _time_travel_boundary(log: str) -> int:
     """Midpoint between the last DDL and the end of the log — past all
     schema evolution (so the historical state has the final column set)
@@ -837,6 +856,19 @@ m AS (
 SELECT repo, path, CAST(sum(tf) AS BIGINT) AS score
 FROM m GROUP BY 1, 2 HAVING count(*) = 2
 """
+    # commit lookup: the engine's skip-scan result equals a plain filter
+    # on the replayed final state for the corpus-min commit
+    commit_sql = (
+        lww
+        + """
+, live AS (
+  SELECT k_repo AS repo, k_path AS path, "commit", content_sha
+  FROM ranked WHERE rn = 1 AND op <> 'D'
+)
+SELECT repo, path, "commit", content_sha FROM live
+WHERE "commit" = (SELECT min("commit") FROM live)
+"""
+    )
     # time travel: the same LWW replay restricted to events at/below the
     # boundary the engine computed — (last DDL lsn + max lsn) // 2
     bound = (f"(SELECT (max(lsn) + max(CASE WHEN op = 'DDL' THEN lsn "
@@ -882,6 +914,7 @@ WHERE o.k_repo IS NULL OR n.k_repo IS NULL OR n.lsn <> o.lsn
         "cdc_resume_equivalence": final_sql,
         "cdc_reshard_continuation": final_sql,
         "cdc_search_lake_content": search_sql,
+        "cdc_commit_lookup": commit_sql,
         "cdc_final_state_optimized": final_sql,
         "cdc_language_slice": final_sql.replace(
             "WHERE rn = 1 AND op <> 'D'",
@@ -1181,6 +1214,7 @@ CDC_QUERIES = {
     "cdc_resume_equivalence": cdc_resume_equivalence,
     "cdc_reshard_continuation": cdc_reshard_continuation,
     "cdc_search_lake_content": cdc_search_lake_content,
+    "cdc_commit_lookup": cdc_commit_lookup,
     "cdc_time_travel": cdc_time_travel,
     "cdc_point_lookup": cdc_point_lookup,
     "cdc_changefeed": cdc_changefeed,

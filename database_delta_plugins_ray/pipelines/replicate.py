@@ -812,7 +812,8 @@ def lake_files(lake_dir: str) -> list[str]:
 
 def read_lake(lake_dir: str, columns: list[str] | None = None,
               as_of_lsn: int | None = None,
-              predicate=None) -> "ray.data.Dataset":
+              predicate=None, _manifests: dict | None = None
+              ) -> "ray.data.Dataset":
     """The lake as a Ray Dataset (includes soft-deleted rows, like the
     reference target table — filter ``_is_deleted`` for final state).
 
@@ -836,7 +837,13 @@ def read_lake(lake_dir: str, columns: list[str] | None = None,
     FIRST and filter after (an old version of a key may match the
     predicate while the current one does not — pushing down would
     resurrect it), which this function handles per partition."""
-    if as_of_lsn is not None:
+    if _manifests is not None:
+        # caller pre-pruned the partition set (e.g. the Bloom skipping
+        # index); an empty dict legitimately means "nothing can match"
+        manifests = _manifests
+        if not manifests:
+            return ray.data.from_items([]).map_batches(lambda t: t)
+    elif as_of_lsn is not None:
         horizon = ckpt.history_horizon(lake_dir)
         if as_of_lsn < horizon:
             raise ValueError(
