@@ -658,6 +658,66 @@ def ann_topk_lsh_q(sf_dir: str):
     return df
 
 
+def token_pmi_pairs(sf_dir: str, vocab_cap: int = 50):
+    """Pointwise mutual information for token PAIRS within the top-df
+    vocabulary (the collocation-mining shape): which vocabulary words
+    co-occur in documents more than independence predicts.
+
+    One corpus scan after the vocabulary build: each batch converts its
+    documents to a docs x V boolean incidence matrix and computes ALL
+    pairwise co-occurrence counts with ONE integer matmul (M^T @ M) —
+    O(docs x V^2) bit-ops per batch instead of a per-doc pair explosion
+    through a shuffle. Partials are V x V count matrices (flattened to
+    <= V^2 rows/batch); the final groupby is vocabulary-sized. PMI =
+    ln(n_docs * c_ab / (c_a * c_b)) in integer micros, the float
+    expression mirrored in SQL (counts are exact ints on both sides)."""
+    import ray
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    vocab = _vocab_tf_df(ds, vocab_cap)["tok"].tolist()
+    n_docs = ds.count()
+    v_ref = ray.put({t: i for i, t in enumerate(vocab)})
+    v = len(vocab)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.text import _flat_lower_tokens
+
+        vid = ray.get(v_ref)
+        flat, di, _ = _flat_lower_tokens(df["text"].reset_index(drop=True))
+        m = np.zeros((len(df), v), dtype=np.int64)
+        if len(flat):
+            sel = pd.Series(flat).map(vid)
+            ok = sel.notna().to_numpy()
+            m[di[ok], sel.to_numpy(dtype=float)[ok].astype(np.int64)] = 1
+        co = m.T @ m  # V x V: pair counts on/above diag, singles on diag
+        ia, ib = np.triu_indices(v)
+        c = co[ia, ib]
+        nz = c > 0
+        return pd.DataFrame({"ia": ia[nz].astype(np.int64),
+                             "ib": ib[nz].astype(np.int64),
+                             "n": c[nz]})
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+             .groupby(["ia", "ib"])
+             .aggregate(Sum("n", alias_name="n"))).take_all()
+    singles = {r["ia"]: r["n"] for r in agg if r["ia"] == r["ib"]}
+    rows = []
+    for r in agg:
+        a, b_, n = int(r["ia"]), int(r["ib"]), int(r["n"])
+        if a == b_:
+            continue
+        pmi = np.log(float(n_docs) * n / (singles[a] * singles[b_]))
+        rows.append((vocab[a], vocab[b_], n,
+                     int(np.floor(pmi * 1e6 + 0.5))))
+    out = pd.DataFrame(rows, columns=["tok_a", "tok_b", "n_co",
+                                      "pmi_micros"])
+    # canonical order: tok_a < tok_b lexicographically (matches SQL)
+    swap = out["tok_a"] > out["tok_b"]
+    out.loc[swap, ["tok_a", "tok_b"]] = \
+        out.loc[swap, ["tok_b", "tok_a"]].to_numpy()
+    return out.sort_values(["tok_a", "tok_b"]).reset_index(drop=True)
+
+
 def events_value_outliers(sf_dir: str):
     """Per-type 3-sigma outlier counts with the comparison decided in
     EXACT integer space: flag v iff (n*v - S)^2 > 9*(n*Svv - S^2) — the
@@ -3083,6 +3143,33 @@ WITH flat AS (
 SELECT doc_id, score FROM a WHERE nt = 2
 """
 
+ANALYTICS_ORACLE_SQL["token_pmi_pairs"] = r"""
+WITH flat AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+    FROM documents)
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(DISTINCT doc_id) AS df FROM flat GROUP BY tok)
+  QUALIFY row_number() OVER (ORDER BY df DESC, tok) <= 50
+), fv AS (
+  SELECT f.doc_id, f.tok FROM flat f JOIN vocab USING (tok)
+), singles AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM fv GROUP BY tok
+), pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(count(*) AS BIGINT) AS n_co
+  FROM fv a JOIN fv b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2
+), nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents)
+SELECT p.tok_a, p.tok_b, p.n_co,
+       CAST(floor(ln(CAST(nn.nd AS DOUBLE) * p.n_co / (sa.c * sb.c))
+                  * 1e6 + 0.5) AS BIGINT) AS pmi_micros
+FROM pairs p
+JOIN singles sa ON p.tok_a = sa.tok
+JOIN singles sb ON p.tok_b = sb.tok, nn
+"""
+
 ANALYTICS_ORACLE_SQL["events_value_outliers"] = r"""
 WITH c AS (
   SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
@@ -3341,6 +3428,7 @@ ANALYTICS_QUERIES = {
     "search_documents_terms": search_documents_terms,
     "search_documents_bm25": search_documents_bm25,
     "events_value_outliers": events_value_outliers,
+    "token_pmi_pairs": token_pmi_pairs,
     "orders_rollup_status_priority": orders_rollup_status_priority,
     "promo_revenue_monthly": promo_revenue_monthly,
     "normalize_text_documents": normalize_text_documents,

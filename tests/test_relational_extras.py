@@ -348,3 +348,30 @@ def test_value_outliers_exact_integer_rule(ray_session, tmp_path):
     # what matters is that its 1.6e19 square went through the limb path
     # without overflow; the 21-row group isolates its single outlier
     assert got["huge"][0] == 0 and got["norm"][0] == 1
+
+
+def test_token_pmi_semantics(ray_session, tmp_path):
+    """A pair that always co-occurs scores positive PMI; a pair that
+    never co-occurs is absent; counts are doc-level (dedup within doc)."""
+    from database_delta_plugins_ray.pipelines.analytics import (
+        token_pmi_pairs,
+    )
+
+    docs = (["alpha beta alpha beta"] * 10        # alpha & beta together
+            + ["gamma common"] * 10               # gamma never w/ alpha
+            + ["alpha common"] * 10)
+    rows = [{"doc_id": f"d{i}", "text": t, "lang": "en"}
+            for i, t in enumerate(docs)]
+    d = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(rows),
+                   os.path.join(d, "documents.parquet"))
+    out = token_pmi_pairs(d, vocab_cap=10)
+    m = {(r.tok_a, r.tok_b): (r.n_co, r.pmi_micros)
+         for r in out.itertuples()}
+    assert ("alpha", "gamma") not in m            # never co-occur
+    n_co, pmi = m[("alpha", "beta")]
+    assert n_co == 10                              # deduped per doc
+    # PMI(alpha, beta) = ln(30 * 10 / (20 * 10)) = ln(1.5) > 0
+    assert pmi == int(np.floor(np.log(30.0 * 10 / (20 * 10)) * 1e6 + 0.5))
+    n_co2, pmi2 = m[("alpha", "common")]
+    assert n_co2 == 10 and pmi2 < 0               # ln(30*10/(20*20)) < 0
