@@ -718,6 +718,62 @@ def token_pmi_pairs(sf_dir: str, vocab_cap: int = 50):
     return out.sort_values(["tok_a", "tok_b"]).reset_index(drop=True)
 
 
+def lm_surprise_documents(sf_dir: str, vocab_cap: int = 1000):
+    """Unigram language-model surprise per document — the shape of
+    KenLM-style perplexity quality filtering, with an exactly
+    computable model: p(tok) = corpus count / corpus total over a
+    capped vocabulary, all out-of-vocabulary tokens pooled into one
+    <unk> bucket.
+
+    Exactness under distribution: per-TOKEN log-probs quantize to
+    integer micros FIRST (both engines evaluate ln on the identical
+    double c/total), so the per-document sum Σ tf·s_micros is integer
+    arithmetic — immune to summation order, hence hash-exact vs SQL.
+    Two streaming passes: vocabulary + totals (tiny groupby), then one
+    corpus scan scoring each doc vectorized against the broadcast
+    score table."""
+    import ray
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    vocab = _vocab_tf_df(ds, vocab_cap)
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.text import _flat_lower_tokens
+
+        flat, _, _ = _flat_lower_tokens(df["text"].reset_index(drop=True))
+        return pd.DataFrame({"n": [np.int64(len(flat))]})
+
+    total = int(ds.map_batches(count_partial,
+                               batch_format="pandas").sum("n") or 0)
+    c_unk = total - int(vocab["tf"].sum())
+    scores = {
+        t: int(np.floor(np.log(c / total) * 1e6 + 0.5))
+        for t, c in zip(vocab["tok"], vocab["tf"].astype(int))
+    }
+    # every OOV token shares the pooled <unk> mass (if no OOV exists,
+    # the score is never used; guard the ln domain anyway)
+    s_unk = (int(np.floor(np.log(c_unk / total) * 1e6 + 0.5))
+             if c_unk > 0 else 0)
+    s_ref = ray.put(scores)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.text import _flat_lower_tokens
+
+        sc = ray.get(s_ref)
+        flat, di, lens = _flat_lower_tokens(df["text"].reset_index(drop=True))
+        out = np.zeros(len(df), dtype=np.int64)
+        if len(flat):
+            s = pd.Series(flat).map(sc).fillna(s_unk).to_numpy(np.int64)
+            np.add.at(out, di, s)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_tokens": np.asarray(lens, dtype=np.int64),
+            "surprise_sum_micros": -out,
+        })
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 def events_value_outliers(sf_dir: str):
     """Per-type 3-sigma outlier counts with the comparison decided in
     EXACT integer space: flag v iff (n*v - S)^2 > 9*(n*Svv - S^2) — the
@@ -3143,6 +3199,52 @@ WITH flat AS (
 SELECT doc_id, score FROM a WHERE nt = 2
 """
 
+ANALYTICS_ORACLE_SQL["lm_surprise_documents"] = r"""
+WITH flat AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+  FROM documents
+), total AS (SELECT CAST(count(*) AS BIGINT) AS t FROM flat),
+counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM flat GROUP BY tok
+), vocab AS (
+  SELECT tok, c FROM counts
+  QUALIFY row_number() OVER (ORDER BY df DESC, tok) <= 1000
+), unk AS (
+  SELECT total.t - coalesce(sum(vocab.c), 0) AS cu FROM vocab, total
+  GROUP BY total.t
+), stab AS (
+  SELECT tok,
+         CAST(floor(ln(CAST(c AS DOUBLE) / total.t) * 1e6 + 0.5)
+              AS BIGINT) AS s
+  FROM vocab, total
+), tfd AS (
+  SELECT f.doc_id, f.tok, CAST(count(*) AS BIGINT) AS tf
+  FROM flat f GROUP BY 1, 2
+), sunk AS (
+  -- ln is guarded: with full coverage (cu = 0) the <unk> score is never
+  -- used, but SQL evaluates eagerly — mirror the engine's guard
+  SELECT CASE WHEN unk.cu > 0
+              THEN CAST(floor(ln(CAST(unk.cu AS DOUBLE) / total.t)
+                              * 1e6 + 0.5) AS BIGINT)
+              ELSE 0 END AS s
+  FROM unk, total
+), scored AS (
+  SELECT tfd.doc_id,
+         tfd.tf * coalesce(stab.s, sunk.s) AS part
+  FROM tfd LEFT JOIN stab USING (tok), sunk
+)
+SELECT d.doc_id,
+       CAST(coalesce(lens.n, 0) AS BIGINT) AS n_tokens,
+       CAST(-coalesce(s.total_part, 0) AS BIGINT) AS surprise_sum_micros
+FROM documents d
+LEFT JOIN (SELECT doc_id, sum(part) AS total_part
+           FROM scored GROUP BY 1) s USING (doc_id)
+LEFT JOIN (SELECT doc_id, count(*) AS n FROM flat GROUP BY 1) lens
+  USING (doc_id)
+"""
+
 ANALYTICS_ORACLE_SQL["token_pmi_pairs"] = r"""
 WITH flat AS (
   SELECT DISTINCT doc_id, tok FROM (
@@ -3429,6 +3531,7 @@ ANALYTICS_QUERIES = {
     "search_documents_bm25": search_documents_bm25,
     "events_value_outliers": events_value_outliers,
     "token_pmi_pairs": token_pmi_pairs,
+    "lm_surprise_documents": lm_surprise_documents,
     "orders_rollup_status_priority": orders_rollup_status_priority,
     "promo_revenue_monthly": promo_revenue_monthly,
     "normalize_text_documents": normalize_text_documents,

@@ -375,3 +375,34 @@ def test_token_pmi_semantics(ray_session, tmp_path):
     assert pmi == int(np.floor(np.log(30.0 * 10 / (20 * 10)) * 1e6 + 0.5))
     n_co2, pmi2 = m[("alpha", "common")]
     assert n_co2 == 10 and pmi2 < 0               # ln(30*10/(20*20)) < 0
+
+
+def test_lm_surprise_semantics(ray_session, tmp_path):
+    """Rare-token docs score higher surprise than common-token docs;
+    OOV tokens pool into one <unk> probability; empty docs score 0."""
+    from database_delta_plugins_ray.pipelines.analytics import (
+        lm_surprise_documents,
+    )
+
+    docs = (["common common common common"] * 8
+            + ["rare1 rare2", ""])
+    rows = [{"doc_id": f"d{i}", "text": t, "lang": "en"}
+            for i, t in enumerate(docs)]
+    d = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(rows),
+                   os.path.join(d, "documents.parquet"))
+    out = (lm_surprise_documents(d, vocab_cap=2).to_pandas()
+           .set_index("doc_id"))
+    # vocab (top-2 by df) = {common, rare1|rare2 tie->rare1}; rare2 OOV
+    total = 34
+    s_common = int(np.floor(np.log(32 / total) * 1e6 + 0.5))
+    s_rare1 = int(np.floor(np.log(1 / total) * 1e6 + 0.5))
+    s_unk = int(np.floor(np.log(1 / total) * 1e6 + 0.5))
+    assert out.loc["d0", "surprise_sum_micros"] == -4 * s_common
+    assert out.loc["d8", "surprise_sum_micros"] == -(s_rare1 + s_unk)
+    assert out.loc["d9", "surprise_sum_micros"] == 0
+    assert out.loc["d9", "n_tokens"] == 0
+    # per-token average surprise: the rare doc is the quality outlier
+    avg8 = out.loc["d8", "surprise_sum_micros"] / out.loc["d8", "n_tokens"]
+    avg0 = out.loc["d0", "surprise_sum_micros"] / out.loc["d0", "n_tokens"]
+    assert avg8 > avg0 > 0
