@@ -938,6 +938,25 @@ def events_moving_revenue(sf_dir: str, window: int = 10):
         lambda df: df[["event_id", "moving_sum"]], batch_format="pandas")
 
 
+def events_trailing_hour_revenue(sf_dir: str):
+    """Time-RANGE trailing window — SUM(cents) OVER (ORDER BY ts RANGE
+    BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) — via the
+    boundary-replication scan (stages/scan.py:ordered_range_sum): one
+    bucket shuffle, no driver carry, at most one replica per row.
+    RANGE peers (equal ts) are in-frame together on both sides, so no
+    tiebreak enters the math."""
+    from ..stages.scan import ordered_range_sum
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "value"])
+    res = ordered_range_sum(
+        ds.map_batches(lambda df: _to_cents(df, ["event_id", "ts"]),
+                       batch_format="pandas"),
+        order_col="ts", value_col="cents",
+        span_units=3_600_000_000)  # 1 hour in microseconds
+    return res.map_batches(
+        lambda df: df[["event_id", "range_sum"]], batch_format="pandas")
+
+
 def events_running_value_per_user(sf_dir: str, nparts: int = 32):
     """Partitioned window function SUM(cents) OVER (PARTITION BY
     user_id ORDER BY ts, event_id): one hash shuffle over COARSE user
@@ -3065,6 +3084,15 @@ SELECT event_id,
 FROM events
 """
 
+ANALYTICS_ORACLE_SQL["events_trailing_hour_revenue"] = r"""
+SELECT event_id,
+       CAST(SUM(CAST(floor(value*100.0 + 0.5) AS BIGINT))
+         OVER (ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS range_sum
+FROM events
+"""
+
 # MG heavy hitters: exact at this vocabulary (< capacity, so max_err 0)
 ANALYTICS_ORACLE_SQL["heavy_hitters_tokens"] = r"""
 WITH flat AS (
@@ -3532,6 +3560,7 @@ ANALYTICS_QUERIES = {
     "events_value_outliers": events_value_outliers,
     "token_pmi_pairs": token_pmi_pairs,
     "lm_surprise_documents": lm_surprise_documents,
+    "events_trailing_hour_revenue": events_trailing_hour_revenue,
     "orders_rollup_status_priority": orders_rollup_status_priority,
     "promo_revenue_monthly": promo_revenue_monthly,
     "normalize_text_documents": normalize_text_documents,

@@ -377,3 +377,78 @@ def ordered_cummax(ds, *, order_col: str, tiebreak_col: str,
 
     return (ds.map_batches(bucketed, batch_format="pandas")
             .groupby("__b").map_groups(scan_bucket, batch_format="pandas"))
+
+
+def ordered_range_sum(ds, *, order_col: str, value_col: str,
+                      span_units: int, nbuckets: int = 64):
+    """Exact time-RANGE trailing-window sum — ``SUM(v) OVER (ORDER BY
+    key RANGE BETWEEN span PRECEDING AND CURRENT ROW)`` — with ONE
+    bucket shuffle and NO driver-side carry.
+
+    RANGE frames differ from ROWS frames two ways: the window is a KEY
+    interval ``[key - span, key]`` (variable row count), and peers
+    (equal keys) are always in-frame together, so no tiebreak is
+    needed. The cross-bucket dependency is solved by BOUNDARY
+    REPLICATION instead of a carry side channel: bucket width is
+    clamped to >= span, so a row's frame crosses at most ONE bucket
+    boundary — rows within ``span`` of their bucket's end are emitted
+    twice (once as their own bucket's member, once as the next
+    bucket's context), each bucket sorts locally and answers every own
+    row with two searchsorteds over its cumsum. Replication factor is
+    bounded by span/width <= 1 extra copy — a constant, at any scale.
+
+    ``span_units`` is in the key's native integer units (microseconds
+    for timestamp columns — the order-isomorphic u64 mapping preserves
+    differences)."""
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    if span_units < 0:
+        raise ValueError("span_units must be >= 0")
+    stats = ds.aggregate(Min(order_col), Max(order_col))
+    lo_u = _scalar_order_u64(stats[f"min({order_col})"])
+    hi_u = _scalar_order_u64(stats[f"max({order_col})"])
+    total = max(int(hi_u - lo_u) + 1, 1)
+    width = np.uint64(max(total // nbuckets + 1, int(span_units), 1))
+    nb = int(np.uint64(total - 1) // width) + 1
+    span = np.uint64(span_units)
+
+    def scatter(df: pd.DataFrame) -> pd.DataFrame:
+        ki = _key_ints(df, order_col)
+        b = np.minimum((ki - lo_u) // width, np.uint64(nb - 1)).astype(
+            np.int32)
+        own = df.copy()
+        own["__b"] = b
+        own["__own"] = True
+        # rows within span of their bucket's end also serve as the NEXT
+        # bucket's context (their key may fall inside its rows' frames)
+        nxt_start = lo_u + (b.astype(np.uint64) + np.uint64(1)) * width
+        rep = (b < nb - 1) & (nxt_start - ki <= span)
+        if rep.any():
+            ctx = df.loc[rep].copy()
+            ctx["__b"] = (b[rep] + 1).astype(np.int32)
+            ctx["__own"] = False
+            own = pd.concat([own, ctx], ignore_index=True)
+        return own
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ki = _key_ints(g, order_col)
+        o = np.argsort(ki, kind="stable")
+        keys = ki[o]
+        vals = g[value_col].to_numpy().astype(np.int64)[o]
+        ownm = g["__own"].to_numpy()[o]
+        cs = np.cumsum(vals)
+        own_pos = np.flatnonzero(ownm)
+        own_keys = keys[own_pos]
+        right = np.searchsorted(keys, own_keys, side="right")
+        left = np.searchsorted(keys, own_keys - span, side="left")
+        sums = cs[right - 1] - np.where(left > 0, cs[left - 1], 0)
+        out = (g.iloc[o[own_pos]]
+               .drop(columns=["__b", "__own"])
+               .reset_index(drop=True))
+        out["range_sum"] = sums
+        return out
+
+    return (ds.map_batches(scatter, batch_format="pandas")
+            .groupby("__b")
+            .map_groups(scan_bucket, batch_format="pandas"))

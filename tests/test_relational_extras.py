@@ -406,3 +406,46 @@ def test_lm_surprise_semantics(ray_session, tmp_path):
     avg8 = out.loc["d8", "surprise_sum_micros"] / out.loc["d8", "n_tokens"]
     avg0 = out.loc["d0", "surprise_sum_micros"] / out.loc["d0", "n_tokens"]
     assert avg8 > avg0 > 0
+
+
+def test_range_sum_brute_parity_and_bucket_invariance(ray_session):
+    """ordered_range_sum == brute-force interval sums, for several
+    bucket counts (boundary replication must be seam-free) and with
+    duplicate keys (RANGE peers always share a frame)."""
+    import ray.data
+
+    from database_delta_plugins_ray.stages.scan import ordered_range_sum
+
+    rng = np.random.default_rng(11)
+    n = 400
+    keys = rng.integers(0, 1000, n)       # many duplicate keys
+    keys[:5] = [0, 0, 999, 999, 500]
+    vals = rng.integers(-50, 100, n)
+    df = pd.DataFrame({"k": keys.astype(np.int64),
+                       "id": np.arange(n, dtype=np.int64),
+                       "v": vals.astype(np.int64)})
+    span = 37
+
+    def brute():
+        out = {}
+        for _, r in df.iterrows():
+            m = (df.k >= r.k - span) & (df.k <= r.k)
+            out[int(r.id)] = int(df.loc[m, "v"].sum())
+        return out
+
+    want = brute()
+    for nb in (1, 3, 64, 500):
+        ds = ray.data.from_pandas(df).repartition(7)
+        got = {int(r["id"]): int(r["range_sum"])
+               for r in ordered_range_sum(
+                   ds, order_col="k", value_col="v",
+                   span_units=span, nbuckets=nb).take_all()}
+        assert got == want, nb
+    # span wider than the whole key range: every frame is a prefix-by-key
+    got = {int(r["id"]): int(r["range_sum"])
+           for r in ordered_range_sum(
+               ray.data.from_pandas(df), order_col="k", value_col="v",
+               span_units=10_000, nbuckets=16).take_all()}
+    pref = {int(r.id): int(df.loc[df.k <= r.k, "v"].sum())
+            for _, r in df.iterrows()}
+    assert got == pref
