@@ -184,6 +184,38 @@ def cdc_commit_lookup(sf_dir: str):
                         columns=["repo", "path", "commit", "content_sha"])
 
 
+def cdc_export_incremental(sf_dir: str):
+    """Incrementally-maintained training export: full export at the
+    half-replay watermark, then finish replication and bring the export
+    current by rewriting ONLY the change-feed-touched shards
+    (stages/export.py:export_lake_incremental). Result must equal the
+    full final state — which only holds if the shard rewrites dropped
+    superseded versions and deletions and added creations exactly."""
+    import glob as _glob
+    import json
+
+    from ..stages.export import export_lake_incremental
+
+    log = ensure_log(sf_dir)
+    # first export happens past ALL schema evolution (the export schema
+    # is pinned in its manifest; the incremental path maintains rows,
+    # not DDL — re-export from scratch on schema change)
+    boundary = _time_travel_boundary(log)
+    lake = fresh_lake(sf_dir, "lake_export_inc")
+    out = fresh_lake(sf_dir, "lake_export_inc_out")
+    run_replication(log, lake, num_partitions=16, history=True,
+                    upto_lsn=boundary)
+    export_lake_incremental(lake, out, nshards=16)
+    run_replication(log, lake, num_partitions=16, history=True)
+    m = export_lake_incremental(lake, out, nshards=16)
+    assert 0 < m["rewritten_shards"], m
+    import ray.data
+
+    files = _glob.glob(os.path.join(out, "shard=*", "*.parquet"))
+    return (ray.data.read_parquet(files)
+            .select_columns(FINAL_COLS))
+
+
 def _time_travel_boundary(log: str) -> int:
     """Midpoint between the last DDL and the end of the log — past all
     schema evolution (so the historical state has the final column set)
@@ -915,6 +947,7 @@ WHERE o.k_repo IS NULL OR n.k_repo IS NULL OR n.lsn <> o.lsn
         "cdc_reshard_continuation": final_sql,
         "cdc_search_lake_content": search_sql,
         "cdc_commit_lookup": commit_sql,
+        "cdc_export_incremental": final_sql,
         "cdc_final_state_optimized": final_sql,
         "cdc_language_slice": final_sql.replace(
             "WHERE rn = 1 AND op <> 'D'",
@@ -1215,6 +1248,7 @@ CDC_QUERIES = {
     "cdc_reshard_continuation": cdc_reshard_continuation,
     "cdc_search_lake_content": cdc_search_lake_content,
     "cdc_commit_lookup": cdc_commit_lookup,
+    "cdc_export_incremental": cdc_export_incremental,
     "cdc_time_travel": cdc_time_travel,
     "cdc_point_lookup": cdc_point_lookup,
     "cdc_changefeed": cdc_changefeed,

@@ -134,3 +134,141 @@ def export_corpus_jsonl(docs, out_dir: str, *, nshards: int = 16,
     shutil.rmtree(out_dir, ignore_errors=True)
     os.rename(tmp, out_dir)
     return manifest
+
+
+def export_lake_incremental(lake_dir: str, out_dir: str, *,
+                            nshards: int = 16,
+                            columns: list[str] | None = None) -> dict:
+    """INCREMENTALLY-MAINTAINED lake export: hash-sharded Parquet of the
+    lake's live rows that a later call brings current by rewriting ONLY
+    the shards the change data feed touched — the materialized-export
+    counterpart of the IVM views.
+
+    First call: one streaming pass of ``final_state`` routed by
+    ``md5_u64(table\\x1frepo\\x1fpath) % nshards`` (the corpus export
+    contract), manifest records the lake's global watermark.
+
+    Later calls: ``lake_diff(manifest watermark)`` (partition-local,
+    history lakes) names the changed keys; their md5 shards are the
+    ONLY shards rewritten — one Ray task per touched shard reads its
+    old file, drops the changed keys, appends their current live rows
+    (a pruned ``lookup_keys``), and commits tmp+rename. Cost is
+    O(touched shards + changes), never O(lake). The rewrite is
+    IDEMPOTENT (drop-then-re-add of the same key set), so a crash
+    between shard commits and the manifest write re-runs safely; the
+    manifest commits last, atomically."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..pipelines.replicate import final_state, lake_diff, lookup_keys
+    from ..state import checkpoint as ckpt
+    from .sample import md5_u64
+
+    key_cols = ("table", "repo", "path")
+    sep = "\x1f"
+    g1 = int(ckpt.read_global_watermark(lake_dir))
+    want_cols = columns or ["table", "repo", "path", "commit",
+                            "language", "stars", "content_sha",
+                            "_sequence_num"]
+
+    def shard_of(tbl: pa.Table) -> np.ndarray:
+        key = None
+        for c in key_cols:
+            col = tbl[c].to_pandas().astype(str)
+            key = col if key is None else key + sep + col
+        return (md5_u64(key.to_numpy()) % np.uint64(nshards)).astype(
+            np.int32)
+
+    mpath = os.path.join(out_dir, "manifest.json")
+    if not os.path.exists(mpath):
+        def sharded(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["shard"] = (md5_u64(
+                (df[key_cols[0]].astype(str) + sep
+                 + df[key_cols[1]].astype(str) + sep
+                 + df[key_cols[2]].astype(str)).to_numpy())
+                % np.uint64(nshards)).astype(np.int32)
+            return out
+
+        tmp = out_dir + f".tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        (final_state(lake_dir, columns=want_cols)
+         .map_batches(sharded, batch_format="pandas")
+         .write_parquet(tmp, partition_cols=["shard"]))
+        manifest = {"watermark": g1, "nshards": nshards,
+                    "columns": want_cols, "rewritten_shards": nshards,
+                    "skipped": False}
+        with open(os.path.join(tmp, "manifest.json"), "w") as fh:
+            json.dump(manifest, fh)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.rename(tmp, out_dir)
+        return manifest
+
+    with open(mpath) as fh:
+        manifest = json.load(fh)
+    g0 = int(manifest["watermark"])
+    nshards = int(manifest["nshards"])
+    want_cols = manifest["columns"]
+    if g1 <= g0:
+        return dict(manifest, skipped=True, rewritten_shards=0)
+
+    diff = lake_diff(lake_dir, g0).take_all()
+    keys = [tuple(r[c] for c in key_cols) for r in diff]
+    doc_keys = np.array([sep.join(map(str, k)) for k in keys],
+                        dtype=object)
+    shards_touched = (md5_u64(doc_keys) % np.uint64(nshards)).astype(int)
+    by_shard: dict[int, set] = {}
+    for k, s in zip(keys, shards_touched):
+        by_shard.setdefault(int(s), set()).add(k)
+
+    live = lookup_keys(lake_dir, keys, columns=want_cols)
+    live_shard = shard_of(live) if live.num_rows else np.empty(0, int)
+
+    @ray.remote(num_cpus=1)
+    def rewrite(shard: int, drop_keys: list, add_tbl: "pa.Table") -> int:
+        import glob as _g
+
+        d = os.path.join(out_dir, f"shard={shard}")
+        files = _g.glob(os.path.join(d, "*.parquet"))
+        old = (pa.concat_tables([pq.read_table(f) for f in files],
+                                promote_options="default")
+               if files else None)
+        parts = []
+        if old is not None and old.num_rows:
+            df = old.to_pandas()
+            kk = list(zip(*(df[c].astype(str) for c in key_cols)))
+            mask = np.array([k not in drop_keys for k in kk], bool)
+            parts.append(df[mask].reindex(columns=want_cols))
+        if add_tbl.num_rows:
+            parts.append(add_tbl.to_pandas().reindex(columns=want_cols))
+        new = (pd.concat(parts, ignore_index=True) if parts
+               else pd.DataFrame(columns=want_cols))
+        os.makedirs(d, exist_ok=True)
+        final = os.path.join(d, "data.parquet")
+        tmpf = final + f".tmp.{os.getpid()}"
+        pq.write_table(pa.Table.from_pandas(new, preserve_index=False),
+                       tmpf)
+        os.replace(tmpf, final)
+        for f in files:
+            if f != final and os.path.exists(f):
+                os.remove(f)
+        return len(new)
+
+    futs = []
+    for s, drop in by_shard.items():
+        m = live_shard == s
+        add = (live.filter(pa.array(m)) if live.num_rows
+               else live)
+        futs.append(rewrite.remote(s, drop, add))
+    ray.get(futs)
+    new_manifest = dict(manifest, watermark=g1, skipped=False,
+                        rewritten_shards=len(by_shard))
+    tmpm = mpath + f".tmp.{os.getpid()}"
+    with open(tmpm, "w") as fh:
+        json.dump(new_manifest, fh)
+    os.replace(tmpm, mpath)
+    return new_manifest
