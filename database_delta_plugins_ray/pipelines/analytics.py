@@ -249,23 +249,37 @@ def events_hopping_window(sf_dir: str):
     return agg.map_batches(canon, batch_format="pandas")
 
 
-def orders_with_events_in_week(sf_dir: str):
+def orders_with_events_in_week(sf_dir: str, nparts: int = 64):
     """RANGE join — the second custom join the charter lists: count each
     order's events (customer id = user id) whose timestamp falls in the
-    7 days FROM the order date. One shuffle by the join key; inside each
-    key group both sides sort by time and a vectorized searchsorted pair
-    finds each order's [start, end) event-count in O(log n) — never the
-    O(n x m) cross product a naive inequality join would do.
+    7 days FROM the order date. One COARSE shuffle (``key % nparts`` —
+    nparts map_groups calls, never n_keys: per-key dispatch cost was
+    the bulk of this query's wall time) and inside each partition ONE
+    searchsorted over a composite (key, ts-ms) encoding answers every
+    order at once:
 
-    Documented partitioning assumption: one key's orders + events fit a
-    task (salt hot keys by time range otherwise)."""
+      enc = key * span_ms + clip(ts_ms - tmin_ms)
+
+    is order-isomorphic to (key, ts), so the per-key event segments
+    concatenate into one sorted array; order windows clamp into their
+    key's segment. Quantizing to MILLISECONDS is exact here because the
+    window boundaries are day-aligned (documented assumption — keeps
+    key * span inside int64 out to ~10^7 keys x multi-year spans).
+    Never the O(n x m) cross product a naive inequality join would do."""
     orders = _t(sf_dir, "orders",
                 ["o_orderkey", "o_custkey", "o_orderdate"])
     events = _t(sf_dir, "events", ["user_id", "ts", "value"])
 
     def o_rows(t: pa.Table) -> pa.Table:
+        key = t["o_custkey"]
         return pa.table({
-            "key": t["o_custkey"],
+            "key": key,
+            "part": pc.cast(pc.bit_wise_and(key, nparts - 1)
+                            if (nparts & (nparts - 1)) == 0
+                            else pc.subtract(
+                                key, pc.multiply(
+                                    pc.divide(key, nparts), nparts)),
+                            pa.int32()),
             "o_orderkey": t["o_orderkey"],
             "o_orderdate": t["o_orderdate"],
             "ts": pa.nulls(t.num_rows, pa.timestamp("us")),
@@ -274,8 +288,15 @@ def orders_with_events_in_week(sf_dir: str):
         })
 
     def e_rows(t: pa.Table) -> pa.Table:
+        key = t["user_id"]
         return pa.table({
-            "key": t["user_id"],
+            "key": key,
+            "part": pc.cast(pc.bit_wise_and(key, nparts - 1)
+                            if (nparts & (nparts - 1)) == 0
+                            else pc.subtract(
+                                key, pc.multiply(
+                                    pc.divide(key, nparts), nparts)),
+                            pa.int32()),
             "o_orderkey": pa.nulls(t.num_rows, pa.int64()),
             "o_orderdate": pa.nulls(t.num_rows, pa.timestamp("us")),
             "ts": t["ts"],
@@ -286,30 +307,50 @@ def orders_with_events_in_week(sf_dir: str):
     both = orders.map_batches(o_rows, batch_format="pyarrow").union(
         events.map_batches(e_rows, batch_format="pyarrow"))
 
+    week_ms = 7 * 86_400_000
+
     def range_count(g: pd.DataFrame) -> pd.DataFrame:
-        o = g[g["kind"] == "o"]
-        if o.empty:
+        om = (g["kind"] == "o").to_numpy()
+        empty = pd.DataFrame({
+            "o_orderkey": pd.Series([], dtype="int64"),
+            "n_events": pd.Series([], dtype="int64"),
+            "sum_value": pd.Series([], dtype="float64"),
+        })
+        if not om.any():
+            return empty
+        okey = g["key"].to_numpy()[om].astype(np.int64)
+        oid = g["o_orderkey"].to_numpy()[om].astype(np.int64)
+        s_ms = (g["o_orderdate"].to_numpy()[om]
+                .astype("datetime64[ms]").astype(np.int64))
+        em = ~om
+        if not em.any():
             return pd.DataFrame({
-                "o_orderkey": pd.Series([], dtype="int64"),
-                "n_events": pd.Series([], dtype="int64"),
-                "sum_value": pd.Series([], dtype="float64"),
+                "o_orderkey": oid,
+                "n_events": np.zeros(len(oid), np.int64),
+                "sum_value": np.zeros(len(oid), np.float64),
             })
-        e = g[g["kind"] == "e"].sort_values("ts")
-        ets = e["ts"].to_numpy()
-        csum = np.concatenate([[0.0], np.cumsum(e["value"].to_numpy())])
-        start = o["o_orderdate"].to_numpy().astype("datetime64[us]")
-        end = start + np.timedelta64(7, "D").astype("timedelta64[us]")
-        lo = np.searchsorted(ets, start, side="left")
-        hi = np.searchsorted(ets, end, side="left")
+        ekey = g["key"].to_numpy()[em].astype(np.int64)
+        e_ms = (g["ts"].to_numpy()[em]
+                .astype("datetime64[ms]").astype(np.int64))
+        vals = g["value"].to_numpy()[em].astype(np.float64)
+        tmin = int(e_ms.min())
+        span = int(e_ms.max()) - tmin + 2  # room for the end clamp
+        enc = ekey * span + (e_ms - tmin)
+        order = np.argsort(enc, kind="stable")
+        enc = enc[order]
+        csum = np.concatenate([[0.0], np.cumsum(vals[order])])
+        lo = okey * span + np.clip(s_ms - tmin, 0, span - 1)
+        hi = okey * span + np.clip(s_ms + week_ms - tmin, 0, span - 1)
+        i_lo = np.searchsorted(enc, lo, side="left")
+        i_hi = np.searchsorted(enc, hi, side="left")
         return pd.DataFrame({
-            # the union column is nullable (event rows carry no orderkey),
-            # so pandas holds it as float64 inside the group — cast back
-            "o_orderkey": o["o_orderkey"].to_numpy().astype(np.int64),
-            "n_events": (hi - lo).astype(np.int64),
-            "sum_value": np.round(csum[hi] - csum[lo], 2),
+            "o_orderkey": oid,
+            "n_events": (i_hi - i_lo).astype(np.int64),
+            "sum_value": np.round(csum[i_hi] - csum[i_lo], 2),
         })
 
-    return both.groupby("key").map_groups(range_count, batch_format="pandas")
+    return both.groupby("part").map_groups(range_count,
+                                           batch_format="pandas")
 
 
 def top_users_by_value(sf_dir: str):
