@@ -162,6 +162,14 @@ def main(argv: list[str] | None = None) -> int:
                      help="BM25 ranking instead of tf sums")
     pix.add_argument("--limit", type=int, default=20)
 
+    pan = sub.add_parser(
+        "analyze", help="collect per-column table statistics (rows, "
+                        "nulls, min/max, HLL ndv) into "
+                        "_checkpoints/table_stats.json")
+    pan.add_argument("--lake", required=True)
+    pan.add_argument("--columns", required=True,
+                     help="comma-separated column list")
+
     ps = sub.add_parser("stats")
     ps.add_argument("--lake", required=True)
 
@@ -340,6 +348,17 @@ def main(argv: list[str] | None = None) -> int:
                   else idx.lookup(terms, mode=a.mode, k=a.limit))
             for r in ds.take(a.limit):
                 print(json.dumps(r))
+        import ray
+
+        ray.shutdown()
+        return 0
+
+    if a.cmd == "analyze":
+        _ray_init(a.num_cpus)
+        from .pipelines.maintenance import analyze_lake
+
+        print(json.dumps(analyze_lake(a.lake, a.columns.split(",")),
+                         default=str))
         import ray
 
         ray.shutdown()

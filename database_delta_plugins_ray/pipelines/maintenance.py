@@ -562,3 +562,113 @@ def skip_scan_eq(lake_dir: str, column: str, value,
     if columns is not None:
         ds = ds.select_columns(columns)
     return ds
+
+
+def analyze_lake(lake_dir: str, columns: list[str],
+                 hll_p: int = 12) -> dict:
+    """ANALYZE: collect per-column table statistics over the lake's LIVE
+    rows — row count, null count, exact min/max, and an HLL
+    distinct-count estimate (Flajolet et al.; the engine's own
+    sketch kernels) — persisted atomically to
+    ``_checkpoints/table_stats.json`` with the watermark they describe.
+
+    One column-pruned Ray task per partition emits fixed-size partials
+    (2^p HLL registers + four scalars per column); the driver folds
+    them — O(partitions x columns x 4 KB), never row-scaled. The stats
+    file is what a cost-based planner (or a human) reads before picking
+    join sides / sample rates; ``lookup-``/skip-index builds can size
+    themselves from ndv."""
+    import base64
+    import json as _json
+
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.sketch import hll_estimate, hll_merge, hll_registers
+
+    manifests = ckpt.all_manifests(lake_dir)
+    if not manifests:
+        raise FileNotFoundError(f"no committed partitions under {lake_dir}")
+
+    def per_part(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from ..stages.merge import exact_lww_indices
+
+        out = []
+        for row in batch.to_pylist():
+            files = row["files"]
+            keys = tuple(row["key_columns"])
+            t = pa.concat_tables(
+                [pq.read_table(f, columns=list(dict.fromkeys(
+                    [*columns, *keys, "_sequence_num", "_is_deleted"])))
+                 for f in files], promote_options="default")
+            if len(files) > 1:
+                idx = exact_lww_indices(t, keys, "_sequence_num")
+                if len(idx) < t.num_rows:
+                    t = t.take(pa.array(idx))
+            t = t.filter(pc.invert(t["_is_deleted"]))
+            rec = {"rows": t.num_rows}
+            for c in columns:
+                col = t[c]
+                nulls = col.null_count
+                valid = col.drop_null()
+                vals = valid.to_numpy(zero_copy_only=False)
+                regs = hll_registers(vals, p=hll_p) if len(vals) else \
+                    np.zeros(1 << hll_p, np.uint8)
+                mn = pc.min(valid).as_py() if len(vals) else None
+                mx = pc.max(valid).as_py() if len(vals) else None
+                rec[c] = {
+                    "nulls": nulls,
+                    "min": mn, "max": mx,
+                    "hll": base64.b64encode(regs.tobytes()).decode(),
+                }
+            out.append({"payload": _json.dumps(rec, default=str)})
+        return pa.table({"payload": pa.array(
+            [o["payload"] for o in out])})
+
+    items = [{
+        "files": m.get("files") or [m["file"]],
+        "key_columns": list(m.get("key_columns")
+                            or ["table", "repo", "path"]),
+    } for m in manifests.values()]
+    partials = (ray.data.from_items(items)
+                .map_batches(per_part, batch_format="pyarrow",
+                             batch_size=1)
+                .take_all())
+
+    total = 0
+    agg: dict = {c: {"nulls": 0, "min": None, "max": None,
+                     "regs": np.zeros(1 << hll_p, np.uint8)}
+                 for c in columns}
+    for p_ in partials:
+        rec = _json.loads(p_["payload"])
+        total += rec["rows"]
+        for c in columns:
+            r = rec[c]
+            a = agg[c]
+            a["nulls"] += r["nulls"]
+            for k, pick in (("min", min), ("max", max)):
+                if r[k] is not None:
+                    a[k] = r[k] if a[k] is None else pick(a[k], r[k])
+            regs = np.frombuffer(base64.b64decode(r["hll"]), np.uint8)
+            a["regs"] = hll_merge(a["regs"], regs)
+    stats = {
+        "watermark": int(ckpt.read_global_watermark(lake_dir)),
+        "rows": total,
+        "columns": {
+            c: {
+                "nulls": int(a["nulls"]),
+                "min": a["min"], "max": a["max"],
+                "ndv_estimate": int(round(hll_estimate(a["regs"]))),
+            } for c, a in agg.items()
+        },
+    }
+    sp = os.path.join(lake_dir, ckpt.CHECKPOINT_DIR, "table_stats.json")
+    import json
+    tmp = sp + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(stats, fh, default=str)
+    os.replace(tmp, sp)
+    return stats

@@ -513,3 +513,34 @@ def test_predicate_pushdown_never_resurrects_superseded_rows(tmp_path):
     got2 = {r["path"] for r in
             final_state(lake, predicate=pred).take_all()}
     assert got2 == {"b", "c"}         # pushdown path agrees
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_analyze_lake_stats(small_log, tmp_path):
+    """ANALYZE: exact rows/nulls/min/max over live rows, HLL ndv within
+    5%, stats file persisted with the watermark."""
+    from database_delta_plugins_ray.pipelines.maintenance import analyze_lake
+    from database_delta_plugins_ray.pipelines.replicate import final_state
+    from database_delta_plugins_ray.state import checkpoint as ckpt
+
+    log_dir, _, meta = small_log
+    lake = str(tmp_path / "lake")
+    run_replication(log_dir, lake, num_partitions=6)
+    stats = analyze_lake(lake, ["commit", "stars", "language"])
+
+    live = final_state(lake).take_all()
+    assert stats["rows"] == len(live)
+    assert stats["watermark"] == ckpt.read_global_watermark(lake)
+
+    for col in ("commit", "stars", "language"):
+        vals = [r[col] for r in live if r[col] is not None]
+        s = stats["columns"][col]
+        assert s["nulls"] == sum(1 for r in live if r[col] is None)
+        assert s["min"] == min(vals) and s["max"] == max(vals)
+        ndv = len(set(vals))
+        assert abs(s["ndv_estimate"] - ndv) <= max(2, 0.05 * ndv), col
+
+    # persisted atomically next to the manifests
+    p = os.path.join(lake, "_checkpoints", "table_stats.json")
+    with open(p) as fh:
+        assert json.load(fh)["rows"] == len(live)
