@@ -471,10 +471,15 @@ def build_skip_index(lake_dir: str, column: str,
         import pyarrow.parquet as pq
 
         out_f, out_b, out_n = [], [], []
+        import pandas as pd
+
         for f in batch["file"].to_pylist():
             col = pq.read_table(f, columns=[column])[column]
             vals = col.to_numpy(zero_copy_only=False)
-            nbits = max(1024, int(len(vals) * bits_per_row))
+            # occupancy depends on DISTINCT values, not rows — a
+            # duplicate-heavy column (e.g. language) gets a tiny filter
+            nd = len(pd.unique(vals)) if len(vals) else 0
+            nbits = max(1024, int(nd * bits_per_row))
             nbits = 1 << (nbits - 1).bit_length()  # power of two
             bits = np.zeros(nbits // 8, dtype=np.uint8)
             if len(vals):
