@@ -70,6 +70,14 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--max-polls", type=int, default=None)
     pr.add_argument("--idle-stop", type=int, default=None,
                     help="stop after N consecutive caught-up polls")
+    pr.add_argument("--refresh-index", default=None,
+                    help="(follow) text-index dir to refresh after every "
+                         "applying poll — derived search stays current "
+                         "with the lake")
+    pr.add_argument("--maintain-view", default=None,
+                    help="(follow) IVM view dir to increment after every "
+                         "applying poll (requires --maintain-view-log "
+                         "defaulting to --log)")
 
     pstop = sub.add_parser(
         "stop", help="gracefully stop a follow loop on this lake")
@@ -220,10 +228,21 @@ def main(argv: list[str] | None = None) -> int:
 
             signal.signal(signal.SIGINT, _graceful)
             signal.signal(signal.SIGTERM, _graceful)
+            hooks = []
+            if a.refresh_index:
+                from .stages.invindex import LakeTextIndex
+
+                hooks.append(
+                    lambda lk: LakeTextIndex(a.refresh_index).refresh(lk))
+            if a.maintain_view:
+                from .pipelines.ivm import maintain_view
+
+                hooks.append(
+                    lambda _lk: maintain_view(a.log, a.maintain_view))
             s = follow_replication(
                 a.log, a.lake, poll_interval_s=a.poll_interval,
                 max_polls=a.max_polls, idle_polls_to_stop=a.idle_stop,
-                stop_event=ev, **kw)
+                stop_event=ev, post_commit=hooks or None, **kw)
         else:
             from .pipelines.replicate import run_replication
 

@@ -669,6 +669,7 @@ def follow_replication(
     idle_polls_to_stop: int | None = None,
     stop_event=None,
     on_poll=None,
+    post_commit=None,
     **repl_kwargs,
 ) -> dict:
     """Continuous-tail mode: poll the log directory until stopped — the
@@ -693,6 +694,15 @@ def follow_replication(
     the next follow/replication run resumes exactly-once off the
     watermark fences — no flush needed for correctness, only latency.
 
+    ``post_commit`` — list of callables ``fn(lake_dir) -> Any`` invoked
+    after every poll that APPLIED events (and after the final flush
+    poll): the hook point that keeps DERIVED artifacts following the
+    lake — IVM views (``ivm.maintain_view``), the full-text index
+    (``LakeTextIndex.refresh``), incremental exports. Hooks run on the
+    driver between polls; each is itself incremental and exactly-once
+    off its own fences, so a crash between the lake commit and a hook
+    re-runs the hook idempotently on the next poll.
+
     Returns a summary: polls run, events applied, last lsn, stop reason.
     """
     import threading
@@ -713,6 +723,9 @@ def follow_replication(
         last = s
         if on_poll is not None:
             on_poll(s)
+        if post_commit and s["events_applied"]:
+            for hook in post_commit:
+                hook(lake_dir)
         if stopping:
             # this poll WAS the flush: everything visible at stop time
             # is applied and fenced

@@ -205,3 +205,52 @@ def test_follow_cli_sigterm_graceful_then_sigkill_resume(tmp_path):
     follow_replication(live, lake, poll_interval_s=0.05, max_polls=1,
                        num_partitions=4)
     _assert_parity(lake, staged)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_follow_post_commit_keeps_index_current(tmp_path):
+    """post_commit hooks keep derived artifacts following the lake: a
+    text-index refresh hook leaves the index equal to a fresh rebuild
+    when the follow loop stops."""
+    from database_delta_plugins_ray.pipelines.replicate import (
+        follow_replication,
+        run_replication,
+    )
+    from database_delta_plugins_ray.sources.gen import (
+        GenConfig,
+        generate_log,
+    )
+    from database_delta_plugins_ray.stages.invindex import LakeTextIndex
+
+    log = str(tmp_path / "log")
+    lake = str(tmp_path / "lake")
+    idx_dir = str(tmp_path / "idx")
+    meta = generate_log(log, GenConfig(n_keys=200, n_events=1500, seed=3,
+                                       n_segments=3))
+    half = meta["max_lsn"] // 2
+    run_replication(log, lake, num_partitions=4, history=True,
+                    upto_lsn=half)
+    LakeTextIndex.build(lake, idx_dir)
+
+    refreshes = []
+
+    def refresh_index(lake_dir):
+        s = LakeTextIndex(idx_dir).refresh(lake_dir)
+        refreshes.append(s)
+
+    s = follow_replication(log, lake, num_partitions=4, history=True,
+                           poll_interval_s=0.05, idle_polls_to_stop=2,
+                           post_commit=[refresh_index])
+    assert s["events_applied"] > 0
+    assert refreshes and sum(r["changed"] for r in refreshes) > 0
+
+    idx = LakeTextIndex(idx_dir)
+    rebuilt = LakeTextIndex.build(lake, str(tmp_path / "idx_rb"))
+    assert idx.meta["watermark"] == rebuilt.meta["watermark"]
+    assert idx.meta["n_docs"] == rebuilt.meta["n_docs"]
+    assert idx.meta["total_tokens"] == rebuilt.meta["total_tokens"]
+    got = {r["doc_key"]: r["score"]
+           for r in idx.lookup(["def"], mode="or").take_all()}
+    want = {r["doc_key"]: r["score"]
+            for r in rebuilt.lookup(["def"], mode="or").take_all()}
+    assert got == want and got
