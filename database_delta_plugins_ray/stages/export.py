@@ -272,3 +272,73 @@ def export_lake_incremental(lake_dir: str, out_dir: str, *,
         json.dump(new_manifest, fh)
     os.replace(tmpm, mpath)
     return new_manifest
+
+
+def export_sorted(ds, out_dir: str, *, order_col: str,
+                  nbuckets: int = 64) -> dict:
+    """Globally-SORTED export: files ``part-00000.parquet ...`` whose
+    ``order_col`` ranges are disjoint and ascending in file order —
+    concatenating the files in name order yields the full ORDER BY,
+    and a consumer can binary-search the manifest's per-file (min, max)
+    to open exactly one file for a point/range probe.
+
+    No global sort barrier: one min/max aggregate fixes uniform range
+    buckets, one bucket shuffle co-locates each range, each bucket task
+    sorts locally and writes its file + (min, max, rows) stats.
+    Skewed distributions imbalance bucket sizes, never order (the
+    ordered_cumsum trade-off, stages/scan.py)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    from .scan import _key_ints, _scalar_order_u64
+
+    stats = ds.aggregate(Min(order_col), Max(order_col))
+    lo_u = _scalar_order_u64(stats[f"min({order_col})"])
+    hi_u = _scalar_order_u64(stats[f"max({order_col})"])
+    span = max(int(hi_u - lo_u) + 1, 1)
+    width = np.uint64(max(span // nbuckets + 1, 1))
+
+    tmp = out_dir + f".tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["__b"] = np.minimum(
+            (_key_ints(df, order_col) - lo_u) // width,
+            np.uint64(nbuckets - 1)).astype(np.int32)
+        return out
+
+    def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["__b"].iloc[0])
+        body = (g.drop(columns="__b")
+                 .sort_values(order_col, kind="stable")
+                 .reset_index(drop=True))
+        path = os.path.join(tmp, f"part-{b:05d}.parquet")
+        pq.write_table(pa.Table.from_pandas(body, preserve_index=False),
+                       path)
+        return pd.DataFrame({
+            "bucket": [b], "rows": [len(body)],
+            "min": [body[order_col].iloc[0]],
+            "max": [body[order_col].iloc[-1]]})
+
+    parts = (ds.map_batches(bucketed, batch_format="pandas")
+             .groupby("__b").map_groups(write_bucket,
+                                        batch_format="pandas")
+             .take_all())
+    files = sorted(
+        ({"file": f"part-{int(r['bucket']):05d}.parquet",
+          "rows": int(r["rows"]),
+          "min": str(r["min"]), "max": str(r["max"])}
+         for r in parts), key=lambda r: r["file"])
+    manifest = {"order_col": order_col, "files": files,
+                "total_rows": sum(f["rows"] for f in files)}
+    with open(os.path.join(tmp, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.rename(tmp, out_dir)
+    return manifest

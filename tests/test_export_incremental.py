@@ -63,3 +63,48 @@ def test_incremental_export_equals_full(small_log, tmp_path):
     m3 = export_lake_incremental(lake, out, nshards=16)
     assert m3["rewritten_shards"] >= 1
     assert _rows(out) == before == _rows(full)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_export_sorted_global_order(tmp_path):
+    """export_sorted: file ranges are disjoint and ascending in name
+    order; concatenation equals the full ORDER BY; probe via manifest."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from database_delta_plugins_ray.stages.export import export_sorted
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    df = pd.DataFrame({
+        "k": rng.integers(-10_000, 10_000, n).astype(np.int64),
+        "payload": np.arange(n, dtype=np.int64),
+    })
+    out = str(tmp_path / "sorted")
+    m = export_sorted(ray.data.from_pandas(df).repartition(9), out,
+                      order_col="k", nbuckets=16)
+    assert m["total_rows"] == n
+
+    allk = []
+    prev_max = None
+    for f in m["files"]:
+        t = pq.read_table(os.path.join(out, f["file"]))
+        k = t["k"].to_numpy()
+        assert (np.diff(k) >= 0).all()          # sorted within file
+        assert int(k.min()) == int(f["min"])
+        assert int(k.max()) == int(f["max"])
+        if prev_max is not None:
+            assert int(k.min()) >= prev_max      # disjoint + ascending
+        prev_max = int(k.max())
+        allk.append(k)
+    got = np.concatenate(allk)
+    assert np.array_equal(got, np.sort(df["k"].to_numpy(), kind="stable"))
+
+    # manifest probe: a point query opens exactly one candidate file
+    probe = int(df["k"].iloc[123])
+    cands = [f for f in m["files"]
+             if int(f["min"]) <= probe <= int(f["max"])]
+    assert len(cands) >= 1
+    hit = pq.read_table(os.path.join(out, cands[0]["file"]))
+    assert probe in set(hit["k"].to_numpy().tolist())
