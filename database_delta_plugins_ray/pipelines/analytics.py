@@ -2146,6 +2146,56 @@ def doc_length_percentiles(sf_dir: str):
     return pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
 
 
+def doc_length_trimmed_mean(sf_dir: str, trim_pct: int = 10):
+    """Exact 10%-trimmed mean of doc length per language from the SAME
+    histogram pass the percentiles use — robust statistics without a
+    sort: the driver drops each side's ``k = n // 10`` rows by walking
+    cumulative counts (partial buckets contribute only the needed
+    multiplicity, exact integer arithmetic), and the only float is the
+    final division, performed on identical integers in both engines."""
+    ds = _t(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "n_chars"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+
+    def side_sum(vals, cnts, k):
+        """Sum of the k smallest values in the histogram (exact)."""
+        s = 0
+        left = k
+        for v, c in zip(vals, cnts):
+            take = min(int(c), left)
+            s += int(v) * take
+            left -= take
+            if left == 0:
+                break
+        return s
+
+    rows = []
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("n_chars")
+        vals = g["n_chars"].to_numpy()
+        cnts = g["cnt"].to_numpy()
+        n = int(cnts.sum())
+        total = int((vals.astype(object) * cnts.astype(object)).sum())
+        k = n * trim_pct // 100  # integer trim rule, mirrored in SQL
+        lo = side_sum(vals, cnts, k)
+        hi = side_sum(vals[::-1], cnts[::-1], k)
+        kept_n = n - 2 * k
+        kept_sum = total - lo - hi
+        rows.append({"lang": lang, "n_kept": kept_n,
+                     "sum_kept": kept_sum,
+                     "trimmed_mean": float(kept_sum) / kept_n})
+    return pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
+
+
 def distinct_users_per_type(sf_dir: str):
     """Exact grouped COUNT(DISTINCT): local drop_duplicates combiner per
     batch (the shuffle moves unique pairs, not raw events) -> one hash
@@ -3268,6 +3318,22 @@ WITH flat AS (
 SELECT doc_id, score FROM a WHERE nt = 2
 """
 
+ANALYTICS_ORACLE_SQL["doc_length_trimmed_mean"] = r"""
+WITH r AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+         count(*) OVER (PARTITION BY lang) AS cnt
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS sum_kept,
+       CAST(sum(n_chars) AS DOUBLE) / count(*) AS trimmed_mean
+FROM r
+WHERE rn > cnt * 10 // 100 AND rn <= cnt - cnt * 10 // 100
+GROUP BY lang
+"""
+
 ANALYTICS_ORACLE_SQL["lm_surprise_documents"] = r"""
 WITH flat AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
@@ -3602,6 +3668,7 @@ ANALYTICS_QUERIES = {
     "token_pmi_pairs": token_pmi_pairs,
     "lm_surprise_documents": lm_surprise_documents,
     "events_trailing_hour_revenue": events_trailing_hour_revenue,
+    "doc_length_trimmed_mean": doc_length_trimmed_mean,
     "orders_rollup_status_priority": orders_rollup_status_priority,
     "promo_revenue_monthly": promo_revenue_monthly,
     "normalize_text_documents": normalize_text_documents,
