@@ -99,9 +99,15 @@ class InvertedIndex:
         ds.map_batches(scatter, batch_format="pandas").write_parquet(
             os.path.join(tmp_dir, "data"), partition_cols=["bucket"])
         # corpus token total (for BM25 avgdl) from the postings' own tf
-        # column — a two-int-column Parquet scan, NOT a re-tokenization
+        # column — a two-int-column Parquet scan, NOT a re-tokenization.
+        # An all-empty corpus writes no postings files at all.
+        has_posts = bool(_glob.glob(
+            os.path.join(tmp_dir, "data", "**", "*.parquet"),
+            recursive=True))
+        os.makedirs(os.path.join(tmp_dir, "data"), exist_ok=True)
         total_tokens = int(ray.data.read_parquet(
-            os.path.join(tmp_dir, "data"), columns=["tf"]).sum("tf") or 0)
+            os.path.join(tmp_dir, "data"), columns=["tf"]).sum("tf")
+            or 0) if has_posts else 0
         with open(os.path.join(tmp_dir, "meta.json"), "w") as fh:
             json.dump({"format": _FORMAT, "n_buckets": n_buckets,
                        "n_docs": int(n_docs),

@@ -3,6 +3,8 @@ reduction's associativity (the correctness backbone of both the per-batch
 combiner and the delta-commit/fragment designs), the division-free Mersenne
 fold, and the value-conversion kernels' reference semantics."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -285,3 +287,40 @@ def test_cms_merge_equals_whole_and_never_undercounts(xs, nsplit):
     if len(uniq) <= 8:
         small = cms_build(xs, width=1024, depth=4)
         assert np.array_equal(cms_query(small, uniq), true)
+
+
+@given(st.lists(st.lists(st.sampled_from("abcdefg"), max_size=12),
+                min_size=1, max_size=25),
+       st.sets(st.sampled_from("abcdefg"), min_size=1, max_size=3),
+       st.integers(1, 8))
+@settings(max_examples=12, deadline=None)
+def test_inverted_index_lookup_matches_brute(docs_toks, terms, nbuckets):
+    """InvertedIndex AND/OR lookup == brute-force token counting for any
+    corpus, term set, and bucket count (ray_session is module-ambient
+    via the session fixture; index build/lookup are real Ray runs)."""
+    import tempfile
+
+    import ray.data
+
+    from database_delta_plugins_ray.stages.invindex import InvertedIndex
+
+    docs = [{"doc_id": f"d{i}", "text": " ".join(ts)}
+            for i, ts in enumerate(docs_toks)]
+    terms = sorted(terms)
+    with tempfile.TemporaryDirectory() as td:
+        idx = InvertedIndex.build(ray.data.from_items(docs),
+                                  os.path.join(td, "idx"),
+                                  n_buckets=nbuckets)
+        for mode in ("and", "or"):
+            got = {r["doc_id"]: r["score"]
+                   for r in idx.lookup(terms, mode=mode).take_all()}
+            want = {}
+            for d in docs:
+                toks = d["text"].split()
+                hits = {t: toks.count(t) for t in terms if t in toks}
+                if not hits:
+                    continue
+                if mode == "and" and len(hits) < len(terms):
+                    continue
+                want[d["doc_id"]] = sum(hits.values())
+            assert got == want
