@@ -129,3 +129,35 @@ def test_reshard_history_does_not_span_the_cut(small_log, tmp_path):
     assert g == ckpt.read_global_watermark(lake)
     with pytest.raises(ValueError, match="horizon"):
         read_lake(dest, as_of_lsn=g - 1)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_reshard_salted_lake(small_log, tmp_path):
+    """Resharding a repo_salted lake carries the pinned salt map into
+    the new config; continuation and point lookups stay exact."""
+    log_dir, _, meta = small_log
+    lake = str(tmp_path / "lakeS")
+    dest = str(tmp_path / "reshardS")
+    half = meta["max_lsn"] // 2
+    run_replication(log_dir, lake, num_partitions=8,
+                    partition_mode="repo_salted", upto_lsn=half)
+    reshard_lake(lake, dest, new_partitions=12)
+
+    with open(os.path.join(dest, ckpt.CHECKPOINT_DIR,
+                           "lake_config.json")) as fh:
+        cfg = json.load(fh)
+    assert cfg["partition_mode"] == "repo_salted"
+    assert cfg["num_partitions"] == 12
+    with open(os.path.join(lake, ckpt.CHECKPOINT_DIR,
+                           "lake_config.json")) as fh:
+        assert cfg["repo_salt"] == json.load(fh)["repo_salt"]
+
+    run_replication(log_dir, dest, num_partitions=12,
+                    partition_mode="repo_salted")
+    got = _state_map(final_state(dest).take_all())
+    assert got == _oracle_map(log_dir)
+
+    live = final_state(dest).take_all()[:10]
+    keys = [(r["table"], r["repo"], r["path"]) for r in live]
+    t = lookup_keys(dest, keys)
+    assert t.num_rows == len(keys)
