@@ -677,3 +677,26 @@ def analyze_lake(lake_dir: str, columns: list[str],
         json.dump(stats, fh, default=str)
     os.replace(tmp, sp)
     return stats
+
+
+def auto_optimize_hook(max_files_per_partition: int = 8,
+                       cluster_by: list[str] | None = None,
+                       row_group_size: int | None = None):
+    """Post-commit hook for ``follow_replication``: OPTIMIZE the lake
+    whenever any partition's live file count (base + deltas) exceeds
+    the threshold — the operational closure of the delta-commit
+    write-amplification bound: a long-tailing job keeps its read
+    amplification flat instead of documenting compaction as a manual
+    step. Checking is manifest-metadata only (no data reads); the
+    rewrite itself is the fenced per-partition OPTIMIZE, safe to crash
+    through and invisible to resume semantics."""
+    def hook(lake_dir: str):
+        manifests = ckpt.all_manifests(lake_dir)
+        worst = max((len(m.get("files") or [m["file"]])
+                     for m in manifests.values()), default=0)
+        if worst > max_files_per_partition:
+            return optimize_lake(lake_dir, cluster_by=cluster_by,
+                                 row_group_size=row_group_size)
+        return None
+
+    return hook

@@ -254,3 +254,57 @@ def test_follow_post_commit_keeps_index_current(tmp_path):
     want = {r["doc_key"]: r["score"]
             for r in rebuilt.lookup(["def"], mode="or").take_all()}
     assert got == want and got
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_follow_auto_optimize_bounds_file_count(tmp_path):
+    """The auto-OPTIMIZE hook keeps per-partition live file counts
+    bounded while the follow loop tails a log that accretes delta
+    commits; final state stays exact."""
+    from database_delta_plugins_ray.pipelines.maintenance import (
+        auto_optimize_hook,
+    )
+    from database_delta_plugins_ray.pipelines.oracle import replay
+    from database_delta_plugins_ray.pipelines.replicate import (
+        final_state,
+        follow_replication,
+        run_replication,
+    )
+    from database_delta_plugins_ray.sources.gen import (
+        GenConfig,
+        generate_log,
+    )
+    from database_delta_plugins_ray.state import checkpoint as ckpt
+
+    src = str(tmp_path / "src")
+    log = str(tmp_path / "log")
+    lake = str(tmp_path / "lake")
+    meta = generate_log(src, GenConfig(n_keys=150, n_events=2400, seed=9,
+                                       n_segments=8))
+    os.makedirs(log)
+    segs = sorted(f for f in os.listdir(src) if f.startswith("seg-"))
+    # seed with the first segment, then feed the rest mid-follow so each
+    # poll lands a delta commit
+    _copy_seg(src, log, segs[0])
+
+    feed = iter(segs[1:])
+
+    def on_poll(_s):
+        nxt = next(feed, None)
+        if nxt:
+            _copy_seg(src, log, nxt)
+
+    s = follow_replication(
+        log, lake, num_partitions=2, poll_interval_s=0.05,
+        idle_polls_to_stop=2, on_poll=on_poll,
+        post_commit=[auto_optimize_hook(max_files_per_partition=2)])
+    assert s["events_applied"] > 0
+
+    worst = max(len(m.get("files") or [m["file"]])
+                for m in ckpt.all_manifests(lake).values())
+    assert worst <= 3  # bounded: threshold 2 + at most one fresh delta
+
+    want = replay(log)
+    got = {(r["table"], r["repo"], r["path"]): r["content_sha"]
+           for r in final_state(lake).take_all()}
+    assert got == {k: v["content_sha"] for k, v in want.items()}
