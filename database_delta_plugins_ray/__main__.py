@@ -170,6 +170,18 @@ def main(argv: list[str] | None = None) -> int:
                      help="BM25 ranking instead of tf sums")
     pix.add_argument("--limit", type=int, default=20)
 
+    pex = sub.add_parser(
+        "export", help="materialize the lake's live rows: incremental "
+                       "hash-sharded parquet (maintained by the change "
+                       "feed) or a globally-sorted range layout")
+    pex.add_argument("--lake", required=True)
+    pex.add_argument("--out", required=True)
+    pex.add_argument("--mode", choices=["incremental", "sorted"],
+                     default="incremental")
+    pex.add_argument("--shards", type=int, default=16)
+    pex.add_argument("--order-by", default="repo",
+                     help="(sorted) order column")
+
     pan = sub.add_parser(
         "analyze", help="collect per-column table statistics (rows, "
                         "nulls, min/max, HLL ndv) into "
@@ -367,6 +379,25 @@ def main(argv: list[str] | None = None) -> int:
                   else idx.lookup(terms, mode=a.mode, k=a.limit))
             for r in ds.take(a.limit):
                 print(json.dumps(r))
+        import ray
+
+        ray.shutdown()
+        return 0
+
+    if a.cmd == "export":
+        _ray_init(a.num_cpus)
+        if a.mode == "incremental":
+            from .stages.export import export_lake_incremental
+
+            print(json.dumps(export_lake_incremental(
+                a.lake, a.out, nshards=a.shards), default=str))
+        else:
+            from .pipelines.replicate import final_state
+            from .stages.export import export_sorted
+
+            print(json.dumps(export_sorted(
+                final_state(a.lake), a.out, order_col=a.order_by,
+                nbuckets=a.shards), default=str))
         import ray
 
         ray.shutdown()

@@ -292,15 +292,28 @@ def export_sorted(ds, out_dir: str, *, order_col: str,
     import pyarrow as pa
     import pyarrow.parquet as pq
     import ray
-    from ray.data.aggregate import Max, Min
 
-    from .scan import _key_ints, _scalar_order_u64
+    from .scan import _key_ints
 
-    stats = ds.aggregate(Min(order_col), Max(order_col))
-    lo_u = _scalar_order_u64(stats[f"min({order_col})"])
-    hi_u = _scalar_order_u64(stats[f"max({order_col})"])
+    # null-aware range stats: Ray's Min/Max propagate NaN for float
+    # keys, which would poison the bucket width — fold non-null
+    # per-batch extrema instead. Null/NaN keys get their own LAST
+    # bucket (nulls-last, the SQL default).
+    def mm(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[order_col].dropna()
+        if s.empty:
+            return pd.DataFrame({"lo": [], "hi": []})
+        ki = _key_ints(s.to_frame(order_col), order_col)
+        return pd.DataFrame({"lo": [int(ki.min())], "hi": [int(ki.max())]})
+
+    ext = ds.map_batches(mm, batch_format="pandas").to_pandas()
+    if ext.empty:
+        raise ValueError("export_sorted: order column is entirely null")
+    lo_u = np.uint64(int(ext["lo"].min()))
+    hi_u = np.uint64(int(ext["hi"].max()))
     span = max(int(hi_u - lo_u) + 1, 1)
     width = np.uint64(max(span // nbuckets + 1, 1))
+    null_bucket = nbuckets  # nulls-last
 
     tmp = out_dir + f".tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -308,23 +321,28 @@ def export_sorted(ds, out_dir: str, *, order_col: str,
 
     def bucketed(df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()
-        out["__b"] = np.minimum(
+        isnull = df[order_col].isna().to_numpy()
+        b = np.minimum(
             (_key_ints(df, order_col) - lo_u) // width,
             np.uint64(nbuckets - 1)).astype(np.int32)
+        b[isnull] = null_bucket
+        out["__b"] = b
         return out
 
     def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
         b = int(g["__b"].iloc[0])
         body = (g.drop(columns="__b")
-                 .sort_values(order_col, kind="stable")
+                 .sort_values(order_col, kind="stable",
+                              na_position="last")
                  .reset_index(drop=True))
         path = os.path.join(tmp, f"part-{b:05d}.parquet")
         pq.write_table(pa.Table.from_pandas(body, preserve_index=False),
                        path)
+        nn = body[order_col].dropna()
         return pd.DataFrame({
             "bucket": [b], "rows": [len(body)],
-            "min": [body[order_col].iloc[0]],
-            "max": [body[order_col].iloc[-1]]})
+            "min": [nn.iloc[0] if len(nn) else None],
+            "max": [nn.iloc[-1] if len(nn) else None]})
 
     parts = (ds.map_batches(bucketed, batch_format="pandas")
              .groupby("__b").map_groups(write_bucket,
@@ -333,7 +351,8 @@ def export_sorted(ds, out_dir: str, *, order_col: str,
     files = sorted(
         ({"file": f"part-{int(r['bucket']):05d}.parquet",
           "rows": int(r["rows"]),
-          "min": str(r["min"]), "max": str(r["max"])}
+          "min": None if r["min"] is None else str(r["min"]),
+          "max": None if r["max"] is None else str(r["max"])}
          for r in parts), key=lambda r: r["file"])
     manifest = {"order_col": order_col, "files": files,
                 "total_rows": sum(f["rows"] for f in files)}

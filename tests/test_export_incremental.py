@@ -108,3 +108,35 @@ def test_export_sorted_global_order(tmp_path):
     assert len(cands) >= 1
     hit = pq.read_table(os.path.join(out, cands[0]["file"]))
     assert probe in set(hit["k"].to_numpy().tolist())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_export_sorted_null_keys_last(tmp_path):
+    """Null order keys land in their own LAST bucket (nulls-last); the
+    value buckets stay disjoint and the range stats ignore nulls."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from database_delta_plugins_ray.stages.export import export_sorted
+
+    df = pd.DataFrame({
+        "k": pd.array([5, None, 1, None, 9, 3, None], dtype="Int64"),
+        "payload": np.arange(7, dtype=np.int64),
+    })
+    out = str(tmp_path / "sortednull")
+    m = export_sorted(ray.data.from_pandas(df), out, order_col="k",
+                      nbuckets=4)
+    assert m["total_rows"] == 7
+    last = m["files"][-1]
+    assert last["min"] is None and last["max"] is None
+    t = pq.read_table(os.path.join(out, last["file"]))
+    assert len(t) == 3  # exactly the null-key rows
+    # non-null files cover exactly the non-null values, in order
+    vals = []
+    for f in m["files"][:-1]:
+        tt = pq.read_table(os.path.join(out, f["file"]))
+        v = tt["k"].to_numpy(zero_copy_only=False).astype(float)
+        assert not np.isnan(v).any()
+        vals.extend(v.tolist())
+    assert vals == sorted([1.0, 3.0, 5.0, 9.0])
