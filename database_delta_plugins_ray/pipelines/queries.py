@@ -216,6 +216,52 @@ def cdc_export_incremental(sf_dir: str):
             .select_columns(FINAL_COLS))
 
 
+def cdc_repo_skew_report(sf_dir: str, nparts: int = 32):
+    """Hot-key skew report (SURVEY §4): per-repo DML share and the salt
+    factor the §4 rule assigns (``k = ceil(n_events / fair_share)`` for
+    repos past their fair share, else 1 — compute_repo_salt's rule with
+    the ceil done in INTEGER arithmetic so the SQL oracle is
+    hash-exact). One dotted-projection scan, per-batch partial counts,
+    one repo-sized groupby."""
+    import pyarrow.dataset as pads
+
+    log = ensure_log(sf_dir)
+    files = sorted(__import__("glob").glob(
+        os.path.join(log, "seg-*.parquet")))
+
+    def per_file(batch: pa.Table) -> pa.Table:
+        out = []
+        for f in batch["file"].to_pylist():
+            t = pads.dataset(f, format="parquet").to_table(
+                columns={"op": pads.field("op"),
+                         "b_repo": pads.field("before", "repo"),
+                         "a_repo": pads.field("after", "repo")})
+            t = t.filter(pc.not_equal(t["op"], "DDL"))
+            repo = pc.coalesce(t["a_repo"], t["b_repo"])
+            g = pa.table({"repo": repo}).group_by("repo").aggregate(
+                [("repo", "count")])
+            out.append(pa.table({"repo": g["repo"],
+                                 "n": pc.cast(g["repo_count"],
+                                              pa.int64())}))
+        return pa.concat_tables(out)
+
+    import ray.data
+    from ray.data.aggregate import Sum as _Sum
+
+    agg = (ray.data.from_items([{"file": f} for f in files])
+           .map_batches(per_file, batch_format="pyarrow", batch_size=1)
+           .groupby("repo")
+           .aggregate(_Sum("n", alias_name="n_events"))).take_all()
+    total = sum(r["n_events"] for r in agg)
+    import pandas as pd
+
+    rows = [{"repo": r["repo"], "n_events": int(r["n_events"]),
+             "salt_k": ((int(r["n_events"]) * nparts + total - 1) // total
+                        if int(r["n_events"]) * nparts > total else 1)}
+            for r in agg]
+    return pd.DataFrame(rows).sort_values("repo").reset_index(drop=True)
+
+
 def _time_travel_boundary(log: str) -> int:
     """Midpoint between the last DDL and the end of the log — past all
     schema evolution (so the historical state has the final column set)
@@ -888,6 +934,19 @@ m AS (
 SELECT repo, path, CAST(sum(tf) AS BIGINT) AS score
 FROM m GROUP BY 1, 2 HAVING count(*) = 2
 """
+    skew_sql = f"""
+WITH ev AS (
+  SELECT coalesce(after.repo, before.repo) AS repo
+  FROM read_parquet('{glob}') WHERE op <> 'DDL'
+), c AS (
+  SELECT repo, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY 1
+), t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM ev)
+SELECT repo, n AS n_events,
+       CAST(CASE WHEN n * 32 > t.tot
+                 THEN (n * 32 + t.tot - 1) // t.tot
+                 ELSE 1 END AS BIGINT) AS salt_k
+FROM c, t
+"""
     # commit lookup: the engine's skip-scan result equals a plain filter
     # on the replayed final state for the corpus-min commit
     commit_sql = (
@@ -948,6 +1007,7 @@ WHERE o.k_repo IS NULL OR n.k_repo IS NULL OR n.lsn <> o.lsn
         "cdc_search_lake_content": search_sql,
         "cdc_commit_lookup": commit_sql,
         "cdc_export_incremental": final_sql,
+        "cdc_repo_skew_report": skew_sql,
         "cdc_final_state_optimized": final_sql,
         "cdc_language_slice": final_sql.replace(
             "WHERE rn = 1 AND op <> 'D'",
@@ -1249,6 +1309,7 @@ CDC_QUERIES = {
     "cdc_search_lake_content": cdc_search_lake_content,
     "cdc_commit_lookup": cdc_commit_lookup,
     "cdc_export_incremental": cdc_export_incremental,
+    "cdc_repo_skew_report": cdc_repo_skew_report,
     "cdc_time_travel": cdc_time_travel,
     "cdc_point_lookup": cdc_point_lookup,
     "cdc_changefeed": cdc_changefeed,
