@@ -13,6 +13,7 @@ are untouched.
 
 from __future__ import annotations
 
+import glob
 import os
 
 import ray
@@ -337,12 +338,19 @@ def reshard_lake(lake_dir: str, dest_dir: str, new_partitions: int,
     dest_ckpt = os.path.join(dest_dir, ckpt.CHECKPOINT_DIR)
     if os.path.isdir(dest_ckpt) and os.listdir(dest_ckpt):
         raise FileExistsError(f"{dest_dir} already holds a lake")
-    os.makedirs(dest_ckpt, exist_ok=True)
-    with open(os.path.join(dest_ckpt, "lake_config.json"), "w") as fh:
+    # the WHOLE dest builds under a tmp dir and publishes with one
+    # rename: a crashed reshard leaves only a .building.* orphan (swept
+    # here), never a half-lake that blocks or confuses a retry
+    for stale in glob.glob(dest_dir + ".building.*"):
+        shutil.rmtree(stale, ignore_errors=True)
+    build_dir = dest_dir + f".building.{os.getpid()}"
+    build_ckpt = os.path.join(build_dir, ckpt.CHECKPOINT_DIR)
+    os.makedirs(build_ckpt, exist_ok=True)
+    with open(os.path.join(build_ckpt, "lake_config.json"), "w") as fh:
         _json.dump(new_cfg, fh)
     if os.path.exists(hist):
         shutil.copyfile(hist,
-                        os.path.join(dest_ckpt, "schema_history.jsonl"))
+                        os.path.join(build_ckpt, "schema_history.jsonl"))
     reg_ref = ray.put(registry)
     fmax = max(registry.fences().values(), default=0)
     roots = registry.table_roots
@@ -352,7 +360,7 @@ def reshard_lake(lake_dir: str, dest_dir: str, new_partitions: int,
         import pyarrow.parquet as pq
 
         out = []
-        helper = PartitionMerger(dest_dir, reg_ref, payload_cols, key_cols)
+        helper = PartitionMerger(build_dir, reg_ref, payload_cols, key_cols)
         for row in batch.to_pylist():
             m = ckpt.read_manifest(lake_dir, int(row["part"]))
             files = m.get("files") or [m["file"]]
@@ -383,7 +391,7 @@ def reshard_lake(lake_dir: str, dest_dir: str, new_partitions: int,
         live = group.num_rows - int(
             pc.sum(pc.cast(group[IS_DELETED], pa.int64())).as_py() or 0)
         ckpt.commit_partition(
-            dest_dir, part, group, g, lambda t, p: pq.write_table(t, p),
+            build_dir, part, group, g, lambda t, p: pq.write_table(t, p),
             manifest={
                 "events_applied": group.num_rows,
                 "rows": group.num_rows,
@@ -405,14 +413,30 @@ def reshard_lake(lake_dir: str, dest_dir: str, new_partitions: int,
         .map_groups(write_part, batch_format="pyarrow")
         .take_all())
 
-    ckpt.write_global_watermark(dest_dir, g)
+    ckpt.write_global_watermark(build_dir, g)
     # history never spans a reshard: pin the horizon at the cut
-    with open(os.path.join(dest_ckpt, "history_horizon.json"), "w") as fh:
+    with open(os.path.join(build_ckpt, "history_horizon.json"), "w") as fh:
         _json.dump({"keep_from_lsn": int(g)}, fh)
-    with open(os.path.join(dest_ckpt, "reshard.json"), "w") as fh:
+    with open(os.path.join(build_ckpt, "reshard.json"), "w") as fh:
         _json.dump({"source": os.path.abspath(lake_dir), "at_lsn": int(g),
                     "old_partitions": int(cfg["num_partitions"]),
                     "new_partitions": int(new_partitions)}, fh)
+    # manifests store absolute data-file paths: re-point them at the
+    # PUBLISHED location while still inside the build dir (they dangle
+    # for a moment, but nothing reads a .building.* dir), so the final
+    # rename publishes a fully consistent lake in one atomic step
+    bprefix = os.path.abspath(build_dir)
+    dprefix = os.path.abspath(dest_dir)
+
+    def _repoint(f: str) -> str:
+        af = os.path.abspath(f)
+        return dprefix + af[len(bprefix):] if af.startswith(bprefix) else f
+
+    for part, m in ckpt.all_manifests(build_dir).items():
+        m["file"] = _repoint(m["file"])
+        m["files"] = [_repoint(f) for f in (m.get("files") or [m["file"]])]
+        ckpt.write_manifest(build_dir, part, m)
+    os.rename(build_dir, dest_dir)  # the atomic publish
     return {
         "partitions": len(summaries),
         "rows": int(sum(s["rows"] for s in summaries)),
