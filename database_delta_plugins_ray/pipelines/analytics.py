@@ -998,6 +998,34 @@ def events_trailing_hour_revenue(sf_dir: str):
         lambda df: df[["event_id", "range_sum"]], batch_format="pandas")
 
 
+def events_debounce_per_user(sf_dir: str, min_gap_minutes: int = 30,
+                             nparts: int = 32):
+    """Per-key event THROTTLING (the stream-dedup/debounce shape): keep
+    an event iff it is the user's first, or at least ``min_gap`` after
+    the user's PREVIOUS event — the LAG rule, which is vectorizable and
+    SQL-expressible (chained keep-dependent suppression is neither).
+    One coarse user-hash shuffle, per-partition sort + grouped shift —
+    users never span partitions, no carry."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    gap = np.timedelta64(min_gap_minutes * 60, "s")
+
+    def scatter(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["part"] = (out["user_id"] % nparts).astype(np.int64)
+        return out
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        prev = df.groupby("user_id", sort=False)["ts"].shift(1)
+        keep = prev.isna() | ((df["ts"] - prev) >= gap)
+        out = df.loc[keep.to_numpy(bool), ["event_id", "user_id", "ts"]]
+        return out.reset_index(drop=True)
+
+    return (ds.map_batches(scatter, batch_format="pandas")
+              .groupby("part").map_groups(per_part,
+                                          batch_format="pandas"))
+
+
 def events_running_value_per_user(sf_dir: str, nparts: int = 32):
     """Partitioned window function SUM(cents) OVER (PARTITION BY
     user_id ORDER BY ts, event_id): one hash shuffle over COARSE user
@@ -3318,6 +3346,17 @@ WITH flat AS (
 SELECT doc_id, score FROM a WHERE nt = 2
 """
 
+ANALYTICS_ORACLE_SQL["events_debounce_per_user"] = r"""
+WITH l AS (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT event_id, user_id, ts FROM l
+WHERE prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+"""
+
 ANALYTICS_ORACLE_SQL["doc_length_trimmed_mean"] = r"""
 WITH r AS (
   SELECT lang, n_chars,
@@ -3669,6 +3708,7 @@ ANALYTICS_QUERIES = {
     "lm_surprise_documents": lm_surprise_documents,
     "events_trailing_hour_revenue": events_trailing_hour_revenue,
     "doc_length_trimmed_mean": doc_length_trimmed_mean,
+    "events_debounce_per_user": events_debounce_per_user,
     "orders_rollup_status_priority": orders_rollup_status_priority,
     "promo_revenue_monthly": promo_revenue_monthly,
     "normalize_text_documents": normalize_text_documents,
