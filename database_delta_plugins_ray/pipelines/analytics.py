@@ -2498,6 +2498,49 @@ def orders_rollup_status_priority(sf_dir: str):
             .reset_index(drop=True))
 
 
+def events_cube_type_hour(sf_dir: str):
+    """GROUP BY CUBE (event_type, hour-of-day): all 2^2 grouping sets
+    from ONE distributed aggregate at the finest grain (the rollup
+    machinery generalized) — the re-aggregation input is
+    |types| x 24 rows regardless of input size, so CUBE costs exactly
+    one shuffle. Integer-cents sums keep the oracle hash-exact."""
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(
+            np.int64)
+        g = pd.DataFrame({
+            "event_type": df["event_type"],
+            "hour": df["ts"].dt.hour.astype(np.int64),
+            "cents": cents,
+        }).groupby(["event_type", "hour"], as_index=False).agg(
+            s=("cents", "sum"), n=("cents", "size"))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    fine = (ds.map_batches(partial, batch_format="pandas")
+            .groupby(["event_type", "hour"])
+            .aggregate(Sum("s", alias_name="s"),
+                       Sum("n", alias_name="n"))
+            .to_pandas())
+    by_type = fine.groupby("event_type", as_index=False).agg(
+        s=("s", "sum"), n=("n", "sum"))
+    by_type["hour"] = None
+    by_hour = fine.groupby("hour", as_index=False).agg(
+        s=("s", "sum"), n=("n", "sum"))
+    by_hour["event_type"] = None
+    total = pd.DataFrame({"event_type": [None], "hour": [None],
+                          "s": [fine["s"].sum()], "n": [fine["n"].sum()]})
+    out = pd.concat([fine, by_type, by_hour, total], ignore_index=True)
+    out["sum_cents"] = out["s"].astype("int64")
+    out["n_events"] = out["n"].astype("int64")
+    # a nullable BIGINT comes back float64 from the SQL side; mirror it
+    # so the driver's value hash sees identical representations
+    out["hour"] = out["hour"].astype("float64")
+    return out[["event_type", "hour", "sum_cents", "n_events"]] \
+        .reset_index(drop=True)
+
+
 def promo_revenue_monthly(sf_dir: str):
     """TPC-H-Q14-shape conditional aggregate over a broadcast dimension
     join: part's (p_partkey -> is-promo) map is ``ray.put`` once and read
@@ -3346,6 +3389,16 @@ WITH flat AS (
 SELECT doc_id, score FROM a WHERE nt = 2
 """
 
+ANALYTICS_ORACLE_SQL["events_cube_type_hour"] = r"""
+SELECT event_type,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY CUBE (event_type, hour(ts))
+"""
+
 ANALYTICS_ORACLE_SQL["events_debounce_per_user"] = r"""
 WITH l AS (
   SELECT event_id, user_id, ts,
@@ -3709,6 +3762,7 @@ ANALYTICS_QUERIES = {
     "events_trailing_hour_revenue": events_trailing_hour_revenue,
     "doc_length_trimmed_mean": doc_length_trimmed_mean,
     "events_debounce_per_user": events_debounce_per_user,
+    "events_cube_type_hour": events_cube_type_hour,
     "orders_rollup_status_priority": orders_rollup_status_priority,
     "promo_revenue_monthly": promo_revenue_monthly,
     "normalize_text_documents": normalize_text_documents,
