@@ -194,6 +194,9 @@ def main(argv: list[str] | None = None) -> int:
         "check", help="fsck the lake: manifests/files/watermark/routing "
                       "integrity (read-only)")
     pck.add_argument("--lake", required=True)
+    pck.add_argument("--signature", action="store_true",
+                     help="also compute the layout-independent content "
+                          "signature (anti-entropy replica comparison)")
 
     ps = sub.add_parser("stats")
     ps.add_argument("--lake", required=True)
@@ -423,6 +426,14 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.maintenance import check_lake
 
         out = check_lake(a.lake)
+        if a.signature:
+            _ray_init(a.num_cpus)
+            from .pipelines.maintenance import lake_signature
+
+            out["signature"] = lake_signature(a.lake)
+            import ray
+
+            ray.shutdown()
         print(json.dumps(out))
         return 0 if out["ok"] else 1
 

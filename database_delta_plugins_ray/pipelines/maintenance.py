@@ -804,3 +804,69 @@ def check_lake(lake_dir: str, sample_keys: int = 50) -> dict:
                     "in place? use reshard_lake)")
     return {"ok": not errors, "partitions": len(manifests),
             "watermark": int(g), "errors": errors}
+
+
+def lake_signature(lake_dir: str) -> str:
+    """Order- and LAYOUT-independent content checksum of the lake's
+    live rows: the wrapping uint64 sum of ``md5_u64(table || repo ||
+    path || content_sha || _sequence_num)`` over every live row. Two
+    lakes holding the same logical state — e.g. before and after
+    ``reshard_lake``, or two independently replicated replicas — have
+    equal signatures whatever their partition counts or file layouts;
+    any single-row difference flips it (mod collisions). One
+    column-pruned task per partition (never reads content; the per-row
+    invariant column content_sha stands in), one uint64 per partition
+    to the driver — the anti-entropy check replica pairs run."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.sample import md5_u64
+
+    manifests = ckpt.all_manifests(lake_dir)
+    if not manifests:
+        raise FileNotFoundError(f"no committed partitions under {lake_dir}")
+
+    def per_part(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from ..stages.merge import exact_lww_indices
+
+        sig = np.uint64(0)
+        for row in batch.to_pylist():
+            keys = tuple(row["key_columns"])
+            cols = [*keys, "content_sha", "_sequence_num", "_is_deleted"]
+            t = pa.concat_tables(
+                [pq.read_table(f, columns=cols) for f in row["files"]],
+                promote_options="default")
+            if len(row["files"]) > 1:
+                idx = exact_lww_indices(t, keys, "_sequence_num")
+                if len(idx) < t.num_rows:
+                    t = t.take(pa.array(idx))
+            t = t.filter(pc.invert(t["_is_deleted"]))
+            if t.num_rows:
+                parts = [t[c].to_pandas().astype(str) for c in keys]
+                parts.append(t["content_sha"].to_pandas().astype(str))
+                parts.append(t["_sequence_num"].to_pandas().astype(str))
+                joined = parts[0]
+                for p_ in parts[1:]:
+                    joined = joined + "\x1f" + p_
+                with np.errstate(over="ignore"):
+                    sig = sig + md5_u64(joined.to_numpy()).sum(
+                        dtype=np.uint64)
+        return pa.table({"sig": pa.array([int(sig)], pa.uint64())})
+
+    items = [{
+        "files": m.get("files") or [m["file"]],
+        "key_columns": list(m.get("key_columns")
+                            or ["table", "repo", "path"]),
+    } for m in manifests.values()]
+    parts = (ray.data.from_items(items)
+             .map_batches(per_part, batch_format="pyarrow", batch_size=1)
+             .take_all())
+    import numpy as np
+    total = np.uint64(0)
+    with np.errstate(over="ignore"):
+        for r in parts:
+            total = total + np.uint64(r["sig"])
+    return f"{int(total):016x}"

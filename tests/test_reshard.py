@@ -161,3 +161,37 @@ def test_reshard_salted_lake(small_log, tmp_path):
     keys = [(r["table"], r["repo"], r["path"]) for r in live]
     t = lookup_keys(dest, keys)
     assert t.num_rows == len(keys)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lake_signature_layout_independent(small_log, tmp_path):
+    """The content signature is invariant under resharding and OPTIMIZE
+    (layout changes) but flips when the logical state changes."""
+    from database_delta_plugins_ray.pipelines.maintenance import (
+        lake_signature,
+        optimize_lake,
+        reshard_lake,
+    )
+
+    log_dir, _, meta = small_log
+    lake = str(tmp_path / "lakeSig")
+    dest = str(tmp_path / "lakeSig2")
+    half = meta["max_lsn"] // 2
+    run_replication(log_dir, lake, num_partitions=8, upto_lsn=half)
+    s_half = lake_signature(lake)
+
+    reshard_lake(lake, dest, new_partitions=3)
+    assert lake_signature(dest) == s_half          # reshard: same state
+
+    optimize_lake(dest)
+    assert lake_signature(dest) == s_half          # optimize: same state
+
+    run_replication(log_dir, dest, num_partitions=3)
+    s_full = lake_signature(dest)
+    assert s_full != s_half                        # more events: flips
+
+    # an independently replicated lake at a different partition count
+    # agrees — the anti-entropy replica check
+    other = str(tmp_path / "lakeSig3")
+    run_replication(log_dir, other, num_partitions=16)
+    assert lake_signature(other) == s_full
