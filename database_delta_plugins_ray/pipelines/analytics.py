@@ -3780,4 +3780,6 @@ BENCH_QUERIES = {
     "q3_shipping_priority": q3_shipping_priority,
     "dedup_passages_documents": dedup_passages_documents,
     "decontaminate_documents": decontaminate_documents,
+    "events_trailing_hour_revenue": events_trailing_hour_revenue,
+    "cohort_retention_weekly": cohort_retention_weekly,
 }
