@@ -2541,6 +2541,36 @@ def events_cube_type_hour(sf_dir: str):
         .reset_index(drop=True)
 
 
+def order_count_distribution(sf_dir: str):
+    """Degree distribution (count-of-counts): how many customers placed
+    exactly k orders. Two-level aggregation where the SECOND level's
+    input is already aggregate-sized: per-batch partial counts ->
+    exact per-customer totals (one shuffle over distinct customers) ->
+    per-batch partials over the bounded degree domain -> a tiny final
+    groupby. The classic shape for graph degree / fanout audits."""
+    ds = _t(sf_dir, "orders", ["o_custkey"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).size()
+        g.columns = ["o_custkey", "n"]
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    per_cust = (ds.map_batches(partial, batch_format="pandas")
+                .groupby("o_custkey")
+                .aggregate(Sum("n", alias_name="n_orders")))
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        h = df.groupby("n_orders", as_index=False).size()
+        h.columns = ["n_orders", "n_customers"]
+        h["n_customers"] = h["n_customers"].astype(np.int64)
+        return h
+
+    return (per_cust.map_batches(hist, batch_format="pandas")
+            .groupby("n_orders")
+            .aggregate(Sum("n_customers", alias_name="n_customers")))
+
+
 def promo_revenue_monthly(sf_dir: str):
     """TPC-H-Q14-shape conditional aggregate over a broadcast dimension
     join: part's (p_partkey -> is-promo) map is ``ray.put`` once and read
@@ -3389,6 +3419,15 @@ WITH flat AS (
 SELECT doc_id, score FROM a WHERE nt = 2
 """
 
+ANALYTICS_ORACLE_SQL["order_count_distribution"] = r"""
+WITH c AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+FROM c GROUP BY 1
+"""
+
 ANALYTICS_ORACLE_SQL["events_cube_type_hour"] = r"""
 SELECT event_type,
        CAST(hour(ts) AS BIGINT) AS hour,
@@ -3763,6 +3802,7 @@ ANALYTICS_QUERIES = {
     "doc_length_trimmed_mean": doc_length_trimmed_mean,
     "events_debounce_per_user": events_debounce_per_user,
     "events_cube_type_hour": events_cube_type_hour,
+    "order_count_distribution": order_count_distribution,
     "orders_rollup_status_priority": orders_rollup_status_priority,
     "promo_revenue_monthly": promo_revenue_monthly,
     "normalize_text_documents": normalize_text_documents,
