@@ -1520,6 +1520,78 @@ def q3_shipping_priority(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+Q10_START = "1995-01-01"
+Q10_END = "1995-07-01"
+
+
+def q10_returned_items(sf_dir: str, k: int = 20):
+    """TPC-H Q10 shape: top customers by revenue lost to RETURNED items
+    in a date window. Composes the join family's pieces: windowed
+    orders ⋈ per-batch lineitem-revenue partials in ONE hash shuffle
+    (post= folds to per-customer partials inside the join task), a
+    customer-sized aggregate + sort-limit picks the top k, and the
+    20-row result enriches from customer/nation with a pruned driver
+    read — the big tables never shuffle twice."""
+    import ray
+
+    from ..stages.join import shuffle_hash_join
+
+    lo = np.datetime64(Q10_START, "us")
+    hi = np.datetime64(Q10_END, "us")
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                   "o_orderdate"])
+
+    def o_filter(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["o_orderdate"],
+                                     pa.scalar(lo.item())),
+                    pc.less(t["o_orderdate"], pa.scalar(hi.item())))
+        return t.filter(m).select(["o_orderkey", "o_custkey"])
+
+    line = _t(sf_dir, "lineitem",
+              ["l_orderkey", "l_extendedprice", "l_discount",
+               "l_returnflag"])
+
+    def l_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        df = pd.DataFrame({
+            "o_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+            "rev": rev.to_numpy(zero_copy_only=False),
+        }).groupby("o_orderkey", as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def to_cust(j: pd.DataFrame) -> pd.DataFrame:
+        # inside the join task: fold this partition's rows to customer
+        # partials (customers span partitions; the tiny groupby after
+        # the join finishes them)
+        return j.groupby("o_custkey", as_index=False)["rev"].sum()
+
+    per_cust = (shuffle_hash_join(
+        orders.map_batches(o_filter, batch_format="pyarrow"),
+        line.map_batches(l_partial, batch_format="pyarrow"),
+        on="o_orderkey", post=to_cust)
+        .groupby("o_custkey")
+        .aggregate(Sum("rev", alias_name="rev"))
+        .to_pandas())
+    per_cust["revenue"] = per_cust["rev"].round(2)
+    top = (per_cust.sort_values(["revenue", "o_custkey"],
+                                ascending=[False, True])
+           .head(k).drop(columns=["rev"]))
+
+    cust = pq_read(sf_dir, "customer",
+                   ["c_custkey", "c_name", "c_nationkey"]).to_pandas()
+    nation = pq_read(sf_dir, "nation",
+                     ["n_nationkey", "n_name"]).to_pandas()
+    out = (top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+           .merge(nation, left_on="c_nationkey", right_on="n_nationkey"))
+    return (out[["c_custkey", "c_name", "n_name", "revenue"]]
+            .sort_values(["revenue", "c_custkey"],
+                         ascending=[False, True])
+            .reset_index(drop=True))
+
+
 Q5_REGION = "AMERICA"
 Q5_START = "1995-01-01"
 Q5_END = "1996-01-01"
@@ -3419,6 +3491,25 @@ WITH flat AS (
 SELECT doc_id, score FROM a WHERE nt = 2
 """
 
+ANALYTICS_ORACLE_SQL["q10_returned_items"] = r"""
+WITH rev AS (
+  SELECT o.o_custkey,
+         round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2)
+           AS revenue
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o.o_orderdate <  TIMESTAMP '1995-07-01'
+    AND l.l_returnflag = 'R'
+  GROUP BY 1
+), top AS (
+  SELECT * FROM rev ORDER BY revenue DESC, o_custkey LIMIT 20
+)
+SELECT c.c_custkey, c.c_name, n.n_name, t.revenue
+FROM top t
+JOIN customer c ON c.c_custkey = t.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+"""
+
 ANALYTICS_ORACLE_SQL["order_count_distribution"] = r"""
 WITH c AS (
   SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
@@ -3803,6 +3894,7 @@ ANALYTICS_QUERIES = {
     "events_debounce_per_user": events_debounce_per_user,
     "events_cube_type_hour": events_cube_type_hour,
     "order_count_distribution": order_count_distribution,
+    "q10_returned_items": q10_returned_items,
     "orders_rollup_status_priority": orders_rollup_status_priority,
     "promo_revenue_monthly": promo_revenue_monthly,
     "normalize_text_documents": normalize_text_documents,
