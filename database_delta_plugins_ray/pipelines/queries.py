@@ -262,6 +262,32 @@ def cdc_repo_skew_report(sf_dir: str, nparts: int = 32):
     return pd.DataFrame(rows).sort_values("repo").reset_index(drop=True)
 
 
+def cdc_full_lifecycle(sf_dir: str):
+    """The operational runbook as ONE correctness gate: replicate half
+    → reshard to a bigger layout (cluster resize) → continue
+    replication → OPTIMIZE (clustered rewrite) → vacuum tombstones at
+    the log head → final state. Every step composes on the fenced
+    commit/watermark contract; the result must equal a plain one-shot
+    replay (same oracle as cdc_final_state — vacuum only removes
+    soft-deleted rows the final-state filter drops anyway)."""
+    import json
+
+    from .maintenance import optimize_lake, reshard_lake, vacuum_lake
+
+    log = ensure_log(sf_dir)
+    with open(os.path.join(log, "meta.json")) as fh:
+        meta = json.load(fh)
+    half = meta["max_lsn"] // 2
+    lake = fresh_lake(sf_dir, "lake_lifecycle_src")
+    dest = fresh_lake(sf_dir, "lake_lifecycle")
+    run_replication(log, lake, num_partitions=8, upto_lsn=half)
+    reshard_lake(lake, dest, new_partitions=16)
+    run_replication(log, dest, num_partitions=16)
+    optimize_lake(dest, cluster_by=["repo", "path"])
+    vacuum_lake(dest, prune_below=meta["max_lsn"])
+    return final_state(dest, columns=FINAL_COLS)
+
+
 def _time_travel_boundary(log: str) -> int:
     """Midpoint between the last DDL and the end of the log — past all
     schema evolution (so the historical state has the final column set)
@@ -1004,6 +1030,7 @@ WHERE o.k_repo IS NULL OR n.k_repo IS NULL OR n.lsn <> o.lsn
         "cdc_final_state": final_sql,
         "cdc_resume_equivalence": final_sql,
         "cdc_reshard_continuation": final_sql,
+        "cdc_full_lifecycle": final_sql,
         "cdc_search_lake_content": search_sql,
         "cdc_commit_lookup": commit_sql,
         "cdc_export_incremental": final_sql,
@@ -1306,6 +1333,7 @@ CDC_QUERIES = {
     "cdc_final_state": cdc_final_state,
     "cdc_resume_equivalence": cdc_resume_equivalence,
     "cdc_reshard_continuation": cdc_reshard_continuation,
+    "cdc_full_lifecycle": cdc_full_lifecycle,
     "cdc_search_lake_content": cdc_search_lake_content,
     "cdc_commit_lookup": cdc_commit_lookup,
     "cdc_export_incremental": cdc_export_incremental,
