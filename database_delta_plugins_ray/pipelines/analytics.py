@@ -1592,6 +1592,69 @@ def q10_returned_items(sf_dir: str, k: int = 20):
             .reset_index(drop=True))
 
 
+Q18_MIN_QTY = 150
+
+
+def q18_large_volume_customers(sf_dir: str):
+    """TPC-H Q18 shape: orders whose TOTAL line quantity exceeds a
+    threshold — HAVING over a join-side aggregate. The heavy side
+    reduces FIRST: per-batch quantity partials by orderkey, one
+    orderkey groupby, the HAVING filter — and only the few surviving
+    orderkeys (a tiny in-memory set) probe orders/customer with pruned
+    driver reads. The big tables never join before the aggregate
+    filter (a naive plan joins first and aggregates 100x the rows)."""
+    line = _t(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+            "qty": t["l_quantity"].to_numpy(zero_copy_only=False),
+        }).groupby("o_orderkey", as_index=False)["qty"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ..stages.join import shuffle_hash_join
+
+    big = (line.map_batches(partial, batch_format="pyarrow")
+           .groupby("o_orderkey")
+           .aggregate(Sum("qty", alias_name="total_qty"))
+           .filter(expr=f"total_qty > {Q18_MIN_QTY}"))
+    # the surviving set scales WITH the data (constant HAVING
+    # selectivity), so both enrichment joins are shuffle joins with a
+    # Bloom prefilter dropping the non-surviving 99% of each big dim
+    # before its all-to-all — never a driver-side probe
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                   "o_orderdate", "o_totalprice"])
+    j1 = shuffle_hash_join(big, orders, on="o_orderkey",
+                           prefilter=True)
+
+    def fix_key(t: pa.Table) -> pa.Table:
+        # the join's pandas merge nullable-ifies the carried int key to
+        # double; an inner join guarantees non-null — cast back so the
+        # second join's key types agree
+        i = t.schema.get_field_index("o_custkey")
+        return t.set_column(i, "o_custkey",
+                            pc.cast(t["o_custkey"], pa.int64()))
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["o_custkey", "c_name"])
+
+    j2 = shuffle_hash_join(
+        j1.map_batches(fix_key, batch_format="pyarrow"),
+        cust.map_batches(tag_cust, batch_format="pyarrow"),
+        on="o_custkey", prefilter=True)
+    out = j2.to_pandas()
+    out["total_qty"] = out["total_qty"].round(2)
+    out["c_custkey"] = out["o_custkey"].astype("int64")
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return (out[["c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                 "o_totalprice", "total_qty"]]
+            .sort_values(["o_totalprice", "o_orderkey"],
+                         ascending=[False, True])
+            .reset_index(drop=True))
+
+
 Q5_REGION = "AMERICA"
 Q5_START = "1995-01-01"
 Q5_END = "1996-01-01"
@@ -3491,6 +3554,19 @@ WITH flat AS (
 SELECT doc_id, score FROM a WHERE nt = 2
 """
 
+ANALYTICS_ORACLE_SQL["q18_large_volume_customers"] = r"""
+WITH big AS (
+  SELECT l_orderkey AS o_orderkey,
+         round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150
+)
+SELECT c.c_custkey, c.c_name, b.o_orderkey, o.o_orderdate,
+       o.o_totalprice, b.total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
 ANALYTICS_ORACLE_SQL["q10_returned_items"] = r"""
 WITH rev AS (
   SELECT o.o_custkey,
@@ -3895,6 +3971,7 @@ ANALYTICS_QUERIES = {
     "events_cube_type_hour": events_cube_type_hour,
     "order_count_distribution": order_count_distribution,
     "q10_returned_items": q10_returned_items,
+    "q18_large_volume_customers": q18_large_volume_customers,
     "orders_rollup_status_priority": orders_rollup_status_priority,
     "promo_revenue_monthly": promo_revenue_monthly,
     "normalize_text_documents": normalize_text_documents,
