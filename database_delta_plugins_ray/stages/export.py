@@ -136,6 +136,17 @@ def export_corpus_jsonl(docs, out_dir: str, *, nshards: int = 16,
     return manifest
 
 
+def _key_strings(tbl, key_cols, sep: str = "\x1f") -> np.ndarray:
+    """One string per row joining the key columns — vectorized via
+    pyarrow (cast to utf8 + binary_join_element_wise), no Python loop."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    parts = [pc.cast(tbl[c], pa.string()) for c in key_cols]
+    joined = pc.binary_join_element_wise(*parts, sep)
+    return joined.to_numpy(zero_copy_only=False)
+
+
 def export_lake_incremental(lake_dir: str, out_dir: str, *,
                             nshards: int = 16,
                             columns: list[str] | None = None) -> dict:
@@ -146,24 +157,31 @@ def export_lake_incremental(lake_dir: str, out_dir: str, *,
 
     First call: one streaming pass of ``final_state`` routed by
     ``md5_u64(table\\x1frepo\\x1fpath) % nshards`` (the corpus export
-    contract), manifest records the lake's global watermark.
+    contract); the manifest records the lake's global watermark AND the
+    export's Arrow schema (IPC-serialized) — every later rewrite casts
+    to that pinned schema, so type drift (e.g. a nullable int64 turning
+    float64 through a pandas hop) can never poison a shard file.
 
     Later calls: ``lake_diff(manifest watermark)`` (partition-local,
-    history lakes) names the changed keys; their md5 shards are the
-    ONLY shards rewritten — one Ray task per touched shard reads its
-    old file, drops the changed keys, appends their current live rows
-    (a pruned ``lookup_keys``), and commits tmp+rename. Cost is
-    O(touched shards + changes), never O(lake). The rewrite is
-    IDEMPOTENT (drop-then-re-add of the same key set), so a crash
-    between shard commits and the manifest write re-runs safely; the
-    manifest commits last, atomically."""
+    history lakes) runs DISTRIBUTED — a map_batches stage routes each
+    changed key to its md5 shard and stages the delta rows as
+    per-shard Parquet under ``_delta/``; the driver sees only per-shard
+    row counts. One Ray task per touched shard then reads its old file,
+    anti-joins out the changed keys (vectorized isin on joined key
+    strings), appends the delta's live rows cast to the pinned schema,
+    and commits tmp+rename. Cost is O(touched shards + changes), never
+    O(lake). The rewrite is IDEMPOTENT (drop-then-re-add of the same
+    key set), so a crash between shard commits and the manifest write
+    re-runs safely; the manifest commits last, atomically."""
+    import base64
     import shutil
+    import uuid
 
     import pyarrow as pa
     import pyarrow.parquet as pq
     import ray
 
-    from ..pipelines.replicate import final_state, lake_diff, lookup_keys
+    from ..pipelines.replicate import final_state, lake_diff
     from ..state import checkpoint as ckpt
     from .sample import md5_u64
 
@@ -174,33 +192,30 @@ def export_lake_incremental(lake_dir: str, out_dir: str, *,
                             "language", "stars", "content_sha",
                             "_sequence_num"]
 
-    def shard_of(tbl: pa.Table) -> np.ndarray:
-        key = None
-        for c in key_cols:
-            col = tbl[c].to_pandas().astype(str)
-            key = col if key is None else key + sep + col
-        return (md5_u64(key.to_numpy()) % np.uint64(nshards)).astype(
-            np.int32)
+    def shard_ids(tbl: pa.Table, n: int) -> np.ndarray:
+        return (md5_u64(_key_strings(tbl, key_cols, sep))
+                % np.uint64(n)).astype(np.int32)
 
     mpath = os.path.join(out_dir, "manifest.json")
     if not os.path.exists(mpath):
-        def sharded(df: pd.DataFrame) -> pd.DataFrame:
-            out = df.copy()
-            out["shard"] = (md5_u64(
-                (df[key_cols[0]].astype(str) + sep
-                 + df[key_cols[1]].astype(str) + sep
-                 + df[key_cols[2]].astype(str)).to_numpy())
-                % np.uint64(nshards)).astype(np.int32)
-            return out
+        def sharded(t: pa.Table) -> pa.Table:
+            return t.append_column("shard", pa.array(shard_ids(t, nshards)))
 
         tmp = out_dir + f".tmp.{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp, exist_ok=True)
         (final_state(lake_dir, columns=want_cols)
-         .map_batches(sharded, batch_format="pandas")
+         .map_batches(sharded, batch_format="pyarrow")
          .write_parquet(tmp, partition_cols=["shard"]))
+        first = sorted(glob.glob(os.path.join(tmp, "shard=*", "*.parquet")))
+        schema = pq.read_schema(first[0]) if first else None
+        if schema is None:  # empty lake: pin from the read path
+            schema = final_state(lake_dir, columns=want_cols).schema().base_schema
+        schema = pa.schema([schema.field(c) for c in want_cols])
         manifest = {"watermark": g1, "nshards": nshards,
                     "columns": want_cols, "rewritten_shards": nshards,
+                    "schema_ipc": base64.b64encode(
+                        schema.serialize().to_pybytes()).decode(),
                     "skipped": False}
         with open(os.path.join(tmp, "manifest.json"), "w") as fh:
             json.dump(manifest, fh)
@@ -213,64 +228,97 @@ def export_lake_incremental(lake_dir: str, out_dir: str, *,
     g0 = int(manifest["watermark"])
     nshards = int(manifest["nshards"])
     want_cols = manifest["columns"]
+    schema = pa.ipc.read_schema(pa.BufferReader(
+        base64.b64decode(manifest["schema_ipc"])))
     if g1 <= g0:
         return dict(manifest, skipped=True, rewritten_shards=0)
 
-    diff = lake_diff(lake_dir, g0).take_all()
-    keys = [tuple(r[c] for c in key_cols) for r in diff]
-    doc_keys = np.array([sep.join(map(str, k)) for k in keys],
-                        dtype=object)
-    shards_touched = (md5_u64(doc_keys) % np.uint64(nshards)).astype(int)
-    by_shard: dict[int, set] = {}
-    for k, s in zip(keys, shards_touched):
-        by_shard.setdefault(int(s), set()).add(k)
+    # stage the diff per shard — distributed, driver holds only counts.
+    # staging dir is keyed by the target watermark: a crashed attempt's
+    # leftovers for a DIFFERENT watermark are swept, a re-run at the
+    # same watermark restages from scratch (uuid part names can't
+    # collide; the whole dir is replaced below).
+    stage = os.path.join(out_dir, "_delta")
+    shutil.rmtree(stage, ignore_errors=True)
+    stage_tmp = stage + f".tmp.{os.getpid()}"
+    shutil.rmtree(stage_tmp, ignore_errors=True)
+    os.makedirs(stage_tmp, exist_ok=True)
+    delta_cols = ["__key", "change", *want_cols]
 
-    live = lookup_keys(lake_dir, keys, columns=want_cols)
-    live_shard = shard_of(live) if live.num_rows else np.empty(0, int)
+    def stage_delta(t: pa.Table) -> pa.Table:
+        kstr = _key_strings(t, key_cols, sep)
+        s = (md5_u64(kstr) % np.uint64(nshards)).astype(np.int32)
+        t = (t.append_column("__key", pa.array(kstr))
+             .select(delta_cols))
+        counts = []
+        for sh in np.unique(s):
+            sub = t.filter(pa.array(s == sh))
+            d = os.path.join(stage_tmp, f"shard={int(sh)}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(sub,
+                           os.path.join(d, f"part-{uuid.uuid4().hex}.parquet"))
+            counts.append((int(sh), sub.num_rows))
+        return pa.table({"shard": pa.array([c[0] for c in counts],
+                                           pa.int32()),
+                         "rows": pa.array([c[1] for c in counts],
+                                          pa.int64())})
+
+    counts = (lake_diff(lake_dir, g0)
+              .map_batches(stage_delta, batch_format="pyarrow")
+              .take_all())  # one tiny row per (task, shard)
+    touched = sorted({int(r["shard"]) for r in counts})
+    os.rename(stage_tmp, stage)
 
     @ray.remote(num_cpus=1)
-    def rewrite(shard: int, drop_keys: list, add_tbl: "pa.Table") -> int:
+    def rewrite(shard: int) -> int:
         import glob as _g
+
+        ddir = os.path.join(stage, f"shard={shard}")
+        delta = pa.concat_tables(
+            [pq.read_table(f)
+             for f in _g.glob(os.path.join(ddir, "*.parquet"))],
+            promote_options="permissive")
+        # a retried staging task may have written a shard's delta twice;
+        # the diff is deterministic, so dedup by key keeps the same row
+        dkeys = delta["__key"].to_numpy(zero_copy_only=False)
+        keep = ~pd.Series(dkeys).duplicated().to_numpy()
+        if not keep.all():
+            delta = delta.filter(pa.array(keep))
+            dkeys = dkeys[keep]
+        adds = delta.filter(
+            pa.compute.not_equal(delta["change"], "d")).select(want_cols)
+        adds = adds.cast(schema)
 
         d = os.path.join(out_dir, f"shard={shard}")
         files = _g.glob(os.path.join(d, "*.parquet"))
-        old = (pa.concat_tables([pq.read_table(f) for f in files],
-                                promote_options="default")
-               if files else None)
-        parts = []
-        if old is not None and old.num_rows:
-            df = old.to_pandas()
-            kk = list(zip(*(df[c].astype(str) for c in key_cols)))
-            mask = np.array([k not in drop_keys for k in kk], bool)
-            parts.append(df[mask].reindex(columns=want_cols))
-        if add_tbl.num_rows:
-            parts.append(add_tbl.to_pandas().reindex(columns=want_cols))
-        new = (pd.concat(parts, ignore_index=True) if parts
-               else pd.DataFrame(columns=want_cols))
+        parts = [adds] if adds.num_rows else []
+        if files:
+            old = pa.concat_tables(
+                [pq.read_table(f).select(want_cols).cast(schema)
+                 for f in files])
+            if old.num_rows:
+                mask = ~np.isin(_key_strings(old, key_cols, sep), dkeys)
+                parts.append(old.filter(pa.array(mask)))
+        new = (pa.concat_tables(parts) if parts
+               else schema.empty_table())
         os.makedirs(d, exist_ok=True)
         final = os.path.join(d, "data.parquet")
         tmpf = final + f".tmp.{os.getpid()}"
-        pq.write_table(pa.Table.from_pandas(new, preserve_index=False),
-                       tmpf)
+        pq.write_table(new, tmpf)
         os.replace(tmpf, final)
         for f in files:
             if f != final and os.path.exists(f):
                 os.remove(f)
-        return len(new)
+        return new.num_rows
 
-    futs = []
-    for s, drop in by_shard.items():
-        m = live_shard == s
-        add = (live.filter(pa.array(m)) if live.num_rows
-               else live)
-        futs.append(rewrite.remote(s, drop, add))
-    ray.get(futs)
+    ray.get([rewrite.remote(s) for s in touched])
     new_manifest = dict(manifest, watermark=g1, skipped=False,
-                        rewritten_shards=len(by_shard))
+                        rewritten_shards=len(touched))
     tmpm = mpath + f".tmp.{os.getpid()}"
     with open(tmpm, "w") as fh:
         json.dump(new_manifest, fh)
     os.replace(tmpm, mpath)
+    shutil.rmtree(stage, ignore_errors=True)
     return new_manifest
 
 

@@ -66,6 +66,48 @@ def test_incremental_export_equals_full(small_log, tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_incremental_export_three_increments_schema_stable(small_log,
+                                                           tmp_path):
+    """Three increments over a lake whose nullable int64 column (stars:
+    null for pre-DDL schema versions) exercises the round-3 crash: a
+    rewrite that type-drifted a shard file (int64 -> double via pandas)
+    blew up on the NEXT increment's concat. The pinned manifest schema
+    must keep every shard file's types identical across rewrites."""
+    import base64
+
+    import pyarrow as pa
+
+    log_dir, _, meta = small_log
+    lake = str(tmp_path / "lake3")
+    out = str(tmp_path / "out3")
+    full = str(tmp_path / "full3")
+    b1 = _time_travel_boundary(log_dir)
+    b2 = (b1 + int(meta["max_lsn"])) // 2
+
+    run_replication(log_dir, lake, num_partitions=8, history=True,
+                    upto_lsn=b1)
+    m0 = export_lake_incremental(lake, out, nshards=16)
+    pinned = m0["schema_ipc"]
+    assert pinned
+
+    for upto in (b2, None):
+        run_replication(log_dir, lake, num_partitions=8, history=True,
+                        upto_lsn=upto)
+        m = export_lake_incremental(lake, out, nshards=16)
+        assert m["rewritten_shards"] >= 1
+        assert m["schema_ipc"] == pinned
+        # every shard file matches the pinned schema exactly
+        want = pa.ipc.read_schema(
+            pa.BufferReader(base64.b64decode(pinned)))
+        for f in glob.glob(os.path.join(out, "shard=*", "*.parquet")):
+            got = pq.read_schema(f)
+            assert pa.schema([got.field(c) for c in m["columns"]]) == want, f
+
+    export_lake_incremental(lake, full, nshards=16)
+    assert _rows(out) == _rows(full)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_export_sorted_global_order(tmp_path):
     """export_sorted: file ranges are disjoint and ascending in name
     order; concatenation equals the full ORDER BY; probe via manifest."""
