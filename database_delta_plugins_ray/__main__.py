@@ -179,8 +179,9 @@ def main(argv: list[str] | None = None) -> int:
     pex.add_argument("--mode", choices=["incremental", "sorted"],
                      default="incremental")
     pex.add_argument("--shards", type=int, default=16)
-    pex.add_argument("--order-by", default="repo",
-                     help="(sorted) order column")
+    pex.add_argument("--order-by", default="_sequence_num",
+                     help="(sorted) order column — numeric/timestamp "
+                          "(string keys have no range layout)")
 
     pan = sub.add_parser(
         "analyze", help="collect per-column table statistics (rows, "

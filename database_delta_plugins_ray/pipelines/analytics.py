@@ -886,15 +886,22 @@ def events_value_outliers(sf_dir: str):
         for t in pd.unique(et):
             n, s, rhs = sd[t]
             m = et == t
-            d = n * v[m] - s
-            big = np.abs(d) > 3_000_000_000
+            vm = v[m]
+            # the PRODUCT n*v wraps int64 before d even exists once
+            # n*|v|+|s| >= 2^63 — escalate those rows alongside the
+            # big-square rows (same exact Python-int path)
+            v_cap = (2**63 - 1 - abs(s)) // max(n, 1)
+            prod_big = np.abs(vm) > v_cap
+            d = n * np.where(prod_big, 0, vm) - s
+            big = (np.abs(d) > 3_000_000_000) | prod_big
             hits = np.zeros(len(d), dtype=bool)
             small = ~big
             # |d| <= 3e9 squares within int64; a rhs past int64 max can
             # never be exceeded by such a square, so clamping is exact
             hits[small] = d[small] * d[small] > min(rhs, 2**63 - 1)
             for i in np.flatnonzero(big):
-                hits[i] = int(d[i]) * int(d[i]) > rhs
+                di = n * int(vm[i]) - s
+                hits[i] = di * di > rhs
             out.append(pd.DataFrame({
                 "event_type": [t],
                 "n_outliers": [np.int64(hits.sum())],

@@ -343,22 +343,53 @@ def export_sorted(ds, out_dir: str, *, order_col: str,
 
     from .scan import _key_ints
 
+    # fail fast on unsupported order dtypes (strings/binary have no
+    # order-preserving u64 map here) instead of a deep ValueError from
+    # the bucket kernel; the schema may surface as Arrow or pandas
+    # depending on the upstream block format
+    sch = ds.schema()
+    ftype = dict(zip(sch.names, sch.types))[order_col]
+    if ftype is None:
+        # pandas extension dtypes (e.g. nullable Int64) surface as None
+        # through the Arrow conversion — read the raw block schema
+        base = getattr(sch, "base_schema", None)
+        raw = dict(zip(base.names, base.types)) if base is not None else {}
+        ftype = raw.get(order_col)
+    if ftype is None:
+        ok = True  # unknown: let the bucket kernel decide
+    elif isinstance(ftype, pa.DataType):
+        ok = (pa.types.is_integer(ftype) or pa.types.is_floating(ftype)
+              or pa.types.is_timestamp(ftype) or pa.types.is_date(ftype))
+    else:
+        ok = (pd.api.types.is_integer_dtype(ftype)
+              or pd.api.types.is_float_dtype(ftype)
+              or pd.api.types.is_datetime64_any_dtype(ftype))
+    if not ok:
+        raise TypeError(
+            f"export_sorted: unsupported order column dtype {ftype} "
+            f"for {order_col!r} — numeric, timestamp or date required")
+
     # null-aware range stats: Ray's Min/Max propagate NaN for float
     # keys, which would poison the bucket width — fold non-null
     # per-batch extrema instead. Null/NaN keys get their own LAST
-    # bucket (nulls-last, the SQL default).
+    # bucket (nulls-last, the SQL default). lo/hi are EXPLICIT uint64
+    # in both branches: a float64/int64-inferred empty or mixed-sign
+    # block would otherwise promote the concat and round u64 keys
+    # above 2^53, mis-bucketing extreme keys.
     def mm(df: pd.DataFrame) -> pd.DataFrame:
         s = df[order_col].dropna()
         if s.empty:
-            return pd.DataFrame({"lo": [], "hi": []})
+            return pd.DataFrame({"lo": pd.Series([], dtype=np.uint64),
+                                 "hi": pd.Series([], dtype=np.uint64)})
         ki = _key_ints(s.to_frame(order_col), order_col)
-        return pd.DataFrame({"lo": [int(ki.min())], "hi": [int(ki.max())]})
+        return pd.DataFrame({"lo": np.array([ki.min()], np.uint64),
+                             "hi": np.array([ki.max()], np.uint64)})
 
     ext = ds.map_batches(mm, batch_format="pandas").to_pandas()
     if ext.empty:
         raise ValueError("export_sorted: order column is entirely null")
-    lo_u = np.uint64(int(ext["lo"].min()))
-    hi_u = np.uint64(int(ext["hi"].max()))
+    lo_u = np.uint64(ext["lo"].min())
+    hi_u = np.uint64(ext["hi"].max())
     span = max(int(hi_u - lo_u) + 1, 1)
     width = np.uint64(max(span // nbuckets + 1, 1))
     null_bucket = nbuckets  # nulls-last
@@ -396,13 +427,29 @@ def export_sorted(ds, out_dir: str, *, order_col: str,
              .groupby("__b").map_groups(write_bucket,
                                         batch_format="pandas")
              .take_all())
+
+    # manifest min/max as NATIVE JSON numbers for numeric keys (string
+    # comparison misorders numbers: '10' < '9'); timestamps and other
+    # non-JSON types stringify, with the dtype recorded so a consumer
+    # can parse before comparing
+    def jval(v):
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            return None
+        if isinstance(v, (bool, np.bool_)):
+            return bool(v)
+        if isinstance(v, (int, np.integer)):
+            return int(v)
+        if isinstance(v, (float, np.floating)):
+            return float(v)
+        return str(v)
+
     files = sorted(
         ({"file": f"part-{int(r['bucket']):05d}.parquet",
           "rows": int(r["rows"]),
-          "min": None if r["min"] is None else str(r["min"]),
-          "max": None if r["max"] is None else str(r["max"])}
+          "min": jval(r["min"]), "max": jval(r["max"])}
          for r in parts), key=lambda r: r["file"])
-    manifest = {"order_col": order_col, "files": files,
+    manifest = {"order_col": order_col, "order_dtype": str(ftype),
+                "files": files,
                 "total_rows": sum(f["rows"] for f in files)}
     with open(os.path.join(tmp, "manifest.json"), "w") as fh:
         json.dump(manifest, fh)

@@ -332,9 +332,15 @@ class LakeTextIndex:
 
         return posts.map_batches(dd, batch_format="pandas")
 
-    def _sidecar_live(self, doc_keys: list[str]) -> pd.DataFrame:
+    def _sidecar_live(self, doc_keys: list[str],
+                      max_seq: int | None = None) -> pd.DataFrame:
         """Latest sidecar row per requested doc (LWW by seq), pruned to
-        the docs' shards with a doc_key IN pushdown."""
+        the docs' shards with a doc_key IN pushdown. ``max_seq`` bounds
+        the LWW pick to rows at/below a committed watermark: a crashed
+        refresh attempt's already-fenced rows (seq past the watermark
+        meta still records) must NOT count as the superseded state when
+        the attempt re-runs, or the n_docs/total_tokens deltas would be
+        computed against the half-applied NEW state and drift."""
         import pyarrow.dataset as pads
 
         n_shards = self.meta["n_shards"]
@@ -345,9 +351,12 @@ class LakeTextIndex:
         if not files:
             return pd.DataFrame(
                 {"doc_key": [], "dl": [], "seq": [], "alive": []})
+        flt = pads.field("doc_key").isin(doc_keys)
+        if max_seq is not None:
+            flt = flt & (pads.field("seq") <= max_seq)
         t = (pads.dataset(files, format="parquet")
              .to_table(columns=["doc_key", "dl", "seq", "alive"],
-                       filter=pads.field("doc_key").isin(doc_keys)))
+                       filter=flt))
         df = t.to_pandas()
         df = (df.sort_values("seq", kind="stable")
                 .drop_duplicates("doc_key", keep="last"))
@@ -436,8 +445,10 @@ class LakeTextIndex:
         keys = [tuple(r[c] for c in self.KEY_COLS) for r in diff]
         doc_keys = [_SEP.join(map(str, k)) for k in keys]
 
-        # superseded generations' exact doc lengths from the sidecar
-        old = self._sidecar_live(doc_keys)
+        # superseded generations' exact doc lengths from the sidecar,
+        # bounded to the COMMITTED watermark g0 so a crashed attempt's
+        # already-written g1 rows can't masquerade as the old state
+        old = self._sidecar_live(doc_keys, max_seq=g0)
         old = old[old["alive"]]
         old_alive, old_tokens = len(old), int(old["dl"].sum())
 

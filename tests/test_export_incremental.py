@@ -153,6 +153,44 @@ def test_export_sorted_global_order(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_export_sorted_rejects_string_keys(tmp_path):
+    """String order columns have no range layout here — the stage must
+    fail fast with a clear message, not a deep astype ValueError (and
+    the CLI default order column is numeric for the same reason)."""
+    import pandas as pd
+    import ray.data
+
+    from database_delta_plugins_ray.stages.export import export_sorted
+
+    ds = ray.data.from_pandas(pd.DataFrame({"k": ["b", "a"], "v": [1, 2]}))
+    with pytest.raises(TypeError, match="unsupported order column"):
+        export_sorted(ds, str(tmp_path / "s"), order_col="k")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_export_sorted_manifest_numeric_minmax(tmp_path):
+    """Manifest min/max are native JSON numbers for numeric keys (string
+    comparison misorders: '10' < '9'), and the order dtype is recorded."""
+    import pandas as pd
+    import ray.data
+
+    from database_delta_plugins_ray.stages.export import export_sorted
+
+    df = pd.DataFrame({"k": [2, 9, 10, 11, 100], "v": range(5)})
+    out = str(tmp_path / "mm")
+    m = export_sorted(ray.data.from_pandas(df), out, order_col="k",
+                      nbuckets=2)
+    assert "order_dtype" in m
+    with open(os.path.join(out, "manifest.json")) as fh:
+        raw = json.load(fh)
+    for f in raw["files"]:
+        assert isinstance(f["min"], int) and isinstance(f["max"], int)
+    # numeric manifest probe finds 10 in the right file (str cmp fails)
+    cands = [f for f in raw["files"] if f["min"] <= 10 <= f["max"]]
+    assert len(cands) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_export_sorted_null_keys_last(tmp_path):
     """Null order keys land in their own LAST bucket (nulls-last); the
     value buckets stay disjoint and the range stats ignore nulls."""

@@ -107,8 +107,16 @@ def test_refresh_noop_and_crash_rerun_idempotent(half_built):
     overlay0 = dict(idx.overlay)
     idx.refresh(lake)
     after_first = _res(idx.lookup(["def"], mode="or"))
+    meta1 = dict(idx.meta)
     idx._commit_meta(overlay=overlay0, **{
         k: meta0[k] for k in ("watermark", "n_docs", "total_tokens")})
     s2 = idx.refresh(lake)
     assert s2["changed"] > 0
     assert _res(idx.lookup(["def"], mode="or")) == after_first
+    # the counters must ALSO survive the crash-rerun: the superseded
+    # state is computed at the committed watermark, so the crashed
+    # attempt's already-written rows/tombstones must not skew the
+    # n_docs/total_tokens deltas (they feed every BM25 score)
+    assert idx.meta["n_docs"] == meta1["n_docs"]
+    assert idx.meta["total_tokens"] == meta1["total_tokens"]
+    assert idx.meta["watermark"] == meta1["watermark"]
