@@ -1575,20 +1575,36 @@ def q10_returned_items(sf_dir: str, k: int = 20):
         # the join finishes them)
         return j.groupby("o_custkey", as_index=False)["rev"].sum()
 
-    per_cust = (shuffle_hash_join(
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # per-batch top-k combiner over the per-customer aggregate: the
+        # driver receives O(k x batches) rows, never O(customers) — the
+        # top_docs_per_lang pattern, with the oracle's exact ordering
+        # (rounded revenue desc, custkey asc)
+        df = df.assign(revenue=df["rev"].round(2))
+        return (df.sort_values(["revenue", "o_custkey"],
+                               ascending=[False, True])
+                  .head(k)[["o_custkey", "revenue"]])
+
+    top = (shuffle_hash_join(
         orders.map_batches(o_filter, batch_format="pyarrow"),
         line.map_batches(l_partial, batch_format="pyarrow"),
         on="o_orderkey", post=to_cust)
         .groupby("o_custkey")
         .aggregate(Sum("rev", alias_name="rev"))
-        .to_pandas())
-    per_cust["revenue"] = per_cust["rev"].round(2)
-    top = (per_cust.sort_values(["revenue", "o_custkey"],
-                                ascending=[False, True])
-           .head(k).drop(columns=["rev"]))
+        .map_batches(partial_topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["revenue", "o_custkey"], ascending=[False, True])
+        .head(k))
 
-    cust = pq_read(sf_dir, "customer",
-                   ["c_custkey", "c_name", "c_nationkey"]).to_pandas()
+    import pyarrow.parquet as _pq
+
+    # enrich the k winners with a keys-IN pushdown read of the customer
+    # dim (row-group/dictionary pruning) — never the whole table
+    keys = sorted(int(x) for x in top["o_custkey"])
+    cust = _pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_nationkey"],
+        filters=[("c_custkey", "in", keys)]).to_pandas()
     nation = pq_read(sf_dir, "nation",
                      ["n_nationkey", "n_name"]).to_pandas()
     out = (top.merge(cust, left_on="o_custkey", right_on="c_custkey")

@@ -18,6 +18,7 @@ import os
 import re
 import shutil
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -357,12 +358,22 @@ def cdc_point_lookup(sf_dir: str):
     log = ensure_log(sf_dir)
     lake = fresh_lake(sf_dir, "lake_lookup")
     run_replication(log, lake, num_partitions=16)
-    live = final_state(lake, columns=["table", "repo", "path"]).take_all()
-    keys = [
-        (r["table"], r["repo"], r["path"]) for r in live
-        if int.from_bytes(_hashlib.md5(
-            f"{r['repo']}|{r['path']}".encode()).digest()[8:], "little") % 29 == 0
-    ]
+
+    def probe_select(df):
+        # md5 selection runs INSIDE the scan tasks: the driver receives
+        # only the ~1/29 probe keys, never every live key
+        sel = np.fromiter(
+            (int.from_bytes(_hashlib.md5(k.encode()).digest()[8:],
+                            "little") % 29 == 0
+             for k in (df["repo"].astype(str) + "|"
+                       + df["path"].astype(str))),
+            dtype=bool, count=len(df))
+        return df[sel]
+
+    probes = (final_state(lake, columns=["table", "repo", "path"])
+              .map_batches(probe_select, batch_format="pandas")
+              .take_all())
+    keys = [(r["table"], r["repo"], r["path"]) for r in probes]
     return lookup_keys(lake, keys, columns=FINAL_COLS)
 
 
