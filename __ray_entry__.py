@@ -20,17 +20,66 @@ def entry() -> Any:
     return cdc_final_state("/root/testdata/sf0.001")
 
 
+#: gated-prefix order: the driver checks a PREFIX of this catalog, so the
+#: first ~50 names round-robin across every operator family (CDC core,
+#: exports, TPC-H shapes, joins, windows, dedup, ANN, text, sampling,
+#: sketches, search, multimodal, clustering, pivots, DQ) — no family is
+#: left entirely unsampled by the correctness gate
+_GATE_PREFIX = [
+    # CDC core + the paths that changed most recently
+    "cdc_final_state", "cdc_export_incremental", "cdc_from_debezium_mysql",
+    "cdc_resume_equivalence", "cdc_full_lifecycle", "cdc_all_datatypes",
+    "cdc_snapshot_ddl_sequence", "cdc_time_travel", "cdc_changefeed",
+    "cdc_point_lookup", "cdc_search_lake_content", "cdc_scd2_history",
+    "cdc_truncate_fence", "cdc_dead_letter_queue", "cdc_incremental_snapshot",
+    # TPC-H shapes
+    "q1_pricing_summary", "q3_shipping_priority", "q10_returned_items",
+    "q18_large_volume_customers", "q5_local_supplier_volume",
+    # joins (as-of, range, anti, right-outer)
+    "purchases_asof_last_view", "orders_with_events_in_week",
+    "customers_without_events", "customer_order_stats_right",
+    # windows / scans
+    "events_latest_per_user", "events_tumbling_window",
+    "events_session_windows", "events_running_revenue",
+    "events_trailing_hour_revenue", "cohort_retention_weekly",
+    # dedup / decontamination
+    "dedup_exact_documents", "dedup_minhash_documents",
+    "dedup_ngram_documents", "dedup_cluster_documents",
+    "dedup_passages_documents", "dedup_incremental_documents",
+    "decontaminate_documents",
+    # similarity / clustering
+    "ann_topk_cosine", "ann_topk_ivf", "kmeans_embeddings",
+    "pca_embeddings",
+    # text analysis
+    "lang_id_documents", "quality_scores_documents",
+    "tfidf_top_terms_documents", "corpus_report_documents",
+    # sampling / packing
+    "sample_documents_deterministic", "split_documents_train_val_test",
+    "mix_token_budget_documents", "pack_sequences_documents",
+    # sketches
+    "approx_distinct_users_hll", "heavy_hitters_tokens",
+    "approx_quantiles_event_value",
+    # search / multimodal / exports / pivots / DQ
+    "search_documents_bm25", "multimodal_features",
+    "export_documents_shards", "export_documents_jsonl",
+    "events_pivot_type_counts", "events_cube_type_hour",
+    "dq_expectations",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from database_delta_plugins_ray.pipelines.queries import CDC_QUERIES
 
-    out: dict[str, Callable[[str], Any]] = {}
-    out.update(CDC_QUERIES)
+    full: dict[str, Callable[[str], Any]] = {}
+    full.update(CDC_QUERIES)
     try:
         from database_delta_plugins_ray.pipelines.analytics import ANALYTICS_QUERIES
 
-        out.update(ANALYTICS_QUERIES)
+        full.update(ANALYTICS_QUERIES)
     except ImportError:
         pass
+    out = {n: full[n] for n in _GATE_PREFIX if n in full}
+    out.update(full)  # the rest, original order (dicts keep insertion)
     return out
 
 

@@ -410,6 +410,42 @@ def cdc_from_debezium_jsonl(sf_dir: str):
     return final_state(lake, columns=FINAL_COLS)
 
 
+def cdc_from_debezium_mysql(sf_dir: str):
+    """Replay driven from a MYSQL-shaped Debezium JSONL feed: binlog
+    ``file``+``pos`` positions (no integer engine lsn on the wire) and
+    per-event ``gtid`` with NO txId — the reader must rebuild the lsn
+    through the (file seq << 32 | pos) bridge and synthesize tx ids
+    GTID-first (MySqlConstantOffsetBackingStore.java:39-45,
+    MySqlRecordConsumer.java:190-195). Oracled by the same final-state
+    SQL over the original log — the MySQL wire shape must be
+    value-transparent."""
+    import json as _json
+
+    from ..sources.debezium_json import jsonl_to_segments, write_debezium_jsonl
+
+    log = ensure_log(sf_dir)
+    tag = sf_tag(sf_dir)
+    jdir = os.path.join(CACHE_ROOT, f"sf{tag}", "dbz_mysql_jsonl")
+    sdir = os.path.join(CACHE_ROOT, f"sf{tag}", "dbz_mysql_segs")
+    with open(os.path.join(log, "meta.json")) as fh:
+        src_meta = _json.load(fh)
+    stamp = os.path.join(sdir, "meta.json")
+    fresh = False
+    if os.path.exists(stamp):
+        with open(stamp) as fh:
+            m = _json.load(fh)
+        fresh = (m.get("total_events") == src_meta["total_events"]
+                 and m.get("max_lsn") == src_meta["max_lsn"])
+    if not fresh:
+        shutil.rmtree(jdir, ignore_errors=True)
+        shutil.rmtree(sdir, ignore_errors=True)
+        write_debezium_jsonl(log, jdir, mysql=True)
+        jsonl_to_segments(jdir, sdir)
+    lake = fresh_lake(sf_dir, "lake_dbz_mysql")
+    run_replication(sdir, lake, num_partitions=16)
+    return final_state(lake, columns=FINAL_COLS)
+
+
 def cdc_op_counts(sf_dir: str):
     """Event counts by op over the raw log (M5/M6 routing sanity)."""
     import ray.data
@@ -1057,6 +1093,7 @@ WHERE o.k_repo IS NULL OR n.k_repo IS NULL OR n.lsn <> o.lsn
             "WHERE rn = 1 AND op <> 'D' AND "
             "md5_number_lower(k_repo || '|' || k_path) % 29 = 0"),
         "cdc_from_debezium_jsonl": final_sql,
+        "cdc_from_debezium_mysql": final_sql,
         "cdc_op_counts": f"""
 SELECT op, count(*) AS n FROM read_parquet('{glob}') GROUP BY op
 """,
@@ -1353,6 +1390,7 @@ CDC_QUERIES = {
     "cdc_point_lookup": cdc_point_lookup,
     "cdc_changefeed": cdc_changefeed,
     "cdc_from_debezium_jsonl": cdc_from_debezium_jsonl,
+    "cdc_from_debezium_mysql": cdc_from_debezium_mysql,
     "cdc_op_counts": cdc_op_counts,
     "cdc_events_per_repo": cdc_events_per_repo,
     "cdc_snapshot_ddl_sequence": cdc_snapshot_ddl_sequence,

@@ -21,6 +21,16 @@ DDL events ride the envelope the way Debezium's schema-change topic does
 (a ``ddl`` block next to ``source``); the structured payload mirrors the
 engine's DDL struct rather than raw SQL text (SURVEY.md §2.3: structured
 DDL by design).
+
+Three source-position shapes are accepted per envelope:
+* a direct integer ``pos`` (the engine's native lsn),
+* MySQL binlog ``file`` + ``pos`` (+ ``row``/``event`` skip counts,
+  ``gtid``/``gtids`` — MySqlConstantOffsetBackingStore.java:39-45) with
+  GTID-preferred tx-id synthesis and the DROP_DATABASE
+  mis-categorization workaround (MySqlRecordConsumer.java:190-195,
+  299-307),
+* SQL-Server composite hex ``change_lsn``/``commit_lsn``
+  (SqlServerOffset.java:33-55).
 """
 
 from __future__ import annotations
@@ -42,12 +52,15 @@ from ..model import (
     PAYLOAD_STRUCT,
     event_log_schema,
 )
-from ..state.offsets import Lsn
+from ..state.offsets import TRX_ID_SEP, Lsn, MySqlOffset
 
 #: engine op -> Debezium envelope op code (public Debezium contract:
 #: c=create, u=update, d=delete, r=snapshot read)
 _TO_DBZ = {OP_INSERT: "c", OP_UPDATE: "u", OP_DELETE: "d"}
 _FROM_DBZ = {"c": OP_INSERT, "r": OP_INSERT, "u": OP_UPDATE, "d": OP_DELETE}
+
+#: deterministic server uuid for MySQL-shaped fixture gtids
+_FIXTURE_SERVER_UUID = "3E11FA47-71CA-11E1-9E33-C80AA9429562"
 
 
 def _split_table(table: str) -> tuple[str, str]:
@@ -56,7 +69,8 @@ def _split_table(table: str) -> tuple[str, str]:
 
 
 def write_debezium_jsonl(log_dir: str, out_dir: str,
-                         composite: bool = False) -> list[str]:
+                         composite: bool = False,
+                         mysql: bool = False) -> list[str]:
     """Export every ``seg-*.parquet`` log segment as a Debezium-envelope
     ``.jsonl`` file (one JSON envelope per line). Interop/fixture writer —
     runs on the driver; sized for test fixtures, not the 10^10 log.
@@ -64,7 +78,17 @@ def write_debezium_jsonl(log_dir: str, out_dir: str,
     ``composite=True`` emits SQL-Server-shaped positions — hex
     ``change_lsn`` / ``commit_lsn`` pairs plus ``snapshot_completed``
     (SqlServerOffset.java:33-55) — instead of the integer ``pos``; the
-    reader maps them back through the Lsn bridge."""
+    reader maps them back through the Lsn bridge.
+
+    ``mysql=True`` emits MySQL-binlog-shaped positions — ``file`` +
+    ``pos`` (+ ``row``/``event`` skip counts and a per-event ``gtid``,
+    MySqlConstantOffsetBackingStore.java:39-45) with NO ``txId``: the
+    reader must synthesize the transaction id GTID-first
+    (MySqlRecordConsumer.java:190-195). The fixture gtid embeds the
+    log's tx_id (``<server-uuid>:<tx_id>``) so tx identity — not just
+    final state — round-trips verifiably."""
+    if composite and mysql:
+        raise ValueError("pick ONE position shape: composite or mysql")
     os.makedirs(out_dir, exist_ok=True)
     out_files = []
     for fname in sorted(os.listdir(log_dir)):
@@ -88,6 +112,19 @@ def write_debezium_jsonl(log_dir: str, out_dir: str,
                         "txId": row["tx_id"],
                         "snapshot": bool(row["is_snapshot"]),
                         "snapshot_completed": not bool(row["is_snapshot"]),
+                        "schema_version": row["schema_version"],
+                    }
+                elif mysql:
+                    off = MySqlOffset.from_int(row["lsn"])
+                    src = {
+                        "db": db,
+                        "table": name,
+                        "file": off.file,
+                        "pos": off.pos,
+                        "row": 0,
+                        "event": 0,
+                        "gtid": f"{_FIXTURE_SERVER_UUID}:{row['tx_id']}",
+                        "snapshot": bool(row["is_snapshot"]),
                         "schema_version": row["schema_version"],
                     }
                 else:
@@ -182,11 +219,24 @@ def _convert_envelopes(batch: pa.Table) -> pa.Table:
                 rows = ddl.to_pylist() if not isinstance(ddl, pa.ChunkedArray) \
                     else ddl.combine_chunks().to_pylist()
                 for i, stmt in enumerate(sql.to_pylist()):
-                    if stmt is not None:
-                        rows[i] = {"op": "SQL",
-                                   "table": (rows[i] or {}).get("table") or "",
-                                   "prev_table": "",
-                                   "payload": json.dumps({"sql": stmt})}
+                    if stmt is None:
+                        continue
+                    cur = rows[i] or {}
+                    # Debezium's AbstractDdlParser#signalDropDatabase bug
+                    # mis-categorizes DROP DATABASE as CREATE_DATABASE;
+                    # re-type from the statement text exactly as the
+                    # reference does (MySqlRecordConsumer.java:299-307)
+                    if (cur.get("op") == "CREATE_DATABASE"
+                            and stmt.lstrip().upper()
+                            .startswith("DROP DATABASE")):
+                        rows[i] = {"op": "DROP_DATABASE",
+                                   "table": cur.get("table") or "",
+                                   "prev_table": "", "payload": "{}"}
+                        continue
+                    rows[i] = {"op": "SQL",
+                               "table": cur.get("table") or "",
+                               "prev_table": "",
+                               "payload": json.dumps({"sql": stmt})}
                 ddl = pa.array(rows, type=DDL_STRUCT)
     is_ddl = pc.is_valid(ddl)
 
@@ -218,6 +268,19 @@ def _convert_envelopes(batch: pa.Table) -> pa.Table:
           else pa.nulls(len(pay), type=pa.int32()))
     lsn = (pc.cast(pc.struct_field(src, "pos"), pa.int64())
            if "pos" in src_names else pa.nulls(len(pay), type=pa.int64()))
+    if "file" in src_names:
+        # MySQL binlog positions: (file, pos) -> the engine's int64 via
+        # the order-preserving bridge (file seq << 32 | pos) — a bare
+        # ``pos`` with no file stays a direct engine lsn (above)
+        fl = pc.struct_field(src, "file")
+        if pc.any(pc.is_valid(fl)).as_py():
+            po = (pc.struct_field(src, "pos").to_pylist()
+                  if "pos" in src_names else [None] * len(pay))
+            ints = pa.array(
+                [MySqlOffset(file=f, pos=p).to_int()
+                 if f is not None and p is not None else None
+                 for f, p in zip(fl.to_pylist(), po)], pa.int64())
+            lsn = pc.if_else(pc.is_valid(ints), ints, lsn)
     if "change_lsn" in src_names:
         # composite SQL-Server positions: change_lsn hex -> the engine's
         # int64 via the byte-order-preserving Lsn bridge
@@ -232,6 +295,25 @@ def _convert_envelopes(batch: pa.Table) -> pa.Table:
             lsn = pc.if_else(pc.is_valid(lsn), lsn, ints)
     tx = (pc.cast(pc.struct_field(src, "txId"), pa.string())
           if "txId" in src_names else pa.nulls(len(pay), type=pa.string()))
+    if "gtid" in src_names or "file" in src_names:
+        # GTID-preferred tx-id synthesis (MySqlRecordConsumer.java:190-195):
+        # the event's gtid when present, else "file:pos" — applied only
+        # where the feed carries no explicit txId
+        gt = (pc.cast(pc.struct_field(src, "gtid"), pa.string())
+              if "gtid" in src_names else pa.nulls(len(pay), pa.string()))
+        tx = pc.if_else(pc.is_valid(tx), tx, gt)
+        if "file" in src_names:
+            fl = pc.fill_null(
+                pc.cast(pc.struct_field(src, "file"), pa.string()), "")
+            po = pc.fill_null(pc.cast(
+                pc.struct_field(src, "pos")
+                if "pos" in src_names else pa.nulls(len(pay)),
+                pa.string()), "")
+            synth = pc.binary_join_element_wise(fl, po, TRX_ID_SEP)
+            has_filepos = pc.not_equal(fl, "")
+            tx = pc.if_else(pc.or_kleene(pc.is_valid(tx),
+                                         pc.invert(has_filepos)),
+                            tx, synth)
     if "commit_lsn" in src_names:
         # SQL Server synthesizes the transaction id from the COMMIT lsn
         # when the feed carries none (SqlServerRecordConsumer.java:205-222)
@@ -276,8 +358,16 @@ def envelope_schema() -> pa.Schema:
         pa.field("db", pa.string()),
         pa.field("table", pa.string()),
         pa.field("pos", pa.int64()),
+        # MySQL binlog positions (MySqlConstantOffsetBackingStore.java:39-45)
+        # — file+pos locate the event; row/event are intra-position skip
+        # counts; gtid/gtids drive GTID-preferred tx-id synthesis
+        pa.field("file", pa.string()),
+        pa.field("row", pa.int64()),
+        pa.field("event", pa.int64()),
+        pa.field("gtid", pa.string()),
+        pa.field("gtids", pa.string()),
         # SQL-Server-shaped composite positions (SqlServerOffset.java:33-55)
-        # — either pos OR change_lsn must be present per envelope
+        # — either pos, file+pos, OR change_lsn must be present per envelope
         pa.field("change_lsn", pa.string()),
         pa.field("commit_lsn", pa.string()),
         pa.field("snapshot_completed", pa.bool_()),

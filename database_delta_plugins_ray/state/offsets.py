@@ -35,6 +35,14 @@ SNAPSHOT_COMPLETED_KEY = "snapshot_completed"
 DDL_EVENT_SENT_KEY = "ddl_event_sent"
 _DELIMITER = ","  # SqlServerOffset.java:34
 
+#: MySQL offset-map keys (MySqlConstantOffsetBackingStore.java:39-45)
+MYSQL_FILE_KEY = "file"
+MYSQL_POS_KEY = "pos"
+MYSQL_ROW_KEY = "row"
+MYSQL_EVENT_KEY = "event"
+MYSQL_GTID_SET_KEY = "gtids"
+TRX_ID_SEP = ":"  # MySqlRecordConsumer.java:53
+
 
 @functools.total_ordering
 class Lsn:
@@ -179,3 +187,130 @@ class CompositeOffset:
             snapshot_completed=snapshot_completed,
             ddl_event_sent=ddl_event_sent,
         )
+
+
+#: binlog file-name template the int64 bridge renders into; the parse
+#: side accepts ANY "<base>.<digits>" name (Debezium/MySQL convention)
+_BINLOG_FILE_FMT = "mysql-bin.{:06d}"
+
+
+def binlog_file_seq(file: str | None) -> int:
+    """Numeric suffix of a binlog file name (``mysql-bin.000042`` -> 42);
+    -1 for a missing/suffix-less name so it sorts below every real file —
+    binlog positions order by (file, pos) and file names within one
+    server differ only in this suffix."""
+    if not file:
+        return -1
+    _, _, suffix = file.rpartition(".")
+    try:
+        return int(suffix)
+    except ValueError:
+        return -1
+
+
+@dataclass(frozen=True)
+class MySqlOffset:
+    """MySQL binlog offset map — the reference's six-field shape
+    (MySqlConstantOffsetBackingStore.java:39-45: file, pos, snapshot,
+    row, event, gtids) with the same string-map serialization the
+    consumer produces (MySqlRecordConsumer.generateCdapOffsets:369-399:
+    stringify present fields, omit absent ones).
+
+    ``row`` / ``event`` are Debezium's intra-position skip counts (rows
+    of the current event / events at the current position already
+    processed), so the resume order is (file, pos, event, row).
+    ``gtids`` is the executed-GTID-set string — carried verbatim for
+    the connector restart config, never parsed here."""
+
+    file: str | None = None
+    pos: int | None = None
+    snapshot: bool = False
+    row: int | None = None
+    event: int | None = None
+    gtids: str | None = None
+
+    # -- ordering ------------------------------------------------------
+
+    def _key(self) -> tuple[int, int, int, int]:
+        return (binlog_file_seq(self.file),
+                -1 if self.pos is None else int(self.pos),
+                0 if self.event is None else int(self.event),
+                0 if self.row is None else int(self.row))
+
+    def is_before_or_at(self, other: "MySqlOffset") -> bool:
+        return self._key() <= other._key()
+
+    def should_skip_on_resume(self, resume: "MySqlOffset") -> bool:
+        """Same replay fence as the composite offset: replayed events
+        at/below the resume position drop, snapshot events re-apply."""
+        return (not self.snapshot) and self.is_before_or_at(resume)
+
+    # -- string-map serialization (generateCdapOffsets:369-399) ---------
+
+    def as_map(self) -> dict[str, str]:
+        out: dict[str, str] = {}
+        if self.file is not None:
+            out[MYSQL_FILE_KEY] = self.file
+        if self.pos is not None:
+            out[MYSQL_POS_KEY] = str(int(self.pos))
+        out[SNAPSHOT_KEY] = "true" if self.snapshot else "false"
+        if self.row is not None:
+            out[MYSQL_ROW_KEY] = str(int(self.row))
+        if self.event is not None:
+            out[MYSQL_EVENT_KEY] = str(int(self.event))
+        if self.gtids is not None:
+            out[MYSQL_GTID_SET_KEY] = self.gtids
+        return out
+
+    @classmethod
+    def from_map(cls, m: dict[str, str]) -> "MySqlOffset":
+        def _i(k):
+            v = m.get(k)
+            return None if v is None else int(v)
+
+        return cls(
+            file=m.get(MYSQL_FILE_KEY),
+            pos=_i(MYSQL_POS_KEY),
+            snapshot=m.get(SNAPSHOT_KEY, "false").lower() == "true",
+            row=_i(MYSQL_ROW_KEY),
+            event=_i(MYSQL_EVENT_KEY),
+            gtids=m.get(MYSQL_GTID_SET_KEY),
+        )
+
+    # -- int64 bridge (the engine's internal ordering) -------------------
+
+    def to_int(self) -> int:
+        """(file seq, pos) packed so integer order == binlog resume
+        order: file sequence in the high 31 bits, pos (< 2^32, the
+        binlog size bound) in the low 32. Missing positions map to -1,
+        below every real offset — mirroring the Lsn NULL rule."""
+        seq = binlog_file_seq(self.file)
+        if seq < 0 or self.pos is None:
+            return -1
+        pos = int(self.pos)
+        if not 0 <= pos < (1 << 32):
+            raise ValueError(f"binlog pos {pos} outside the u32 range")
+        if seq >= (1 << 31):
+            raise ValueError(f"binlog file seq {seq} exceeds 31 bits")
+        return (seq << 32) | pos
+
+    @classmethod
+    def from_int(cls, v: int, *, snapshot: bool = False,
+                 row: int | None = None, event: int | None = None,
+                 gtids: str | None = None) -> "MySqlOffset":
+        if v < 0:
+            raise ValueError("engine lsns are non-negative")
+        return cls(file=_BINLOG_FILE_FMT.format(v >> 32),
+                   pos=v & 0xFFFFFFFF, snapshot=snapshot,
+                   row=row, event=event, gtids=gtids)
+
+
+def mysql_transaction_id(gtid: str | None, file: str | None,
+                         pos: int | None) -> str:
+    """GTID-preferred transaction-id synthesis
+    (MySqlRecordConsumer.java:190-195): the event's gtid when the server
+    runs with GTIDs, else ``file:pos`` — "not really a transaction id,
+    but we don't get an event when a transaction started/ended"."""
+    if gtid:
+        return gtid
+    return f"{file}{TRX_ID_SEP}{pos}"
