@@ -1281,17 +1281,20 @@ def sample_documents_weighted(sf_dir: str):
 
     ds = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
 
-    def n_chars(df: pd.DataFrame) -> np.ndarray:
-        return df["text"].str.len().to_numpy(dtype=np.int64)
+    def n_chars(t: pa.Table) -> np.ndarray:
+        # code-point length, matching both pandas str.len and DuckDB
+        # length() — Arrow-native so the text column never objectifies
+        return (pc.utf8_length(t["text"])
+                .to_numpy(zero_copy_only=False).astype(np.int64))
 
     picked = weighted_hash_sample(
         ds, id_col="doc_id", weight_fn=n_chars, num=1, den=1, denom=1000)
 
-    def project(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": df["doc_id"], "lang": df["lang"],
-                             "n_chars": n_chars(df)})
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "n_chars": pa.array(n_chars(t))})
 
-    return picked.map_batches(project, batch_format="pandas")
+    return picked.map_batches(project, batch_format="pyarrow")
 
 
 def split_documents_train_val_test(sf_dir: str):

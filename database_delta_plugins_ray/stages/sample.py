@@ -74,19 +74,26 @@ def hash_sample(
 
     ``rates`` maps stratum value -> per-mille (when ``denom=1000``)
     keep rate. The rate table is a small broadcast constant captured in
-    the task closure (shipped once per task spec, not per batch)."""
+    the task closure (shipped once per task spec, not per batch).
+
+    Arrow-native: the mask is computed from the two key columns only and
+    applied with ``Table.filter`` — payload columns (document text
+    riding along to later stages) never convert to Python object
+    cells."""
+    import pyarrow as pa
+
     rate_map = dict(rates)
 
-    def keep(df: pd.DataFrame) -> pd.DataFrame:
-        h = md5_u64(df[id_col].to_numpy()) % np.uint64(denom)
-        limit = (
-            df[stratum_col]
-            .map(lambda s: rate_map.get(s, default_rate))
-            .to_numpy(dtype=np.uint64)
-        )
-        return df[h < limit]
+    def keep(t: "pa.Table") -> "pa.Table":
+        h = md5_u64(t[id_col].to_numpy(zero_copy_only=False)) \
+            % np.uint64(denom)
+        strat = t[stratum_col].to_numpy(zero_copy_only=False)
+        codes, uniques = pd.factorize(strat)
+        lim = np.array([rate_map.get(u, default_rate) for u in uniques],
+                       dtype=np.uint64)
+        return t.filter(pa.array(h < lim[codes]))
 
-    return ds.map_batches(keep, batch_format="pandas")
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 def token_budget_mix(
@@ -286,12 +293,17 @@ def weighted_hash_sample(
     mass" shape used to build mixture corpora where long documents
     should carry proportionally more selection weight.
 
-    ``weight_fn(df) -> int64 ndarray`` computes the per-row weight
-    vectorized (e.g. character or token count)."""
+    ``weight_fn(batch) -> int64 ndarray`` computes the per-row weight
+    vectorized from the PYARROW batch (e.g. ``pc.utf8_length`` for a
+    character count) — the stage is Arrow-native end to end, so payload
+    columns pass through ``Table.filter`` without a pandas object
+    copy."""
+    import pyarrow as pa
 
-    def keep(df: pd.DataFrame) -> pd.DataFrame:
-        h = md5_u64(df[id_col].to_numpy()) % np.uint64(denom)
-        w = weight_fn(df).astype(np.int64)
-        return df[h.astype(np.int64) * den < w * num]
+    def keep(t: "pa.Table") -> "pa.Table":
+        h = md5_u64(t[id_col].to_numpy(zero_copy_only=False)) \
+            % np.uint64(denom)
+        w = np.asarray(weight_fn(t), dtype=np.int64)
+        return t.filter(pa.array(h.astype(np.int64) * den < w * num))
 
-    return ds.map_batches(keep, batch_format="pandas")
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -136,8 +136,9 @@ def test_weighted_hash_sample_proportional_and_invariant(ray_session):
                       np.where(np.arange(n) % 3 == 1, 500, 2000)),
     })
 
-    def wfn(d):
-        return d["w"].to_numpy(dtype=np.int64)
+    def wfn(t):
+        # pyarrow batch contract
+        return t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
 
     got = {}
     for nblocks in (1, 7):
