@@ -62,6 +62,7 @@ _GATE_PREFIX = [
     # search / multimodal / exports / pivots / DQ
     "search_documents_bm25", "multimodal_features",
     "export_documents_shards", "export_documents_jsonl",
+    "export_documents_sorted",
     "events_pivot_type_counts", "events_cube_type_hour",
     "dq_expectations",
 ]

@@ -1094,6 +1094,28 @@ def export_documents_jsonl(sf_dir: str, nshards: int = 16):
         .sort_values("shard").reset_index(drop=True))
 
 
+def export_documents_sorted(sf_dir: str, nbuckets: int = 64):
+    """Globally-SORTED export (stages/export.py:export_sorted): range
+    buckets from one min/max pass, ONE bucket shuffle, per-bucket local
+    sort — no global sort barrier. Gated on the manifest's per-file
+    (rows, min, max): the oracle recomputes the deterministic bucket
+    boundaries (width = span // nbuckets + 1, capped at nbuckets-1)
+    from the same doc_id extrema, so a mis-bucketed or mis-ordered key
+    shows up as a count/extrema mismatch."""
+    from ..stages.export import export_sorted
+
+    m = export_sorted(
+        _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
+        _cache_dir(sf_dir, "corpus_sorted"), order_col="doc_id",
+        nbuckets=nbuckets)
+    return (pd.DataFrame(
+        {"bucket": [int(f["file"][5:10]) for f in m["files"]],
+         "n_rows": [np.int64(f["rows"]) for f in m["files"]],
+         "min_id": [np.int64(f["min"]) for f in m["files"]],
+         "max_id": [np.int64(f["max"]) for f in m["files"]]})
+        .sort_values("bucket").reset_index(drop=True))
+
+
 def events_late_data_windows(sf_dir: str,
                              lateness_min: int = 30):
     """Streaming late-data semantics: the watermark at each event is
@@ -3428,6 +3450,27 @@ FROM documents GROUP BY shard ORDER BY shard
 ANALYTICS_ORACLE_SQL["export_documents_jsonl"] = \
     ANALYTICS_ORACLE_SQL["export_documents_shards"]
 
+# recomputes export_sorted's deterministic bucket rule (width =
+# span // nbuckets + 1, bucket capped at nbuckets-1, integer math on
+# doc_id extrema) and the per-bucket count/min/max the manifest records
+ANALYTICS_ORACLE_SQL["export_documents_sorted"] = r"""
+WITH ext AS (
+  SELECT min(doc_id) AS lo,
+         (max(doc_id) - min(doc_id) + 1) // 64 + 1 AS width
+  FROM documents
+),
+b AS (
+  SELECT LEAST(CAST((doc_id - lo) // width AS INTEGER), 63) AS bucket,
+         doc_id
+  FROM documents, ext
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(doc_id) AS min_id,
+       max(doc_id) AS max_id
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
 ANALYTICS_ORACLE_SQL["events_moving_revenue"] = r"""
 SELECT event_id,
        CAST(SUM(CAST(floor(value*100.0 + 0.5) AS BIGINT))
@@ -3976,6 +4019,7 @@ ANALYTICS_QUERIES = {
     "events_moving_revenue": events_moving_revenue,
     "export_documents_shards": export_documents_shards,
     "export_documents_jsonl": export_documents_jsonl,
+    "export_documents_sorted": export_documents_sorted,
     "events_running_value_per_user": events_running_value_per_user,
     "events_row_number": events_row_number,
     "events_lag_revenue": events_lag_revenue,
