@@ -171,9 +171,13 @@ def maintain_view(
         g = (pd.concat(frames, ignore_index=True)
              .groupby(["part", "repo"], sort=False, as_index=False)
              [["rows_d", "chars_d"]].sum())
+        # cast to _empty's exact schema (order, types, NO pandas
+        # metadata) so every block hashes identically — mixed schemas
+        # force Ray's shuffle into its slow unify path and spam
+        # "Failed to hash the schemas" warnings from every reduce task
         return pa.Table.from_pandas(
-            g.astype({"part": np.int32, "rows_d": np.int64,
-                      "chars_d": np.int64}), preserve_index=False)
+            g, preserve_index=False).select(
+            _empty.column_names).cast(_empty.schema)
 
     ds = ray.data.from_items(
         [{"file": f} for f in log_files(log_dir)]
@@ -358,9 +362,10 @@ def maintain_join_view(
         g = (pd.concat(frames, ignore_index=True)
              .groupby(["part", "repo"], sort=False, as_index=False)
              [["a_d", "b_d"]].sum())
+        # cast to _empty's exact schema — see maintain_view's partial
         return pa.Table.from_pandas(
-            g.astype({"part": np.int32, "a_d": np.int64, "b_d": np.int64}),
-            preserve_index=False)
+            g, preserve_index=False).select(
+            _empty.column_names).cast(_empty.schema)
 
     ds = ray.data.from_items(
         [{"file": f} for f in log_files(log_dir)]
