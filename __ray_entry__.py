@@ -35,9 +35,13 @@ _GATE_PREFIX = [
     # TPC-H shapes
     "q1_pricing_summary", "q3_shipping_priority", "q10_returned_items",
     "q18_large_volume_customers", "q5_local_supplier_volume",
+    "q4_order_priority", "q12_priority_by_linestatus",
+    "q22_sales_opportunity", "q7_volume_shipping",
     # joins (as-of, range, anti, right-outer)
     "purchases_asof_last_view", "orders_with_events_in_week",
     "customers_without_events", "customer_order_stats_right",
+    # RAG chunking
+    "chunk_documents_overlap",
     # windows / scans
     "events_latest_per_user", "events_tumbling_window",
     "events_session_windows", "events_running_revenue",

@@ -3956,6 +3956,518 @@ WITH r AS (
 SELECT "rule", CAST(n AS BIGINT) AS n_violations FROM r
 """
 
+
+# ---------------------------------------------------------------------------
+# round-4 TPC-H shapes: semi / anti / disjunctive / two-sided-dim joins
+# ---------------------------------------------------------------------------
+
+Q6_START = "1996-01-01"
+Q6_END = "1997-01-01"
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: revenue delta from a discount-policy change — a
+    pure scan-aggregate. The whole query is ONE projected read (3
+    columns of lineitem leave storage) + a vectorized filter + a
+    per-batch partial sum; the driver folds one float per block."""
+    lo = np.datetime64(Q6_START, "us")
+    hi = np.datetime64(Q6_END, "us")
+    line = _t(sf_dir, "lineitem",
+              ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(lo.item())),
+                pc.less(t["l_shipdate"], pa.scalar(hi.item())),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                    pc.less_equal(t["l_discount"], pa.scalar(0.07)),
+                ),
+                pc.less(t["l_quantity"], pa.scalar(24.0)),
+            ),
+        )
+        t = t.filter(m)
+        rev = pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"]))
+        v = rev.as_py() or 0.0
+        return pa.table({"rev": pa.array([v], pa.float64())})
+
+    parts = line.map_batches(partial, batch_format="pyarrow").take_all()
+    return pd.DataFrame(
+        {"revenue": [round(sum(r["rev"] for r in parts), 2)]})
+
+
+Q4_START = "1996-04-01"
+Q4_END = "1996-07-01"
+
+
+def q4_order_priority(sf_dir: str):
+    """TPC-H Q4 shape: order count per priority where EXISTS a matching
+    lineitem (returned flag stands in for the missing commit/receipt
+    dates in this fixture). Exercises the distributed SEMI join: the
+    EXISTS side collapses to per-batch-unique keys BEFORE the shuffle
+    (the semi path ships key columns only), and the per-priority count
+    runs as a ``post=`` partial inside each join partition — the driver
+    folds ≤ nparts × 5 rows."""
+    from ..stages.join import shuffle_hash_join
+
+    lo = np.datetime64(Q4_START, "us")
+    hi = np.datetime64(Q4_END, "us")
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def o_filter(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo.item())),
+            pc.less(t["o_orderdate"], pa.scalar(hi.item())),
+        )
+        return t.filter(m).select(["o_orderkey", "o_orderpriority"])
+
+    line = _t(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+
+    def l_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], pa.scalar("R")))
+        k = pc.unique(t["l_orderkey"])
+        return pa.table({"o_orderkey": k})
+
+    def count_partial(j: pd.DataFrame) -> pd.DataFrame:
+        g = (j.groupby("o_orderpriority").size()
+             .rename("order_count").reset_index())
+        return g
+
+    j = shuffle_hash_join(
+        orders.map_batches(o_filter, batch_format="pyarrow"),
+        line.map_batches(l_keys, batch_format="pyarrow"),
+        on="o_orderkey", how="semi", post=count_partial)
+    df = j.to_pandas()  # <= nparts x |priorities| partial rows
+    out = (df.groupby("o_orderpriority", as_index=False)["order_count"]
+           .sum())
+    out["order_count"] = out["order_count"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+Q12_START = "1996-01-01"
+Q12_END = "1997-01-01"
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q12_priority_by_linestatus(sf_dir: str):
+    """TPC-H Q12 shape: conditional counts after a LARGE x LARGE join
+    (linestatus stands in for the missing shipmode column). lineitem
+    pre-aggregates per (orderkey, linestatus) inside map_batches, the
+    high/low CASE split and the per-linestatus rollup run as ``post=``
+    inside the join partitions — only ≤ nparts × 2 partial rows reach
+    the driver."""
+    from ..stages.join import shuffle_hash_join
+
+    lo = np.datetime64(Q12_START, "us")
+    hi = np.datetime64(Q12_END, "us")
+    line = _t(sf_dir, "lineitem",
+              ["l_orderkey", "l_linestatus", "l_shipdate"])
+
+    def l_partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(lo.item())),
+            pc.less(t["l_shipdate"], pa.scalar(hi.item())),
+        )
+        t = t.filter(m)
+        df = pd.DataFrame({
+            "o_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+            "l_linestatus": t["l_linestatus"].to_pandas(),
+        }).groupby(["o_orderkey", "l_linestatus"], as_index=False).size()
+        return pa.Table.from_pandas(
+            df.rename(columns={"size": "n"}), preserve_index=False)
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def split_partial(j: pd.DataFrame) -> pd.DataFrame:
+        high = j["o_orderpriority"].isin(Q12_HIGH).to_numpy()
+        n = j["n"].to_numpy()
+        j = j.assign(high_line_count=np.where(high, n, 0),
+                     low_line_count=np.where(high, 0, n))
+        return (j.groupby("l_linestatus", as_index=False)
+                [["high_line_count", "low_line_count"]].sum())
+
+    j = shuffle_hash_join(
+        line.map_batches(l_partial, batch_format="pyarrow"),
+        orders, on="o_orderkey", post=split_partial)
+    df = j.to_pandas()
+    out = (df.groupby("l_linestatus", as_index=False)
+           [["high_line_count", "low_line_count"]].sum())
+    out["high_line_count"] = out["high_line_count"].astype("int64")
+    out["low_line_count"] = out["low_line_count"].astype("int64")
+    return out.sort_values("l_linestatus").reset_index(drop=True)
+
+
+Q19_RULES = (
+    ("Brand#3", 1, 5, 1.0, 11.0),
+    ("Brand#15", 1, 10, 10.0, 20.0),
+    ("Brand#24", 1, 15, 20.0, 30.0),
+)
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape: revenue under a DISJUNCTION of brand/size/qty
+    rules — the classic case where predicate pushdown can't prune and
+    the join must evaluate OR-of-ANDs. part is broadcast ONCE via
+    ``ray.put`` as three sorted-by-partkey arrays; each lineitem batch
+    resolves brand/size by binary search and evaluates all three rules
+    vectorized. One float partial per batch reaches the driver."""
+    import ray
+
+    part = pq_read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    pk = part["p_partkey"].to_numpy()
+    order_ = np.argsort(pk)
+    part_ref = ray.put((
+        pk[order_],
+        part["p_brand"].to_numpy(zero_copy_only=False)[order_],
+        part["p_size"].to_numpy()[order_],
+    ))
+
+    line = _t(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pks, pb, ps = ray.get(part_ref)
+        lpk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(pks, lpk), len(pks) - 1)
+        valid = pks[idx] == lpk
+        b, s = pb[idx], ps[idx]
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(lpk), dtype=bool)
+        for brand, slo, shi, qlo, qhi in Q19_RULES:
+            keep |= ((b == brand) & (s >= slo) & (s <= shi)
+                     & (q >= qlo) & (q <= qhi))
+        keep &= valid
+        rev = (t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+               * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)[keep]))
+        return pa.table({"rev": pa.array([float(rev.sum())], pa.float64())})
+
+    parts = line.map_batches(partial, batch_format="pyarrow").take_all()
+    return pd.DataFrame(
+        {"revenue": [round(sum(r["rev"] for r in parts), 2)]})
+
+
+Q22_CUTOFF = "1999-01-01"
+
+
+def q22_sales_opportunity(sf_dir: str):
+    """TPC-H Q22 shape: rich LAPSED customers — above-average balance
+    with NO orders since a cutoff — grouped by nation (the fixture has
+    no phone column, and every customer has *some* order, so the
+    existence test is windowed to stay non-trivial). Exercises the
+    distributed ANTI join plus a broadcast scalar subquery. The balance
+    threshold is computed in EXACT integer cents (per-batch (sum, count)
+    partials; the compare is ``cents * n > sum_cents`` so no float
+    sum-order can flip a boundary row — the DuckDB oracle uses the
+    identical integer rule). The orders side collapses to
+    per-batch-unique custkeys before the shuffle; the per-nation rollup
+    runs inside the join partitions."""
+    from ..stages.join import shuffle_hash_join
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        pos = cents > 0
+        return pa.table({
+            "s": pa.array([int(cents[pos].sum())], pa.int64()),
+            "n": pa.array([int(pos.sum())], pa.int64()),
+        })
+
+    parts = cust.map_batches(bal_partial, batch_format="pyarrow").take_all()
+    sum_cents = sum(r["s"] for r in parts)
+    n_pos = sum(r["n"] for r in parts)
+
+    def c_filter(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        keep = cents * n_pos > sum_cents  # c_acctbal > avg, exactly
+        return t.filter(pa.array(keep))
+
+    cutoff = np.datetime64(Q22_CUTOFF, "us")
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def o_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(cutoff.item())))
+        return pa.table({"c_custkey": pc.unique(t["o_custkey"])})
+
+    def nation_partial(j: pd.DataFrame) -> pd.DataFrame:
+        if j.empty:
+            return pd.DataFrame({
+                "c_nationkey": pd.Series([], dtype="int64"),
+                "numcust": pd.Series([], dtype="int64"),
+                "bal_cents": pd.Series([], dtype="int64"),
+            })
+        cents = np.floor(j["c_acctbal"].to_numpy() * 100.0 + 0.5)
+        j = j.assign(bal_cents=cents.astype(np.int64),
+                     c_nationkey=j["c_nationkey"].astype("int64"))
+        g = (j.groupby("c_nationkey", as_index=False)
+             .agg(numcust=("c_custkey", "size"),
+                  bal_cents=("bal_cents", "sum")))
+        return g
+
+    j = shuffle_hash_join(
+        cust.map_batches(c_filter, batch_format="pyarrow"),
+        orders.map_batches(o_keys, batch_format="pyarrow"),
+        on="c_custkey", how="anti", post=nation_partial)
+    df = j.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"c_nationkey": pd.Series([], dtype="int64"),
+                             "numcust": pd.Series([], dtype="int64"),
+                             "totacctbal": pd.Series([], dtype="float64")})
+    out = (df.groupby("c_nationkey", as_index=False)
+           .agg(numcust=("numcust", "sum"), bal_cents=("bal_cents", "sum")))
+    out["c_nationkey"] = out["c_nationkey"].astype("int64")
+    out["numcust"] = out["numcust"].astype("int64")
+    out["totacctbal"] = (out["bal_cents"] / 100.0).round(2)
+    return (out[["c_nationkey", "numcust", "totacctbal"]]
+            .sort_values("c_nationkey").reset_index(drop=True))
+
+
+Q7_NATIONS = (11, 20)
+
+
+def q7_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape: yearly trade volume between two nations, where
+    the nation is resolved on BOTH sides of the fact table (supplier's
+    via a broadcast lookup inside the lineitem scan, customer's via a
+    shuffle join through orders). Two chained shuffle joins total; the
+    (supp_nation, cust_nation, year) rollup runs inside join #2's
+    partitions so the driver folds ≤ nparts × 2 × years rows."""
+    import ray
+
+    from ..stages.join import shuffle_hash_join
+
+    nation = pq_read(sf_dir, "nation")
+    nname = dict(zip(nation["n_nationkey"].to_pylist(),
+                     nation["n_name"].to_pylist()))
+    n1, n2 = Q7_NATIONS
+
+    supp = pq_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    sk = supp["s_suppkey"].to_numpy()
+    order_ = np.argsort(sk)
+    supp_ref = ray.put((sk[order_], supp["s_nationkey"].to_numpy()[order_]))
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def c_filter(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["c_nationkey"],
+                     value_set=pa.array([n1, n2], pa.int64()))
+        return t.filter(m)
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def o_project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"c_custkey": t["o_custkey"], "o_orderkey": t["o_orderkey"]})
+
+    j1 = shuffle_hash_join(
+        orders.map_batches(o_project, batch_format="pyarrow"),
+        cust.map_batches(c_filter, batch_format="pyarrow"),
+        on="c_custkey", prefilter=True)
+
+    def drop_key(t: pa.Table) -> pa.Table:
+        return t.select(["o_orderkey", "c_nationkey"])
+
+    line = _t(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_shipdate",
+               "l_extendedprice", "l_discount"])
+
+    def l_partial(t: pa.Table) -> pa.Table:
+        sk_s, sn_s = ray.get(supp_ref)
+        suppkey = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(sk_s, suppkey), len(sk_s) - 1)
+        snat = sn_s[idx]
+        keep = (sk_s[idx] == suppkey) & ((snat == n1) | (snat == n2))
+        rev = (t["l_extendedprice"].to_numpy(zero_copy_only=False)
+               * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)))
+        years = (t["l_shipdate"].to_pandas().dt.year.to_numpy()
+                 .astype(np.int64))
+        df = pd.DataFrame({
+            "o_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False)[keep],
+            "s_nationkey": snat[keep],
+            "l_year": years[keep],
+            "rev": rev[keep],
+        }).groupby(["o_orderkey", "s_nationkey", "l_year"],
+                   as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def volume_partial(j: pd.DataFrame) -> pd.DataFrame:
+        j = j[((j["s_nationkey"] == n1) & (j["c_nationkey"] == n2))
+              | ((j["s_nationkey"] == n2) & (j["c_nationkey"] == n1))]
+        return (j.groupby(["s_nationkey", "c_nationkey", "l_year"],
+                          as_index=False)["rev"].sum())
+
+    j2 = shuffle_hash_join(
+        j1.map_batches(drop_key, batch_format="pyarrow"),
+        line.map_batches(l_partial, batch_format="pyarrow"),
+        on="o_orderkey", post=volume_partial)
+    df = j2.to_pandas()
+    g = (df.groupby(["s_nationkey", "c_nationkey", "l_year"],
+                    as_index=False)["rev"].sum())
+    g["supp_nation"] = g["s_nationkey"].map(nname)
+    g["cust_nation"] = g["c_nationkey"].map(nname)
+    g["revenue"] = g["rev"].round(2)
+    # the join's empty-partition prototype nullable-ifies carried ints
+    g["l_year"] = g["l_year"].astype("int64")
+    return (g[["supp_nation", "cust_nation", "l_year", "revenue"]]
+            .sort_values(["supp_nation", "cust_nation", "l_year"])
+            .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# RAG-style document chunking (fixed token window + overlap)
+# ---------------------------------------------------------------------------
+
+CHUNK_W = 64   # tokens per chunk
+CHUNK_S = 48   # stride (overlap = CHUNK_W - CHUNK_S)
+
+
+def chunk_documents_overlap(sf_dir: str):
+    """Chunk every document into fixed-size whitespace-token windows
+    with overlap (the RAG indexing prep step): window=64 tokens,
+    stride=48 (16-token overlap), last chunk may be short, empty docs
+    emit nothing. Chunk ids and md5s are position-deterministic, so the
+    output is stable across parallelism/resume. Pure map_batches — one
+    pass, no shuffle; each output row carries only the chunk's hash +
+    counters (the chunk text itself would be re-derivable and is left
+    out to keep the exchange payload-light)."""
+    import hashlib
+    import re
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    ws = re.compile(r"[ \t\n\f\r]+")
+
+    def chunk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        out_id, out_ck, out_n, out_md5 = [], [], [], []
+        for d, tx in zip(ids, texts):
+            toks = [w for w in ws.split(tx or "") if w]
+            n = len(toks)
+            if n == 0:
+                continue
+            nck = 1 if n <= CHUNK_W else 1 + -(-(n - CHUNK_W) // CHUNK_S)
+            for k in range(nck):
+                seg = toks[k * CHUNK_S: k * CHUNK_S + CHUNK_W]
+                out_id.append(d)
+                out_ck.append(k)
+                out_n.append(len(seg))
+                out_md5.append(
+                    hashlib.md5(" ".join(seg).encode()).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(out_id, t.schema.field("doc_id").type),
+            "chunk_id": pa.array(out_ck, pa.int64()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+            "chunk_md5": pa.array(out_md5, pa.string()),
+        })
+
+    return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+ANALYTICS_ORACLE_SQL["q6_forecast_revenue"] = f"""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= '{Q6_START}' AND l_shipdate < '{Q6_END}'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+ANALYTICS_ORACLE_SQL["q4_order_priority"] = f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= '{Q4_START}' AND o_orderdate < '{Q4_END}'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+ANALYTICS_ORACLE_SQL["q12_priority_by_linestatus"] = f"""
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= '{Q12_START}' AND l_shipdate < '{Q12_END}'
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+ANALYTICS_ORACLE_SQL["q19_disjunctive_revenue"] = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+# the threshold compare is in exact integer cents on BOTH sides:
+# cents(c_acctbal) * n_pos > sum_cents  <=>  c_acctbal > avg(positive)
+ANALYTICS_ORACLE_SQL["q22_sales_opportunity"] = f"""
+WITH a AS (
+  SELECT sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS sc,
+         count(*) AS n
+  FROM customer WHERE floor(c_acctbal * 100 + 0.5) > 0
+)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       count(*) AS numcust,
+       round(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0, 2)
+         AS totacctbal
+FROM customer, a
+WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * a.n > a.sc
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= '{Q22_CUTOFF}')
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+ANALYTICS_ORACLE_SQL["q7_volume_shipping"] = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (s_nationkey = {Q7_NATIONS[0]} AND c_nationkey = {Q7_NATIONS[1]})
+   OR (s_nationkey = {Q7_NATIONS[1]} AND c_nationkey = {Q7_NATIONS[0]})
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+# tokenization rule shared with the Ray side: split on ASCII whitespace,
+# drop empties; chunk k covers tokens [k*48+1, k*48+64] (1-based)
+ANALYTICS_ORACLE_SQL["chunk_documents_overlap"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), nn AS (
+  SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+), ck AS (
+  SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+         t[k * {CHUNK_S} + 1 : least(k * {CHUNK_S} + {CHUNK_W}, n)] AS seg
+  FROM nn, LATERAL (
+    SELECT unnest(range(CASE WHEN n <= {CHUNK_W} THEN 1
+                             ELSE 1 + ((n - {CHUNK_W} + {CHUNK_S} - 1)
+                                       // {CHUNK_S}) END)) AS k)
+)
+SELECT doc_id, chunk_id, CAST(len(seg) AS BIGINT) AS n_tokens,
+       md5(array_to_string(seg, ' ')) AS chunk_md5
+FROM ck
+"""
+
 ANALYTICS_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "events_latest_per_user": events_latest_per_user,
@@ -4046,6 +4558,13 @@ ANALYTICS_QUERIES = {
     "promo_revenue_monthly": promo_revenue_monthly,
     "normalize_text_documents": normalize_text_documents,
     "dq_expectations": dq_expectations,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q4_order_priority": q4_order_priority,
+    "q12_priority_by_linestatus": q12_priority_by_linestatus,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q22_sales_opportunity": q22_sales_opportunity,
+    "q7_volume_shipping": q7_volume_shipping,
+    "chunk_documents_overlap": chunk_documents_overlap,
 }
 
 #: subset timed by bench.py at sf0.1
