@@ -533,18 +533,17 @@ def quality_scores_documents(sf_dir: str):
     """Per-document quality features + composite score. Rows-only."""
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
 
-    class Scorer:
-        def __init__(self):
-            from ..functions import text as textmod
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        # stateless task: regexes compile at module import, once per
+        # worker PROCESS (sys.modules caches it) — an actor pool would
+        # only cap parallelism
+        from ..functions import text as textmod
 
-            self.mod = textmod  # regexes compiled at import, held per actor
+        out = textmod.quality_scores(df["text"])
+        out.insert(0, "doc_id", df["doc_id"].to_numpy())
+        return out
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            out = self.mod.quality_scores(df["text"])
-            out.insert(0, "doc_id", df["doc_id"].to_numpy())
-            return out
-
-    return ds.map_batches(Scorer, batch_format="pandas", concurrency=2)
+    return ds.map_batches(score, batch_format="pandas")
 
 
 def compression_ratio_documents(sf_dir: str):
@@ -554,18 +553,14 @@ def compression_ratio_documents(sf_dir: str):
     are pinned by ``tests/test_corpus_quality.py`` against direct zlib."""
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
 
-    class Scorer:
-        def __init__(self):
-            from ..functions import text as textmod
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions import text as textmod
 
-            self.mod = textmod
+        out = textmod.compression_stats(df["text"])
+        out.insert(0, "doc_id", df["doc_id"].to_numpy())
+        return out
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            out = self.mod.compression_stats(df["text"])
-            out.insert(0, "doc_id", df["doc_id"].to_numpy())
-            return out
-
-    return ds.map_batches(Scorer, batch_format="pandas", concurrency=2)
+    return ds.map_batches(score, batch_format="pandas")
 
 
 def dedup_minhash_documents(sf_dir: str):
@@ -1987,29 +1982,25 @@ def corpus_report_documents(sf_dir: str):
     proving the fusion changes nothing."""
     ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
 
-    class Fused:
-        def __init__(self):
-            from ..functions import text as textmod
+    def fused(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions import text as textmod
 
-            self.mod = textmod  # compiled regexes held per actor
+        texts = df["text"].reset_index(drop=True)
+        q = textmod.quality_scores(texts)
+        r = textmod.repetition_stats(texts)
+        pred = textmod.lang_id(texts)
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "lang": df["lang"].to_numpy(),
+            "lang_pred": pred.to_numpy(),
+        })
+        out["quality_score"] = q["quality_score"].to_numpy()
+        for c in ("n_tokens", "top_token_n", "n_bigrams",
+                  "dup_bigram_n", "flagged"):
+            out[c] = r[c].to_numpy()
+        return out
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            texts = df["text"].reset_index(drop=True)
-            q = self.mod.quality_scores(texts)
-            r = self.mod.repetition_stats(texts)
-            pred = self.mod.lang_id(texts)
-            out = pd.DataFrame({
-                "doc_id": df["doc_id"].to_numpy(),
-                "lang": df["lang"].to_numpy(),
-                "lang_pred": pred.to_numpy(),
-            })
-            out["quality_score"] = q["quality_score"].to_numpy()
-            for c in ("n_tokens", "top_token_n", "n_bigrams",
-                      "dup_bigram_n", "flagged"):
-                out[c] = r[c].to_numpy()
-            return out
-
-    return ds.map_batches(Fused, batch_format="pandas", concurrency=2)
+    return ds.map_batches(fused, batch_format="pandas")
 
 
 def heavy_hitters_tokens(sf_dir: str, capacity: int = 64, topn: int = 10):
@@ -2163,29 +2154,25 @@ def corpus_prep_pipeline(sf_dir: str, min_quality: float = 0.5,
     ds = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
     nparts = 64
 
-    class Prep:
-        def __init__(self):
-            from ..functions import text as textmod
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions import text as textmod
 
-            self.mod = textmod
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            q = self.mod.quality_scores(df["text"])
-            vals = df["text"].to_numpy()
-            md5s = np.fromiter(
-                (_hl.md5(s.encode()).hexdigest() for s in vals),
-                dtype="<U32", count=len(vals))
-            out = pd.DataFrame({
-                "doc_id": df["doc_id"].to_numpy(),
-                "lang": df["lang"].to_numpy(),
-                "n_chars": q["n_chars"].to_numpy(),
-                "quality_score": q["quality_score"].to_numpy(),
-                "text_md5": md5s,
-            })
-            out = out[out["quality_score"] >= min_quality]
-            h = pd.util.hash_array(out["text_md5"].to_numpy())
-            out["part"] = (h % np.uint64(nparts)).astype(np.int32)
-            return out
+        q = textmod.quality_scores(df["text"])
+        vals = df["text"].to_numpy()
+        md5s = np.fromiter(
+            (_hl.md5(s.encode()).hexdigest() for s in vals),
+            dtype="<U32", count=len(vals))
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "lang": df["lang"].to_numpy(),
+            "n_chars": q["n_chars"].to_numpy(),
+            "quality_score": q["quality_score"].to_numpy(),
+            "text_md5": md5s,
+        })
+        out = out[out["quality_score"] >= min_quality]
+        h = pd.util.hash_array(out["text_md5"].to_numpy())
+        out["part"] = (h % np.uint64(nparts)).astype(np.int32)
+        return out
 
     def dedup_and_sample(g: pd.DataFrame) -> pd.DataFrame:
         surv = (g.sort_values("doc_id")
@@ -2195,7 +2182,7 @@ def corpus_prep_pipeline(sf_dir: str, min_quality: float = 0.5,
         return surv.loc[keep, ["doc_id", "lang", "n_chars",
                                "quality_score"]]
 
-    return (ds.map_batches(Prep, batch_format="pandas", concurrency=2)
+    return (ds.map_batches(prep, batch_format="pandas")
             .groupby("part")
             .map_groups(dedup_and_sample, batch_format="pandas"))
 

@@ -80,9 +80,13 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
 
 
 class MinHasher:
-    """Actor-pool stage: shingles + minhash signature per document; emits
+    """Per-batch stage: shingles + minhash signature per document; emits
     exploded (part, band, band_hash, id[, sig]) rows for the bucket
-    shuffle. Permutation params are built ONCE per actor.
+    shuffle. Runs as a STATELESS task pool by default — the only state
+    (two ``num_perm``-long permutation arrays) rebuilds in microseconds,
+    so an actor pool would cost more in spin-up latency than the state
+    saves; pass ``concurrency=N`` upstream to pin an actor pool anyway
+    (e.g. under a tight memory budget).
 
     Scale note: with ``emit_sigs=False`` (the candidate-route default)
     the exchange ships 24-byte id rows only; signatures are recomputed
@@ -267,7 +271,7 @@ def minhash_candidate_pairs(
     ngram: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    concurrency: int = 4,
+    concurrency: int | None = None,
     nparts: int = 64,
     dedup: bool = True,
 ) -> "ray.data.Dataset":
@@ -277,16 +281,23 @@ def minhash_candidate_pairs(
     per-band signature copies). Verification composes downstream
     (signature-estimated via minhash_lsh_pairs, or exact via the ngram
     route's shingle semi-join)."""
-    exploded = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(
-            num_perm=num_perm, bands=bands, ngram=ngram,
-            text_col=text_col, id_col=id_col, emit_sigs=False,
-            nparts=nparts,
-        ),
-        batch_format="pandas",
-        concurrency=concurrency,
-    )
+    mh_kwargs = dict(num_perm=num_perm, bands=bands, ngram=ngram,
+                     text_col=text_col, id_col=id_col, emit_sigs=False,
+                     nparts=nparts)
+    if concurrency is None:
+        # stateless task pool: params rebuild per batch in microseconds,
+        # every CPU slot participates, no actor spin-up on cold runs
+        def _mh(batch: pd.DataFrame) -> pd.DataFrame:
+            return MinHasher(**mh_kwargs)(batch)
+
+        exploded = ds.map_batches(_mh, batch_format="pandas")
+    else:
+        exploded = ds.map_batches(
+            MinHasher,
+            fn_constructor_kwargs=mh_kwargs,
+            batch_format="pandas",
+            concurrency=concurrency,
+        )
 
     def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
         # singleton buckets (the vast majority) exit via one vectorized
@@ -327,7 +338,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     text_col: str = "text",
     id_col: str = "doc_id",
-    concurrency: int = 4,
+    concurrency: int | None = None,
     nparts: int = 64,
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs via MinHash-LSH: shingle -> minhash -> band ->
