@@ -663,6 +663,24 @@ def ann_topk_ivf_q(sf_dir: str):
     return df
 
 
+def ann_topk_pq_q(sf_dir: str):
+    """Product-quantization + exact-rerank top-10 over the persisted
+    8-byte-codes index — the bandwidth scale path (32x lighter
+    exhaustive scan than float32; see stages/similarity.py:PQDiskIndex).
+    Rows-only; recall vs brute gated in pytest."""
+    from ..stages.similarity import ann_topk_pq
+
+    idx_dir = _cache_dir(sf_dir, "pq_index")
+    df = ann_topk_pq(
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        _query_vec(sf_dir), k=10, index_dir=idx_dir,
+        source_tag=_source_fingerprint(
+            os.path.join(sf_dir, "embeddings.parquet")),
+    )
+    df["score"] = df["score"].round(5)
+    return df
+
+
 def ann_topk_int8_q(sf_dir: str):
     """Quantized (int8) brute-force top-10 — the 4x-bandwidth exhaustive
     scan; rows-only, overlap vs exact gated in pytest."""
@@ -4483,6 +4501,7 @@ ANALYTICS_QUERIES = {
     "ann_topk_ivf": ann_topk_ivf_q,
     "ann_topk_lsh": ann_topk_lsh_q,
     "ann_topk_int8": ann_topk_int8_q,
+    "ann_topk_pq": ann_topk_pq_q,
     "multimodal_features": multimodal_features,
     "sample_documents_deterministic": sample_documents_deterministic,
     "sample_documents_weighted": sample_documents_weighted,

@@ -487,3 +487,205 @@ def ann_topk_ivf(
             vec_col=vec_col, id_col=id_col, seed=seed, source_tag=source_tag,
         )
     return index.search(query, k, nprobe=nprobe, vec_col=vec_col, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the BANDWIDTH scale path
+# ---------------------------------------------------------------------------
+
+
+class PQCodebooks:
+    """Per-subspace k-means codebooks for product quantization: d dims
+    split into ``m`` subspaces, each quantized to one of ``k`` centroids,
+    so a vector stores as ``m`` uint8 codes (8 bytes at m=8) instead of
+    d float32s (256 bytes at d=64) — a 32x smaller exhaustive scan.
+    Scores come from asymmetric distance computation (ADC): the query
+    stays exact; score = sum over subspaces of (q_sub . centroid[code]),
+    one (m, k) lookup table per query (Jegou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011)."""
+
+    def __init__(self, books: np.ndarray):
+        self.books = books.astype(np.float32)  # (m, k, dsub)
+
+    @classmethod
+    def train(cls, sample: np.ndarray, m: int = 8, k: int = 256,
+              iters: int = 8, seed: int = 1) -> "PQCodebooks":
+        x = _unit(sample.astype(np.float32))
+        d = x.shape[1]
+        if d % m:
+            raise ValueError(f"dim {d} not divisible by m={m}")
+        dsub = d // m
+        rng = np.random.default_rng(seed)
+        books = np.zeros((m, k, dsub), np.float32)
+        for mi in range(m):
+            xs = x[:, mi * dsub:(mi + 1) * dsub]
+            kk = min(k, len(xs))
+            c = xs[rng.choice(len(xs), size=kk, replace=False)].copy()
+            for _ in range(iters):
+                d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+                assign = d2.argmin(axis=1)
+                for j in range(kk):
+                    mask = assign == j
+                    if mask.any():
+                        c[j] = xs[mask].mean(axis=0)
+            books[mi, :kk] = c
+        return cls(books)
+
+    def encode(self, x: np.ndarray) -> np.ndarray:
+        """Unit-normalized (n, d) -> (n, m) uint8 codes."""
+        x = _unit(x.astype(np.float32))
+        m, _k, dsub = self.books.shape
+        codes = np.empty((len(x), m), np.uint8)
+        for mi in range(m):
+            xs = x[:, mi * dsub:(mi + 1) * dsub]
+            d2 = ((xs[:, None, :] - self.books[mi][None, :, :]) ** 2).sum(-1)
+            codes[:, mi] = d2.argmin(axis=1).astype(np.uint8)
+        return codes
+
+    def lut(self, q: np.ndarray) -> np.ndarray:
+        """Query (d,) -> ADC lookup table (m, k) of inner products."""
+        q = _unit(q.reshape(1, -1).astype(np.float32))[0]
+        m, k, dsub = self.books.shape
+        return np.einsum(
+            "mkd,md->mk", self.books, q.reshape(m, dsub)).astype(np.float32)
+
+
+class PQDiskIndex:
+    """Persisted flat-PQ index: ONE encode pass writes (id, m uint8
+    codes) Parquet; every search is an exhaustive but 32x-lighter ADC
+    scan (map_batches over the codes table with a broadcast LUT,
+    per-batch partial top-c) followed by an exact RERANK of the top
+    ``rerank_mult * k`` candidates against the original vectors — the
+    standard PQ + rerank shape. Unlike IVF/LSH (pruned IO, recall set
+    by nprobe), PQ reads everything but ships almost nothing: the scan
+    payload at 10^9 x 64-dim drops from 256 GB to 8 GB, and no bucket
+    skew / no training drift (codebooks are per-subspace, not global
+    clusters). Atomic tmp-dir + rename build, source_tag invalidation —
+    same contract as IVFDiskIndex."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.books = PQCodebooks(
+            np.load(os.path.join(index_dir, "codebooks.npy")))
+
+    @classmethod
+    def build(
+        cls,
+        ds: "ray.data.Dataset",
+        index_dir: str,
+        *,
+        m: int = 8,
+        k: int = 256,
+        sample_size: int = 2048,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        seed: int = 1,
+        source_tag: str = "",
+    ) -> "PQDiskIndex":
+        import shutil
+
+        sample = _as_matrix(
+            pd.DataFrame(ds.limit(sample_size).take_all())[vec_col])
+        books = PQCodebooks.train(sample, m=m, k=k, seed=seed)
+        b_ref = ray.put(books.books)
+
+        def enc(df: pd.DataFrame) -> pd.DataFrame:
+            bk = PQCodebooks(ray.get(b_ref))
+            codes = bk.encode(_as_matrix(df[vec_col]))
+            return pd.DataFrame({
+                id_col: df[id_col].to_numpy(),
+                "codes": list(codes),  # list<uint8> column, m bytes/row
+            })
+
+        tmp_dir = index_dir + f".tmp.{os.getpid()}"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        os.makedirs(tmp_dir, exist_ok=True)
+        ds.map_batches(enc, batch_format="pandas").write_parquet(
+            os.path.join(tmp_dir, "codes"))
+        np.save(os.path.join(tmp_dir, "codebooks.npy"), books.books)
+        if source_tag:
+            with open(os.path.join(tmp_dir, "source.txt"), "w") as fh:
+                fh.write(source_tag)
+        shutil.rmtree(index_dir, ignore_errors=True)
+        os.rename(tmp_dir, index_dir)
+        return cls(index_dir)
+
+    def search(
+        self,
+        query: np.ndarray,
+        k: int = 10,
+        *,
+        rerank_mult: int = 8,
+        rerank_ds: "ray.data.Dataset | None" = None,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> pd.DataFrame:
+        lut = self.books.lut(query)
+        lut_ref = ray.put(lut)
+        c = max(k, k * rerank_mult)
+        marange = np.arange(lut.shape[0])
+
+        def adc_partial(df: pd.DataFrame) -> pd.DataFrame:
+            tbl = ray.get(lut_ref)
+            codes = np.stack(df["codes"].to_numpy()).astype(np.int64)
+            scores = tbl[marange, codes].sum(axis=1).astype(np.float64)
+            top = min(c, len(scores))
+            idx = (np.argpartition(-scores, top - 1)[:top]
+                   if len(scores) > top else np.arange(len(scores)))
+            return pd.DataFrame({id_col: df[id_col].to_numpy()[idx],
+                                 "score": scores[idx]})
+
+        codes_ds = ray.data.read_parquet(
+            os.path.join(self.index_dir, "codes"))
+        partials = codes_ds.map_batches(
+            adc_partial, batch_format="pandas").take_all()
+        rows = [(r[id_col], r["score"]) for r in partials]
+        cand = heapq.nsmallest(c, rows, key=lambda t: (-t[1], t[0]))
+        if rerank_ds is None:
+            return pd.DataFrame(cand[:k], columns=[id_col, "score"])
+        # exact rerank: the candidate id set broadcasts once; only the
+        # candidates' exact vectors are scored (a brute top-k over a
+        # dataset pre-filtered to c rows)
+        ids = pa.array([t[0] for t in cand])
+        id_ref = ray.put(ids)
+
+        def keep_cand(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.is_in(t[id_col], value_set=ray.get(id_ref)))
+
+        sub = rerank_ds.map_batches(keep_cand, batch_format="pyarrow")
+        return ann_topk_bruteforce(sub, query, k,
+                                   vec_col=vec_col, id_col=id_col)
+
+
+def ann_topk_pq(
+    ds: "ray.data.Dataset",
+    query: np.ndarray,
+    k: int = 10,
+    *,
+    index_dir: str,
+    m: int = 8,
+    n_codes: int = 256,
+    rerank_mult: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 1,
+    source_tag: str = "",
+) -> pd.DataFrame:
+    """PQ + exact-rerank top-k over a persisted codes index (built once
+    per ``index_dir``, reused across queries). A ``source_tag`` mismatch
+    forces a rebuild. ``ds`` is also the rerank source."""
+    stamp = os.path.join(index_dir, "source.txt")
+    valid = os.path.exists(os.path.join(index_dir, "codebooks.npy"))
+    if valid and source_tag:
+        stored = open(stamp).read() if os.path.exists(stamp) else None
+        valid = stored == source_tag
+    if valid:
+        index = PQDiskIndex(index_dir)
+    else:
+        index = PQDiskIndex.build(
+            ds, index_dir, m=m, k=n_codes, vec_col=vec_col, id_col=id_col,
+            seed=seed, source_tag=source_tag)
+    return index.search(query, k, rerank_mult=rerank_mult, rerank_ds=ds,
+                        vec_col=vec_col, id_col=id_col)

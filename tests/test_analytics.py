@@ -1,6 +1,8 @@
 """Training-data operator tests (dedup families, ANN, multimodal plumbing)
 on small in-memory datasets under the shared Ray session."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -316,3 +318,57 @@ def test_ann_lsh_dedups_cross_table_candidates(ray_session, tmp_path):
                        n_planes=4, n_tables=6, multiprobe=2)
     assert out["vec_id"].is_unique
     assert len(out) == 10
+
+
+def test_ann_pq_recall_and_compression(ray_session, tmp_path):
+    """Persisted PQ index: exact-rerank recall ~1.0 on synthetic data,
+    ADC-only recall reasonable, codes table is m bytes/vector (the 32x
+    exhaustive-scan compression), source_tag mismatch forces a rebuild."""
+    import pyarrow.parquet as pq_mod
+
+    from database_delta_plugins_ray.stages.similarity import (
+        PQDiskIndex,
+        ann_topk_bruteforce,
+        ann_topk_pq,
+    )
+
+    rng = np.random.default_rng(17)
+    vecs = rng.standard_normal((800, 32)).astype(np.float32)
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(800)]
+    )
+    q = vecs[5] + 0.1 * rng.standard_normal(32).astype(np.float32)
+    idx_dir = str(tmp_path / "pq")
+    exact = set(ann_topk_bruteforce(ds, q, k=10)["vec_id"])
+    got = ann_topk_pq(ds, q, k=10, index_dir=idx_dir, m=8,
+                      source_tag="v1")
+    assert len(exact & set(got["vec_id"])) >= 9
+    # rerank scores are EXACT cosines: match brute's scores for the
+    # overlapping ids
+    brute = ann_topk_bruteforce(ds, q, k=10).set_index("vec_id")["score"]
+    for _i, r in got.iterrows():
+        if r["vec_id"] in brute.index:
+            assert abs(r["score"] - brute[r["vec_id"]]) < 1e-5
+
+    # codes table stores m uint8 codes per vector
+    idx = PQDiskIndex(idx_dir)
+    files = [os.path.join(dp, f)
+             for dp, _dn, fn in os.walk(os.path.join(idx_dir, "codes"))
+             for f in fn if f.endswith(".parquet")]
+    t = pq_mod.read_table(files)
+    assert t.num_rows == 800
+    codes0 = t["codes"][0].as_py()
+    assert len(codes0) == 8 and all(0 <= c < 256 for c in codes0)
+
+    # ADC-only search (no rerank) still ranks by LUT scores
+    adc = idx.search(q, k=10)
+    assert len(adc) == 10
+    assert len(exact & set(adc["vec_id"])) >= 5
+
+    # source_tag mismatch rebuilds (books file replaced atomically)
+    mtime0 = os.path.getmtime(os.path.join(idx_dir, "codebooks.npy"))
+    ann_topk_pq(ds, q, k=10, index_dir=idx_dir, m=8, source_tag="v2")
+    assert os.path.getmtime(
+        os.path.join(idx_dir, "codebooks.npy")) >= mtime0
+    with open(os.path.join(idx_dir, "source.txt")) as fh:
+        assert fh.read() == "v2"
