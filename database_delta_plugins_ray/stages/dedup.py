@@ -178,8 +178,50 @@ def _hash_mod(series: pd.Series, nparts: int) -> np.ndarray:
     return (h % np.uint64(nparts)).astype(np.int32)
 
 
+def _id_hash(values) -> np.ndarray:
+    """Width-canonical uint64 hash of an id array for the candidate
+    Bloom filter: every integer dtype hashes as int64 so the build side
+    (candidate pair columns) and the probe side (corpus id column)
+    agree bit-for-bit even when Parquet narrows one of them."""
+    v = np.asarray(values)
+    if np.issubdtype(v.dtype, np.integer):
+        v = v.astype(np.int64, copy=False)
+    return pd.util.hash_array(v)
+
+
+def _candidate_bloom(cand, nbits: int = 1 << 22, nhash: int = 4) -> np.ndarray:
+    """Bloom filter over the union of a pair dataset's id_a/id_b.
+
+    Fixed-size OR-mergeable partials (same fold shape as
+    ``stages/join.py:bloom_of_keys``): the driver folds O(nbits) bytes,
+    never ids."""
+    from ..functions.sketch import bloom_set
+
+    nbytes = nbits // 8
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.zeros(nbytes, np.uint8)
+        for col in ("id_a", "id_b"):
+            bloom_set(b, _id_hash(df[col].to_numpy()), nhash)
+        return pd.DataFrame({"b": [b.tobytes()]})
+
+    def orfold(df: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(nbytes, np.uint8)
+        for buf in df["b"]:
+            acc |= np.frombuffer(buf, np.uint8)
+        return pd.DataFrame({"b": [acc.tobytes()]})
+
+    folded = (cand.map_batches(partial, batch_format="pandas")
+              .map_batches(orfold, batch_format="pandas", batch_size=64))
+    acc = np.zeros(nbytes, np.uint8)
+    for row in folded.take_all():
+        acc |= np.frombuffer(row["b"], np.uint8)
+    return acc
+
+
 def _colocate_pairs(ds, cand, make_doc_rows, pair_fn, id_col: str,
-                    out_cols: list[str], nparts: int = 64):
+                    out_cols: list[str], nparts: int = 64,
+                    prefilter: bool = True):
     """Shuffle hash semi-join: co-locate per-document payloads with the
     candidate pairs that reference them, then evaluate ``pair_fn`` on each
     pair group. Fully distributed — nothing touches the driver — and both
@@ -198,8 +240,29 @@ def _colocate_pairs(ds, cand, make_doc_rows, pair_fn, id_col: str,
     4. Group by hash(pair) % nparts; a local groupby evaluates
        ``pair_fn`` per (id_a, id_b) with both payloads co-located.
 
-    Each doc's payload crosses the shuffle exactly once; pair rows are
-    O(candidates)."""
+    A Bloom filter over the candidate ids (fixed-size OR-fold, built
+    once from the materialized pair set) prunes the corpus BEFORE
+    payload computation: non-candidate docs neither compute their
+    payload (signature/shingles/vector prep) nor ride the union
+    shuffle. False positives just ship a payload that the attach merge
+    drops — exactness is untouched (the Bloom has no false negatives).
+    At 10^9 docs with ~1% candidates this cuts the verify exchange and
+    its payload compute ~100x; the extra cost is one materialization of
+    the id-pair set (24-byte rows) and an O(nbits) driver fold.
+
+    Each CANDIDATE doc's payload crosses the shuffle exactly once; pair
+    rows are O(candidates)."""
+    import ray as _ray
+
+    from ..functions.sketch import bloom_contains
+
+    bloom_ref = None
+    _BLOOM_NHASH = 4
+    if prefilter:
+        # consumed twice (bloom build + membership explode): materialize
+        # the tiny id-pair set so the candidate pipeline doesn't run twice
+        cand = cand.materialize()
+        bloom_ref = _ray.put(_candidate_bloom(cand, nhash=_BLOOM_NHASH))
 
     def explode_membership(df: pd.DataFrame) -> pd.DataFrame:
         ids_a = df["id_a"].to_numpy()
@@ -218,6 +281,20 @@ def _colocate_pairs(ds, cand, make_doc_rows, pair_fn, id_col: str,
         return out
 
     def doc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if bloom_ref is not None:
+            keep = bloom_contains(
+                _ray.get(bloom_ref),
+                _id_hash(df[id_col].to_numpy()), _BLOOM_NHASH)
+            if not keep.all():
+                df = df[keep]
+        if len(df) == 0:
+            e = df[id_col].iloc[:0]
+            return pd.DataFrame(
+                {id_col: e, "id_a": e, "id_b": e,
+                 "payload": pd.Series([], dtype=object),
+                 "pcol": pd.Series([], dtype=object),
+                 "kind": pd.Series([], dtype=object),
+                 "part": pd.Series([], dtype=np.int32)})
         out = make_doc_rows(df)
         out["part"] = _hash_mod(out[id_col], nparts)
         return out

@@ -372,3 +372,27 @@ def test_ann_pq_recall_and_compression(ray_session, tmp_path):
         os.path.join(idx_dir, "codebooks.npy")) >= mtime0
     with open(os.path.join(idx_dir, "source.txt")) as fh:
         assert fh.read() == "v2"
+
+
+def test_candidate_bloom_prunes_and_never_false_negatives(ray_session):
+    """The verify-stage Bloom prefilter: every candidate id passes the
+    probe (no false negatives — exactness), most non-candidates don't
+    (the pruning), and int32 corpus ids probe the int64-built filter
+    correctly (width canonicalization)."""
+    from database_delta_plugins_ray.functions.sketch import bloom_contains
+    from database_delta_plugins_ray.stages.dedup import (
+        _candidate_bloom,
+        _id_hash,
+    )
+
+    cand = ray.data.from_items(
+        [{"id_a": i, "id_b": i + 100000} for i in range(0, 1000, 7)])
+    bits = _candidate_bloom(cand)
+    members = np.array(
+        [i for i in range(0, 1000, 7)]
+        + [i + 100000 for i in range(0, 1000, 7)], dtype=np.int64)
+    assert bloom_contains(bits, _id_hash(members), 4).all()
+    assert bloom_contains(bits, _id_hash(members.astype(np.int32)), 4).all()
+    others = np.arange(200000, 210000, dtype=np.int64)
+    hit_rate = bloom_contains(bits, _id_hash(others), 4).mean()
+    assert hit_rate < 0.01
