@@ -47,7 +47,8 @@ _GATE_PREFIX = [
     "events_session_windows", "events_running_revenue",
     "events_trailing_hour_revenue", "cohort_retention_weekly",
     # dedup / decontamination
-    "dedup_exact_documents", "dedup_minhash_documents",
+    "dedup_exact_documents", "dedup_exact_keep_best",
+    "dedup_minhash_documents",
     "dedup_ngram_documents", "dedup_cluster_documents",
     "dedup_passages_documents", "dedup_incremental_documents",
     "decontaminate_documents",

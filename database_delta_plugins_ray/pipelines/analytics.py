@@ -477,6 +477,57 @@ def dedup_exact_documents(sf_dir: str):
     return exact_dedup(_t(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def dedup_exact_keep_best(sf_dir: str):
+    """Exact dedup keeping the BEST group member (highest quality score,
+    tiebreak min doc_id) instead of the min id — the argmax-reduce shape
+    real corpus dedup wants (drop the low-quality copy). Per-batch
+    combiner keeps one (md5, best_doc, best_q, cnt) partial per group
+    per batch, so the shuffle moves one row per (batch, group); the
+    coarse-part final fold resolves argmax + sums counts vectorized.
+    Scores compare as integer ten-thousandths on BOTH sides so float
+    ties can't flip the winner."""
+    import hashlib as _hl
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    nparts = 64
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.text import quality_scores
+
+        q = quality_scores(df["text"])
+        vals = df["text"].to_numpy()
+        md5s = np.fromiter(
+            (_hl.md5(s.encode()).hexdigest() for s in vals),
+            dtype="<U32", count=len(vals))
+        out = pd.DataFrame({
+            "text_md5": md5s,
+            "doc_id": df["doc_id"].to_numpy(),
+            "score_q": np.floor(
+                q["quality_score"].to_numpy() * 10000.0 + 0.5
+            ).astype(np.int64),
+        })
+        out = out.sort_values(["score_q", "doc_id"],
+                              ascending=[False, True])
+        g = out.groupby("text_md5", sort=False)
+        best = g.head(1).copy()
+        best["n_dups"] = best["text_md5"].map(g.size()).astype(np.int64)
+        h = pd.util.hash_array(best["text_md5"].to_numpy())
+        best["part"] = (h % np.uint64(nparts)).astype(np.int32)
+        return best
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score_q", "doc_id"], ascending=[False, True])
+        gb = g.groupby("text_md5", sort=False)
+        best = gb.head(1).copy()
+        best["n_dups"] = best["text_md5"].map(
+            gb["n_dups"].sum()).astype(np.int64)
+        return best[["text_md5", "doc_id", "score_q", "n_dups"]]
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("part")
+            .map_groups(fold, batch_format="pandas"))
+
+
 def doc_token_stats(sf_dir: str):
     """Per-document char/token counts (vectorized regex)."""
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
@@ -3170,6 +3221,42 @@ SELECT doc_id, n_chars, n_tokens,
 FROM c
 """.replace("@EN@", _stopword_alt("en"))
 
+# same scoring CTE as quality_scores_documents, argmax'd per md5 group in
+# integer ten-thousandths (matches the Ray side's score_q exactly)
+ANALYTICS_ORACLE_SQL["dedup_exact_keep_best"] = r"""
+WITH b AS (
+  SELECT doc_id, md5(text) AS text_md5,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens,
+         len(regexp_extract_all(text, '[^\p{L}\p{N}_\s]')) AS n_punct,
+         len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+         len(regexp_extract_all(lower(text), '\b(?:@EN@)\b')) AS n_stop,
+         len(regexp_extract_all(text, '[A-Za-z0-9_]')) AS word_chars
+  FROM documents
+), c AS (
+  SELECT doc_id, text_md5, n_tokens,
+         CASE WHEN n_tokens > 0 THEN CAST(word_chars AS DOUBLE)/greatest(1, n_tokens) ELSE 0.0 END AS mwl,
+         CAST(n_punct AS DOUBLE)/greatest(1, n_chars) AS pr,
+         CAST(n_stop AS DOUBLE)/greatest(1, n_tokens) AS sr,
+         CAST(n_alpha AS DOUBLE)/greatest(1, n_chars) AS ar
+  FROM b
+), scored AS (
+  SELECT doc_id, text_md5,
+         CAST(floor((least(n_tokens/50.0, 1.0)*0.3
+               + least(greatest((mwl-2)/6.0, 0.0), 1.0)*0.2
+               + (1 - least(pr*4, 1.0))*0.2
+               + least(ar*1.2, 1.0)*0.2
+               + least(sr*5, 1.0)*0.1)*10000.0 + 0.5) AS BIGINT) AS score_q
+  FROM c
+)
+SELECT text_md5, doc_id, score_q, n_dups FROM (
+  SELECT text_md5, doc_id, score_q,
+         count(*) OVER (PARTITION BY text_md5) AS n_dups,
+         row_number() OVER (PARTITION BY text_md5
+                            ORDER BY score_q DESC, doc_id) AS rn
+  FROM scored) WHERE rn = 1
+""".replace("@EN@", _stopword_alt("en"))
+
 
 def _rate_case() -> str:
     whens = " ".join(
@@ -4486,6 +4573,7 @@ ANALYTICS_QUERIES = {
     "filter_orders_high": filter_orders_high,
     "revenue_by_segment": revenue_by_segment,
     "dedup_exact_documents": dedup_exact_documents,
+    "dedup_exact_keep_best": dedup_exact_keep_best,
     "doc_token_stats": doc_token_stats,
     "doc_fingerprints": doc_fingerprints,
     "docs_per_lang_source": docs_per_lang_source,
