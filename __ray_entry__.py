@@ -61,9 +61,9 @@ _GATE_PREFIX = [
     # sampling / packing
     "sample_documents_deterministic", "split_documents_train_val_test",
     "mix_token_budget_documents", "pack_sequences_documents",
-    # sketches
+    # sketches / exact quantiles
     "approx_distinct_users_hll", "heavy_hitters_tokens",
-    "approx_quantiles_event_value",
+    "approx_quantiles_event_value", "orders_median_price_by_status",
     # search / multimodal / exports / pivots / DQ
     "search_documents_bm25", "multimodal_features",
     "export_documents_shards", "export_documents_jsonl",

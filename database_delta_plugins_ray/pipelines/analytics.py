@@ -2413,6 +2413,78 @@ def doc_length_percentiles(sf_dir: str):
     return pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
 
 
+MEDIAN_BUCKET_W = 1024.0  # pass-1 histogram bucket width (price units)
+
+
+def orders_median_price_by_status(sf_dir: str):
+    """EXACT per-group median over a CONTINUOUS domain (o_totalprice)
+    without sorting the groups — the two-pass histogram-prune shape:
+
+    1. per-batch (status, floor(price/W)) bucket-count partials -> one
+       small groupby (payload O(groups x buckets), never O(rows)); the
+       driver walks each group's cumulative histogram to find the bucket
+       holding rank k = ceil(n/2) (quantile_disc 0.5's rank rule) and
+       the residual rank within it;
+    2. a second scan keeps ONLY rows in each group's target bucket
+       (~n/nbuckets rows, broadcast tiny (group -> bucket) map) and a
+       per-group map_groups picks the residual-rank element — the exact
+       stored double, so equality with the SQL oracle is bitwise.
+
+    Partitioning assumption: one group's single-bucket row set fits a
+    task's heap (value-skewed data wants a narrower W or a second prune
+    level — same machinery, recursively)."""
+    ds = _t(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.floor(
+            df["o_totalprice"].to_numpy() / MEDIAN_BUCKET_W
+        ).astype(np.int64)
+        g = (pd.DataFrame({"o_orderstatus": df["o_orderstatus"], "b": b})
+             .groupby(["o_orderstatus", "b"], as_index=False).size())
+        return g.rename(columns={"size": "cnt"})
+
+    hist = (ds.map_batches(hist_partial, batch_format="pandas")
+            .groupby(["o_orderstatus", "b"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas())
+
+    targets: dict[str, tuple[int, int, int]] = {}
+    for status, g in hist.groupby("o_orderstatus"):
+        g = g.sort_values("b")
+        cum = g["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        k = max(int(np.ceil(0.5 * n)), 1)
+        i = int(np.searchsorted(cum, k, side="left"))
+        before = int(cum[i - 1]) if i else 0
+        targets[status] = (int(g["b"].iloc[i]), k - before, n)
+
+    import ray as _ray
+
+    t_ref = _ray.put({s: t[0] for s, t in targets.items()})
+
+    def keep_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        tm = _ray.get(t_ref)
+        b = np.floor(
+            df["o_totalprice"].to_numpy() / MEDIAN_BUCKET_W
+        ).astype(np.int64)
+        tb = df["o_orderstatus"].map(tm).to_numpy()
+        return df[b == tb]
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        status = g["o_orderstatus"].iloc[0]
+        _b, resid, n = targets[status]
+        v = np.sort(g["o_totalprice"].to_numpy())
+        return pd.DataFrame({"o_orderstatus": [status],
+                             "n_orders": [np.int64(n)],
+                             "median_price": [v[resid - 1]]})
+
+    out = (ds.map_batches(keep_bucket, batch_format="pandas")
+           .groupby("o_orderstatus")
+           .map_groups(pick, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
 def doc_length_trimmed_mean(sf_dir: str, trim_pct: int = 10):
     """Exact 10%-trimmed mean of doc length per language from the SAME
     histogram pass the percentiles use — robust statistics without a
@@ -4464,6 +4536,12 @@ def chunk_documents_overlap(sf_dir: str):
     return ds.map_batches(chunk, batch_format="pyarrow")
 
 
+ANALYTICS_ORACLE_SQL["orders_median_price_by_status"] = """
+SELECT o_orderstatus, count(*) AS n_orders,
+       quantile_disc(o_totalprice, 0.5) AS median_price
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
 ANALYTICS_ORACLE_SQL["q6_forecast_revenue"] = f"""
 SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
 FROM lineitem
@@ -4634,6 +4712,7 @@ ANALYTICS_QUERIES = {
     "pack_sequences_documents": pack_sequences_documents,
     "events_value_trend": events_value_trend,
     "doc_length_deciles": doc_length_deciles,
+    "orders_median_price_by_status": orders_median_price_by_status,
     "funnel_view_purchase": funnel_view_purchase,
     "cohort_retention_weekly": cohort_retention_weekly,
     "search_documents_terms": search_documents_terms,
