@@ -659,6 +659,82 @@ class PQDiskIndex:
                                    vec_col=vec_col, id_col=id_col)
 
 
+def pq_search_multi(
+    index: "PQDiskIndex",
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    rerank_mult: int = 8,
+    rerank_ds: "ray.data.Dataset | None" = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Batched PQ search: ONE ADC pass over the codes table scores ALL
+    queries (a stacked (Q, m, k) LUT broadcast once; per-batch scores
+    come from one fancy-index + sum per query), then one shared exact
+    rerank over the union of candidate ids. Same output contract as
+    ``ann_topk_bruteforce_multi``: (query_idx, id, score, rank)."""
+    qm = np.atleast_2d(queries)
+    nq = len(qm)
+    luts = np.stack([index.books.lut(q) for q in qm])  # (Q, m, k)
+    lut_ref = ray.put(luts)
+    c = max(k, k * rerank_mult)
+    marange = np.arange(luts.shape[1])
+
+    def adc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        tbl = ray.get(lut_ref)
+        codes = np.stack(df["codes"].to_numpy()).astype(np.int64)  # (n, m)
+        n = len(codes)
+        take = min(c, n)
+        ids = df[id_col].to_numpy()
+        outs = []
+        for qi in range(nq):
+            scores = tbl[qi][marange, codes].sum(axis=1).astype(np.float64)
+            idx = (np.argpartition(-scores, take - 1)[:take]
+                   if n > take else np.arange(n))
+            outs.append(pd.DataFrame({"query_idx": qi, id_col: ids[idx],
+                                      "score": scores[idx]}))
+        return pd.concat(outs, ignore_index=True)
+
+    codes_ds = ray.data.read_parquet(os.path.join(index.index_dir, "codes"))
+    partials = codes_ds.map_batches(
+        adc_partial, batch_format="pandas").take_all()
+    by_q: dict[int, list] = {i: [] for i in range(nq)}
+    for r in partials:
+        by_q[r["query_idx"]].append((r[id_col], r["score"]))
+    cand_by_q = {qi: heapq.nsmallest(c, rows, key=lambda t: (-t[1], t[0]))
+                 for qi, rows in by_q.items()}
+    if rerank_ds is None:
+        out = []
+        for qi in range(nq):
+            for rank, (vid, sc) in enumerate(cand_by_q[qi][:k], 1):
+                out.append((qi, vid, sc, rank))
+        return pd.DataFrame(out,
+                            columns=["query_idx", id_col, "score", "rank"])
+    # shared exact rerank: one filtered pass over the union candidate set
+    union_ids = sorted({t[0] for rows in cand_by_q.values() for t in rows})
+    id_ref = ray.put(pa.array(union_ids))
+
+    def keep_cand(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t[id_col], value_set=ray.get(id_ref)))
+
+    sub = rerank_ds.map_batches(keep_cand, batch_format="pyarrow")
+    exact = ann_topk_bruteforce_multi(sub, qm, k=len(union_ids),
+                                      vec_col=vec_col, id_col=id_col)
+    out = []
+    for qi in range(nq):
+        mine = {t[0] for t in cand_by_q[qi]}
+        rows = exact[(exact["query_idx"] == qi)
+                     & exact[id_col].isin(mine)]
+        rows = rows.sort_values(["score", id_col],
+                                ascending=[False, True]).head(k)
+        for rank, (_i, r) in enumerate(rows.iterrows(), 1):
+            out.append((qi, r[id_col], r["score"], rank))
+    return pd.DataFrame(out, columns=["query_idx", id_col, "score", "rank"])
+
+
 def ann_topk_pq(
     ds: "ray.data.Dataset",
     query: np.ndarray,

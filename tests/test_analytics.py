@@ -396,3 +396,30 @@ def test_candidate_bloom_prunes_and_never_false_negatives(ray_session):
     others = np.arange(200000, 210000, dtype=np.int64)
     hit_rate = bloom_contains(bits, _id_hash(others), 4).mean()
     assert hit_rate < 0.01
+
+
+def test_pq_search_multi_matches_single(ray_session, tmp_path):
+    """Batched PQ search == per-query PQ search, and each query's exact
+    rerank agrees with brute force on >= 9/10 ids."""
+    from database_delta_plugins_ray.stages.similarity import (
+        PQDiskIndex,
+        ann_topk_bruteforce,
+        pq_search_multi,
+    )
+
+    rng = np.random.default_rng(23)
+    vecs = rng.standard_normal((600, 32)).astype(np.float32)
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(600)]
+    )
+    idx = PQDiskIndex.build(ds, str(tmp_path / "pq"), m=8)
+    qs = np.stack([vecs[3], vecs[77], vecs[240]])
+    multi = pq_search_multi(idx, qs, k=10, rerank_ds=ds)
+    assert len(multi) == 30
+    for qi in range(3):
+        single = idx.search(qs[qi], k=10, rerank_ds=ds)
+        mrows = multi[multi["query_idx"] == qi]
+        assert list(mrows["vec_id"]) == list(single["vec_id"])
+        exact = set(ann_topk_bruteforce(ds, qs[qi], k=10)["vec_id"])
+        assert len(exact & set(mrows["vec_id"])) >= 9
+        assert list(mrows["rank"]) == list(range(1, 11))
