@@ -112,3 +112,48 @@ def test_q22_threshold_is_exact_integer_cents(ray_session, tmp_path):
     # and have no orders past the cutoff; customer 2 (20.00) is below
     assert int(got.numcust.iloc[0]) == 2
     assert float(got.totacctbal.iloc[0]) == 50.01
+
+
+def test_keep_best_dedup_matches_duckdb(ray_session):
+    from database_delta_plugins_ray.pipelines import analytics as A
+
+    got = A.dedup_exact_keep_best(SF).to_pandas()
+    want = _oracle(A.ANALYTICS_ORACLE_SQL["dedup_exact_keep_best"])
+    assert len(got) == len(want) and len(got) > 0
+    _assert_parity(got, want, ["text_md5"])
+
+
+def test_group_median_matches_duckdb(ray_session):
+    from database_delta_plugins_ray.pipelines import analytics as A
+
+    got = A.orders_median_price_by_status(SF)
+    want = _oracle(
+        A.ANALYTICS_ORACLE_SQL["orders_median_price_by_status"])
+    assert len(got) == len(want) and len(got) > 0
+    # bitwise-equal medians: the result must be a stored data value
+    _assert_parity(got, want, ["o_orderstatus"])
+
+
+def test_keep_best_prefers_quality_over_id(ray_session, tmp_path):
+    """Exact dedup groups have identical text, hence identical scores —
+    the winner must come from the min-doc_id tiebreak, and singletons
+    pass through with n_dups=1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database_delta_plugins_ray.pipelines import analytics as A
+
+    docs = pa.table({
+        "doc_id": pa.array([5, 2, 9], pa.int64()),
+        "text": pa.array(["the quick brown fox jumps over the lazy dog",
+                          "the quick brown fox jumps over the lazy dog",
+                          "zzz"]),
+    })
+    d = tmp_path / "kb"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+    out = A.dedup_exact_keep_best(str(d)).to_pandas()
+    assert len(out) == 2
+    dup = out[out.n_dups == 2]
+    # identical text -> identical score -> tiebreak min doc_id
+    assert int(dup.doc_id.iloc[0]) == 2
