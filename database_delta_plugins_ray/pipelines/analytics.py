@@ -2443,10 +2443,13 @@ def orders_median_price_by_status(sf_dir: str):
              .groupby(["o_orderstatus", "b"], as_index=False).size())
         return g.rename(columns={"size": "cnt"})
 
+    # fold the bounded partials on the driver: each batch contributes
+    # <= |statuses| x |buckets| rows (row-count independent), so a
+    # groupby all-to-all here would cost more in shuffle latency than
+    # the whole histogram is worth
     hist = (ds.map_batches(hist_partial, batch_format="pandas")
-            .groupby(["o_orderstatus", "b"])
-            .aggregate(Sum("cnt", alias_name="cnt"))
-            .to_pandas())
+            .to_pandas()
+            .groupby(["o_orderstatus", "b"], as_index=False)["cnt"].sum())
 
     targets: dict[str, tuple[int, int, int]] = {}
     for status, g in hist.groupby("o_orderstatus"):
