@@ -410,15 +410,10 @@ def cdc_from_debezium_jsonl(sf_dir: str):
     return final_state(lake, columns=FINAL_COLS)
 
 
-def cdc_from_debezium_mysql(sf_dir: str):
-    """Replay driven from a MYSQL-shaped Debezium JSONL feed: binlog
-    ``file``+``pos`` positions (no integer engine lsn on the wire) and
-    per-event ``gtid`` with NO txId — the reader must rebuild the lsn
-    through the (file seq << 32 | pos) bridge and synthesize tx ids
-    GTID-first (MySqlConstantOffsetBackingStore.java:39-45,
-    MySqlRecordConsumer.java:190-195). Oracled by the same final-state
-    SQL over the original log — the MySQL wire shape must be
-    value-transparent."""
+def _ensure_mysql_segments(sf_dir: str) -> tuple[str, int]:
+    """Build (or reuse) the MySQL-wire-shaped segment dir for this sf;
+    returns (segment_dir, source max_lsn). The (file, pos) bridge is
+    value-transparent, so the source watermark domain applies."""
     import json as _json
 
     from ..sources.debezium_json import jsonl_to_segments, write_debezium_jsonl
@@ -441,7 +436,34 @@ def cdc_from_debezium_mysql(sf_dir: str):
         shutil.rmtree(sdir, ignore_errors=True)
         write_debezium_jsonl(log, jdir, mysql=True)
         jsonl_to_segments(jdir, sdir)
+    return sdir, int(src_meta["max_lsn"])
+
+
+def cdc_from_debezium_mysql(sf_dir: str):
+    """Replay driven from a MYSQL-shaped Debezium JSONL feed: binlog
+    ``file``+``pos`` positions (no integer engine lsn on the wire) and
+    per-event ``gtid`` with NO txId — the reader must rebuild the lsn
+    through the (file seq << 32 | pos) bridge and synthesize tx ids
+    GTID-first (MySqlConstantOffsetBackingStore.java:39-45,
+    MySqlRecordConsumer.java:190-195). Oracled by the same final-state
+    SQL over the original log — the MySQL wire shape must be
+    value-transparent."""
+    sdir, _max_lsn = _ensure_mysql_segments(sf_dir)
     lake = fresh_lake(sf_dir, "lake_dbz_mysql")
+    run_replication(sdir, lake, num_partitions=16)
+    return final_state(lake, columns=FINAL_COLS)
+
+
+def cdc_from_debezium_mysql_resume(sf_dir: str):
+    """Resume equivalence THROUGH the MySQL wire shape: replay the
+    mysql-shaped segments to half the watermark, checkpoint, resume to
+    the end — must equal one-shot replay (same final-state oracle).
+    Passing requires the (file, pos) offsets to round-trip the
+    checkpoint exactly and the duplicate-replay fence to hold in the
+    bridged lsn domain (the MySQL analog of F6.1)."""
+    sdir, max_lsn = _ensure_mysql_segments(sf_dir)
+    lake = fresh_lake(sf_dir, "lake_dbz_mysql_resume")
+    run_replication(sdir, lake, num_partitions=16, upto_lsn=max_lsn // 2)
     run_replication(sdir, lake, num_partitions=16)
     return final_state(lake, columns=FINAL_COLS)
 
@@ -1094,6 +1116,7 @@ WHERE o.k_repo IS NULL OR n.k_repo IS NULL OR n.lsn <> o.lsn
             "md5_number_lower(k_repo || '|' || k_path) % 29 = 0"),
         "cdc_from_debezium_jsonl": final_sql,
         "cdc_from_debezium_mysql": final_sql,
+        "cdc_from_debezium_mysql_resume": final_sql,
         "cdc_op_counts": f"""
 SELECT op, count(*) AS n FROM read_parquet('{glob}') GROUP BY op
 """,
@@ -1391,6 +1414,7 @@ CDC_QUERIES = {
     "cdc_changefeed": cdc_changefeed,
     "cdc_from_debezium_jsonl": cdc_from_debezium_jsonl,
     "cdc_from_debezium_mysql": cdc_from_debezium_mysql,
+    "cdc_from_debezium_mysql_resume": cdc_from_debezium_mysql_resume,
     "cdc_op_counts": cdc_op_counts,
     "cdc_events_per_repo": cdc_events_per_repo,
     "cdc_snapshot_ddl_sequence": cdc_snapshot_ddl_sequence,
