@@ -410,18 +410,20 @@ def cdc_from_debezium_jsonl(sf_dir: str):
     return final_state(lake, columns=FINAL_COLS)
 
 
-def _ensure_mysql_segments(sf_dir: str) -> tuple[str, int]:
-    """Build (or reuse) the MySQL-wire-shaped segment dir for this sf;
-    returns (segment_dir, source max_lsn). The (file, pos) bridge is
-    value-transparent, so the source watermark domain applies."""
+def _ensure_wire_segments(sf_dir: str, shape: str) -> tuple[str, int]:
+    """Build (or reuse) a wire-shaped segment dir for this sf; ``shape``
+    is ``mysql`` (binlog file+pos, gtid tx ids) or ``composite``
+    (SQL-Server hex change_lsn/commit_lsn). Returns (segment_dir,
+    source max_lsn) — both bridges are value-transparent, so the
+    source watermark domain applies."""
     import json as _json
 
     from ..sources.debezium_json import jsonl_to_segments, write_debezium_jsonl
 
     log = ensure_log(sf_dir)
     tag = sf_tag(sf_dir)
-    jdir = os.path.join(CACHE_ROOT, f"sf{tag}", "dbz_mysql_jsonl")
-    sdir = os.path.join(CACHE_ROOT, f"sf{tag}", "dbz_mysql_segs")
+    jdir = os.path.join(CACHE_ROOT, f"sf{tag}", f"dbz_{shape}_jsonl")
+    sdir = os.path.join(CACHE_ROOT, f"sf{tag}", f"dbz_{shape}_segs")
     with open(os.path.join(log, "meta.json")) as fh:
         src_meta = _json.load(fh)
     stamp = os.path.join(sdir, "meta.json")
@@ -434,9 +436,14 @@ def _ensure_mysql_segments(sf_dir: str) -> tuple[str, int]:
     if not fresh:
         shutil.rmtree(jdir, ignore_errors=True)
         shutil.rmtree(sdir, ignore_errors=True)
-        write_debezium_jsonl(log, jdir, mysql=True)
+        write_debezium_jsonl(log, jdir, mysql=(shape == "mysql"),
+                             composite=(shape == "composite"))
         jsonl_to_segments(jdir, sdir)
     return sdir, int(src_meta["max_lsn"])
+
+
+def _ensure_mysql_segments(sf_dir: str) -> tuple[str, int]:
+    return _ensure_wire_segments(sf_dir, "mysql")
 
 
 def cdc_from_debezium_mysql(sf_dir: str):
@@ -450,6 +457,19 @@ def cdc_from_debezium_mysql(sf_dir: str):
     value-transparent."""
     sdir, _max_lsn = _ensure_mysql_segments(sf_dir)
     lake = fresh_lake(sf_dir, "lake_dbz_mysql")
+    run_replication(sdir, lake, num_partitions=16)
+    return final_state(lake, columns=FINAL_COLS)
+
+
+def cdc_from_debezium_sqlserver(sf_dir: str):
+    """Replay driven from a SQL-SERVER-shaped Debezium JSONL feed: hex
+    ``change_lsn``/``commit_lsn`` positions (SqlServerOffset.java:33-123)
+    with no integer engine lsn on the wire — the reader rebuilds the
+    engine lsn via the byte-order-preserving Lsn bridge. Same
+    final-state oracle: the composite wire shape must be
+    value-transparent."""
+    sdir, _max_lsn = _ensure_wire_segments(sf_dir, "composite")
+    lake = fresh_lake(sf_dir, "lake_dbz_sqlserver")
     run_replication(sdir, lake, num_partitions=16)
     return final_state(lake, columns=FINAL_COLS)
 
@@ -1117,6 +1137,7 @@ WHERE o.k_repo IS NULL OR n.k_repo IS NULL OR n.lsn <> o.lsn
         "cdc_from_debezium_jsonl": final_sql,
         "cdc_from_debezium_mysql": final_sql,
         "cdc_from_debezium_mysql_resume": final_sql,
+        "cdc_from_debezium_sqlserver": final_sql,
         "cdc_op_counts": f"""
 SELECT op, count(*) AS n FROM read_parquet('{glob}') GROUP BY op
 """,
@@ -1415,6 +1436,7 @@ CDC_QUERIES = {
     "cdc_from_debezium_jsonl": cdc_from_debezium_jsonl,
     "cdc_from_debezium_mysql": cdc_from_debezium_mysql,
     "cdc_from_debezium_mysql_resume": cdc_from_debezium_mysql_resume,
+    "cdc_from_debezium_sqlserver": cdc_from_debezium_sqlserver,
     "cdc_op_counts": cdc_op_counts,
     "cdc_events_per_repo": cdc_events_per_repo,
     "cdc_snapshot_ddl_sequence": cdc_snapshot_ddl_sequence,
