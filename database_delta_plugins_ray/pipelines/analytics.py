@@ -4497,6 +4497,17 @@ CHUNK_W = 64   # tokens per chunk
 CHUNK_S = 48   # stride (overlap = CHUNK_W - CHUNK_S)
 
 
+def chunk_windows(n: int, w: int = CHUNK_W, s: int = CHUNK_S):
+    """Deterministic chunk boundaries for an n-token doc: [start, end)
+    token windows at stride ``s``, width ``w``; the last window may be
+    short, n=0 yields none. Every token index is covered and chunk k
+    always starts at k*s — the invariants the property tests pin."""
+    if n <= 0:
+        return []
+    nck = 1 if n <= w else 1 + -(-(n - w) // s)
+    return [(k * s, min(k * s + w, n)) for k in range(nck)]
+
+
 def chunk_documents_overlap(sf_dir: str):
     """Chunk every document into fixed-size whitespace-token windows
     with overlap (the RAG indexing prep step): window=64 tokens,
@@ -4518,12 +4529,8 @@ def chunk_documents_overlap(sf_dir: str):
         out_id, out_ck, out_n, out_md5 = [], [], [], []
         for d, tx in zip(ids, texts):
             toks = [w for w in ws.split(tx or "") if w]
-            n = len(toks)
-            if n == 0:
-                continue
-            nck = 1 if n <= CHUNK_W else 1 + -(-(n - CHUNK_W) // CHUNK_S)
-            for k in range(nck):
-                seg = toks[k * CHUNK_S: k * CHUNK_S + CHUNK_W]
+            for k, (lo, hi) in enumerate(chunk_windows(len(toks))):
+                seg = toks[lo:hi]
                 out_id.append(d)
                 out_ck.append(k)
                 out_n.append(len(seg))

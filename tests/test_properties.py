@@ -324,3 +324,31 @@ def test_inverted_index_lookup_matches_brute(docs_toks, terms, nbuckets):
                     continue
                 want[d["doc_id"]] = sum(hits.values())
             assert got == want
+
+
+@given(st.integers(min_value=0, max_value=5000),
+       st.integers(min_value=2, max_value=128),
+       st.integers(min_value=1, max_value=128))
+@settings(max_examples=200, deadline=None)
+def test_chunk_windows_invariants(n, w, s):
+    """RAG chunk boundaries: full coverage (every token index in some
+    window), chunk k starts exactly at k*s, widths bounded by w, only
+    the last window may be short, and no start lies past the end."""
+    from database_delta_plugins_ray.pipelines.analytics import chunk_windows
+
+    s = min(s, w)  # stride > width would skip tokens by construction
+    wins = chunk_windows(n, w, s)
+    if n == 0:
+        assert wins == []
+        return
+    assert wins[0][0] == 0
+    covered = set()
+    for k, (lo, hi) in enumerate(wins):
+        assert lo == k * s
+        assert lo < n
+        assert 0 < hi - lo <= w
+        covered.update(range(lo, hi))
+    assert covered == set(range(n))
+    # all but the last window are full-width
+    for lo, hi in wins[:-1]:
+        assert hi - lo == w
