@@ -1590,7 +1590,9 @@ def q3_shipping_priority(sf_dir: str):
             "o_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
             "rev": rev.to_numpy(zero_copy_only=False),
         }).groupby("o_orderkey", as_index=False)["rev"].sum()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # no pandas schema metadata: Ray's shuffle schema-unify fast path
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
 
     def agg_topk(j: pd.DataFrame) -> pd.DataFrame:
         # runs inside the join task on one co-located partition: every
@@ -1656,7 +1658,9 @@ def q10_returned_items(sf_dir: str, k: int = 20):
             "o_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
             "rev": rev.to_numpy(zero_copy_only=False),
         }).groupby("o_orderkey", as_index=False)["rev"].sum()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # no pandas schema metadata: Ray's shuffle schema-unify fast path
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
 
     def to_cust(j: pd.DataFrame) -> pd.DataFrame:
         # inside the join task: fold this partition's rows to customer
@@ -1722,7 +1726,9 @@ def q18_large_volume_customers(sf_dir: str):
             "o_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
             "qty": t["l_quantity"].to_numpy(zero_copy_only=False),
         }).groupby("o_orderkey", as_index=False)["qty"].sum()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # no pandas schema metadata: Ray's shuffle schema-unify fast path
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
 
     from ..stages.join import shuffle_hash_join
 
@@ -1857,7 +1863,9 @@ def q5_local_supplier_volume(sf_dir: str):
             "s_nationkey": snat[keep],
             "rev": rev[keep],
         }).groupby(["o_orderkey", "s_nationkey"], as_index=False)["rev"].sum()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # no pandas schema metadata: Ray's shuffle schema-unify fast path
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
 
     def partial_nation(j: pd.DataFrame) -> pd.DataFrame:
         j = j[j["c_nationkey"] == j["s_nationkey"]]
@@ -4245,7 +4253,8 @@ def q12_priority_by_linestatus(sf_dir: str):
             "l_linestatus": t["l_linestatus"].to_pandas(),
         }).groupby(["o_orderkey", "l_linestatus"], as_index=False).size()
         return pa.Table.from_pandas(
-            df.rename(columns={"size": "n"}), preserve_index=False)
+            df.rename(columns={"size": "n"}),
+            preserve_index=False).replace_schema_metadata(None)
 
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
 
@@ -4464,7 +4473,9 @@ def q7_volume_shipping(sf_dir: str):
             "rev": rev[keep],
         }).groupby(["o_orderkey", "s_nationkey", "l_year"],
                    as_index=False)["rev"].sum()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # no pandas schema metadata: Ray's shuffle schema-unify fast path
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
 
     def volume_partial(j: pd.DataFrame) -> pd.DataFrame:
         j = j[((j["s_nationkey"] == n1) & (j["c_nationkey"] == n2))

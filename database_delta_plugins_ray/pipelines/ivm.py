@@ -175,7 +175,7 @@ def maintain_view(
         # metadata) so every block hashes identically — mixed schemas
         # force Ray's shuffle into its slow unify path and spam
         # "Failed to hash the schemas" warnings from every reduce task
-        return pa.Table.from_pandas(
+        return pa.Table.from_pandas(  # metadata stripped via cast below
             g, preserve_index=False).select(
             _empty.column_names).cast(_empty.schema)
 
@@ -192,8 +192,10 @@ def maintain_view(
         part = int(g["part"].iloc[0])
         m = ckpt.read_manifest(view_dir_b, part)
         if m is not None and m["last_lsn"] >= consumed_b:
-            return pd.DataFrame({"part": [part], "groups": [0],
-                                 "rows": [int(m["rows"])]})
+            return pa.table({"part": pa.array([part], pa.int64()),
+                             "groups": pa.array([0], pa.int64()),
+                             "rows": pa.array([int(m["rows"])],
+                                              pa.int64())})
         agg = (g.groupby("repo", as_index=False)[["rows_d", "chars_d"]].sum())
         if m is not None:
             old = pq.read_table(m["file"]).to_pandas()
@@ -214,8 +216,11 @@ def maintain_view(
             lambda t, p: pq.write_table(t, p),
             {"rows": len(new), "delta_rows": int(len(g))},
         )
-        return pd.DataFrame({"part": [part], "groups": [len(agg)],
-                             "rows": [len(new)]})
+        # clean Arrow schema (no pandas metadata): Ray's reduce-side
+        # schema hash/unify then takes the fast path, warning-free
+        return pa.table({"part": pa.array([part], pa.int64()),
+                         "groups": pa.array([len(agg)], pa.int64()),
+                         "rows": pa.array([len(new)], pa.int64())})
 
     kw = {}
     if merge_concurrency:
@@ -363,7 +368,7 @@ def maintain_join_view(
              .groupby(["part", "repo"], sort=False, as_index=False)
              [["a_d", "b_d"]].sum())
         # cast to _empty's exact schema — see maintain_view's partial
-        return pa.Table.from_pandas(
+        return pa.Table.from_pandas(  # metadata stripped via cast below
             g, preserve_index=False).select(
             _empty.column_names).cast(_empty.schema)
 
@@ -379,7 +384,8 @@ def maintain_join_view(
         part = int(g["part"].iloc[0])
         m = ckpt.read_manifest(view_dir_b, part)
         if m is not None and m["last_lsn"] >= consumed_b:
-            return pd.DataFrame({"part": [part], "groups": [0]})
+            return pa.table({"part": pa.array([part], pa.int64()),
+                             "groups": pa.array([0], pa.int64())})
         agg = g.groupby("repo", as_index=False)[["a_d", "b_d"]].sum()
         if m is not None:
             old = pq.read_table(m["file"]).to_pandas()
@@ -403,7 +409,8 @@ def maintain_join_view(
             view_dir_b, part, tbl, consumed_b,
             lambda t, p: pq.write_table(t, p),
             {"rows": len(new), "delta_rows": int(len(g))})
-        return pd.DataFrame({"part": [part], "groups": [len(agg)]})
+        return pa.table({"part": pa.array([part], pa.int64()),
+                         "groups": pa.array([len(agg)], pa.int64())})
 
     summary = (ds.groupby("part")
                .map_groups(merge_part, batch_format="pandas")
