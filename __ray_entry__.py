@@ -54,7 +54,8 @@ _GATE_PREFIX = [
     "dedup_passages_documents", "dedup_incremental_documents",
     "decontaminate_documents",
     # similarity / clustering
-    "ann_topk_cosine", "ann_topk_ivf", "ann_topk_pq", "kmeans_embeddings",
+    "ann_topk_cosine", "ann_topk_ivf", "ann_topk_pq",
+    "ann_topk_ivf_incremental", "kmeans_embeddings",
     "pca_embeddings",
     # text analysis
     "lang_id_documents", "quality_scores_documents",

@@ -732,6 +732,44 @@ def ann_topk_pq_q(sf_dir: str):
     return df
 
 
+def ann_topk_ivf_incremental_q(sf_dir: str):
+    """CDC-maintained IVF: build the bucketed index on the ~80% of
+    vectors with ``vec_id % 5 != 0``, REFRESH it with the remaining 20%
+    (one delta assignment pass + tombstone upserts, no rebuild —
+    ``IVFDiskIndex.refresh``), then answer the standard top-10 probe.
+    Rows-only; refresh==rebuild parity is pinned in pytest."""
+    from ..stages.similarity import IVFDiskIndex
+
+    idx_dir = _cache_dir(sf_dir, "ivf_incr_index")
+    tag = _source_fingerprint(
+        os.path.join(sf_dir, "embeddings.parquet")) + ":incr"
+
+    def part_filter(keep_incr: bool):
+        def f(t: pa.Table) -> pa.Table:
+            mod = t["vec_id"].to_numpy(zero_copy_only=False) % 5
+            keep = (mod == 0) if keep_incr else (mod != 0)
+            return t.filter(pa.array(keep))
+
+        return f
+
+    stamp = os.path.join(idx_dir, "source.txt")
+    valid = os.path.exists(os.path.join(idx_dir, "meta.json"))
+    if valid:
+        stored = open(stamp).read() if os.path.exists(stamp) else None
+        valid = stored == tag
+    if not valid:
+        base = (_t(sf_dir, "embeddings", ["vec_id", "embedding"])
+                .map_batches(part_filter(False), batch_format="pyarrow"))
+        idx = IVFDiskIndex.build(base, idx_dir, n_clusters=16,
+                                 source_tag=tag)
+        incr = (_t(sf_dir, "embeddings", ["vec_id", "embedding"])
+                .map_batches(part_filter(True), batch_format="pyarrow"))
+        idx.refresh(incr)
+    df = IVFDiskIndex(idx_dir).search(_query_vec(sf_dir), k=10, nprobe=12)
+    df["score"] = df["score"].round(5)
+    return df
+
+
 def ann_topk_int8_q(sf_dir: str):
     """Quantized (int8) brute-force top-10 — the 4x-bandwidth exhaustive
     scan; rows-only, overlap vs exact gated in pytest."""
@@ -4689,6 +4727,7 @@ ANALYTICS_QUERIES = {
     "ann_topk_lsh": ann_topk_lsh_q,
     "ann_topk_int8": ann_topk_int8_q,
     "ann_topk_pq": ann_topk_pq_q,
+    "ann_topk_ivf_incremental": ann_topk_ivf_incremental_q,
     "multimodal_features": multimodal_features,
     "sample_documents_deterministic": sample_documents_deterministic,
     "sample_documents_weighted": sample_documents_weighted,

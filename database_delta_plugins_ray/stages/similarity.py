@@ -250,6 +250,107 @@ class IVFDiskIndex:
         os.rename(tmp_dir, index_dir)
         return cls(index_dir)
 
+    # -- incremental maintenance (CDC-style refresh) ----------------------
+
+    def _meta(self) -> dict:
+        import json
+
+        p = os.path.join(self.index_dir, "meta.json")
+        if os.path.exists(p):
+            with open(p) as fh:
+                return json.load(fh)
+        return {"gen": 0}
+
+    def _tombstones(self) -> dict:
+        """id -> tombstone generation; a row is live iff its gen >= the
+        tombstone's (adds auto-tombstone their own ids one gen back, so
+        refresh() is an UPSERT)."""
+        import pyarrow.parquet as pq_mod
+
+        p = os.path.join(self.index_dir, "tombstones.parquet")
+        if not os.path.exists(p):
+            return {}
+        t = pq_mod.read_table(p)
+        return dict(zip(t["id"].to_pylist(), t["gen"].to_pylist()))
+
+    def refresh(
+        self,
+        add_ds: "ray.data.Dataset | None" = None,
+        delete_ids=None,
+        *,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> dict:
+        """Advance the index by one generation WITHOUT a rebuild: new /
+        changed vectors assign to the EXISTING centroids and land in a
+        ``delta-g<gen>/cluster=`` directory (staged, one atomic rename);
+        added ids auto-tombstone older versions (upsert), ``delete_ids``
+        tombstone outright. Search unions base + delta buckets and drops
+        rows older than their tombstone. Crash-idempotent: a re-run at
+        the same gen replaces the delta dir and the tombstone rewrite
+        dedups by (id, max gen); meta commits LAST.
+
+        Scale notes: assignment is one map_batches over the delta (the
+        increment, not the corpus); centroids are NOT retrained — after
+        heavy drift rebuild (same ``build`` path; compare n_deltas to
+        corpus size). The tombstone file is a single read-modify-write
+        here; at 10^9-delete scale shard it per bucket like the lake
+        sidecars."""
+        import json
+        import shutil
+
+        import pyarrow.parquet as pq_mod
+
+        meta = self._meta()
+        g = int(meta["gen"]) + 1
+        tomb_new: list = list(delete_ids or [])
+        added = 0
+        if add_ds is not None:
+            c_ref = ray.put(self.centroids)
+
+            def assign(df: pd.DataFrame) -> pd.DataFrame:
+                c = ray.get(c_ref)
+                m = _unit(_as_matrix(df[vec_col]).astype(np.float32))
+                return pd.DataFrame({
+                    id_col: df[id_col].to_numpy(),
+                    vec_col: list(m.astype(np.float32)),
+                    "gen": np.int64(g),
+                    "cluster": np.argmax(m @ c.T, axis=1).astype(np.int32),
+                })
+
+            tmp = os.path.join(self.index_dir, f".delta.tmp.{os.getpid()}")
+            shutil.rmtree(tmp, ignore_errors=True)
+            staged = add_ds.map_batches(
+                assign, batch_format="pandas").materialize()
+            staged.write_parquet(tmp, partition_cols=["cluster"])
+            # payload-light id fold for the auto-tombstones
+            add_ids = [r[id_col] for r in staged.select_columns(
+                [id_col]).take_all()]
+            added = len(add_ids)
+            tomb_new.extend(add_ids)
+            dst = os.path.join(self.index_dir, f"delta-g{g}")
+            shutil.rmtree(dst, ignore_errors=True)  # idempotent re-run
+            os.rename(tmp, dst)
+        if tomb_new:
+            old = self._tombstones()
+            for i in tomb_new:
+                old[i] = max(int(old.get(i, 0)), g)
+            t = pa.table({"id": pa.array(list(old.keys())),
+                          "gen": pa.array([int(v) for v in old.values()],
+                                          pa.int64())})
+            tmp_t = os.path.join(self.index_dir,
+                                 f".tomb.tmp.{os.getpid()}")
+            pq_mod.write_table(t, tmp_t)
+            os.replace(tmp_t,
+                       os.path.join(self.index_dir, "tombstones.parquet"))
+        meta["gen"] = g
+        tmp_m = os.path.join(self.index_dir, f".meta.tmp.{os.getpid()}")
+        with open(tmp_m, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp_m, os.path.join(self.index_dir, "meta.json"))
+        return {"gen": g, "added": added,
+                "tombstoned": len(set(tomb_new))}
+
     def search(
         self,
         query: np.ndarray,
@@ -263,15 +364,53 @@ class IVFDiskIndex:
 
         q = _unit(query.reshape(1, -1).astype(np.float32))[0]
         probe = IVFIndex(self.centroids).probe_clusters(query, nprobe)
-        files = [
-            f
-            for c in probe
-            for f in _glob.glob(
-                os.path.join(self.index_dir, "data", f"cluster={int(c)}", "*.parquet")
-            )
-        ]
-        sub = ray.data.read_parquet(files, columns=[id_col, vec_col])
-        return ann_topk_bruteforce(sub, q, k, vec_col=vec_col, id_col=id_col)
+
+        def bucket_files(root: str) -> list:
+            return [f for c in probe for f in _glob.glob(
+                os.path.join(root, f"cluster={int(c)}", "*.parquet"))]
+
+        base = bucket_files(os.path.join(self.index_dir, "data"))
+        delta_dirs = sorted(_glob.glob(
+            os.path.join(self.index_dir, "delta-g*")))
+        deltas = [f for d in delta_dirs for f in bucket_files(d)]
+        tomb = self._tombstones()
+        t_ref = ray.put(tomb) if tomb else None
+
+        def live_filter(default_gen: int):
+            def live(df: pd.DataFrame) -> pd.DataFrame:
+                if t_ref is None:
+                    return df
+                tm = ray.get(t_ref)
+                gen = (df["gen"].to_numpy()
+                       if "gen" in df.columns
+                       else np.full(len(df), default_gen, np.int64))
+                tg = df[id_col].map(tm).fillna(0).to_numpy(dtype=np.int64)
+                return df[gen >= tg]
+
+            return live
+
+        # base and delta branches keep their OWN block layouts (no union
+        # — parquet list columns vs pandas-written tensor columns don't
+        # unify); top-k is monotone under union, so merging the two
+        # branch top-ks on the driver is exact
+        tops: list[pd.DataFrame] = []
+        if base:
+            b = (ray.data.read_parquet(base, columns=[id_col, vec_col])
+                 .map_batches(live_filter(0), batch_format="pandas"))
+            tops.append(ann_topk_bruteforce(
+                b, q, k, vec_col=vec_col, id_col=id_col))
+        if deltas:
+            d = (ray.data.read_parquet(
+                deltas, columns=[id_col, vec_col, "gen"])
+                .map_batches(live_filter(0), batch_format="pandas"))
+            tops.append(ann_topk_bruteforce(
+                d, q, k, vec_col=vec_col, id_col=id_col))
+        if not tops:
+            return pd.DataFrame({id_col: [], "score": []})
+        allrows = pd.concat(tops, ignore_index=True)
+        rows = list(zip(allrows[id_col], allrows["score"]))
+        top = heapq.nsmallest(k, rows, key=lambda t: (-t[1], t[0]))
+        return pd.DataFrame(top, columns=[id_col, "score"])
 
 
 def _lsh_buckets(m: np.ndarray, planes: np.ndarray) -> np.ndarray:

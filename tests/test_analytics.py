@@ -423,3 +423,87 @@ def test_pq_search_multi_matches_single(ray_session, tmp_path):
         exact = set(ann_topk_bruteforce(ds, qs[qi], k=10)["vec_id"])
         assert len(exact & set(mrows["vec_id"])) >= 9
         assert list(mrows["rank"]) == list(range(1, 11))
+
+
+def test_ivf_refresh_upsert_delete_matches_rebuild(ray_session, tmp_path):
+    """CDC-style IVF maintenance: build on v0, refresh with upserts +
+    deletes + brand-new vectors (no rebuild), and the search must equal
+    a full rebuild over the CURRENT logical state (same centroids seed,
+    so bucket routing matches). Also: crash-idempotent re-run at the
+    same generation, and stale versions never resurface."""
+    from database_delta_plugins_ray.stages.similarity import IVFDiskIndex
+
+    rng = np.random.default_rng(31)
+    centers = rng.standard_normal((8, 16)) * 4
+    assign0 = rng.integers(0, 8, 500)
+    v0 = (centers[assign0] + rng.standard_normal((500, 16))).astype(
+        np.float32)
+
+    def items(ids, vecs):
+        return ray.data.from_items(
+            [{"vec_id": int(i), "embedding": vecs[j].tolist()}
+             for j, i in enumerate(ids)])
+
+    idx_dir = str(tmp_path / "ivf")
+    idx = IVFDiskIndex.build(items(range(500), v0), idx_dir, n_clusters=8)
+
+    # increment: update 40 vectors (move them), delete 30, add 50 new
+    upd_ids = list(range(0, 40))
+    v_upd = (centers[rng.integers(0, 8, 40)]
+             + rng.standard_normal((40, 16))).astype(np.float32)
+    del_ids = list(range(100, 130))
+    new_ids = list(range(500, 550))
+    v_new = (centers[rng.integers(0, 8, 50)]
+             + rng.standard_normal((50, 16))).astype(np.float32)
+    add_ids = upd_ids + new_ids
+    add_vecs = np.concatenate([v_upd, v_new])
+    r = idx.refresh(items(add_ids, add_vecs), delete_ids=del_ids)
+    assert r["gen"] == 1 and r["added"] == 90
+
+    # current logical state
+    cur_ids, cur_vecs = [], []
+    upd_map = dict(zip(upd_ids, range(40)))
+    for i in range(500):
+        if i in del_ids:
+            continue
+        if i in upd_map:
+            cur_ids.append(i)
+            cur_vecs.append(v_upd[upd_map[i]])
+        else:
+            cur_ids.append(i)
+            cur_vecs.append(v0[i])
+    cur_ids += new_ids
+    cur_vecs += list(v_new)
+    rebuilt = IVFDiskIndex.build(
+        items(cur_ids, np.stack(cur_vecs)), str(tmp_path / "ivf2"),
+        n_clusters=8)
+
+    for qi in (0, 105, 510, 333):
+        q = (np.stack(cur_vecs)[min(qi, len(cur_vecs) - 1)]
+             if qi != 105 else centers[3].astype(np.float32))
+        got = idx.search(q, k=10, nprobe=8)
+        want = rebuilt.search(q, k=10, nprobe=8)
+        assert list(got["vec_id"]) == list(want["vec_id"])
+        np.testing.assert_allclose(got["score"], want["score"], atol=1e-6)
+        # deleted ids never surface
+        assert not set(got["vec_id"]) & set(del_ids)
+
+    # crash-idempotence: re-running the same increment at the same gen
+    # (as a recovery would) leaves search results unchanged
+    idx2 = IVFDiskIndex(idx_dir)
+    # simulate the pre-meta-commit crash by rolling meta back one gen
+    import json
+
+    mp = os.path.join(idx_dir, "meta.json")
+    with open(mp) as fh:
+        m = json.load(fh)
+    m["gen"] = 0
+    with open(mp, "w") as fh:
+        json.dump(m, fh)
+    r2 = IVFDiskIndex(idx_dir).refresh(items(add_ids, add_vecs),
+                                       delete_ids=del_ids)
+    assert r2["gen"] == 1
+    q = centers[3].astype(np.float32)
+    again = IVFDiskIndex(idx_dir).search(q, k=10, nprobe=8)
+    want = rebuilt.search(q, k=10, nprobe=8)
+    assert list(again["vec_id"]) == list(want["vec_id"])
