@@ -187,6 +187,87 @@ class IVFIndex:
         return np.argsort(-scores)[:nprobe]
 
 
+def _idx_meta(index_dir: str) -> dict:
+    import json
+
+    p = os.path.join(index_dir, "meta.json")
+    if os.path.exists(p):
+        with open(p) as fh:
+            return json.load(fh)
+    return {"gen": 0}
+
+
+def _idx_tombstones(index_dir: str) -> dict:
+    """id -> tombstone generation; a row is live iff its gen >= the
+    tombstone's (adds auto-tombstone their own ids, so refresh() is an
+    UPSERT)."""
+    import pyarrow.parquet as pq_mod
+
+    p = os.path.join(index_dir, "tombstones.parquet")
+    if not os.path.exists(p):
+        return {}
+    t = pq_mod.read_table(p)
+    return dict(zip(t["id"].to_pylist(), t["gen"].to_pylist()))
+
+
+def _idx_stage_delta(index_dir: str, g: int, staged,
+                     partition_cols: list, id_col: str) -> list:
+    """Write a materialized delta dataset into ``delta-g<g>`` via a
+    staged dir + ONE atomic rename (idempotent at a fixed gen: a re-run
+    replaces the dir). Returns the delta's ids (payload-light fold)."""
+    import shutil
+
+    tmp = os.path.join(index_dir, f".delta.tmp.{os.getpid()}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    staged.write_parquet(tmp, partition_cols=partition_cols)
+    add_ids = [r[id_col] for r in staged.select_columns([id_col]).take_all()]
+    dst = os.path.join(index_dir, f"delta-g{g}")
+    shutil.rmtree(dst, ignore_errors=True)
+    os.rename(tmp, dst)
+    return add_ids
+
+
+def _idx_commit_refresh(index_dir: str, g: int, tomb_new: list) -> None:
+    """Tombstone rewrite (dedup by id, max gen) then meta LAST — the
+    crash-recovery order every refresh relies on."""
+    import json
+
+    import pyarrow.parquet as pq_mod
+
+    if tomb_new:
+        old = _idx_tombstones(index_dir)
+        for i in tomb_new:
+            old[i] = max(int(old.get(i, 0)), g)
+        t = pa.table({"id": pa.array(list(old.keys())),
+                      "gen": pa.array([int(v) for v in old.values()],
+                                      pa.int64())})
+        tmp_t = os.path.join(index_dir, f".tomb.tmp.{os.getpid()}")
+        pq_mod.write_table(t, tmp_t)
+        os.replace(tmp_t, os.path.join(index_dir, "tombstones.parquet"))
+    meta = _idx_meta(index_dir)
+    meta["gen"] = g
+    tmp_m = os.path.join(index_dir, f".meta.tmp.{os.getpid()}")
+    with open(tmp_m, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp_m, os.path.join(index_dir, "meta.json"))
+
+
+def _idx_live_filter(t_ref, id_col: str):
+    """Row-level liveness: keep iff gen >= its id's tombstone gen (base
+    rows, written before any refresh, default to gen 0)."""
+
+    def live(df: pd.DataFrame) -> pd.DataFrame:
+        if t_ref is None:
+            return df
+        tm = ray.get(t_ref)
+        gen = (df["gen"].to_numpy() if "gen" in df.columns
+               else np.zeros(len(df), np.int64))
+        tg = df[id_col].map(tm).fillna(0).to_numpy(dtype=np.int64)
+        return df[gen >= tg]
+
+    return live
+
+
 class IVFDiskIndex:
     """Persisted IVF index — the scale path for repeated ANN queries.
 
@@ -253,25 +334,10 @@ class IVFDiskIndex:
     # -- incremental maintenance (CDC-style refresh) ----------------------
 
     def _meta(self) -> dict:
-        import json
-
-        p = os.path.join(self.index_dir, "meta.json")
-        if os.path.exists(p):
-            with open(p) as fh:
-                return json.load(fh)
-        return {"gen": 0}
+        return _idx_meta(self.index_dir)
 
     def _tombstones(self) -> dict:
-        """id -> tombstone generation; a row is live iff its gen >= the
-        tombstone's (adds auto-tombstone their own ids one gen back, so
-        refresh() is an UPSERT)."""
-        import pyarrow.parquet as pq_mod
-
-        p = os.path.join(self.index_dir, "tombstones.parquet")
-        if not os.path.exists(p):
-            return {}
-        t = pq_mod.read_table(p)
-        return dict(zip(t["id"].to_pylist(), t["gen"].to_pylist()))
+        return _idx_tombstones(self.index_dir)
 
     def refresh(
         self,
@@ -296,13 +362,7 @@ class IVFDiskIndex:
         corpus size). The tombstone file is a single read-modify-write
         here; at 10^9-delete scale shard it per bucket like the lake
         sidecars."""
-        import json
-        import shutil
-
-        import pyarrow.parquet as pq_mod
-
-        meta = self._meta()
-        g = int(meta["gen"]) + 1
+        g = int(self._meta()["gen"]) + 1
         tomb_new: list = list(delete_ids or [])
         added = 0
         if add_ds is not None:
@@ -318,36 +378,13 @@ class IVFDiskIndex:
                     "cluster": np.argmax(m @ c.T, axis=1).astype(np.int32),
                 })
 
-            tmp = os.path.join(self.index_dir, f".delta.tmp.{os.getpid()}")
-            shutil.rmtree(tmp, ignore_errors=True)
             staged = add_ds.map_batches(
                 assign, batch_format="pandas").materialize()
-            staged.write_parquet(tmp, partition_cols=["cluster"])
-            # payload-light id fold for the auto-tombstones
-            add_ids = [r[id_col] for r in staged.select_columns(
-                [id_col]).take_all()]
+            add_ids = _idx_stage_delta(
+                self.index_dir, g, staged, ["cluster"], id_col)
             added = len(add_ids)
             tomb_new.extend(add_ids)
-            dst = os.path.join(self.index_dir, f"delta-g{g}")
-            shutil.rmtree(dst, ignore_errors=True)  # idempotent re-run
-            os.rename(tmp, dst)
-        if tomb_new:
-            old = self._tombstones()
-            for i in tomb_new:
-                old[i] = max(int(old.get(i, 0)), g)
-            t = pa.table({"id": pa.array(list(old.keys())),
-                          "gen": pa.array([int(v) for v in old.values()],
-                                          pa.int64())})
-            tmp_t = os.path.join(self.index_dir,
-                                 f".tomb.tmp.{os.getpid()}")
-            pq_mod.write_table(t, tmp_t)
-            os.replace(tmp_t,
-                       os.path.join(self.index_dir, "tombstones.parquet"))
-        meta["gen"] = g
-        tmp_m = os.path.join(self.index_dir, f".meta.tmp.{os.getpid()}")
-        with open(tmp_m, "w") as fh:
-            json.dump(meta, fh)
-        os.replace(tmp_m, os.path.join(self.index_dir, "meta.json"))
+        _idx_commit_refresh(self.index_dir, g, tomb_new)
         return {"gen": g, "added": added,
                 "tombstoned": len(set(tomb_new))}
 
@@ -375,19 +412,7 @@ class IVFDiskIndex:
         deltas = [f for d in delta_dirs for f in bucket_files(d)]
         tomb = self._tombstones()
         t_ref = ray.put(tomb) if tomb else None
-
-        def live_filter(default_gen: int):
-            def live(df: pd.DataFrame) -> pd.DataFrame:
-                if t_ref is None:
-                    return df
-                tm = ray.get(t_ref)
-                gen = (df["gen"].to_numpy()
-                       if "gen" in df.columns
-                       else np.full(len(df), default_gen, np.int64))
-                tg = df[id_col].map(tm).fillna(0).to_numpy(dtype=np.int64)
-                return df[gen >= tg]
-
-            return live
+        live = _idx_live_filter(t_ref, id_col)
 
         # base and delta branches keep their OWN block layouts (no union
         # — parquet list columns vs pandas-written tensor columns don't
@@ -396,13 +421,13 @@ class IVFDiskIndex:
         tops: list[pd.DataFrame] = []
         if base:
             b = (ray.data.read_parquet(base, columns=[id_col, vec_col])
-                 .map_batches(live_filter(0), batch_format="pandas"))
+                 .map_batches(live, batch_format="pandas"))
             tops.append(ann_topk_bruteforce(
                 b, q, k, vec_col=vec_col, id_col=id_col))
         if deltas:
             d = (ray.data.read_parquet(
                 deltas, columns=[id_col, vec_col, "gen"])
-                .map_batches(live_filter(0), batch_format="pandas"))
+                .map_batches(live, batch_format="pandas"))
             tops.append(ann_topk_bruteforce(
                 d, q, k, vec_col=vec_col, id_col=id_col))
         if not tops:
@@ -516,6 +541,61 @@ class LSHDiskIndex:
                 out.append((t, int(base[t]) ^ (1 << int(j))))
         return out
 
+    def refresh(
+        self,
+        add_ds: "ray.data.Dataset | None" = None,
+        delete_ids=None,
+        *,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> dict:
+        """Advance the index one generation WITHOUT a rebuild — the LSH
+        analog of ``IVFDiskIndex.refresh``, and the stronger fit for
+        incremental corpora: hyperplanes are data-independent, so a
+        delta scatter never drifts the way stale k-means centroids do.
+        Adds scatter L times with the EXISTING planes into a staged
+        ``delta-g<gen>/tbl=/bucket=`` dir (one atomic rename); added ids
+        auto-tombstone older versions (upsert), ``delete_ids`` tombstone
+        outright; meta commits last. Crash-idempotent at a fixed gen."""
+        g = int(_idx_meta(self.index_dir)["gen"]) + 1
+        tomb_new: list = list(delete_ids or [])
+        added = 0
+        if add_ds is not None:
+            p_ref = ray.put(self.planes)
+
+            def scatter(df: pd.DataFrame) -> pd.DataFrame:
+                p = ray.get(p_ref)
+                m = _unit(_as_matrix(df[vec_col]).astype(np.float32))
+                buckets = _lsh_buckets(m, p)
+                n, L = buckets.shape
+                ids = df[id_col].to_numpy()
+                return pd.DataFrame({
+                    id_col: np.tile(ids, L),
+                    vec_col: list(np.tile(m, (L, 1)).astype(np.float32)),
+                    "gen": np.int64(g),
+                    "tbl": np.repeat(np.arange(L, dtype=np.int32), n),
+                    "bucket": buckets.T.reshape(-1),
+                })
+
+            staged = add_ds.map_batches(
+                scatter, batch_format="pandas").materialize()
+            rep_ids = [r[id_col] for r in staged.select_columns(
+                [id_col]).take_all()]
+            add_ids = sorted(set(rep_ids))  # each id appears L times
+            added = len(add_ids)
+            tomb_new.extend(add_ids)
+            import shutil
+
+            tmp = os.path.join(self.index_dir, f".delta.tmp.{os.getpid()}")
+            shutil.rmtree(tmp, ignore_errors=True)
+            staged.write_parquet(tmp, partition_cols=["tbl", "bucket"])
+            dst = os.path.join(self.index_dir, f"delta-g{g}")
+            shutil.rmtree(dst, ignore_errors=True)
+            os.rename(tmp, dst)
+        _idx_commit_refresh(self.index_dir, g, tomb_new)
+        return {"gen": g, "added": added,
+                "tombstoned": len(set(tomb_new))}
+
     def search(
         self,
         query: np.ndarray,
@@ -528,20 +608,27 @@ class LSHDiskIndex:
         import glob as _glob
 
         q = _unit(query.reshape(1, -1).astype(np.float32))[0]
-        files = [
-            f
-            for t, bkt in self.probe_buckets(query, multiprobe)
-            for f in _glob.glob(
-                os.path.join(self.index_dir, "data",
-                             f"tbl={t}", f"bucket={bkt}", "*.parquet"))
-        ]
-        if not files:
-            return pd.DataFrame({id_col: [], "score": []})
-        sub = ray.data.read_parquet(files, columns=[id_col, vec_col])
+        probes = self.probe_buckets(query, multiprobe)
+
+        def bucket_files(root: str) -> list:
+            return [f for t, bkt in probes for f in _glob.glob(
+                os.path.join(root, f"tbl={t}", f"bucket={bkt}",
+                             "*.parquet"))]
+
+        base = bucket_files(os.path.join(self.index_dir, "data"))
+        delta_dirs = sorted(_glob.glob(
+            os.path.join(self.index_dir, "delta-g*")))
+        deltas = [f for d in delta_dirs for f in bucket_files(d)]
+        tomb = _idx_tombstones(self.index_dir)
+        t_ref = ray.put(tomb) if tomb else None
+        live = _idx_live_filter(t_ref, id_col)
         q_ref = ray.put(q)
 
         def partial(df: pd.DataFrame) -> pd.DataFrame:
+            df = live(df)
             qq = ray.get(q_ref)
+            if df.empty:
+                return pd.DataFrame({id_col: [], "score": []})
             m = _unit(_as_matrix(df[vec_col]).astype(np.float32))
             scores = m @ qq
             if len(scores) > k:
@@ -551,7 +638,19 @@ class LSHDiskIndex:
             return pd.DataFrame({id_col: df[id_col].to_numpy()[idx],
                                  "score": scores[idx].astype(np.float64)})
 
-        partials = sub.map_batches(partial, batch_format="pandas").take_all()
+        partials = []
+        # base and delta branches keep their OWN block layouts (parquet
+        # list columns vs pandas-written tensor columns don't unify)
+        if base:
+            partials += (ray.data.read_parquet(
+                base, columns=[id_col, vec_col])
+                .map_batches(partial, batch_format="pandas").take_all())
+        if deltas:
+            partials += (ray.data.read_parquet(
+                deltas, columns=[id_col, vec_col, "gen"])
+                .map_batches(partial, batch_format="pandas").take_all())
+        if not partials:
+            return pd.DataFrame({id_col: [], "score": []})
         # a vector appears once per table it collided in — dedup by id
         # before the exact finish or the same id could fill two top-k slots
         best: dict = {}

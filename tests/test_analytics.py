@@ -507,3 +507,54 @@ def test_ivf_refresh_upsert_delete_matches_rebuild(ray_session, tmp_path):
     again = IVFDiskIndex(idx_dir).search(q, k=10, nprobe=8)
     want = rebuilt.search(q, k=10, nprobe=8)
     assert list(again["vec_id"]) == list(want["vec_id"])
+
+
+def test_lsh_refresh_upsert_delete_matches_rebuild(ray_session, tmp_path):
+    """LSH incremental maintenance: refresh with upserts + deletes +
+    adds == a full rebuild over the current logical state (same planes
+    seed, so bucket routing matches exactly)."""
+    from database_delta_plugins_ray.stages.similarity import LSHDiskIndex
+
+    rng = np.random.default_rng(41)
+    centers = rng.standard_normal((6, 16)) * 4
+    v0 = (centers[rng.integers(0, 6, 400)]
+          + rng.standard_normal((400, 16))).astype(np.float32)
+
+    def items(ids, vecs):
+        return ray.data.from_items(
+            [{"vec_id": int(i), "embedding": vecs[j].tolist()}
+             for j, i in enumerate(ids)])
+
+    idx_dir = str(tmp_path / "lsh")
+    idx = LSHDiskIndex.build(items(range(400), v0), idx_dir,
+                             n_planes=5, n_tables=8)
+    upd_ids = list(range(0, 30))
+    v_upd = (centers[rng.integers(0, 6, 30)]
+             + rng.standard_normal((30, 16))).astype(np.float32)
+    del_ids = list(range(50, 80))
+    new_ids = list(range(400, 440))
+    v_new = (centers[rng.integers(0, 6, 40)]
+             + rng.standard_normal((40, 16))).astype(np.float32)
+    r = idx.refresh(items(upd_ids + new_ids,
+                          np.concatenate([v_upd, v_new])),
+                    delete_ids=del_ids)
+    assert r["gen"] == 1 and r["added"] == 70
+
+    cur_ids, cur_vecs = [], []
+    upd_map = dict(zip(upd_ids, range(30)))
+    for i in range(400):
+        if i in del_ids:
+            continue
+        cur_ids.append(i)
+        cur_vecs.append(v_upd[upd_map[i]] if i in upd_map else v0[i])
+    cur_ids += new_ids
+    cur_vecs += list(v_new)
+    rebuilt = LSHDiskIndex.build(items(cur_ids, np.stack(cur_vecs)),
+                                 str(tmp_path / "lsh2"),
+                                 n_planes=5, n_tables=8)
+    for q in (centers[2].astype(np.float32), v_new[7], v_upd[3]):
+        got = idx.search(q, k=10, multiprobe=4)
+        want = rebuilt.search(q, k=10, multiprobe=4)
+        assert list(got["vec_id"]) == list(want["vec_id"])
+        np.testing.assert_allclose(got["score"], want["score"], atol=1e-6)
+        assert not set(got["vec_id"]) & set(del_ids)
