@@ -219,7 +219,10 @@ def _idx_stage_delta(index_dir: str, g: int, staged,
 
     tmp = os.path.join(index_dir, f".delta.tmp.{os.getpid()}")
     shutil.rmtree(tmp, ignore_errors=True)
-    staged.write_parquet(tmp, partition_cols=partition_cols)
+    if partition_cols:
+        staged.write_parquet(tmp, partition_cols=partition_cols)
+    else:
+        staged.write_parquet(tmp)
     add_ids = [r[id_col] for r in staged.select_columns([id_col]).take_all()]
     dst = os.path.join(index_dir, f"delta-g{g}")
     shutil.rmtree(dst, ignore_errors=True)
@@ -848,6 +851,47 @@ class PQDiskIndex:
         os.rename(tmp_dir, index_dir)
         return cls(index_dir)
 
+    def refresh(
+        self,
+        add_ds: "ray.data.Dataset | None" = None,
+        delete_ids=None,
+        *,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> dict:
+        """Advance the codes index one generation WITHOUT re-encoding
+        the corpus: the delta encodes with the EXISTING codebooks into a
+        staged ``delta-g<gen>`` dir (one atomic rename); added ids
+        auto-tombstone older versions (upsert), ``delete_ids`` tombstone
+        outright; meta commits last. Codebooks are NOT retrained —
+        rebuild on heavy distribution drift (same trade as IVF
+        centroids, weaker in practice: per-subspace codebooks track
+        marginals, not global clusters)."""
+        g = int(_idx_meta(self.index_dir)["gen"]) + 1
+        tomb_new: list = list(delete_ids or [])
+        added = 0
+        if add_ds is not None:
+            b_ref = ray.put(self.books.books)
+
+            def enc(df: pd.DataFrame) -> pd.DataFrame:
+                bk = PQCodebooks(ray.get(b_ref))
+                codes = bk.encode(_as_matrix(df[vec_col]))
+                return pd.DataFrame({
+                    id_col: df[id_col].to_numpy(),
+                    "codes": list(codes),
+                    "gen": np.int64(g),
+                })
+
+            staged = add_ds.map_batches(
+                enc, batch_format="pandas").materialize()
+            add_ids = _idx_stage_delta(self.index_dir, g, staged, [],
+                                       id_col)
+            added = len(add_ids)
+            tomb_new.extend(add_ids)
+        _idx_commit_refresh(self.index_dir, g, tomb_new)
+        return {"gen": g, "added": added,
+                "tombstoned": len(set(tomb_new))}
+
     def search(
         self,
         query: np.ndarray,
@@ -858,12 +902,20 @@ class PQDiskIndex:
         vec_col: str = "embedding",
         id_col: str = "vec_id",
     ) -> pd.DataFrame:
+        import glob as _glob
+
         lut = self.books.lut(query)
         lut_ref = ray.put(lut)
         c = max(k, k * rerank_mult)
         marange = np.arange(lut.shape[0])
+        tomb = _idx_tombstones(self.index_dir)
+        t_ref = ray.put(tomb) if tomb else None
+        live = _idx_live_filter(t_ref, id_col)
 
         def adc_partial(df: pd.DataFrame) -> pd.DataFrame:
+            df = live(df)
+            if df.empty:
+                return pd.DataFrame({id_col: [], "score": []})
             tbl = ray.get(lut_ref)
             codes = np.stack(df["codes"].to_numpy()).astype(np.int64)
             scores = tbl[marange, codes].sum(axis=1).astype(np.float64)
@@ -873,10 +925,16 @@ class PQDiskIndex:
             return pd.DataFrame({id_col: df[id_col].to_numpy()[idx],
                                  "score": scores[idx]})
 
-        codes_ds = ray.data.read_parquet(
+        partials = (ray.data.read_parquet(
             os.path.join(self.index_dir, "codes"))
-        partials = codes_ds.map_batches(
-            adc_partial, batch_format="pandas").take_all()
+            .map_batches(adc_partial, batch_format="pandas").take_all())
+        delta_files = [f for d in sorted(_glob.glob(
+            os.path.join(self.index_dir, "delta-g*")))
+            for f in _glob.glob(os.path.join(d, "*.parquet"))]
+        if delta_files:
+            partials += (ray.data.read_parquet(delta_files)
+                         .map_batches(adc_partial,
+                                      batch_format="pandas").take_all())
         rows = [(r[id_col], r["score"]) for r in partials]
         cand = heapq.nsmallest(c, rows, key=lambda t: (-t[1], t[0]))
         if rerank_ds is None:

