@@ -255,6 +255,49 @@ def _idx_commit_refresh(index_dir: str, g: int, tomb_new: list) -> None:
     os.replace(tmp_m, os.path.join(index_dir, "meta.json"))
 
 
+def _idx_live_rows(index_dir: str, id_col: str, vec_col: str,
+                   data_sub: str = "data", delta_sub: str = ""):
+    """The index's CURRENT logical rows as (id, vec) datasets — base and
+    delta branches separately (their parquet layouts don't union),
+    each tombstone-filtered and gen-stripped. Input to ``compact``.
+    ``delta_sub`` narrows each delta dir (e.g. one LSH table, so a
+    vector stored L times reads once)."""
+    import glob as _glob
+
+    tomb = _idx_tombstones(index_dir)
+    t_ref = ray.put(tomb) if tomb else None
+    live = _idx_live_filter(t_ref, id_col)
+
+    def strip(df: pd.DataFrame) -> pd.DataFrame:
+        df = live(df)
+        return df[[id_col, vec_col]]
+
+    out = []
+    base = os.path.join(index_dir, data_sub)
+    if _glob.glob(os.path.join(base, "**", "*.parquet"), recursive=True):
+        out.append(ray.data.read_parquet(base, columns=[id_col, vec_col])
+                   .map_batches(strip, batch_format="pandas"))
+    deltas = [f for d in sorted(_glob.glob(
+        os.path.join(index_dir, "delta-g*")))
+        for f in _glob.glob(os.path.join(d, delta_sub, "**", "*.parquet"),
+                            recursive=True)]
+    if deltas:
+        out.append(ray.data.read_parquet(
+            deltas, columns=[id_col, vec_col, "gen"])
+            .map_batches(strip, batch_format="pandas"))
+    return out
+
+
+def _idx_swap_in(index_dir: str, tmp_dir: str) -> None:
+    """Replace the live index dir with the compacted one (same
+    non-atomicity window as ``build``: rmtree then rename — single
+    writer assumed, crash leaves the staged dir for a re-run)."""
+    import shutil
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.rename(tmp_dir, index_dir)
+
+
 def _idx_live_filter(t_ref, id_col: str):
     """Row-level liveness: keep iff gen >= its id's tombstone gen (base
     rows, written before any refresh, default to gen 0)."""
@@ -390,6 +433,53 @@ class IVFDiskIndex:
         _idx_commit_refresh(self.index_dir, g, tomb_new)
         return {"gen": g, "added": added,
                 "tombstoned": len(set(tomb_new))}
+
+    def compact(
+        self,
+        *,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> dict:
+        """Fold every delta generation and the tombstones back into a
+        fresh base — the index's OPTIMIZE. One pass over the LIVE rows
+        (re-assigned with the existing centroids, no retrain), staged
+        into a full new index dir and swapped in; delta dirs and the
+        tombstone file disappear, the generation counter carries on so
+        later refreshes keep ordering. Run when len(delta dirs) or the
+        tombstone map grows past the read-amplification you can pay at
+        search time."""
+        import shutil
+
+        tmp = self.index_dir + f".compact.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        c_ref = ray.put(self.centroids)
+
+        def assign(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(c_ref)
+            m = _unit(_as_matrix(df[vec_col]).astype(np.float32))
+            return pd.DataFrame({
+                id_col: df[id_col].to_numpy(),
+                vec_col: list(m.astype(np.float32)),
+                "cluster": np.argmax(m @ c.T, axis=1).astype(np.int32),
+            })
+
+        total = 0
+        for b in _idx_live_rows(self.index_dir, id_col, vec_col):
+            st = b.map_batches(assign, batch_format="pandas").materialize()
+            total += st.count()
+            st.write_parquet(os.path.join(tmp, "data"),
+                             partition_cols=["cluster"])
+        np.save(os.path.join(tmp, "centroids.npy"), self.centroids)
+        src = os.path.join(self.index_dir, "source.txt")
+        if os.path.exists(src):
+            shutil.copy(src, os.path.join(tmp, "source.txt"))
+        import json
+
+        with open(os.path.join(tmp, "meta.json"), "w") as fh:
+            json.dump({"gen": int(self._meta()["gen"])}, fh)
+        _idx_swap_in(self.index_dir, tmp)
+        return {"rows": total, "gen": int(self._meta()["gen"])}
 
     def search(
         self,
@@ -598,6 +688,57 @@ class LSHDiskIndex:
         _idx_commit_refresh(self.index_dir, g, tomb_new)
         return {"gen": g, "added": added,
                 "tombstoned": len(set(tomb_new))}
+
+    def compact(
+        self,
+        *,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> dict:
+        """Fold deltas + tombstones into a fresh base (see
+        ``IVFDiskIndex.compact``). Live rows read from table 0 only —
+        every vector lives in every table, so one table is the deduped
+        row set — then re-scattered L times with the existing planes."""
+        import shutil
+
+        tmp = self.index_dir + f".compact.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        p_ref = ray.put(self.planes)
+
+        def scatter(df: pd.DataFrame) -> pd.DataFrame:
+            p = ray.get(p_ref)
+            m = _unit(_as_matrix(df[vec_col]).astype(np.float32))
+            buckets = _lsh_buckets(m, p)
+            n, L = buckets.shape
+            ids = df[id_col].to_numpy()
+            return pd.DataFrame({
+                id_col: np.tile(ids, L),
+                vec_col: list(np.tile(m, (L, 1)).astype(np.float32)),
+                "tbl": np.repeat(np.arange(L, dtype=np.int32), n),
+                "bucket": buckets.T.reshape(-1),
+            })
+
+        total = 0
+        for b in _idx_live_rows(self.index_dir, id_col, vec_col,
+                                data_sub=os.path.join("data", "tbl=0"),
+                                delta_sub="tbl=0"):
+            st = b.map_batches(scatter, batch_format="pandas").materialize()
+            total += st.count()
+            st.write_parquet(os.path.join(tmp, "data"),
+                             partition_cols=["tbl", "bucket"])
+        np.save(os.path.join(tmp, "planes.npy"), self.planes)
+        src = os.path.join(self.index_dir, "source.txt")
+        if os.path.exists(src):
+            shutil.copy(src, os.path.join(tmp, "source.txt"))
+        import json
+
+        with open(os.path.join(tmp, "meta.json"), "w") as fh:
+            json.dump({"gen": int(_idx_meta(self.index_dir)["gen"])}, fh)
+        _idx_swap_in(self.index_dir, tmp)
+        L = self.planes.shape[0]
+        return {"rows": total // max(L, 1),
+                "gen": int(_idx_meta(self.index_dir)["gen"])}
 
     def search(
         self,
@@ -891,6 +1032,34 @@ class PQDiskIndex:
         _idx_commit_refresh(self.index_dir, g, tomb_new)
         return {"gen": g, "added": added,
                 "tombstoned": len(set(tomb_new))}
+
+    def compact(self, *, id_col: str = "vec_id") -> dict:
+        """Fold deltas + tombstones into a fresh codes base (see
+        ``IVFDiskIndex.compact``). Codes are already the stored
+        representation, so compaction is a live-row concat — no
+        re-encode pass."""
+        import shutil
+
+        tmp = self.index_dir + f".compact.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        total = 0
+        for b in _idx_live_rows(self.index_dir, id_col, "codes",
+                                data_sub="codes"):
+            st = b.materialize()
+            total += st.count()
+            st.write_parquet(os.path.join(tmp, "codes"))
+        np.save(os.path.join(tmp, "codebooks.npy"), self.books.books)
+        src = os.path.join(self.index_dir, "source.txt")
+        if os.path.exists(src):
+            shutil.copy(src, os.path.join(tmp, "source.txt"))
+        import json
+
+        with open(os.path.join(tmp, "meta.json"), "w") as fh:
+            json.dump({"gen": int(_idx_meta(self.index_dir)["gen"])}, fh)
+        _idx_swap_in(self.index_dir, tmp)
+        return {"rows": total,
+                "gen": int(_idx_meta(self.index_dir)["gen"])}
 
     def search(
         self,

@@ -611,3 +611,55 @@ def test_pq_refresh_upsert_delete_matches_rebuild(ray_session, tmp_path):
         assert brute["vec_id"].iloc[0] in set(got["vec_id"])
         overlap = len(set(got["vec_id"]) & set(brute["vec_id"]))
         assert overlap >= 8
+
+
+def test_index_compact_folds_deltas(ray_session, tmp_path):
+    """compact() folds deltas + tombstones into a fresh base for all
+    three persisted indexes: search results identical before/after,
+    delta dirs and the tombstone file gone, generation preserved."""
+    import glob
+
+    from database_delta_plugins_ray.stages.similarity import (
+        IVFDiskIndex,
+        LSHDiskIndex,
+        PQDiskIndex,
+    )
+
+    rng = np.random.default_rng(71)
+    v0 = rng.standard_normal((300, 16)).astype(np.float32)
+    v1 = rng.standard_normal((40, 16)).astype(np.float32)
+
+    def items(ids, vecs):
+        return ray.data.from_items(
+            [{"vec_id": int(i), "embedding": vecs[j].tolist()}
+             for j, i in enumerate(ids)])
+
+    q = v1[5]
+    for name, cls, build_kw, search_kw in [
+        ("ivf", IVFDiskIndex, {"n_clusters": 8}, {"nprobe": 8}),
+        ("lsh", LSHDiskIndex, {"n_planes": 4, "n_tables": 6},
+         {"multiprobe": 4}),
+        ("pq", PQDiskIndex, {"m": 8}, {}),
+    ]:
+        d = str(tmp_path / name)
+        idx = cls.build(items(range(300), v0), d, **build_kw)
+        idx.refresh(items(range(300, 340), v1),
+                    delete_ids=list(range(10, 30)))
+        if name == "pq":
+            search_kw = {"rerank_ds": None}
+            before = idx.search(q, k=10)
+        else:
+            before = idx.search(q, k=10, **search_kw)
+        out = idx.compact()
+        assert out["rows"] == 300 - 20 + 40, name
+        assert not glob.glob(os.path.join(d, "delta-g*")), name
+        assert not os.path.exists(os.path.join(d, "tombstones.parquet"))
+        idx2 = cls(d)
+        after = (idx2.search(q, k=10) if name == "pq"
+                 else idx2.search(q, k=10, **search_kw))
+        assert list(after["vec_id"]) == list(before["vec_id"]), name
+        np.testing.assert_allclose(after["score"], before["score"],
+                                   atol=1e-6)
+        # a post-compact refresh keeps working (gen continues)
+        r = idx2.refresh(delete_ids=[0])
+        assert r["gen"] == 2, name
