@@ -210,6 +210,23 @@ def _idx_tombstones(index_dir: str) -> dict:
     return dict(zip(t["id"].to_pylist(), t["gen"].to_pylist()))
 
 
+def _idx_sweep_tmp(index_dir: str) -> None:
+    """Remove staging leftovers from crashed writers (single-writer
+    contract): .delta.tmp.*, .tomb.tmp.*, .meta.tmp.*, *.compact.* are
+    all pre-publish artifacts — deleting them never loses committed
+    state."""
+    import glob as _glob
+    import shutil
+
+    for pat in (".delta.tmp.*", ".tomb.tmp.*", ".meta.tmp.*"):
+        for p_ in _glob.glob(os.path.join(index_dir, pat)):
+            shutil.rmtree(p_, ignore_errors=True)
+            if os.path.isfile(p_):
+                os.unlink(p_)
+    for p_ in _glob.glob(index_dir + ".compact.*"):
+        shutil.rmtree(p_, ignore_errors=True)
+
+
 def _idx_stage_delta(index_dir: str, g: int, staged,
                      partition_cols: list, id_col: str) -> list:
     """Write a materialized delta dataset into ``delta-g<g>`` via a
@@ -232,7 +249,8 @@ def _idx_stage_delta(index_dir: str, g: int, staged,
 
 def _idx_commit_refresh(index_dir: str, g: int, tomb_new: list) -> None:
     """Tombstone rewrite (dedup by id, max gen) then meta LAST — the
-    crash-recovery order every refresh relies on."""
+    crash-recovery order every refresh relies on. Sweeps stale staging
+    leftovers on the way out."""
     import json
 
     import pyarrow.parquet as pq_mod
@@ -408,6 +426,7 @@ class IVFDiskIndex:
         corpus size). The tombstone file is a single read-modify-write
         here; at 10^9-delete scale shard it per bucket like the lake
         sidecars."""
+        _idx_sweep_tmp(self.index_dir)
         g = int(self._meta()["gen"]) + 1
         tomb_new: list = list(delete_ids or [])
         added = 0
@@ -650,6 +669,7 @@ class LSHDiskIndex:
         ``delta-g<gen>/tbl=/bucket=`` dir (one atomic rename); added ids
         auto-tombstone older versions (upsert), ``delete_ids`` tombstone
         outright; meta commits last. Crash-idempotent at a fixed gen."""
+        _idx_sweep_tmp(self.index_dir)
         g = int(_idx_meta(self.index_dir)["gen"]) + 1
         tomb_new: list = list(delete_ids or [])
         added = 0
@@ -1008,6 +1028,7 @@ class PQDiskIndex:
         rebuild on heavy distribution drift (same trade as IVF
         centroids, weaker in practice: per-subspace codebooks track
         marginals, not global clusters)."""
+        _idx_sweep_tmp(self.index_dir)
         g = int(_idx_meta(self.index_dir)["gen"]) + 1
         tomb_new: list = list(delete_ids or [])
         added = 0

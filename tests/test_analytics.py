@@ -663,3 +663,27 @@ def test_index_compact_folds_deltas(ray_session, tmp_path):
         # a post-compact refresh keeps working (gen continues)
         r = idx2.refresh(delete_ids=[0])
         assert r["gen"] == 2, name
+
+
+def test_index_refresh_sweeps_stale_staging(ray_session, tmp_path):
+    """A crashed writer's staging leftovers (.delta.tmp.*, foreign-pid
+    compact dirs) are swept by the next refresh, and never corrupt it."""
+    from database_delta_plugins_ray.stages.similarity import IVFDiskIndex
+
+    rng = np.random.default_rng(77)
+    v = rng.standard_normal((100, 16)).astype(np.float32)
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": v[i].tolist()} for i in range(100)])
+    d = str(tmp_path / "ivf")
+    idx = IVFDiskIndex.build(ds, d, n_clusters=4)
+    stale = os.path.join(d, ".delta.tmp.99999")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "junk.parquet"), "w") as fh:
+        fh.write("not parquet")
+    os.makedirs(d + ".compact.99999")
+    r = idx.refresh(delete_ids=[1, 2])
+    assert r["gen"] == 1
+    assert not os.path.exists(stale)
+    assert not os.path.exists(d + ".compact.99999")
+    got = idx.search(v[5], k=5, nprobe=4)
+    assert not {1, 2} & set(got["vec_id"])
