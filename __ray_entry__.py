@@ -31,7 +31,8 @@ _GATE_PREFIX = [
     "cdc_from_debezium_mysql_resume", "cdc_from_debezium_sqlserver",
     "cdc_resume_equivalence", "cdc_full_lifecycle", "cdc_all_datatypes",
     "cdc_snapshot_ddl_sequence", "cdc_time_travel", "cdc_changefeed",
-    "cdc_point_lookup", "cdc_search_lake_content", "cdc_scd2_history",
+    "cdc_point_lookup", "cdc_search_lake_content",
+    "cdc_vector_search_lake", "cdc_scd2_history",
     "cdc_truncate_fence", "cdc_dead_letter_queue", "cdc_incremental_snapshot",
     # TPC-H shapes
     "q1_pricing_summary", "q3_shipping_priority", "q10_returned_items",

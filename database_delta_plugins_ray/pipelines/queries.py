@@ -166,6 +166,87 @@ def cdc_search_lake_content(sf_dir: str):
                .map_batches(split_key, batch_format="pandas"))
 
 
+def _content_vecs(contents) -> "np.ndarray":
+    """Deterministic 16-dim unit embedding of a content string (md5
+    bytes, centered, normalized) — the stand-in for a real embedding
+    model (not in this container); the Ray-side plumbing (schema, index
+    build/refresh, search) is the real artifact."""
+    import hashlib
+
+    out = np.empty((len(contents), 16), np.float32)
+    for i, c in enumerate(contents):
+        d = hashlib.md5((c or "").encode()).digest()
+        out[i] = np.frombuffer(d, np.uint8).astype(np.float32) - 127.5
+    n = np.linalg.norm(out, axis=1, keepdims=True)
+    return out / np.maximum(n, 1e-9)
+
+
+VEC_KEY_SEP = "\x1f"
+
+
+def _vec_rows(t: "pa.Table") -> "pd.DataFrame":
+    import pandas as pd
+
+    keys = [VEC_KEY_SEP.join(map(str, k)) for k in zip(
+        t["table"].to_pylist(), t["repo"].to_pylist(),
+        t["path"].to_pylist())]
+    vecs = _content_vecs(t["content"].to_pylist())
+    return pd.DataFrame({"vec_id": keys, "embedding": list(vecs)})
+
+
+def cdc_vector_search_lake(sf_dir: str):
+    """CDC-MAINTAINED VECTOR INDEX: replicate HALF the log
+    (history=True), build a persisted IVF index over per-row content
+    embeddings, finish replication, REFRESH the index from the change
+    data feed (upserts for created/updated keys, tombstones for
+    deletes — ``IVFDiskIndex.refresh``, never re-embedding the corpus),
+    then answer a top-10 cosine probe with nprobe == n_clusters (an
+    exhaustive, hence exact and deterministic, read). Pytest pins the
+    result against brute force over the FINAL state's embeddings —
+    which only holds if the refresh upserted and tombstoned exactly.
+    Rows-only here (cosine has no SQL shape)."""
+    import json
+
+    import ray.data
+
+    from ..stages.similarity import IVFDiskIndex
+    from ..state import checkpoint as ckpt
+    from .replicate import lake_diff, lookup_keys
+
+    log = ensure_log(sf_dir)
+    with open(os.path.join(log, "meta.json")) as fh:
+        half = json.load(fh)["max_lsn"] // 2
+    lake = fresh_lake(sf_dir, "lake_vecidx")
+    idx_dir = fresh_lake(sf_dir, "lake_vec_index")
+    run_replication(log, lake, num_partitions=16, history=True,
+                    upto_lsn=half)
+    g0 = int(ckpt.read_global_watermark(lake))
+    base = final_state(lake, columns=["table", "repo", "path", "content"])
+    idx = IVFDiskIndex.build(
+        base.map_batches(_vec_rows, batch_format="pyarrow"),
+        idx_dir, n_clusters=8)
+    run_replication(log, lake, num_partitions=16, history=True)
+
+    diff = lake_diff(lake, g0).take_all()
+    dels = [VEC_KEY_SEP.join(map(str, (r["table"], r["repo"], r["path"])))
+            for r in diff if r["change"] == "d"]
+    ups = [(r["table"], r["repo"], r["path"])
+           for r in diff if r["change"] in ("c", "u")]
+    add_ds = None
+    if ups:
+        live = lookup_keys(lake, ups,
+                           columns=["table", "repo", "path", "content"])
+        add_ds = (ray.data.from_arrow(live)
+                  .map_batches(_vec_rows, batch_format="pyarrow"))
+    if add_ds is not None or dels:
+        idx.refresh(add_ds, delete_ids=dels)
+
+    q = _content_vecs(["vector probe"])[0]
+    got = IVFDiskIndex(idx_dir).search(q, k=10, nprobe=8)
+    got["score"] = got["score"].round(6)
+    return got.reset_index(drop=True)
+
+
 def cdc_commit_lookup(sf_dir: str):
     """Point-equality on a high-cardinality UNCLUSTERED column via the
     Bloom file-skipping index: replicate, OPTIMIZE (one file per
@@ -1427,6 +1508,7 @@ CDC_QUERIES = {
     "cdc_reshard_continuation": cdc_reshard_continuation,
     "cdc_full_lifecycle": cdc_full_lifecycle,
     "cdc_search_lake_content": cdc_search_lake_content,
+    "cdc_vector_search_lake": cdc_vector_search_lake,
     "cdc_commit_lookup": cdc_commit_lookup,
     "cdc_export_incremental": cdc_export_incremental,
     "cdc_repo_skew_report": cdc_repo_skew_report,

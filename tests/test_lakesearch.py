@@ -120,3 +120,44 @@ def test_refresh_noop_and_crash_rerun_idempotent(half_built):
     assert idx.meta["n_docs"] == meta1["n_docs"]
     assert idx.meta["total_tokens"] == meta1["total_tokens"]
     assert idx.meta["watermark"] == meta1["watermark"]
+
+
+def test_vector_search_lake_matches_brute(ray_session):
+    """The CDC-refreshed vector index's top-10 must equal brute-force
+    cosine over a ONE-SHOT replay's final-state embeddings — only true
+    if the refresh upserted changed keys and tombstoned deletions
+    exactly (the second half of the log updates and deletes keys)."""
+    import numpy as np
+
+    from database_delta_plugins_ray.pipelines.queries import (
+        VEC_KEY_SEP,
+        _content_vecs,
+        cdc_vector_search_lake,
+        ensure_log,
+        fresh_lake,
+    )
+    from database_delta_plugins_ray.pipelines.replicate import (
+        final_state,
+        run_replication,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = cdc_vector_search_lake(sf)
+
+    log = ensure_log(sf)
+    ref_lake = fresh_lake(sf, "lake_vecidx_ref")
+    run_replication(log, ref_lake, num_partitions=8)
+    rows = final_state(
+        ref_lake, columns=["table", "repo", "path", "content"]).take_all()
+    ids = [VEC_KEY_SEP.join(map(str, (r["table"], r["repo"], r["path"])))
+           for r in rows]
+    vecs = _content_vecs([r["content"] for r in rows])
+    q = _content_vecs(["vector probe"])[0]
+    scores = vecs @ q
+    order = sorted(range(len(ids)),
+                   key=lambda i: (-scores[i], ids[i]))[:10]
+    want_ids = [ids[i] for i in order]
+    assert list(got["vec_id"]) == want_ids
+    np.testing.assert_allclose(
+        got["score"], np.round(scores[order].astype(np.float64), 6),
+        atol=1e-6)
