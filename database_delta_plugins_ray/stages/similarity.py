@@ -1167,7 +1167,14 @@ def pq_search_multi(
     c = max(k, k * rerank_mult)
     marange = np.arange(luts.shape[1])
 
+    tomb = _idx_tombstones(index.index_dir)
+    t_ref = ray.put(tomb) if tomb else None
+    live = _idx_live_filter(t_ref, id_col)
+
     def adc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = live(df)
+        if df.empty:
+            return pd.DataFrame({"query_idx": [], id_col: [], "score": []})
         tbl = ray.get(lut_ref)
         codes = np.stack(df["codes"].to_numpy()).astype(np.int64)  # (n, m)
         n = len(codes)
@@ -1182,9 +1189,18 @@ def pq_search_multi(
                                       "score": scores[idx]}))
         return pd.concat(outs, ignore_index=True)
 
+    import glob as _glob
+
     codes_ds = ray.data.read_parquet(os.path.join(index.index_dir, "codes"))
     partials = codes_ds.map_batches(
         adc_partial, batch_format="pandas").take_all()
+    delta_files = [f for d in sorted(_glob.glob(
+        os.path.join(index.index_dir, "delta-g*")))
+        for f in _glob.glob(os.path.join(d, "*.parquet"))]
+    if delta_files:
+        partials += (ray.data.read_parquet(delta_files)
+                     .map_batches(adc_partial,
+                                  batch_format="pandas").take_all())
     by_q: dict[int, list] = {i: [] for i in range(nq)}
     for r in partials:
         by_q[r["query_idx"]].append((r[id_col], r["score"]))

@@ -687,3 +687,32 @@ def test_index_refresh_sweeps_stale_staging(ray_session, tmp_path):
     assert not os.path.exists(d + ".compact.99999")
     got = idx.search(v[5], k=5, nprobe=4)
     assert not {1, 2} & set(got["vec_id"])
+
+
+def test_pq_search_multi_sees_refresh(ray_session, tmp_path):
+    """Batched PQ search honors deltas and tombstones exactly like
+    single-query search on a refreshed index."""
+    from database_delta_plugins_ray.stages.similarity import (
+        PQDiskIndex,
+        pq_search_multi,
+    )
+
+    rng = np.random.default_rng(83)
+    v0 = rng.standard_normal((200, 32)).astype(np.float32)
+    v1 = rng.standard_normal((20, 32)).astype(np.float32)
+
+    def items(ids, vecs):
+        return ray.data.from_items(
+            [{"vec_id": int(i), "embedding": vecs[j].tolist()}
+             for j, i in enumerate(ids)])
+
+    d = str(tmp_path / "pq")
+    idx = PQDiskIndex.build(items(range(200), v0), d, m=8)
+    idx.refresh(items(range(200, 220), v1), delete_ids=list(range(0, 30)))
+    qs = np.stack([v1[3], v0[100]])
+    multi = pq_search_multi(idx, qs, k=10)
+    assert not set(multi["vec_id"]) & set(range(0, 30))
+    for qi in range(2):
+        single = idx.search(qs[qi], k=10)
+        mrows = multi[multi["query_idx"] == qi]
+        assert list(mrows["vec_id"]) == list(single["vec_id"])
