@@ -4538,6 +4538,123 @@ def q7_volume_shipping(sf_dir: str):
             .reset_index(drop=True))
 
 
+Q15_START = "1996-01-01"
+Q15_END = "1996-04-01"
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape: the max-revenue supplier(s) for a quarter —
+    aggregate, then a scalar-max subquery, then an equality filter.
+    Revenue accumulates in EXACT integer cents on both sides
+    (``floor(px*(1-d)*100+0.5)`` per line), so the max-equality can
+    never split on float sum-order. Per-batch combiner -> one small
+    groupby -> Ray-side max + filter; only the winner rows reach the
+    driver, which enriches names from a pruned supplier read."""
+    lo = np.datetime64(Q15_START, "us")
+    hi = np.datetime64(Q15_END, "us")
+    line = _t(sf_dir, "lineitem",
+              ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(lo.item())),
+            pc.less(t["l_shipdate"], pa.scalar(hi.item())),
+        )
+        t = t.filter(m)
+        cents = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+            * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "s_suppkey": t["l_suppkey"].to_numpy(zero_copy_only=False),
+            "c": cents,
+        }).groupby("s_suppkey", as_index=False)["c"].sum()
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    rev = (line.map_batches(partial, batch_format="pyarrow")
+           .groupby("s_suppkey").aggregate(Sum("c", alias_name="c")))
+    best = rev.max("c")
+    winners = rev.filter(expr=f"c == {int(best)}").to_pandas()
+
+    supp = pq_read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    supp = supp.filter(pc.is_in(
+        supp["s_suppkey"],
+        value_set=pa.array(winners["s_suppkey"].tolist(),
+                           supp.schema.field("s_suppkey").type)))
+    out = winners.merge(supp.to_pandas(), on="s_suppkey")
+    out["total_revenue"] = (out["c"] / 100.0).round(2)
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    return (out[["s_suppkey", "s_name", "total_revenue"]]
+            .sort_values("s_suppkey").reset_index(drop=True))
+
+
+Q17_BRAND = "Brand#7"
+
+
+def q17_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17 shape: yearly revenue lost if small-quantity orders
+    (below 20% of the part's average quantity) stopped — the
+    aggregate-join-aggregate with a correlated AVG subquery. Pass 1
+    folds per-part (sum_qty, n) over the brand's parts; the threshold
+    compare is exact integer math (quantities are integral:
+    ``qty*5*n < sum_qty`` <=> ``qty < 0.2*avg``), broadcast once; pass 2
+    sums matching rows' extendedprice in integer cents. The driver
+    holds one (sum, n) pair per brand part — at 10^9 parts swap the
+    broadcast for a shuffle join on partkey, same machinery."""
+    import ray
+
+    part = pq_read(sf_dir, "part", ["p_partkey", "p_brand"])
+    pkeys = part.filter(
+        pc.equal(part["p_brand"], Q17_BRAND))["p_partkey"]
+    pk_arr = pkeys.combine_chunks()
+    pk_np = np.sort(pkeys.to_numpy(zero_copy_only=False))
+
+    line = _t(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_partkey"], value_set=pk_arr))
+        df = pd.DataFrame({
+            "p": t["l_partkey"].to_numpy(zero_copy_only=False),
+            "q": t["l_quantity"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+        })
+        g = df.groupby("p", as_index=False).agg(sq=("q", "sum"),
+                                                n=("q", "size"))
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    agg = (line.map_batches(qty_partial, batch_format="pyarrow")
+           .groupby("p").aggregate(Sum("sq", alias_name="sq"),
+                                   Sum("n", alias_name="n"))
+           .to_pandas())
+    sq = np.zeros(len(pk_np), np.int64)
+    nn = np.zeros(len(pk_np), np.int64)
+    pos = np.searchsorted(pk_np, agg["p"].to_numpy())
+    sq[pos] = agg["sq"].to_numpy()
+    nn[pos] = agg["n"].to_numpy()
+    thr_ref = ray.put((pk_np, sq, nn))
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        pks, sqs, ns = ray.get(thr_ref)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(pks, lp), len(pks) - 1)
+        valid = (len(pks) > 0) & (pks[idx] == lp)
+        q = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = valid & (q * 5 * ns[idx] < sqs[idx])
+        cents = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+            * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"c": pa.array([int(cents.sum())], pa.int64())})
+
+    parts_sum = line.map_batches(
+        rev_partial, batch_format="pyarrow").take_all()
+    total = sum(r["c"] for r in parts_sum)
+    return pd.DataFrame(
+        {"avg_yearly": [round(total / 100.0 / 7.0, 2)]})
+
+
 # ---------------------------------------------------------------------------
 # RAG-style document chunking (fixed token window + overlap)
 # ---------------------------------------------------------------------------
@@ -4599,6 +4716,37 @@ ANALYTICS_ORACLE_SQL["orders_median_price_by_status"] = """
 SELECT o_orderstatus, count(*) AS n_orders,
        quantile_disc(o_totalprice, 0.5) AS median_price
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+ANALYTICS_ORACLE_SQL["q15_top_supplier"] = f"""
+WITH r AS (
+  SELECT l_suppkey AS s_suppkey,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                  AS BIGINT)) AS c
+  FROM lineitem
+  WHERE l_shipdate >= '{Q15_START}' AND l_shipdate < '{Q15_END}'
+  GROUP BY l_suppkey
+)
+SELECT CAST(r.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+       round(c / 100.0, 2) AS total_revenue
+FROM r JOIN supplier s ON r.s_suppkey = s.s_suppkey
+WHERE c = (SELECT max(c) FROM r)
+ORDER BY s_suppkey
+"""
+
+# quantities are integral, so qty < 0.2*avg <=> qty*5*n < sum_qty exactly
+ANALYTICS_ORACLE_SQL["q17_small_quantity_revenue"] = f"""
+WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = '{Q17_BRAND}'),
+a AS (
+  SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS sq,
+         count(*) AS n
+  FROM lineitem JOIN bp ON l_partkey = p_partkey
+  GROUP BY l_partkey
+)
+SELECT round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+             / 100.0 / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN a ON lineitem.l_partkey = a.l_partkey
+WHERE CAST(l_quantity AS BIGINT) * 5 * a.n < a.sq
 """
 
 ANALYTICS_ORACLE_SQL["q6_forecast_revenue"] = f"""
@@ -4797,6 +4945,8 @@ ANALYTICS_QUERIES = {
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q22_sales_opportunity": q22_sales_opportunity,
     "q7_volume_shipping": q7_volume_shipping,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "chunk_documents_overlap": chunk_documents_overlap,
 }
 

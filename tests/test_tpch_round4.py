@@ -157,3 +157,16 @@ def test_keep_best_prefers_quality_over_id(ray_session, tmp_path):
     dup = out[out.n_dups == 2]
     # identical text -> identical score -> tiebreak min doc_id
     assert int(dup.doc_id.iloc[0]) == 2
+
+
+@pytest.mark.parametrize("name,sort_cols", [
+    ("q15_top_supplier", ["s_suppkey"]),
+    ("q17_small_quantity_revenue", ["avg_yearly"]),
+])
+def test_tpch_q15_q17_match_duckdb(ray_session, name, sort_cols):
+    from database_delta_plugins_ray.pipelines import analytics as A
+
+    got = A.ANALYTICS_QUERIES[name](SF)
+    want = _oracle(A.ANALYTICS_ORACLE_SQL[name])
+    assert len(got) == len(want) and len(got) > 0
+    _assert_parity(got, want, sort_cols)
