@@ -4538,6 +4538,112 @@ def q7_volume_shipping(sf_dir: str):
             .reset_index(drop=True))
 
 
+Q8_TYPE = "STANDARD"
+Q8_NATION = 20          # supplier nation whose market share is measured
+Q8_REGION_NATIONS = (10, 11, 12, 13, 14)  # customer nations (region proxy)
+Q8_START = "1995-01-01"
+Q8_END = "1997-01-01"
+
+
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape: one supplier nation's yearly market share of a
+    part type sold to one region's customers — the CASE-ratio over a
+    two-join chain. lineitem filters to the part-type set (broadcast)
+    and resolves supplier nation (broadcast lookup), pre-aggregating
+    (orderkey, is_target_nation) cents partials; join #1 hangs
+    o_orderdate/custkey on, join #2 the customer-nation region filter;
+    the per-year (target_cents, total_cents) fold runs inside join #2's
+    partitions. Cents arithmetic keeps both engines' ratios identical
+    before the final 4-decimal round."""
+    import ray
+
+    from ..stages.join import shuffle_hash_join
+
+    part = pq_read(sf_dir, "part", ["p_partkey", "p_type"])
+    pk_arr = part.filter(
+        pc.equal(part["p_type"], Q8_TYPE))["p_partkey"].combine_chunks()
+
+    supp = pq_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    sk = supp["s_suppkey"].to_numpy()
+    order_ = np.argsort(sk)
+    supp_ref = ray.put((sk[order_], supp["s_nationkey"].to_numpy()[order_]))
+
+    line = _t(sf_dir, "lineitem",
+              ["l_orderkey", "l_partkey", "l_suppkey",
+               "l_extendedprice", "l_discount"])
+
+    def l_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_partkey"], value_set=pk_arr))
+        sk_s, sn_s = ray.get(supp_ref)
+        suppkey = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(sk_s, suppkey), len(sk_s) - 1)
+        valid = sk_s[idx] == suppkey
+        cents = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+            * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "o_orderkey": t["l_orderkey"].to_numpy(
+                zero_copy_only=False)[valid],
+            "is_nat": (sn_s[idx] == Q8_NATION)[valid],
+            "c": cents[valid],
+        }).groupby(["o_orderkey", "is_nat"], as_index=False)["c"].sum()
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    lo = np.datetime64(Q8_START, "us")
+    hi = np.datetime64(Q8_END, "us")
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_filter(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo.item())),
+            pc.less(t["o_orderdate"], pa.scalar(hi.item())),
+        )
+        return t.filter(m)
+
+    j1 = shuffle_hash_join(
+        orders.map_batches(o_filter, batch_format="pyarrow"),
+        line.map_batches(l_partial, batch_format="pyarrow"),
+        on="o_orderkey", prefilter=True)
+
+    def reshape(t: pa.Table) -> pa.Table:
+        years = (t["o_orderdate"].to_pandas().dt.year.to_numpy()
+                 .astype(np.int64))
+        return pa.table({
+            "c_custkey": t["o_custkey"],
+            "o_year": pa.array(years),
+            "is_nat": t["is_nat"],
+            "c": t["c"],
+        })
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def c_filter(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["c_nationkey"],
+                     value_set=pa.array(list(Q8_REGION_NATIONS),
+                                        pa.int64()))
+        return t.filter(m).select(["c_custkey"])
+
+    def year_partial(j: pd.DataFrame) -> pd.DataFrame:
+        j = j.assign(nat_c=np.where(j["is_nat"].to_numpy(dtype=bool),
+                                    j["c"].to_numpy(), 0))
+        return (j.groupby("o_year", as_index=False)
+                .agg(nat_c=("nat_c", "sum"), all_c=("c", "sum")))
+
+    j2 = shuffle_hash_join(
+        j1.map_batches(reshape, batch_format="pyarrow"),
+        cust.map_batches(c_filter, batch_format="pyarrow"),
+        on="c_custkey", how="semi", post=year_partial)
+    df = j2.to_pandas()
+    g = (df.groupby("o_year", as_index=False)
+         .agg(nat_c=("nat_c", "sum"), all_c=("all_c", "sum")))
+    g["o_year"] = g["o_year"].astype("int64")
+    g["mkt_share"] = (g["nat_c"] / g["all_c"]).round(4)
+    return (g[["o_year", "mkt_share"]]
+            .sort_values("o_year").reset_index(drop=True))
+
+
 Q15_START = "1996-01-01"
 Q15_END = "1996-04-01"
 
@@ -4716,6 +4822,28 @@ ANALYTICS_ORACLE_SQL["orders_median_price_by_status"] = """
 SELECT o_orderstatus, count(*) AS n_orders,
        quantile_disc(o_totalprice, 0.5) AS median_price
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+ANALYTICS_ORACLE_SQL["q8_market_share"] = f"""
+WITH rows_ AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CASE WHEN s_nationkey = {Q8_NATION}
+              THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                              + 0.5) AS BIGINT) ELSE 0 END AS nat_c,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+              AS BIGINT) AS all_c
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_type = '{Q8_TYPE}'
+    AND c_nationkey IN {Q8_REGION_NATIONS}
+    AND o_orderdate >= '{Q8_START}' AND o_orderdate < '{Q8_END}'
+)
+SELECT o_year, round(sum(nat_c) / CAST(sum(all_c) AS DOUBLE), 4)
+         AS mkt_share
+FROM rows_ GROUP BY o_year ORDER BY o_year
 """
 
 ANALYTICS_ORACLE_SQL["q15_top_supplier"] = f"""
@@ -4945,6 +5073,7 @@ ANALYTICS_QUERIES = {
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q22_sales_opportunity": q22_sales_opportunity,
     "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
     "q15_top_supplier": q15_top_supplier,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "chunk_documents_overlap": chunk_documents_overlap,

@@ -162,6 +162,7 @@ def test_keep_best_prefers_quality_over_id(ray_session, tmp_path):
 @pytest.mark.parametrize("name,sort_cols", [
     ("q15_top_supplier", ["s_suppkey"]),
     ("q17_small_quantity_revenue", ["avg_yearly"]),
+    ("q8_market_share", ["o_year"]),
 ])
 def test_tpch_q15_q17_match_duckdb(ray_session, name, sort_cols):
     from database_delta_plugins_ray.pipelines import analytics as A
