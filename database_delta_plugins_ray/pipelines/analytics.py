@@ -4680,7 +4680,15 @@ def q15_top_supplier(sf_dir: str):
 
     rev = (line.map_batches(partial, batch_format="pyarrow")
            .groupby("s_suppkey").aggregate(Sum("c", alias_name="c")))
-    best = rev.max("c")
+    try:
+        best = rev.max("c")
+    except Exception:
+        best = None
+    if best is None:  # empty window: no revenue rows at all
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                             "s_name": pd.Series([], dtype=object),
+                             "total_revenue": pd.Series([],
+                                                        dtype="float64")})
     winners = rev.filter(expr=f"c == {int(best)}").to_pandas()
 
     supp = pq_read(sf_dir, "supplier", ["s_suppkey", "s_name"])

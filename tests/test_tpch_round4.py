@@ -171,3 +171,30 @@ def test_tpch_q15_q17_match_duckdb(ray_session, name, sort_cols):
     want = _oracle(A.ANALYTICS_ORACLE_SQL[name])
     assert len(got) == len(want) and len(got) > 0
     _assert_parity(got, want, sort_cols)
+
+
+def test_q15_empty_window_returns_empty(ray_session, tmp_path, monkeypatch):
+    """An sf whose lineitems all fall outside the quarter yields an
+    empty (but correctly-typed) result instead of crashing on the
+    max-over-empty aggregate."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database_delta_plugins_ray.pipelines import analytics as A
+
+    d = tmp_path / "sfq15"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array([1], pa.int64()),
+        "l_shipdate": pa.array([np.datetime64("1990-01-01", "us")]),
+        "l_extendedprice": pa.array([10.0]),
+        "l_discount": pa.array([0.0]),
+    }), str(d / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1], pa.int64()),
+        "s_name": pa.array(["s1"]),
+    }), str(d / "supplier.parquet"))
+    out = A.q15_top_supplier(str(d))
+    assert len(out) == 0
+    assert list(out.columns) == ["s_suppkey", "s_name", "total_revenue"]
