@@ -4743,6 +4743,8 @@ def q17_small_quantity_revenue(sf_dir: str):
            .groupby("p").aggregate(Sum("sq", alias_name="sq"),
                                    Sum("n", alias_name="n"))
            .to_pandas())
+    if len(pk_np) == 0 or agg.empty:  # no brand parts / no matching rows
+        return pd.DataFrame({"avg_yearly": [0.0]})
     sq = np.zeros(len(pk_np), np.int64)
     nn = np.zeros(len(pk_np), np.int64)
     pos = np.searchsorted(pk_np, agg["p"].to_numpy())

@@ -198,3 +198,27 @@ def test_q15_empty_window_returns_empty(ray_session, tmp_path, monkeypatch):
     out = A.q15_top_supplier(str(d))
     assert len(out) == 0
     assert list(out.columns) == ["s_suppkey", "s_name", "total_revenue"]
+
+
+def test_q17_no_brand_parts_returns_zero(ray_session, tmp_path):
+    """A fixture with no parts of the target brand yields avg_yearly 0.0
+    (empty aggregate, no crash in the broadcast threshold path)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database_delta_plugins_ray.pipelines import analytics as A
+
+    d = tmp_path / "sfq17"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1], pa.int64()),
+        "p_brand": pa.array(["Brand#99"]),
+    }), str(d / "part.parquet"))
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1], pa.int64()),
+        "l_quantity": pa.array([5.0]),
+        "l_extendedprice": pa.array([100.0]),
+    }), str(d / "lineitem.parquet"))
+    out = A.q17_small_quantity_revenue(str(d))
+    assert float(out["avg_yearly"].iloc[0]) == 0.0
