@@ -170,6 +170,21 @@ def main(argv: list[str] | None = None) -> int:
                      help="BM25 ranking instead of tf sums")
     pix.add_argument("--limit", type=int, default=20)
 
+    pvx = sub.add_parser(
+        "vecindex", help="vector index over the lake's content "
+                         "embeddings: build at the current watermark, "
+                         "refresh from the change feed (history lakes), "
+                         "compact delta generations, or cosine-search")
+    pvx.add_argument("action",
+                     choices=["build", "refresh", "compact", "search"])
+    pvx.add_argument("--lake", required=True)
+    pvx.add_argument("--index", required=True, help="index directory")
+    pvx.add_argument("--clusters", type=int, default=16)
+    pvx.add_argument("--nprobe", type=int, default=8)
+    pvx.add_argument("--text", default=None,
+                     help="probe text to embed (search)")
+    pvx.add_argument("--limit", type=int, default=10)
+
     pex = sub.add_parser(
         "export", help="materialize the lake's live rows: incremental "
                        "hash-sharded parquet (maintained by the change "
@@ -387,6 +402,35 @@ def main(argv: list[str] | None = None) -> int:
             ds = (idx.lookup_bm25(terms, mode=a.mode, k=a.limit) if a.bm25
                   else idx.lookup(terms, mode=a.mode, k=a.limit))
             for r in ds.take(a.limit):
+                print(json.dumps(r))
+        import ray
+
+        ray.shutdown()
+        return 0
+
+    if a.cmd == "vecindex":
+        _ray_init(a.num_cpus)
+        from .pipelines.queries import (
+            _content_vecs,
+            lake_vector_index_build,
+            lake_vector_index_refresh,
+        )
+        from .stages.similarity import IVFDiskIndex
+
+        if a.action == "build":
+            print(json.dumps(lake_vector_index_build(
+                a.lake, a.index, n_clusters=a.clusters)))
+        elif a.action == "refresh":
+            print(json.dumps(lake_vector_index_refresh(a.lake, a.index)))
+        elif a.action == "compact":
+            print(json.dumps(IVFDiskIndex(a.index).compact()))
+        else:
+            if not a.text:
+                raise SystemExit("search needs --text")
+            q = _content_vecs([a.text])[0]
+            df = IVFDiskIndex(a.index).search(q, k=a.limit,
+                                              nprobe=a.nprobe)
+            for r in df.to_dict("records"):
                 print(json.dumps(r))
         import ray
 

@@ -194,6 +194,68 @@ def _vec_rows(t: "pa.Table") -> "pd.DataFrame":
     return pd.DataFrame({"vec_id": keys, "embedding": list(vecs)})
 
 
+def lake_vector_index_build(lake_dir: str, index_dir: str,
+                            n_clusters: int = 16) -> dict:
+    """Build the lake's content-embedding IVF index at the current
+    watermark; the watermark is stamped beside the index so refresh
+    knows where the change feed starts."""
+    import json
+
+    from ..stages.similarity import IVFDiskIndex
+    from ..state import checkpoint as ckpt
+
+    g = int(ckpt.read_global_watermark(lake_dir))
+    base = final_state(lake_dir,
+                       columns=["table", "repo", "path", "content"])
+    IVFDiskIndex.build(
+        base.map_batches(_vec_rows, batch_format="pyarrow"),
+        index_dir, n_clusters=n_clusters)
+    with open(os.path.join(index_dir, "lake_watermark.json"), "w") as fh:
+        json.dump({"watermark": g}, fh)
+    return {"watermark": g, "n_clusters": n_clusters}
+
+
+def lake_vector_index_refresh(lake_dir: str, index_dir: str) -> dict:
+    """Advance the index from its stamped watermark to the lake's
+    current one using the change data feed: upserts for created/updated
+    keys (re-embedded, one pass over the CHANGE SET), tombstones for
+    deletes — never re-embedding the corpus. The change set lives on
+    the driver exactly like the text-index refresh's (documented
+    churn-bounded)."""
+    import json
+
+    import ray.data
+
+    from ..stages.similarity import IVFDiskIndex
+    from ..state import checkpoint as ckpt
+    from .replicate import lake_diff, lookup_keys
+
+    wm_p = os.path.join(index_dir, "lake_watermark.json")
+    with open(wm_p) as fh:
+        g0 = int(json.load(fh)["watermark"])
+    g1 = int(ckpt.read_global_watermark(lake_dir))
+    if g1 <= g0:
+        return {"changed": 0, "watermark": g0}
+    diff = lake_diff(lake_dir, g0).take_all()
+    dels = [VEC_KEY_SEP.join(map(str, (r["table"], r["repo"], r["path"])))
+            for r in diff if r["change"] == "d"]
+    ups = [(r["table"], r["repo"], r["path"])
+           for r in diff if r["change"] in ("c", "u")]
+    idx = IVFDiskIndex(index_dir)
+    add_ds = None
+    if ups:
+        live = lookup_keys(lake_dir, ups,
+                           columns=["table", "repo", "path", "content"])
+        add_ds = (ray.data.from_arrow(live)
+                  .map_batches(_vec_rows, batch_format="pyarrow"))
+    out = {"changed": len(diff), "watermark": g1}
+    if add_ds is not None or dels:
+        out.update(idx.refresh(add_ds, delete_ids=dels))
+    with open(wm_p, "w") as fh:
+        json.dump({"watermark": g1}, fh)
+    return out
+
+
 def cdc_vector_search_lake(sf_dir: str):
     """CDC-MAINTAINED VECTOR INDEX: replicate HALF the log
     (history=True), build a persisted IVF index over per-row content
@@ -207,11 +269,7 @@ def cdc_vector_search_lake(sf_dir: str):
     Rows-only here (cosine has no SQL shape)."""
     import json
 
-    import ray.data
-
     from ..stages.similarity import IVFDiskIndex
-    from ..state import checkpoint as ckpt
-    from .replicate import lake_diff, lookup_keys
 
     log = ensure_log(sf_dir)
     with open(os.path.join(log, "meta.json")) as fh:
@@ -220,26 +278,9 @@ def cdc_vector_search_lake(sf_dir: str):
     idx_dir = fresh_lake(sf_dir, "lake_vec_index")
     run_replication(log, lake, num_partitions=16, history=True,
                     upto_lsn=half)
-    g0 = int(ckpt.read_global_watermark(lake))
-    base = final_state(lake, columns=["table", "repo", "path", "content"])
-    idx = IVFDiskIndex.build(
-        base.map_batches(_vec_rows, batch_format="pyarrow"),
-        idx_dir, n_clusters=8)
+    lake_vector_index_build(lake, idx_dir, n_clusters=8)
     run_replication(log, lake, num_partitions=16, history=True)
-
-    diff = lake_diff(lake, g0).take_all()
-    dels = [VEC_KEY_SEP.join(map(str, (r["table"], r["repo"], r["path"])))
-            for r in diff if r["change"] == "d"]
-    ups = [(r["table"], r["repo"], r["path"])
-           for r in diff if r["change"] in ("c", "u")]
-    add_ds = None
-    if ups:
-        live = lookup_keys(lake, ups,
-                           columns=["table", "repo", "path", "content"])
-        add_ds = (ray.data.from_arrow(live)
-                  .map_batches(_vec_rows, batch_format="pyarrow"))
-    if add_ds is not None or dels:
-        idx.refresh(add_ds, delete_ids=dels)
+    lake_vector_index_refresh(lake, idx_dir)
 
     q = _content_vecs(["vector probe"])[0]
     got = IVFDiskIndex(idx_dir).search(q, k=10, nprobe=8)

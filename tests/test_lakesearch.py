@@ -161,3 +161,49 @@ def test_vector_search_lake_matches_brute(ray_session):
     np.testing.assert_allclose(
         got["score"], np.round(scores[order].astype(np.float64), 6),
         atol=1e-6)
+
+
+def test_cli_vecindex_lifecycle(ray_session, tmp_path):
+    """CLI verbs wrap the vector-index build/refresh/compact/search
+    lifecycle over a history lake."""
+    import json
+    import subprocess
+    import sys
+
+    from database_delta_plugins_ray.pipelines.queries import ensure_log
+    from database_delta_plugins_ray.pipelines.replicate import (
+        run_replication,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    log = ensure_log(sf)
+    lake = str(tmp_path / "lake")
+    idx = str(tmp_path / "vecidx")
+    import os as _os
+
+    with open(_os.path.join(log, "meta.json")) as fh:
+        half = json.load(fh)["max_lsn"] // 2
+    run_replication(log, lake, num_partitions=8, history=True,
+                    upto_lsn=half)
+
+    def cli(*args):
+        r = subprocess.run(
+            [sys.executable, "-m", "database_delta_plugins_ray",
+             "--num-cpus", "2", "vecindex", *args],
+            capture_output=True, text=True, timeout=600)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return [json.loads(x) for x in r.stdout.strip().splitlines()]
+
+    b = cli("build", "--lake", lake, "--index", idx, "--clusters", "8")
+    assert b[-1]["n_clusters"] == 8
+    run_replication(log, lake, num_partitions=8, history=True)
+    rf = cli("refresh", "--lake", lake, "--index", idx)
+    assert rf[-1]["changed"] > 0
+    rows = cli("search", "--lake", lake, "--index", idx,
+               "--text", "vector probe", "--nprobe", "8")
+    assert len(rows) == 10 and all("vec_id" in r for r in rows)
+    c = cli("compact", "--lake", lake, "--index", idx)
+    assert c[-1]["rows"] > 0
+    rows2 = cli("search", "--lake", lake, "--index", idx,
+                "--text", "vector probe", "--nprobe", "8")
+    assert [r["vec_id"] for r in rows2] == [r["vec_id"] for r in rows]
