@@ -446,10 +446,21 @@ def jsonl_to_segments(paths: str | list[str], seg_dir: str,
         return pa.table({"file": [fname], "rows": [tbl.num_rows],
                          "max_lsn": [hi]}, schema=stats_schema)
 
-    stats = ds.map_batches(
-        write_seg, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=rows_per_segment,
-    ).take_all()
+    # one retry: a cold Ray worker occasionally hits a transient fsspec
+    # circular-import race inside read_json's first task; re-executing
+    # the lineage lands on warmed workers (segment writes are
+    # deterministic tmp+rename, so a partial first attempt is harmless)
+    for attempt in (1, 2):
+        try:
+            stats = ds.map_batches(
+                write_seg, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=rows_per_segment,
+            ).take_all()
+            break
+        except Exception:
+            if attempt == 2:
+                raise
+            ds = read_debezium_jsonl(paths)
     meta = {"total_events": int(sum(r["rows"] for r in stats)),
             "max_lsn": int(max((r["max_lsn"] for r in stats), default=0)),
             "segments": sorted(r["file"] for r in stats),
