@@ -40,6 +40,7 @@ _GATE_PREFIX = [
     "q4_order_priority", "q12_priority_by_linestatus",
     "q22_sales_opportunity", "q7_volume_shipping",
     "q15_top_supplier", "q17_small_quantity_revenue", "q8_market_share",
+    "q21_sole_supplier_orders",
     # joins (as-of, range, anti, right-outer)
     "purchases_asof_last_view", "orders_with_events_in_week",
     "customers_without_events", "customer_order_stats_right",

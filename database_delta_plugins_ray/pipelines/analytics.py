@@ -4644,6 +4644,48 @@ def q8_market_share(sf_dir: str):
             .sort_values("o_year").reset_index(drop=True))
 
 
+def q21_sole_supplier_orders(sf_dir: str):
+    """TPC-H Q21 shape (adapted: the fixture lacks commit/receipt
+    dates): orders served by exactly ONE supplier, counted per that
+    supplier — a HAVING COUNT(DISTINCT)=1 filter feeding a second
+    aggregate. Per-batch (orderkey, suppkey) pair dedup bounds the
+    shuffle to distinct pairs; one coarse-part co-location resolves the
+    per-order distinct count and emits per-supplier partials; the
+    driver folds one row per supplier (bounded by |suppliers|; swap the
+    fold for a tiny groupby at 10^8 suppliers)."""
+    line = _t(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    nparts = 64
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o": t["l_orderkey"].to_numpy(zero_copy_only=False),
+            "s": t["l_suppkey"].to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        h = pd.util.hash_array(df["o"].to_numpy())
+        df["part"] = (h % np.uint64(nparts)).astype(np.int32)
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    def sole_partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["o", "s"])
+        agg = g.groupby("o", as_index=False).agg(nsupp=("s", "nunique"),
+                                                 the_supp=("s", "min"))
+        sole = agg[agg["nsupp"] == 1]
+        out = (sole.groupby("the_supp", as_index=False)
+               .size().rename(columns={"the_supp": "s_suppkey",
+                                       "size": "n_sole_orders"}))
+        return out
+
+    df = (line.map_batches(pair_partial, batch_format="pyarrow")
+          .groupby("part")
+          .map_groups(sole_partial, batch_format="pandas")
+          .to_pandas())
+    out = (df.groupby("s_suppkey", as_index=False)["n_sole_orders"].sum())
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    out["n_sole_orders"] = out["n_sole_orders"].astype("int64")
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
 Q15_START = "1996-01-01"
 Q15_END = "1996-04-01"
 
@@ -4854,6 +4896,18 @@ WITH rows_ AS (
 SELECT o_year, round(sum(nat_c) / CAST(sum(all_c) AS DOUBLE), 4)
          AS mkt_share
 FROM rows_ GROUP BY o_year ORDER BY o_year
+"""
+
+ANALYTICS_ORACLE_SQL["q21_sole_supplier_orders"] = """
+WITH per_order AS (
+  SELECT l_orderkey, count(DISTINCT l_suppkey) AS nsupp,
+         min(l_suppkey) AS the_supp
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT CAST(the_supp AS BIGINT) AS s_suppkey,
+       count(*) AS n_sole_orders
+FROM per_order WHERE nsupp = 1
+GROUP BY the_supp ORDER BY s_suppkey
 """
 
 ANALYTICS_ORACLE_SQL["q15_top_supplier"] = f"""
@@ -5084,6 +5138,7 @@ ANALYTICS_QUERIES = {
     "q22_sales_opportunity": q22_sales_opportunity,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
+    "q21_sole_supplier_orders": q21_sole_supplier_orders,
     "q15_top_supplier": q15_top_supplier,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "chunk_documents_overlap": chunk_documents_overlap,

@@ -163,6 +163,7 @@ def test_keep_best_prefers_quality_over_id(ray_session, tmp_path):
     ("q15_top_supplier", ["s_suppkey"]),
     ("q17_small_quantity_revenue", ["avg_yearly"]),
     ("q8_market_share", ["o_year"]),
+    ("q21_sole_supplier_orders", ["s_suppkey"]),
 ])
 def test_tpch_q15_q17_match_duckdb(ray_session, name, sort_cols):
     from database_delta_plugins_ray.pipelines import analytics as A
