@@ -41,9 +41,10 @@ _GATE_PREFIX = [
     "q22_sales_opportunity", "q7_volume_shipping",
     "q15_top_supplier", "q17_small_quantity_revenue", "q8_market_share",
     "q21_sole_supplier_orders",
-    # joins (as-of, range, anti, right-outer)
+    # joins (as-of, range, anti, right-outer) + set ops
     "purchases_asof_last_view", "orders_with_events_in_week",
     "customers_without_events", "customer_order_stats_right",
+    "events_user_setops",
     # RAG chunking
     "chunk_documents_overlap",
     # windows / scans

@@ -4644,6 +4644,49 @@ def q8_market_share(sf_dir: str):
             .sort_values("o_year").reset_index(drop=True))
 
 
+def events_user_setops(sf_dir: str):
+    """Distinct-set INTERSECT / EXCEPT summary: how many users viewed
+    only, purchased only, or both (set semantics — event order and
+    multiplicity don't matter, unlike the funnel query). Per-batch
+    unique (user, membership-bit) partials OR-fold per user under one
+    coarse part; each part emits a 3-bucket histogram partial, the
+    driver folds |parts| x 3 rows — never a per-user row."""
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+    nparts = 64
+
+    def bits_partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "view") | (et == "purchase")
+        df = pd.DataFrame({
+            "u": t["user_id"].to_numpy(zero_copy_only=False)[keep],
+            "b": np.where(et[keep] == "view", 1, 2).astype(np.int64),
+        })
+        g = df.groupby("u", as_index=False)["b"].agg(
+            lambda x: int(np.bitwise_or.reduce(x.to_numpy())))
+        h = pd.util.hash_array(g["u"].to_numpy())
+        g["part"] = (h % np.uint64(nparts)).astype(np.int32)
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby("u")["b"]
+             .agg(lambda x: int(np.bitwise_or.reduce(x.to_numpy()))))
+        vals = m.to_numpy()
+        return pd.DataFrame({
+            "bucket": ["view_only", "purchase_only", "both"],
+            "n_users": np.array([(vals == 1).sum(), (vals == 2).sum(),
+                                 (vals == 3).sum()], np.int64),
+        })
+
+    df = (ds.map_batches(bits_partial, batch_format="pyarrow")
+          .groupby("part")
+          .map_groups(fold, batch_format="pandas")
+          .to_pandas())
+    out = df.groupby("bucket", as_index=False)["n_users"].sum()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
 def q21_sole_supplier_orders(sf_dir: str):
     """TPC-H Q21 shape (adapted: the fixture lacks commit/receipt
     dates): orders served by exactly ONE supplier, counted per that
@@ -4898,6 +4941,25 @@ SELECT o_year, round(sum(nat_c) / CAST(sum(all_c) AS DOUBLE), 4)
 FROM rows_ GROUP BY o_year ORDER BY o_year
 """
 
+ANALYTICS_ORACLE_SQL["events_user_setops"] = """
+WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+b AS (
+  SELECT 'view_only' AS bucket,
+         (SELECT count(*) FROM (SELECT user_id FROM v EXCEPT
+                                SELECT user_id FROM p)) AS n_users
+  UNION ALL
+  SELECT 'purchase_only',
+         (SELECT count(*) FROM (SELECT user_id FROM p EXCEPT
+                                SELECT user_id FROM v))
+  UNION ALL
+  SELECT 'both',
+         (SELECT count(*) FROM (SELECT user_id FROM v INTERSECT
+                                SELECT user_id FROM p))
+)
+SELECT bucket, CAST(n_users AS BIGINT) AS n_users FROM b ORDER BY bucket
+"""
+
 ANALYTICS_ORACLE_SQL["q21_sole_supplier_orders"] = """
 WITH per_order AS (
   SELECT l_orderkey, count(DISTINCT l_suppkey) AS nsupp,
@@ -5139,6 +5201,7 @@ ANALYTICS_QUERIES = {
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
     "q21_sole_supplier_orders": q21_sole_supplier_orders,
+    "events_user_setops": events_user_setops,
     "q15_top_supplier": q15_top_supplier,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "chunk_documents_overlap": chunk_documents_overlap,

@@ -223,3 +223,16 @@ def test_q17_no_brand_parts_returns_zero(ray_session, tmp_path):
     }), str(d / "lineitem.parquet"))
     out = A.q17_small_quantity_revenue(str(d))
     assert float(out["avg_yearly"].iloc[0]) == 0.0
+
+
+def test_events_user_setops_matches_duckdb(ray_session):
+    import duckdb
+
+    from database_delta_plugins_ray.pipelines import analytics as A
+
+    got = A.events_user_setops(SF)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = con.execute(A.ANALYTICS_ORACLE_SQL["events_user_setops"]).df()
+    _assert_parity(got, want, ["bucket"])
