@@ -62,6 +62,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="mid-snapshot resume policy: continue off the "
                          "partition fences (native) or wipe-and-restart "
                          "the snapshot like the reference")
+    pr.add_argument("--history", action="store_true",
+                    help="retain superseded versions + delete tombstones "
+                         "(the change-data-feed prerequisite for "
+                         "--refresh-index / --refresh-vecindex, time "
+                         "travel and lake_diff)")
     pr.add_argument("--follow", action="store_true",
                     help="continuous tail: poll the log dir until stopped "
                          "(SIGINT/SIGTERM or the `stop` command); each "
@@ -70,6 +75,9 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--max-polls", type=int, default=None)
     pr.add_argument("--idle-stop", type=int, default=None,
                     help="stop after N consecutive caught-up polls")
+    pr.add_argument("--refresh-vecindex", default=None,
+                    help="(follow) vector-index dir to refresh after every "
+                         "committing poll (built with 'vecindex build')")
     pr.add_argument("--refresh-index", default=None,
                     help="(follow) text-index dir to refresh after every "
                          "applying poll — derived search stays current "
@@ -250,7 +258,8 @@ def main(argv: list[str] | None = None) -> int:
         kw = dict(num_partitions=a.partitions, partition_mode=a.mode,
                   upto_lsn=a.upto_lsn, exchange=a.exchange,
                   primary_key=tuple(a.primary_key.split(",")),
-                  snapshot_restart=a.snapshot_restart)
+                  snapshot_restart=a.snapshot_restart,
+                  history=a.history)
         if a.follow:
             import signal
             import threading
@@ -270,6 +279,12 @@ def main(argv: list[str] | None = None) -> int:
 
                 hooks.append(
                     lambda lk: LakeTextIndex(a.refresh_index).refresh(lk))
+            if a.refresh_vecindex:
+                from .pipelines.queries import lake_vector_index_refresh
+
+                hooks.append(
+                    lambda lk: lake_vector_index_refresh(
+                        lk, a.refresh_vecindex))
             if a.maintain_view:
                 from .pipelines.ivm import maintain_view
 

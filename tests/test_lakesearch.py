@@ -207,3 +207,56 @@ def test_cli_vecindex_lifecycle(ray_session, tmp_path):
     rows2 = cli("search", "--lake", lake, "--index", idx,
                 "--text", "vector probe", "--nprobe", "8")
     assert [r["vec_id"] for r in rows2] == [r["vec_id"] for r in rows]
+
+
+def test_follow_refreshes_vecindex(ray_session, tmp_path):
+    """replicate --follow --refresh-vecindex keeps the vector index
+    current with the lake: after the follow drain, a probe over the
+    index equals brute force over the final state."""
+    import json
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from database_delta_plugins_ray.pipelines.queries import (
+        VEC_KEY_SEP,
+        _content_vecs,
+        ensure_log,
+        lake_vector_index_build,
+    )
+    from database_delta_plugins_ray.pipelines.replicate import (
+        final_state,
+        run_replication,
+    )
+    from database_delta_plugins_ray.stages.similarity import IVFDiskIndex
+
+    sf = "/root/testdata/sf0.001"
+    log = ensure_log(sf)
+    lake = str(tmp_path / "lake")
+    idx = str(tmp_path / "vecidx")
+    with open(f"{log}/meta.json") as fh:
+        half = json.load(fh)["max_lsn"] // 2
+    run_replication(log, lake, num_partitions=8, history=True,
+                    upto_lsn=half)
+    lake_vector_index_build(lake, idx, n_clusters=8)
+
+    r = subprocess.run(
+        [sys.executable, "-m", "database_delta_plugins_ray", "--num-cpus",
+         "2", "replicate", "--log", log, "--lake", lake, "--partitions",
+         "8", "--history", "--follow", "--idle-stop", "2",
+         "--poll-interval", "0.2", "--refresh-vecindex", idx],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    q = _content_vecs(["vector probe"])[0]
+    got = IVFDiskIndex(idx).search(q, k=10, nprobe=8)
+    rows = final_state(
+        lake, columns=["table", "repo", "path", "content"]).take_all()
+    ids = [VEC_KEY_SEP.join(map(str, (x["table"], x["repo"], x["path"])))
+           for x in rows]
+    vecs = _content_vecs([x["content"] for x in rows])
+    scores = vecs @ q
+    order = sorted(range(len(ids)),
+                   key=lambda i: (-scores[i], ids[i]))[:10]
+    assert list(got["vec_id"]) == [ids[i] for i in order]
