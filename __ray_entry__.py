@@ -40,7 +40,9 @@ _GATE_PREFIX = [
     "q4_order_priority", "q12_priority_by_linestatus",
     "q22_sales_opportunity", "q7_volume_shipping",
     "q15_top_supplier", "q17_small_quantity_revenue", "q8_market_share",
-    "q21_sole_supplier_orders",
+    "q21_sole_supplier_orders", "q2_min_cost_supplier",
+    "q9_product_type_profit", "q11_important_parts",
+    "q16_supplier_part_counts", "q20_prefix_part_shippers",
     # joins (as-of, range, anti, right-outer) + set ops
     "purchases_asof_last_view", "orders_with_events_in_week",
     "customers_without_events", "customer_order_stats_right",

@@ -5099,6 +5099,451 @@ SELECT doc_id, chunk_id, CAST(len(seg) AS BIGINT) AS n_tokens,
 FROM ck
 """
 
+# ---------------------------------------------------------------------------
+# TPC-H completion set (adapted: the fixture lacks partsupp, so the
+# part-supplier relation derives from lineitem's (l_partkey, l_suppkey)
+# pairs and supply cost from observed line prices / p_retailprice — the
+# QUERY SHAPES (correlated min, profit rollup, group-vs-global HAVING,
+# distinct-count with exclusions, semi-join on a HAVING aggregate) are
+# the reference points, per SURVEY §11 fourth batch's schema note)
+
+Q2_TYPE = "PROMO"
+Q2_REGION = 2
+
+
+def q2_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape (adapted): for every part of one type, the
+    region's supplier(s) offering it at the MINIMUM observed line price
+    — the correlated-min subquery over a part×supplier relation (here
+    derived from lineitem, the fixture's partsupp stand-in). Part keys
+    and the region's supplier set broadcast into the scan; per-batch
+    (part, supp, min-cents) partials bound the shuffle to distinct
+    pairs; the per-part min + equality filter runs inside one
+    map_groups per part. Only winner rows reach the driver, which
+    enriches names from keys-IN pruned dim reads. Cents min is exact,
+    so the equality can never split on float noise."""
+    import ray
+
+    part = pq_read(sf_dir, "part", ["p_partkey", "p_type"])
+    pk_arr = part.filter(
+        pc.equal(part["p_type"], Q2_TYPE))["p_partkey"].combine_chunks()
+
+    nation = pq_read(sf_dir, "nation")
+    region_nations = pa.array(
+        nation.filter(pc.equal(nation["n_regionkey"], Q2_REGION))
+        ["n_nationkey"].to_pylist(), pa.int32())
+    supp = pq_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    rs = supp.filter(pc.is_in(supp["s_nationkey"],
+                              value_set=region_nations))
+    rs_arr = rs["s_suppkey"].combine_chunks()
+
+    line = _t(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.is_in(t["l_partkey"], value_set=pk_arr),
+            pc.is_in(t["l_suppkey"], value_set=rs_arr)))
+        cents = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "p_partkey": t["l_partkey"].to_numpy(zero_copy_only=False),
+            "s_suppkey": t["l_suppkey"].to_numpy(zero_copy_only=False),
+            "cost_c": cents,
+        }).groupby(["p_partkey", "s_suppkey"], as_index=False)["cost_c"].min()
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    pairs = (line.map_batches(pair_partial, batch_format="pyarrow")
+             .groupby(["p_partkey", "s_suppkey"])
+             .aggregate(Min("cost_c", alias_name="cost_c")))
+
+    def per_part_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g[g["cost_c"] == g["cost_c"].min()]
+
+    winners = (pairs.groupby("p_partkey")
+               .map_groups(per_part_min, batch_format="pandas")
+               .to_pandas())
+    if winners.empty:
+        return pd.DataFrame({
+            "p_partkey": pd.Series([], dtype="int64"),
+            "s_suppkey": pd.Series([], dtype="int64"),
+            "s_name": pd.Series([], dtype=object),
+            "n_name": pd.Series([], dtype=object),
+            "min_cost": pd.Series([], dtype="float64")})
+
+    sd = pq_read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+    sd = sd.filter(pc.is_in(
+        sd["s_suppkey"],
+        value_set=pa.array(sorted(set(winners["s_suppkey"].tolist())),
+                           sd.schema.field("s_suppkey").type))).to_pandas()
+    nname = dict(zip(nation["n_nationkey"].to_pylist(),
+                     nation["n_name"].to_pylist()))
+    out = winners.merge(sd, on="s_suppkey")
+    out["n_name"] = out["s_nationkey"].map(nname)
+    out["min_cost"] = (out["cost_c"] / 100.0).round(2)
+    out["p_partkey"] = out["p_partkey"].astype("int64")
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    return (out[["p_partkey", "s_suppkey", "s_name", "n_name", "min_cost"]]
+            .sort_values(["p_partkey", "s_suppkey"]).reset_index(drop=True))
+
+
+ANALYTICS_ORACLE_SQL["q2_min_cost_supplier"] = f"""
+WITH pl AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cost_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_type = '{Q2_TYPE}' AND n_regionkey = {Q2_REGION}
+  GROUP BY l_partkey, l_suppkey),
+m AS (SELECT l_partkey AS pk, min(cost_c) AS mc FROM pl GROUP BY 1)
+SELECT CAST(pl.l_partkey AS BIGINT) AS p_partkey,
+       CAST(pl.l_suppkey AS BIGINT) AS s_suppkey,
+       s_name, n_name, round(cost_c / 100.0, 2) AS min_cost
+FROM pl JOIN m ON pl.l_partkey = m.pk AND pl.cost_c = m.mc
+JOIN supplier ON pl.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+ORDER BY p_partkey, s_suppkey
+"""
+
+
+Q9_TOKEN = "widget"
+
+
+def q9_product_type_profit(sf_dir: str):
+    """TPC-H Q9 shape (adapted): profit per (supplier nation, order
+    year) over parts whose name contains a token — the four-join profit
+    rollup. Supply cost (no partsupp in the fixture) is 10% of
+    p_retailprice, carried as exact integer cents-per-unit, so
+    ``profit_c = rev_c - qty * cost10`` is integer on both engines.
+    Part (key → cost) and supplier (key → nation) broadcast once into
+    the lineitem scan, which folds (orderkey, nation) partials; ONE
+    shuffle join hangs the order year on, with the (nation, year) fold
+    running inside the join partitions."""
+    import ray
+
+    from ..stages.join import shuffle_hash_join
+
+    part = pq_read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+    keep = pc.match_substring(part["p_name"], Q9_TOKEN)
+    part = part.filter(keep)
+    pk = part["p_partkey"].to_numpy()
+    cost10 = np.floor(part["p_retailprice"].to_numpy() * 10.0
+                      + 0.5).astype(np.int64)
+    order_p = np.argsort(pk)
+    part_ref = ray.put((pk[order_p], cost10[order_p]))
+
+    supp = pq_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    sk = supp["s_suppkey"].to_numpy()
+    order_s = np.argsort(sk)
+    supp_ref = ray.put((sk[order_s], supp["s_nationkey"].to_numpy()[order_s]))
+
+    line = _t(sf_dir, "lineitem",
+              ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+               "l_extendedprice", "l_discount"])
+
+    def l_partial(t: pa.Table) -> pa.Table:
+        pk_s, cost_s = ray.get(part_ref)
+        partkey = t["l_partkey"].to_numpy(zero_copy_only=False)
+        pidx = (np.minimum(np.searchsorted(pk_s, partkey), len(pk_s) - 1)
+                if len(pk_s) else np.zeros(len(partkey), np.int64))
+        pvalid = (pk_s[pidx] == partkey) if len(pk_s) else \
+            np.zeros(len(partkey), bool)
+        sk_s, sn_s = ray.get(supp_ref)
+        suppkey = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        sidx = np.minimum(np.searchsorted(sk_s, suppkey), len(sk_s) - 1)
+        valid = pvalid & (sk_s[sidx] == suppkey)
+        rev_c = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+            * 100.0 + 0.5).astype(np.int64)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        profit_c = rev_c - qty * cost_s[pidx] if len(pk_s) else rev_c
+        df = pd.DataFrame({
+            "o_orderkey": t["l_orderkey"].to_numpy(
+                zero_copy_only=False)[valid],
+            "s_nationkey": sn_s[sidx][valid],
+            "pc": profit_c[valid],
+        }).groupby(["o_orderkey", "s_nationkey"], as_index=False)["pc"].sum()
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def year_partial(j: pd.DataFrame) -> pd.DataFrame:
+        j = j.assign(o_year=pd.to_datetime(j["o_orderdate"])
+                     .dt.year.astype("int64"))
+        return (j.groupby(["s_nationkey", "o_year"], as_index=False)
+                ["pc"].sum())
+
+    j = shuffle_hash_join(
+        orders,
+        line.map_batches(l_partial, batch_format="pyarrow"),
+        on="o_orderkey", prefilter=True, post=year_partial)
+    df = j.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"n_name": pd.Series([], dtype=object),
+                             "o_year": pd.Series([], dtype="int64"),
+                             "profit": pd.Series([], dtype="float64")})
+    g = (df.groupby(["s_nationkey", "o_year"], as_index=False)["pc"].sum())
+    nation = pq_read(sf_dir, "nation")
+    nname = dict(zip(nation["n_nationkey"].to_pylist(),
+                     nation["n_name"].to_pylist()))
+    g["n_name"] = g["s_nationkey"].map(nname)
+    g["profit"] = (g["pc"] / 100.0).round(2)
+    g["o_year"] = g["o_year"].astype("int64")
+    return (g[["n_name", "o_year", "profit"]]
+            .sort_values(["n_name", "o_year"]).reset_index(drop=True))
+
+
+ANALYTICS_ORACLE_SQL["q9_product_type_profit"] = f"""
+SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                            + 0.5) AS BIGINT)
+                 - CAST(l_quantity AS BIGINT)
+                   * CAST(floor(p_retailprice * 10 + 0.5) AS BIGINT))
+             / 100.0, 2) AS profit
+FROM lineitem JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%{Q9_TOKEN}%'
+GROUP BY n_name, o_year ORDER BY n_name, o_year
+"""
+
+
+def q11_important_parts(sf_dir: str):
+    """TPC-H Q11 shape (adapted): parts whose total traded value
+    exceeds 1.2× the average part's — the group-sum vs global-scalar
+    HAVING. Per-batch (partkey, cents·qty) partials → ONE groupby sum;
+    the global (total, n_parts) folds from the same dataset as two tiny
+    aggregates; the threshold comparison is exact — the driver derives
+    the integer cutoff ``q = (12·total) // (10·n)`` in Python bigints
+    (keep iff value_c > q ⇔ value_c·10·n > 12·total for integers) and
+    pushes it into a distributed filter, so no floating division ever
+    decides membership and nothing larger than two scalars leaves the
+    cluster before the final result."""
+    line = _t(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5).astype(np.int64)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "p_partkey": t["l_partkey"].to_numpy(zero_copy_only=False),
+            "value_c": cents * qty,
+        }).groupby("p_partkey", as_index=False)["value_c"].sum()
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    pv = (line.map_batches(partial, batch_format="pyarrow")
+          .groupby("p_partkey")
+          .aggregate(Sum("value_c", alias_name="value_c")))
+    stats = pv.aggregate(Sum("value_c", alias_name="total"),
+                         Count(alias_name="n"))
+    total, n = int(stats["total"]), int(stats["n"])
+    if n == 0:
+        return pd.DataFrame({"p_partkey": pd.Series([], dtype="int64"),
+                             "part_value": pd.Series([], dtype="float64")})
+    cutoff = (12 * total) // (10 * n)
+    df = pv.filter(expr=f"value_c > {cutoff}").to_pandas()
+    df["part_value"] = (df["value_c"] / 100.0).round(2)
+    df["p_partkey"] = df["p_partkey"].astype("int64")
+    return (df[["p_partkey", "part_value"]]
+            .sort_values("p_partkey").reset_index(drop=True))
+
+
+ANALYTICS_ORACLE_SQL["q11_important_parts"] = """
+WITH pv AS (
+  SELECT l_partkey, sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS value_c
+  FROM lineitem GROUP BY l_partkey)
+SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+       round(value_c / 100.0, 2) AS part_value
+FROM pv
+WHERE value_c * (SELECT count(*) FROM pv) * 10
+      > 12 * (SELECT sum(value_c) FROM pv)
+ORDER BY p_partkey
+"""
+
+
+Q16_EXCL_BRAND = "Brand#13"
+Q16_EXCL_TYPE_PREFIX = "PROMO"
+Q16_SIZES = (1, 4, 7, 10, 13, 16, 19, 22)
+
+
+def q16_supplier_part_counts(sf_dir: str):
+    """TPC-H Q16 shape (adapted): distinct suppliers per (brand, type,
+    size) with brand/type/size predicates and a supplier exclusion list
+    (complaint-list proxy: ``s_suppkey % 7 == 0``). Part attributes
+    broadcast into the scan (at 10^9 parts swap for a shuffle join on
+    partkey — same machinery); per-batch pair dedup bounds the exchange
+    to distinct (brand, type, size, suppkey) rows; one coarse-part
+    groupby co-locates each (b, t, s) so its distinct count folds
+    exactly in a single pass, |groups| rows to the driver."""
+    import ray
+
+    part = pq_read(sf_dir, "part",
+                   ["p_partkey", "p_brand", "p_type", "p_size"])
+    m = pc.and_(
+        pc.and_(pc.invert(pc.equal(part["p_brand"], Q16_EXCL_BRAND)),
+                pc.invert(pc.starts_with(part["p_type"],
+                                         Q16_EXCL_TYPE_PREFIX))),
+        pc.is_in(part["p_size"], value_set=pa.array(list(Q16_SIZES),
+                                                    pa.int32())))
+    part = part.filter(m)
+    pk = part["p_partkey"].to_numpy()
+    order_p = np.argsort(pk)
+    attr_ref = ray.put((
+        pk[order_p],
+        part["p_brand"].to_numpy(zero_copy_only=False)[order_p],
+        part["p_type"].to_numpy(zero_copy_only=False)[order_p],
+        part["p_size"].to_numpy(zero_copy_only=False)[order_p]))
+    nparts = 64
+
+    line = _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        pk_s, brand_s, type_s, size_s = ray.get(attr_ref)
+        partkey = t["l_partkey"].to_numpy(zero_copy_only=False)
+        suppkey = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        if len(pk_s):
+            idx = np.minimum(np.searchsorted(pk_s, partkey), len(pk_s) - 1)
+            keep = (pk_s[idx] == partkey) & (suppkey % 7 != 0)
+        else:
+            idx = np.zeros(len(partkey), np.int64)
+            keep = np.zeros(len(partkey), bool)
+        df = pd.DataFrame({
+            "p_brand": brand_s[idx][keep] if len(pk_s) else [],
+            "p_type": type_s[idx][keep] if len(pk_s) else [],
+            "p_size": (size_s[idx][keep].astype(np.int64)
+                       if len(pk_s) else []),
+            "s": suppkey[keep],
+        }).drop_duplicates()
+        h = pd.util.hash_pandas_object(
+            df[["p_brand", "p_type", "p_size"]], index=False).to_numpy()
+        df["part"] = (h % np.uint64(nparts)).astype(np.int32)
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    def count_partial(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.drop_duplicates(["p_brand", "p_type", "p_size", "s"])
+               .groupby(["p_brand", "p_type", "p_size"], as_index=False)
+               .agg(supplier_cnt=("s", "nunique")))
+        return out
+
+    df = (line.map_batches(pair_partial, batch_format="pyarrow")
+          .groupby("part")
+          .map_groups(count_partial, batch_format="pandas")
+          .to_pandas())
+    if df.empty:
+        return pd.DataFrame({
+            "p_brand": pd.Series([], dtype=object),
+            "p_type": pd.Series([], dtype=object),
+            "p_size": pd.Series([], dtype="int64"),
+            "supplier_cnt": pd.Series([], dtype="int64")})
+    df["p_size"] = df["p_size"].astype("int64")
+    df["supplier_cnt"] = df["supplier_cnt"].astype("int64")
+    return (df.sort_values(["supplier_cnt", "p_brand", "p_type", "p_size"],
+                           ascending=[False, True, True, True])
+            .reset_index(drop=True))
+
+
+ANALYTICS_ORACLE_SQL["q16_supplier_part_counts"] = f"""
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{Q16_EXCL_BRAND}'
+  AND p_type NOT LIKE '{Q16_EXCL_TYPE_PREFIX}%'
+  AND p_size IN {Q16_SIZES}
+  AND l_suppkey % 7 <> 0
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+Q20_PREFIX = "blue"
+Q20_START = "1996-01-01"
+Q20_END = "1997-01-01"
+Q20_MIN_QTY = 50
+
+
+def q20_prefix_part_shippers(sf_dir: str):
+    """TPC-H Q20 shape (adapted): suppliers who shipped more than a
+    threshold quantity of prefix-named parts in one year — the
+    semi-join against a HAVING aggregate. Prefix part keys broadcast
+    into the scan; per-batch (suppkey, qty) integer partials → one
+    small groupby → threshold filter Ray-side; only winners reach the
+    driver, which enriches names from keys-IN pruned dim reads."""
+    part = pq_read(sf_dir, "part", ["p_partkey", "p_name"])
+    pk_arr = part.filter(
+        pc.starts_with(part["p_name"], Q20_PREFIX))["p_partkey"]\
+        .combine_chunks()
+    lo = np.datetime64(Q20_START, "us")
+    hi = np.datetime64(Q20_END, "us")
+
+    line = _t(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.is_in(t["l_partkey"], value_set=pk_arr),
+            pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo.item())),
+                    pc.less(t["l_shipdate"], pa.scalar(hi.item()))))
+        t = t.filter(m)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "s_suppkey": t["l_suppkey"].to_numpy(zero_copy_only=False),
+            "qty": qty,
+        }).groupby("s_suppkey", as_index=False)["qty"].sum()
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    agg = (line.map_batches(partial, batch_format="pyarrow")
+           .groupby("s_suppkey").aggregate(Sum("qty", alias_name="qty")))
+    winners = agg.filter(expr=f"qty > {Q20_MIN_QTY}").to_pandas()
+    if winners.empty:
+        return pd.DataFrame({
+            "s_suppkey": pd.Series([], dtype="int64"),
+            "s_name": pd.Series([], dtype=object),
+            "n_name": pd.Series([], dtype=object),
+            "qty_shipped": pd.Series([], dtype="int64")})
+
+    supp = pq_read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+    supp = supp.filter(pc.is_in(
+        supp["s_suppkey"],
+        value_set=pa.array(winners["s_suppkey"].tolist(),
+                           supp.schema.field("s_suppkey").type))).to_pandas()
+    nation = pq_read(sf_dir, "nation")
+    nname = dict(zip(nation["n_nationkey"].to_pylist(),
+                     nation["n_name"].to_pylist()))
+    out = winners.merge(supp, on="s_suppkey")
+    out["n_name"] = out["s_nationkey"].map(nname)
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    out["qty_shipped"] = out["qty"].astype("int64")
+    return (out[["s_suppkey", "s_name", "n_name", "qty_shipped"]]
+            .sort_values("s_suppkey").reset_index(drop=True))
+
+
+ANALYTICS_ORACLE_SQL["q20_prefix_part_shippers"] = f"""
+WITH sq AS (
+  SELECT l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '{Q20_PREFIX}%'
+    AND l_shipdate >= '{Q20_START}' AND l_shipdate < '{Q20_END}'
+  GROUP BY l_suppkey HAVING sum(CAST(l_quantity AS BIGINT)) > {Q20_MIN_QTY})
+SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s_name, n_name,
+       CAST(sq.qty AS BIGINT) AS qty_shipped
+FROM supplier s JOIN sq ON s.s_suppkey = sq.l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+ORDER BY s_suppkey
+"""
+
+
 ANALYTICS_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "events_latest_per_user": events_latest_per_user,
@@ -5205,6 +5650,11 @@ ANALYTICS_QUERIES = {
     "q15_top_supplier": q15_top_supplier,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "chunk_documents_overlap": chunk_documents_overlap,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q9_product_type_profit": q9_product_type_profit,
+    "q11_important_parts": q11_important_parts,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q20_prefix_part_shippers": q20_prefix_part_shippers,
 }
 
 #: subset timed by bench.py at sf0.1

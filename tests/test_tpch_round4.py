@@ -33,6 +33,11 @@ def _assert_parity(got: pd.DataFrame, want: pd.DataFrame, sort_cols):
     ("q19_disjunctive_revenue", ["revenue"]),
     ("q22_sales_opportunity", ["c_nationkey"]),
     ("q7_volume_shipping", ["supp_nation", "cust_nation", "l_year"]),
+    ("q2_min_cost_supplier", ["p_partkey", "s_suppkey"]),
+    ("q9_product_type_profit", ["n_name", "o_year"]),
+    ("q11_important_parts", ["p_partkey"]),
+    ("q16_supplier_part_counts", ["p_brand", "p_type", "p_size"]),
+    ("q20_prefix_part_shippers", ["s_suppkey"]),
 ])
 def test_tpch_shape_matches_duckdb(ray_session, name, sort_cols):
     from database_delta_plugins_ray.pipelines import analytics as A
