@@ -658,6 +658,31 @@ def dedup_cluster_documents(sf_dir: str):
     return cc.map_batches(flag, batch_format="pandas").sort("doc_id")
 
 
+def dedup_semantic_embeddings(sf_dir: str):
+    """SemDeDup-style cluster-pruned embedding dedup (Abbas et al. 2023):
+    k-means partitions the embedding space, near-duplicates are pruned
+    WITHIN each cluster only — one clustering pass + one
+    groupby(cluster) shuffle replaces all-pairs / LSH bucket candidate
+    generation, which is what survives at 10^10 vectors (per-cluster
+    quadratic work stays flat when k grows with the corpus). Returns the
+    dropped rows (vec_id, cluster, kept_id); deterministic at any
+    parallelism (hash-order farthest-point k-means init, greedy
+    rank-order keep rule — no RNG). Rows-only gate: k-means assignment
+    has no SQL shape; pytest plants exact duplicate groups and checks
+    the keep rule, parallelism invariance and the survivor property."""
+    from ..stages.dedup import semantic_dedup
+
+    # synthetic embeddings are isotropic (max pairwise cosine ~0.48), so
+    # the threshold sits where near-dup pairs exist, as for the LSH route
+    out = semantic_dedup(
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=8, threshold=0.40, iters=4).to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["cluster"] = out["cluster"].astype("int64")
+    out["kept_id"] = out["kept_id"].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def dedup_embedding_vectors(sf_dir: str):
     from ..stages.dedup import embedding_cosine_pairs
 
@@ -5569,6 +5594,7 @@ ANALYTICS_QUERIES = {
     "dedup_ngram_documents": dedup_ngram_documents,
     "dedup_cluster_documents": dedup_cluster_documents,
     "dedup_embedding_vectors": dedup_embedding_vectors,
+    "dedup_semantic_embeddings": dedup_semantic_embeddings,
     "ann_topk_cosine": ann_topk_cosine,
     "ann_topk_ivf": ann_topk_ivf_q,
     "ann_topk_lsh": ann_topk_lsh_q,

@@ -971,3 +971,123 @@ def connected_components(
         .count()
         .drop_columns(["count()"])
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup: cluster-pruned embedding dedup)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    ds: "ray.data.Dataset",
+    *,
+    k: int = 16,
+    threshold: float = 0.9,
+    iters: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    chunk: int = 4096,
+) -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means partition
+    the embedding space, then prune near-duplicates WITHIN each cluster
+    only — the scale path for embedding dedup. Candidate generation
+    costs one clustering pass instead of all-pairs or LSH bucket
+    explosion, and the quadratic pairwise work is bounded per cluster
+    (size k with the corpus: k ∝ n / target_cluster_size keeps
+    per-cluster cost flat).
+
+    Keep rule (the paper's, made fully deterministic): rows rank within
+    their cluster by cosine similarity to the centroid ASCENDING (id
+    tiebreak) — the least-centroid-like representative of every
+    duplicate set survives; scanning in rank order, a row is dropped
+    iff an already-KEPT row of its cluster has cosine ≥ ``threshold``
+    with it (greedy leader clustering — no RNG anywhere: the k-means
+    init is the hash-order farthest-point pick of ``clustering.py``,
+    so the result is reproducible at any parallelism).
+
+    Distribution shape: ONE streaming assign pass (centroids broadcast
+    via ``ray.put``, unit vectors serialized per row), ONE
+    groupby(cluster) shuffle co-locating each cluster, then the greedy
+    scan runs vectorized inside ``map_groups`` — chunked (``chunk``
+    rows at a time against the survivor matrix) so peak memory is
+    O(chunk × cluster_size) floats, never cluster_size².
+
+    Returns the DROPPED rows ``(id_col, cluster, kept_id)`` — kept_id
+    is the survivor that shadowed the row; survivors = anti-join on
+    ``id_col``.
+    """
+    import ray
+
+    from .clustering import kmeans
+
+    _, centroids, _ = kmeans(ds, k=k, iters=iters, vec_col=vec_col,
+                             id_col=id_col)
+    cunit = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    c_ref = ray.put((centroids, cunit))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        craw, cu = ray.get(c_ref)
+        x = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        # same assignment rule as clustering.py: euclidean argmin on raw
+        d2 = -2.0 * (x @ craw.T) + (craw * craw).sum(axis=1)[None, :]
+        a = np.argmin(d2, axis=1)
+        unit = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True),
+                              1e-12)
+        ccos = (unit * cu[a]).sum(axis=1)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "cluster": a.astype(np.int64),
+            "ccos": ccos,
+            "u": [unit[i].astype(np.float32).tobytes()
+                  for i in range(len(df))],
+        })
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g[id_col].to_numpy(), g["ccos"].to_numpy()))
+        g = g.iloc[order]
+        ids = g[id_col].to_numpy()
+        x = np.stack([np.frombuffer(b, dtype=np.float32)
+                      for b in g["u"]]).astype(np.float64)
+        m = len(g)
+        kept: list[int] = []
+        drop_i: list[int] = []
+        drop_by: list[int] = []
+        for lo in range(0, m, chunk):
+            hi = min(lo + chunk, m)
+            block = x[lo:hi]
+            if kept:
+                sims = block @ x[kept].T          # (b, n_kept)
+                best = sims.max(axis=1)
+                arg = sims.argmax(axis=1)
+            else:
+                best = np.full(hi - lo, -2.0)
+                arg = np.zeros(hi - lo, dtype=np.int64)
+            new_in_block: list[int] = []
+            for j in range(hi - lo):
+                i = lo + j
+                bb, aa = best[j], arg[j]
+                if new_in_block:
+                    s2 = x[new_in_block] @ x[i]
+                    j2 = int(np.argmax(s2))
+                    if s2[j2] > bb:
+                        bb, aa = s2[j2], -(j2 + 1)  # index into new_in_block
+                if bb >= threshold:
+                    drop_i.append(i)
+                    drop_by.append(new_in_block[-aa - 1] if aa < 0
+                                   else kept[aa])
+                else:
+                    new_in_block.append(i)
+            kept.extend(new_in_block)
+        return pd.DataFrame({
+            id_col: ids[drop_i] if drop_i else np.array([], ids.dtype),
+            "cluster": np.asarray(
+                [g["cluster"].iloc[0]] * len(drop_i), np.int64),
+            "kept_id": (ids[drop_by] if drop_by
+                        else np.array([], ids.dtype)),
+        })
+
+    return (ds.select_columns([id_col, vec_col])
+            .map_batches(assign, batch_format="pandas")
+            .groupby("cluster")
+            .map_groups(prune, batch_format="pandas"))
