@@ -65,6 +65,7 @@ _GATE_PREFIX = [
     "pca_embeddings",
     # text analysis
     "lang_id_documents", "quality_scores_documents",
+    "quality_classifier_documents",
     "tfidf_top_terms_documents", "corpus_report_documents",
     # sampling / packing
     "sample_documents_deterministic", "split_documents_train_val_test",

@@ -658,6 +658,33 @@ def dedup_cluster_documents(sf_dir: str):
     return cc.map_batches(flag, batch_format="pandas").sort("doc_id")
 
 
+def quality_classifier_documents(sf_dir: str):
+    """TRAINED quality filter (CCNet/GPT-3 style, distillation flavor):
+    ridge regression over hashed token-count features learns to
+    reproduce the heuristic quality score, then one streaming pass
+    scores the corpus with the broadcast weights. Training folds EXACT
+    int64 X^T X / X^T y partials (labels are the heuristic score in
+    ten-thousandths), so the weights — and therefore every prediction —
+    are bit-identical at any parallelism. Rows-only gate (a matrix
+    solve has no SQL shape); pytest pins exact-recovery on planted
+    linear labels, parallelism invariance, and distillation quality
+    (R² vs the heuristic) on the fixture corpus."""
+    from ..functions.text import quality_scores
+    from ..stages.classifier import score_hashed, train_ridge_hashed
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def labels(df: pd.DataFrame) -> np.ndarray:
+        q = quality_scores(df["text"].reset_index(drop=True))
+        return np.floor(q["quality_score"].to_numpy() * 10000.0
+                        + 0.5).astype(np.int64)
+
+    w = train_ridge_hashed(ds, labels, d=256, l2=1.0)
+    out = score_hashed(ds, w).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def dedup_semantic_embeddings(sf_dir: str):
     """SemDeDup-style cluster-pruned embedding dedup (Abbas et al. 2023):
     k-means partitions the embedding space, near-duplicates are pruned
@@ -5595,6 +5622,7 @@ ANALYTICS_QUERIES = {
     "dedup_cluster_documents": dedup_cluster_documents,
     "dedup_embedding_vectors": dedup_embedding_vectors,
     "dedup_semantic_embeddings": dedup_semantic_embeddings,
+    "quality_classifier_documents": quality_classifier_documents,
     "ann_topk_cosine": ann_topk_cosine,
     "ann_topk_ivf": ann_topk_ivf_q,
     "ann_topk_lsh": ann_topk_lsh_q,
