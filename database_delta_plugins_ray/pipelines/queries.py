@@ -1237,8 +1237,45 @@ FROM new n FULL OUTER JOIN old o
   ON n.k_repo = o.k_repo AND n.k_path = o.k_path
 WHERE o.k_repo IS NULL OR n.k_repo IS NULL OR n.lsn <> o.lsn
 """
+    # lake → training corpus: LWW live rows → quality gate → md5 sample
+    # → exact dedup by content hash (keep min (repo, path)) → md5 shards
+    corpus_sql = f"""
+WITH ev AS (
+  SELECT lsn, op,
+         coalesce(after.repo, before.repo)  AS k_repo,
+         coalesce(after.path, before.path)  AS k_path,
+         coalesce(after.language, after.lang) AS language,
+         after.content AS content,
+         sha256(after.content) AS content_sha
+  FROM read_parquet('{glob}')
+  WHERE op <> 'DDL'
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY k_repo, k_path
+                               ORDER BY lsn DESC) AS rn
+  FROM ev
+),
+live AS (
+  SELECT k_repo AS repo, k_path AS path, language, content, content_sha
+  FROM ranked WHERE rn = 1 AND op <> 'D'
+),
+gated AS (
+  SELECT * FROM live
+  WHERE length(content) >= 64
+    AND md5_number_lower(repo || '|' || path) % 10 < 8
+),
+dd AS (
+  SELECT *, row_number() OVER (PARTITION BY content_sha
+                               ORDER BY repo, path) AS rn2
+  FROM gated
+)
+SELECT content_sha, repo, path, language,
+       CAST(md5_number_lower(content_sha) % 16 AS BIGINT) AS shard
+FROM dd WHERE rn2 = 1
+"""
     return {
         "cdc_final_state": final_sql,
+        "cdc_to_training_corpus": corpus_sql,
         "cdc_resume_equivalence": final_sql,
         "cdc_reshard_continuation": final_sql,
         "cdc_full_lifecycle": final_sql,
@@ -1543,8 +1580,63 @@ WHERE rn = 1 AND op <> 'D' AND lsn > (SELECT f FROM fence)
     }
 
 
+def cdc_to_training_corpus(sf_dir: str):
+    """THE TIER FUSION, fully SQL-oracled: replicate the source-code
+    change log into the lake, then run the training-corpus prep
+    directly over the lake's live rows — exact dedup by content hash
+    (keeping the lexicographically-least (repo, path) owner), a quality
+    gate (content length ≥ 64 chars), a deterministic md5 80% sample,
+    and md5 shard routing — the "CDC lake in, training shards out" path
+    this engine exists for. Every step is distributed and
+    parallelism-invariant: the gate + sample + shard assignment are one
+    vectorized map_batches pass (content never leaves the scan task —
+    only key/sha/shard columns ride on), the dedup is per-batch
+    pre-dedup + ONE groupby(content_sha) keep-min fold."""
+    import pandas as pd
+
+    from ..stages.sample import md5_u64
+
+    log = ensure_log(sf_dir)
+    lake = fresh_lake(sf_dir, "lake_corpus")
+    run_replication(log, lake, num_partitions=16)
+    ds = final_state(lake, columns=["repo", "path", "language",
+                                    "content", "content_sha"])
+
+    def prep(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.greater_equal(pc.utf8_length(t["content"]),
+                                      pa.scalar(64)))
+        key = pc.binary_join_element_wise(
+            t["repo"], t["path"], "|").to_numpy(zero_copy_only=False)
+        keep = (md5_u64(key) % np.uint64(10)) < np.uint64(8)
+        t = t.filter(pa.array(keep))
+        sha = t["content_sha"].to_numpy(zero_copy_only=False)
+        shard = (md5_u64(sha) % np.uint64(16)).astype(np.int64)
+        df = pd.DataFrame({
+            "content_sha": sha,
+            "repo": t["repo"].to_numpy(zero_copy_only=False),
+            "path": t["path"].to_numpy(zero_copy_only=False),
+            "language": t["language"].to_numpy(zero_copy_only=False),
+            "shard": shard,
+        }).sort_values(["content_sha", "repo", "path"],
+                       kind="stable").drop_duplicates("content_sha")
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["repo", "path"], kind="stable")
+                .head(1))
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("content_sha")
+            .map_groups(keep_min, batch_format="pandas"))
+
+
 CDC_QUERIES = {
     "cdc_final_state": cdc_final_state,
+    "cdc_to_training_corpus": cdc_to_training_corpus,
     "cdc_resume_equivalence": cdc_resume_equivalence,
     "cdc_reshard_continuation": cdc_reshard_continuation,
     "cdc_full_lifecycle": cdc_full_lifecycle,
