@@ -1521,6 +1521,27 @@ def sample_fixed_per_lang(sf_dir: str, n_per_lang: int = 30):
             .map_groups(finish, batch_format="pandas"))
 
 
+def sample_temperature_by_source(sf_dir: str, budget: int = 200):
+    """Temperature-based domain mixing (the mT5/XLM-R rebalancing rule,
+    here at temperature τ=2, i.e. p_s ∝ count_s^0.5): small sources are
+    upweighted relative to their raw share, the total draw hits a fixed
+    budget. Per-source quotas derive EXACTLY in both engines — weight =
+    floor(sqrt(n)·2^20) (IEEE sqrt is correctly rounded and the 2^20
+    scale is a power of two, so the floor lands identically in numpy
+    and DuckDB), quota = (budget·weight) // Σweights in integer math —
+    then each source keeps its quota smallest (md5(doc_id), doc_id)
+    rows: the fixed-count stratified machinery with computed quotas.
+    One tiny count groupby + one partial-top-N exchange (≤ batches ×
+    sources × max-quota rows), never the corpus. A τ≠2 temperature
+    needs pow(), whose last-ulp rounding is not guaranteed to agree
+    across engines — sqrt keeps the oracle hash-exact."""
+    from ..stages.sample import temperature_quota_sample
+
+    return temperature_quota_sample(
+        _t(sf_dir, "documents", ["doc_id", "source"]),
+        budget=budget, group_col="source", id_col="doc_id")
+
+
 def redact_pii_documents(sf_dir: str):
     """Email/phone scrub over the corpus: four vectorized RE2 kernels
     per batch (count+replace x2), embarrassingly parallel."""
@@ -3506,6 +3527,31 @@ SELECT doc_id, lang FROM (
 ANALYTICS_ORACLE_SQL["sample_documents_weighted"] = r"""
 SELECT doc_id, lang, length(text) AS n_chars FROM documents
 WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < length(text)
+"""
+
+# temperature mixing: weight = floor(sqrt(n)*2^20) — IEEE sqrt is
+# correctly rounded and 2^20 is a power of two, so the floor lands
+# identically in numpy and DuckDB; quotas are then pure integer math
+ANALYTICS_ORACLE_SQL["sample_temperature_by_source"] = """
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents
+  GROUP BY source),
+w AS (
+  SELECT source,
+         CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576) AS BIGINT) AS wgt
+  FROM c),
+t AS (SELECT sum(wgt) AS tw FROM w),
+q AS (SELECT source, CAST((200 * wgt) // t.tw AS BIGINT) AS quota
+      FROM w, t),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM documents)
+SELECT r.doc_id, r.source FROM r JOIN q USING (source)
+WHERE rn <= q.quota
 """
 
 
@@ -5634,6 +5680,7 @@ ANALYTICS_QUERIES = {
     "sample_documents_weighted": sample_documents_weighted,
     "split_documents_train_val_test": split_documents_train_val_test,
     "sample_fixed_per_lang": sample_fixed_per_lang,
+    "sample_temperature_by_source": sample_temperature_by_source,
     "redact_pii_documents": redact_pii_documents,
     "mix_token_budget_documents": mix_token_budget_documents,
     "q3_shipping_priority": q3_shipping_priority,

@@ -307,3 +307,43 @@ def weighted_hash_sample(
         return t.filter(pa.array(h.astype(np.int64) * den < w * num))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def temperature_quota_sample(ds, *, budget: int, group_col: str,
+                             id_col: str):
+    """Temperature-based domain mixing at τ=2 (p_group ∝ count^0.5 —
+    the mT5/XLM-R rebalancing rule): small groups are upweighted
+    relative to their raw share; the total draw hits ``budget`` (minus
+    floor losses). Quotas derive EXACTLY in both engines: weight =
+    floor(sqrt(n)·2^20) — IEEE sqrt is correctly rounded and the 2^20
+    scale is a power of two, so the floor lands identically in numpy /
+    Python and DuckDB — then quota = (budget·weight) // Σweights in
+    pure integer math. Selection is the fixed-count stratified rule:
+    each group keeps its quota smallest (md5(id), id) rows. One tiny
+    count groupby + one partial-top-N exchange (≤ batches × groups ×
+    max-quota rows), never the corpus."""
+    import math
+
+    counts = ds.groupby(group_col).count().to_pandas()
+    counts = counts.rename(columns={"count()": "n"})
+    wgt = {s: int(math.floor(math.sqrt(float(n)) * (1 << 20)))
+           for s, n in zip(counts[group_col], counts["n"])}
+    tw = sum(wgt.values())
+    quota = {s: (budget * w) // tw for s, w in wgt.items()}
+    qmax = max(quota.values(), default=0)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = md5_u64(df[id_col].to_numpy())
+        return (pd.DataFrame({id_col: df[id_col],
+                              group_col: df[group_col], "h": h})
+                .sort_values(["h", id_col])
+                .groupby(group_col, sort=False).head(qmax))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        q = quota.get(g[group_col].iloc[0], 0)
+        g = g.sort_values(["h", id_col]).head(q)
+        return g[[id_col, group_col]]
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby(group_col)
+            .map_groups(finish, batch_format="pandas"))

@@ -160,3 +160,55 @@ def test_weighted_hash_sample_proportional_and_invariant(ray_session):
     h = md5_u64(df["id"].to_numpy()) % np.uint64(1000)
     want = set(df["id"][h.astype(np.int64) < df["w"].to_numpy()])
     assert picked == want
+
+
+def test_temperature_quota_sample(ray_session):
+    """τ=2 quotas: sqrt-weighted integer quotas, smallest-hash picks,
+    parallelism-invariant, matches a naive reference computation."""
+    import math
+
+    from database_delta_plugins_ray.stages.sample import (
+        md5_u64,
+        temperature_quota_sample,
+    )
+
+    rng = np.random.default_rng(5)
+    # very skewed source sizes: 'big' should be downweighted vs share
+    sizes = {"big": 3000, "mid": 300, "tiny": 30}
+    rows = []
+    nid = 0
+    for s, n in sizes.items():
+        for _ in range(n):
+            rows.append((nid, s))
+            nid += 1
+    df = pd.DataFrame(rows, columns=["doc_id", "source"])
+    df = df.sample(frac=1, random_state=3).reset_index(drop=True)
+    budget = 120
+
+    # naive reference
+    wgt = {s: math.floor(math.sqrt(n) * (1 << 20)) for s, n in sizes.items()}
+    tw = sum(wgt.values())
+    quota = {s: (budget * w) // tw for s, w in wgt.items()}
+    h = md5_u64(df["doc_id"].to_numpy())
+    ref = (pd.DataFrame({"doc_id": df["doc_id"], "source": df["source"],
+                         "h": h})
+           .sort_values(["h", "doc_id"])
+           .groupby("source", sort=False)
+           .apply(lambda g: g.head(quota[g.name]), include_groups=False))
+    want = sorted(ref["doc_id"])
+
+    got = {}
+    for nblocks in (1, 11):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        out = temperature_quota_sample(
+            ds, budget=budget, group_col="source", id_col="doc_id"
+        ).take_all()
+        got[nblocks] = sorted(r["doc_id"] for r in out)
+    assert got[1] == got[11] == want
+    # temperature upweights small sources: tiny's share of the draw
+    # exceeds its corpus share (30/3330 < 1%), big's is below its 90%
+    out = pd.DataFrame([{"doc_id": d} for d in got[1]])
+    n_tiny = sum(1 for d in got[1] if d >= 3300)
+    n_big = sum(1 for d in got[1] if d < 3000)
+    assert n_tiny / len(got[1]) > 0.02
+    assert n_big / len(got[1]) < 0.85
