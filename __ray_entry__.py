@@ -64,9 +64,9 @@ _GATE_PREFIX = [
     "ann_topk_cosine", "ann_topk_ivf", "ann_topk_pq",
     "ann_topk_ivf_incremental", "kmeans_embeddings",
     "pca_embeddings",
-    # text analysis
+    # text analysis / tokenizer training
     "lang_id_documents", "quality_scores_documents",
-    "quality_classifier_documents",
+    "quality_classifier_documents", "bpe_train_documents",
     "tfidf_top_terms_documents", "corpus_report_documents",
     # sampling / packing
     "sample_documents_deterministic", "split_documents_train_val_test",

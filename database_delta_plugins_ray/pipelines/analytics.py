@@ -5642,6 +5642,84 @@ ORDER BY s_suppkey
 """
 
 
+BPE_MERGES = 40
+
+
+def bpe_train_documents(sf_dir: str):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016) over
+    the documents corpus: ONE map_batches pass folds the exact
+    distinct-word histogram (per-batch ``value_counts`` partials → one
+    vocabulary groupby — the exchange is bounded by distinct words,
+    never rows), then the driver runs the standard merge loop over
+    that bounded histogram (O(vocab × merges), independent of corpus
+    size — the same split the public HuggingFace word-level trainers
+    use). Returns the ``(rank, left, right, freq)`` merge table.
+    Deterministic at any parallelism (integer histogram + total-order
+    tiebreak), but iterative — no SQL shape, so rows-only for the
+    driver; pytest gates bit-parity vs a single-process brute-force
+    train and a planted-corpus merge sequence
+    (tests/test_bpe.py)."""
+    from ..stages.bpe import train_bpe, word_histogram
+
+    ds = _t(sf_dir, "documents", ["text"])
+    hist = word_histogram(ds)
+    return train_bpe(hist, BPE_MERGES)
+
+
+def bpe_corpus_compression(sf_dir: str):
+    """Corpus compression under the trained BPE tokenizer: train the
+    merge table (see bpe_train_documents), broadcast the merges once
+    via ``ray.put``, then one map_batches pass encodes each batch
+    (memoized per DISTINCT word — Zipf makes that far smaller than
+    the token count) and folds per-language integer partials:
+    ``(lang, n_docs, total_words, total_subword_tokens,
+    total_chars)``. All-int aggregates of a deterministic encode →
+    bit-stable at any parallelism; rows-only (depends on the trained
+    merge table, which has no SQL shape); pytest gates the encode
+    against a pure-Python reference and the totals against a
+    single-process pass."""
+    import ray
+
+    from ..stages.bpe import train_bpe, word_histogram
+
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+    merges = train_bpe(word_histogram(ds), BPE_MERGES)
+    merges_ref = ray.put(merges)
+
+    bc_schema = pa.schema([
+        ("lang", pa.string()), ("n_docs", pa.int64()),
+        ("total_words", pa.int64()), ("total_subword_tokens", pa.int64()),
+        ("total_chars", pa.int64())])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        from ..stages.bpe import encode_stats
+
+        if df.empty:  # one pinned Arrow schema for every block
+            return bc_schema.empty_table()
+        m = ray.get(merges_ref)
+        st = encode_stats(df["text"].reset_index(drop=True), m)
+        st["lang"] = df["lang"].to_numpy()
+        g = st.groupby("lang", as_index=False).agg(
+            n_docs=("n_words", "size"),
+            total_words=("n_words", "sum"),
+            total_subword_tokens=("n_subword_tokens", "sum"),
+            total_chars=("n_chars", "sum"))
+        return pa.Table.from_pandas(
+            g, preserve_index=False).cast(bc_schema)
+
+    # partials are ≤ n_langs rows per batch — fold them on the driver
+    # (the histogram-fold pattern; a lang-count groupby shuffle would
+    # move less data than its own setup). Fan-in is batches × langs; if
+    # that ever matters, pre-fold through one tiny groupby(part).
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = (parts.groupby("lang", as_index=False)
+           [["n_docs", "total_words", "total_subword_tokens",
+             "total_chars"]].sum())
+    for c in agg.columns[1:]:
+        agg[c] = agg[c].astype("int64")
+    return agg.sort_values("lang").reset_index(drop=True)
+
+
 ANALYTICS_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "events_latest_per_user": events_latest_per_user,
@@ -5756,6 +5834,8 @@ ANALYTICS_QUERIES = {
     "q11_important_parts": q11_important_parts,
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "q20_prefix_part_shippers": q20_prefix_part_shippers,
+    "bpe_train_documents": bpe_train_documents,
+    "bpe_corpus_compression": bpe_corpus_compression,
 }
 
 #: subset timed by bench.py at sf0.1
