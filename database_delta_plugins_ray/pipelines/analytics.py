@@ -5720,6 +5720,121 @@ def bpe_corpus_compression(sf_dir: str):
     return agg.sort_values("lang").reset_index(drop=True)
 
 
+SUBSTR_N = 20
+
+
+def dedup_substring_documents(sf_dir: str, n: int = SUBSTR_N):
+    """ExactSubstr-style duplicated-span detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): every repeated token span of length ≥ n contains
+    a repeated n-gram, so sliding-window n-gram hashes detect repeated
+    substrings EXACTLY (at hash fidelity, collision w.p. ~2^-64) — the
+    distributed stand-in for the paper's suffix array. Two passes:
+
+    1. per-batch n-gram OCCURRENCE counts (``value_counts`` partials —
+       the exchange is bounded by distinct grams per batch, never
+       positions) → one gram groupby → hashes with total count ≥ 2
+       (within-doc repeats count, as in the paper).
+    2. the duplicated-hash set broadcasts once via ``ray.put`` (sized
+       by REPEATED grams only; if a corpus ever makes that large, the
+       route is the id-only semi-join used by the LSH verify stage),
+       and a second scan marks covered token positions with one
+       diff+cumsum sweep per batch — no Python loop over grams.
+
+    Returns per-document ``(doc_id, n_tokens, dup_grams, dup_tokens)``
+    for documents with at least one duplicated span (the drop/trim
+    decision is policy; dup_tokens/n_tokens is the paper's removal
+    fraction). Rows-only (sliding-window hashing has no SQL shape);
+    pytest gates a planted shared span, a brute-force n-gram-counter
+    reference over the real fixture, and parallelism invariance
+    (tests/test_substring_dedup.py)."""
+    import ray
+
+    from ..functions.text import (_GRAM_P, _GRAM_HASH_KEY,
+                                  _flat_lower_tokens)
+
+    def gram_hashes_pos(texts: pd.Series, nn: int):
+        """(hashes, flat_start_idx, doc_idx, lens): stride-1 n-gram
+        hashes with their flat token start positions."""
+        flat, doc_idx, lens = _flat_lower_tokens(texts)
+        m = len(flat) - nn + 1
+        if len(flat) == 0 or m <= 0:
+            return (np.empty(0, np.uint64), np.empty(0, np.int64),
+                    doc_idx, lens)
+        th = pd.util.hash_array(flat, hash_key=_GRAM_HASH_KEY)
+        valid = doc_idx[:m] == doc_idx[nn - 1:]
+        h = th[:m].copy()
+        for k in range(1, nn):
+            h = h * _GRAM_P + th[k:k + m]
+        idx = np.arange(m, dtype=np.int64)
+        return h[valid], idx[valid], doc_idx, lens
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    # gram hashes ride the exchange as int64 BIT REINTERPRETATIONS of
+    # the uint64 values (only equality matters): raw uint64 > 2^63
+    # breaks the groupby's pandas block conversion and silently
+    # promotes to lossy float64
+    cnt_schema = pa.schema([("h", pa.int64()), ("c", pa.int64())])
+
+    def count_partial(df: pd.DataFrame) -> pa.Table:
+        h, _, _, _ = gram_hashes_pos(df["text"].reset_index(drop=True), n)
+        if not len(h):
+            return cnt_schema.empty_table()
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"h": u.view(np.int64), "c": c.astype(np.int64)},
+                        schema=cnt_schema)
+
+    tot = (ds.map_batches(count_partial, batch_format="pandas")
+           .groupby("h").aggregate(Sum("c", alias_name="c")))
+    dup = tot.filter(expr="c >= 2").to_pandas()
+    dup_sorted = (np.sort(dup["h"].to_numpy(dtype=np.int64))
+                  if "h" in dup.columns else np.empty(0, np.int64))
+    dup_ref = ray.put(dup_sorted)
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+        ("dup_grams", pa.int64()), ("dup_tokens", pa.int64())])
+
+    def mark(df: pd.DataFrame) -> pa.Table:
+        texts = df["text"].reset_index(drop=True)
+        h, starts, doc_idx, lens = gram_hashes_pos(texts, n)
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        dupset = ray.get(dup_ref)
+        if not len(h) or not len(dupset):
+            return out_schema.empty_table()
+        hv = h.view(np.int64)  # same bit reinterpretation as pass 1
+        pos = np.searchsorted(dupset, hv)
+        isdup = (pos < len(dupset)) & (dupset[np.minimum(
+            pos, len(dupset) - 1)] == hv)
+        dstarts = starts[isdup]
+        if not len(dstarts):
+            return out_schema.empty_table()
+        # diff+cumsum span cover: +1 at each dup-gram start, -1 past
+        # its end (grams never cross docs, so spans don't either)
+        delta = np.zeros(total + 1, dtype=np.int64)
+        np.add.at(delta, dstarts, 1)
+        np.add.at(delta, dstarts + n, -1)
+        covered = (np.cumsum(delta[:total]) > 0)
+        dup_tok = np.zeros(len(df), dtype=np.int64)
+        np.add.at(dup_tok, doc_idx, covered.astype(np.int64))
+        dup_gr = np.zeros(len(df), dtype=np.int64)
+        np.add.at(dup_gr, doc_idx[dstarts], 1)
+        keep = dup_gr > 0
+        return pa.table({
+            "doc_id": ids[keep],
+            "n_tokens": lens[keep].astype(np.int64),
+            "dup_grams": dup_gr[keep],
+            "dup_tokens": dup_tok[keep]}, schema=out_schema)
+
+    res = (ds.map_batches(mark, batch_format="pandas")
+           .to_pandas())
+    if res.empty:  # all-empty blocks lose their column names
+        return pd.DataFrame({f.name: pd.Series([], dtype="int64")
+                             for f in out_schema})
+    return res.sort_values("doc_id").reset_index(drop=True)
+
+
 ANALYTICS_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "events_latest_per_user": events_latest_per_user,
@@ -5836,6 +5951,7 @@ ANALYTICS_QUERIES = {
     "q20_prefix_part_shippers": q20_prefix_part_shippers,
     "bpe_train_documents": bpe_train_documents,
     "bpe_corpus_compression": bpe_corpus_compression,
+    "dedup_substring_documents": dedup_substring_documents,
 }
 
 #: subset timed by bench.py at sf0.1
