@@ -71,7 +71,8 @@ _GATE_PREFIX = [
     "tfidf_top_terms_documents", "corpus_report_documents",
     # sampling / packing
     "sample_documents_deterministic", "split_documents_train_val_test",
-    "mix_token_budget_documents", "pack_sequences_documents",
+    "mix_token_budget_documents", "dsir_sample_documents",
+    "pack_sequences_documents",
     # sketches / exact quantiles
     "approx_distinct_users_hll", "heavy_hitters_tokens",
     "approx_quantiles_event_value", "orders_median_price_by_status",

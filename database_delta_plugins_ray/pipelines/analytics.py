@@ -5835,6 +5835,30 @@ def dedup_substring_documents(sf_dir: str, n: int = SUBSTR_N):
     return res.sort_values("doc_id").reset_index(drop=True)
 
 
+def dsir_sample_documents(sf_dir: str, k: int = 50):
+    """DSIR importance resampling toward a target domain (Xie et al.
+    2023, arXiv:2302.03169): target = the corpus's English documents,
+    candidates = the whole corpus. One histogram-fold pass learns the
+    hashed unigram+bigram log-ratio (d=4096 buckets, add-one
+    smoothing, quantized to 2^20 fixed point); one broadcast scoring
+    pass computes exact int64 per-document log-weights and
+    deterministic md5-seeded Gumbel noise; per-batch top-k partials
+    bound the exchange to k rows per batch. Fully deterministic at
+    any parallelism (all cross-batch state is integer). Rows-only
+    (hashed-feature training has no SQL shape); pytest gates an
+    independent reference implementation, a planted target-lookalike
+    corpus, and parallelism invariance (tests/test_dsir.py)."""
+    from ..stages.sample import dsir_select
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+    res = dsir_select(
+        ds, text_col="text", id_col="doc_id",
+        target_expr=lambda df: (df["lang"] == "en").to_numpy(),
+        k=k, keep_cols=("lang",))
+    res["doc_id"] = res["doc_id"].astype("int64")
+    return res
+
+
 ANALYTICS_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "events_latest_per_user": events_latest_per_user,
@@ -5952,6 +5976,7 @@ ANALYTICS_QUERIES = {
     "bpe_train_documents": bpe_train_documents,
     "bpe_corpus_compression": bpe_corpus_compression,
     "dedup_substring_documents": dedup_substring_documents,
+    "dsir_sample_documents": dsir_sample_documents,
 }
 
 #: subset timed by bench.py at sf0.1

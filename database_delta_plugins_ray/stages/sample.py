@@ -347,3 +347,130 @@ def temperature_quota_sample(ds, *, budget: int, group_col: str,
     return (ds.map_batches(partial, batch_format="pandas")
             .groupby(group_col)
             .map_groups(finish, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR: Data Selection with Importance Resampling (Xie et al. 2023,
+# "Data Selection for Language Models via Importance Resampling",
+# arXiv:2302.03169) — hashed-n-gram importance weights toward a target
+# domain, then Gumbel-top-k resampling (= sampling without replacement
+# proportional to the importance weight).
+#
+# Everything cross-batch is INTEGER: feature counts fold as int64
+# bincounts; the log-ratio vector is quantized to 2^20 fixed point
+# before it touches a document, so per-document scores are exact int64
+# segment sums — bit-identical at any parallelism (the same fixed-point
+# discipline as the temperature-mixing and classifier ops).
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale for DSIR log-ratio quantization (2^20, as in
+#: temperature_quota_sample — powers of two round identically everywhere)
+DSIR_FP = 1 << 20
+
+
+def dsir_token_buckets(texts: pd.Series, d: int):
+    """Hashed unigram+bigram feature stream of a batch: ``(bucket
+    int64 array, doc_idx int64 array)`` — the DSIR paper's hashed
+    n-gram featurization (§3.1, they use d=10^4). One hash pass over
+    the shared lowercase tokenization; bigrams combine with the gram
+    multiplier and never cross documents."""
+    from ..functions.text import _GRAM_HASH_KEY, _GRAM_P, _flat_lower_tokens
+
+    flat, di, _ = _flat_lower_tokens(texts)
+    if not len(flat):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    th = pd.util.hash_array(flat, hash_key=_GRAM_HASH_KEY)
+    b1 = (th % np.uint64(d)).astype(np.int64)
+    parts = [b1]
+    idxs = [di]
+    if len(flat) > 1:
+        m = len(flat) - 1
+        valid = di[:m] == di[1:]
+        h2 = (th[:m] * _GRAM_P + th[1:]) % np.uint64(d)
+        parts.append(h2[valid].astype(np.int64))
+        idxs.append(di[:m][valid])
+    return np.concatenate(parts), np.concatenate(idxs)
+
+
+def dsir_fold_counts(ds, *, text_col: str, target_expr, d: int):
+    """ONE pass over the corpus producing two d-bucket int64 count
+    vectors: the TARGET domain's hashed-feature counts and the full
+    corpus (raw) counts. Per batch the partial is two d-long bincounts
+    (O(d) ints, independent of rows — the histogram-fold pattern);
+    the driver sums batches × 2 vectors. ``target_expr(df) -> bool
+    mask`` defines the target domain."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[text_col].reset_index(drop=True)
+        b, di = dsir_token_buckets(texts, d)
+        raw = np.bincount(b, minlength=d).astype(np.int64)
+        mask = np.asarray(target_expr(df), dtype=bool)
+        tgt = (np.bincount(b[mask[di]], minlength=d).astype(np.int64)
+               if mask.any() else np.zeros(d, np.int64))
+        return pd.DataFrame({"tgt": [tgt.tobytes()],
+                             "raw": [raw.tobytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    tgt = np.zeros(d, np.int64)
+    raw = np.zeros(d, np.int64)
+    for tb, rb in zip(parts["tgt"], parts["raw"]):
+        tgt += np.frombuffer(tb, dtype=np.int64)
+        raw += np.frombuffer(rb, dtype=np.int64)
+    return tgt, raw
+
+
+def dsir_logratio_fp(tgt: np.ndarray, raw: np.ndarray) -> np.ndarray:
+    """Quantized per-bucket importance log-ratio: ``round(2^20 ·
+    (log p̂_tgt[k] − log p̂_raw[k]))`` with add-one smoothing on both
+    estimates. int64; every downstream use is integer arithmetic."""
+    d = len(tgt)
+    lp_t = np.log(tgt + 1.0) - np.log(float(tgt.sum() + d))
+    lp_r = np.log(raw + 1.0) - np.log(float(raw.sum() + d))
+    return np.rint((lp_t - lp_r) * DSIR_FP).astype(np.int64)
+
+
+def dsir_gumbel_fp(ids: np.ndarray) -> np.ndarray:
+    """Deterministic per-document Gumbel noise in 2^20 fixed point:
+    ``u = (md5_u64(id) + 0.5) / 2^64`` → ``round(2^20·(−log(−log u)))``.
+    A pure function of the id — reproducible across reruns, resumes
+    and parallelism, like every sampler in this module."""
+    u = (md5_u64(ids).astype(np.float64) + 0.5) / float(1 << 64)
+    return np.rint(-np.log(-np.log(u)) * DSIR_FP).astype(np.int64)
+
+
+def dsir_select(ds, *, text_col: str, id_col: str, target_expr,
+                k: int, d: int = 4096, keep_cols: tuple = ()):
+    """DSIR end to end: fold target/raw hashed-feature counts, quantize
+    the log-ratio, broadcast it once via ``ray.put``, score every
+    document with one exact int64 segment-sum pass (``logweight_fp``),
+    add deterministic Gumbel noise and keep the global top-k by the
+    perturbed score (= sample-without-replacement ∝ importance weight).
+    A per-batch top-k partial bounds the exchange to k rows per batch;
+    the driver folds batches × k candidate rows, never the corpus.
+
+    Returns a pandas frame ``(id_col, *keep_cols, logweight_fp,
+    gumbel_score_fp)`` sorted by ``(-gumbel_score_fp, id_col)``."""
+    import ray
+
+    tgt, raw = dsir_fold_counts(ds, text_col=text_col,
+                                target_expr=target_expr, d=d)
+    r_ref = ray.put(dsir_logratio_fp(tgt, raw))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        rfp = ray.get(r_ref)
+        texts = df[text_col].reset_index(drop=True)
+        b, di = dsir_token_buckets(texts, d)
+        lw = np.zeros(len(df), np.int64)
+        np.add.at(lw, di, rfp[b])
+        ids = df[id_col].to_numpy()
+        out = pd.DataFrame({id_col: ids})
+        for c in keep_cols:
+            out[c] = df[c].to_numpy()
+        out["logweight_fp"] = lw
+        out["gumbel_score_fp"] = lw + dsir_gumbel_fp(ids)
+        return (out.sort_values(["gumbel_score_fp", id_col],
+                                ascending=[False, True]).head(k))
+
+    cand = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return (cand.sort_values(["gumbel_score_fp", id_col],
+                             ascending=[False, True])
+            .head(k).reset_index(drop=True))
