@@ -559,7 +559,8 @@ def _ensure_wire_segments(sf_dir: str, shape: str) -> tuple[str, int]:
         shutil.rmtree(jdir, ignore_errors=True)
         shutil.rmtree(sdir, ignore_errors=True)
         write_debezium_jsonl(log, jdir, mysql=(shape == "mysql"),
-                             composite=(shape == "composite"))
+                             composite=(shape == "composite"),
+                             postgres=(shape == "postgres"))
         jsonl_to_segments(jdir, sdir)
     return sdir, int(src_meta["max_lsn"])
 
@@ -592,6 +593,22 @@ def cdc_from_debezium_sqlserver(sf_dir: str):
     value-transparent."""
     sdir, _max_lsn = _ensure_wire_segments(sf_dir, "composite")
     lake = fresh_lake(sf_dir, "lake_dbz_sqlserver")
+    run_replication(sdir, lake, num_partitions=16)
+    return final_state(lake, columns=FINAL_COLS)
+
+
+def cdc_from_debezium_postgres(sf_dir: str):
+    """Replay driven from a POSTGRES-shaped Debezium JSONL feed: no
+    integer position on the wire — only ``source.sequence`` JSON
+    arrays of textual ``X/Y`` pg_lsn strings (the public Debezium
+    postgres envelope) — with the table namespaced by pg ``schema``
+    (``db`` is the database name, not the identity namespace) and
+    numeric ``txId``. The reader rebuilds the engine lsn through the
+    PgLsn bridge and must prefer ``schema`` over ``db`` for table
+    identity. Same final-state oracle: the pg wire shape must be
+    value-transparent."""
+    sdir, _max_lsn = _ensure_wire_segments(sf_dir, "postgres")
+    lake = fresh_lake(sf_dir, "lake_dbz_postgres")
     run_replication(sdir, lake, num_partitions=16)
     return final_state(lake, columns=FINAL_COLS)
 
@@ -1297,6 +1314,7 @@ FROM dd WHERE rn2 = 1
         "cdc_from_debezium_mysql": final_sql,
         "cdc_from_debezium_mysql_resume": final_sql,
         "cdc_from_debezium_sqlserver": final_sql,
+        "cdc_from_debezium_postgres": final_sql,
         "cdc_op_counts": f"""
 SELECT op, count(*) AS n FROM read_parquet('{glob}') GROUP BY op
 """,
@@ -1652,6 +1670,7 @@ CDC_QUERIES = {
     "cdc_from_debezium_mysql": cdc_from_debezium_mysql,
     "cdc_from_debezium_mysql_resume": cdc_from_debezium_mysql_resume,
     "cdc_from_debezium_sqlserver": cdc_from_debezium_sqlserver,
+    "cdc_from_debezium_postgres": cdc_from_debezium_postgres,
     "cdc_op_counts": cdc_op_counts,
     "cdc_events_per_repo": cdc_events_per_repo,
     "cdc_snapshot_ddl_sequence": cdc_snapshot_ddl_sequence,

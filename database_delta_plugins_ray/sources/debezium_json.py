@@ -30,7 +30,12 @@ Three source-position shapes are accepted per envelope:
   mis-categorization workaround (MySqlRecordConsumer.java:190-195,
   299-307),
 * SQL-Server composite hex ``change_lsn``/``commit_lsn``
-  (SqlServerOffset.java:33-55).
+  (SqlServerOffset.java:33-55),
+* PostgreSQL textual WAL positions: a ``source.sequence`` JSON array of
+  ``X/Y`` pg_lsn strings (the public Debezium postgres envelope; the
+  reader takes the array's LAST element — the event's own position —
+  through the PgLsn bridge) with the pg ``schema`` namespace preferred
+  over ``db`` for table identity and numeric ``txId``.
 """
 
 from __future__ import annotations
@@ -52,7 +57,7 @@ from ..model import (
     PAYLOAD_STRUCT,
     event_log_schema,
 )
-from ..state.offsets import TRX_ID_SEP, Lsn, MySqlOffset
+from ..state.offsets import TRX_ID_SEP, Lsn, MySqlOffset, PgLsn
 
 #: engine op -> Debezium envelope op code (public Debezium contract:
 #: c=create, u=update, d=delete, r=snapshot read)
@@ -70,7 +75,8 @@ def _split_table(table: str) -> tuple[str, str]:
 
 def write_debezium_jsonl(log_dir: str, out_dir: str,
                          composite: bool = False,
-                         mysql: bool = False) -> list[str]:
+                         mysql: bool = False,
+                         postgres: bool = False) -> list[str]:
     """Export every ``seg-*.parquet`` log segment as a Debezium-envelope
     ``.jsonl`` file (one JSON envelope per line). Interop/fixture writer —
     runs on the driver; sized for test fixtures, not the 10^10 log.
@@ -86,9 +92,17 @@ def write_debezium_jsonl(log_dir: str, out_dir: str,
     reader must synthesize the transaction id GTID-first
     (MySqlRecordConsumer.java:190-195). The fixture gtid embeds the
     log's tx_id (``<server-uuid>:<tx_id>``) so tx identity — not just
-    final state — round-trips verifiably."""
-    if composite and mysql:
-        raise ValueError("pick ONE position shape: composite or mysql")
+    final state — round-trips verifiably.
+
+    ``postgres=True`` emits Postgres-shaped positions — NO integer
+    ``pos``/``lsn`` on the wire, only a ``sequence`` JSON array of two
+    ``X/Y`` pg_lsn strings ([last commit position, event position], as
+    the public Debezium postgres connector renders them), the table
+    namespaced by pg ``schema`` (with ``db`` set to the database name,
+    NOT the identity namespace) and a numeric ``txId``."""
+    if sum((composite, mysql, postgres)) > 1:
+        raise ValueError(
+            "pick ONE position shape: composite, mysql or postgres")
     os.makedirs(out_dir, exist_ok=True)
     out_files = []
     for fname in sorted(os.listdir(log_dir)):
@@ -96,6 +110,7 @@ def write_debezium_jsonl(log_dir: str, out_dir: str,
             continue
         tbl = pq.read_table(os.path.join(log_dir, fname))
         max_lsn = int(pc.max(tbl["lsn"]).as_py()) if tbl.num_rows else 0
+        prev_lsn = 0  # pg ``sequence``: [last commit position, event position]
         out = os.path.join(out_dir, fname.replace(".parquet", ".jsonl"))
         tmp = out + f".tmp.{os.getpid()}"
         with open(tmp, "w") as fh:
@@ -127,6 +142,20 @@ def write_debezium_jsonl(log_dir: str, out_dir: str,
                         "snapshot": bool(row["is_snapshot"]),
                         "schema_version": row["schema_version"],
                     }
+                elif postgres:
+                    tx = row["tx_id"]
+                    src = {
+                        "db": "postgres",
+                        "schema": db,  # pg namespaces tables by schema
+                        "table": name,
+                        "sequence": json.dumps(
+                            [str(PgLsn.from_int(prev_lsn)),
+                             str(PgLsn.from_int(row["lsn"]))]),
+                        "txId": (int(tx) if str(tx).isdigit() else tx),
+                        "snapshot": bool(row["is_snapshot"]),
+                        "schema_version": row["schema_version"],
+                    }
+                    prev_lsn = int(row["lsn"])
                 else:
                     src = {
                         "db": db,
@@ -196,6 +225,15 @@ def _convert_envelopes(batch: pa.Table) -> pa.Table:
     have = {pay.type.field(i).name for i in range(pay.type.num_fields)}
 
     db = pc.cast(pc.struct_field(src, "db"), pa.string())
+    src_names0 = {src.type.field(i).name
+                  for i in range(src.type.num_fields)}
+    if "schema" in src_names0:
+        # Postgres namespaces tables by SCHEMA, not database (public
+        # Debezium postgres envelope: db + schema + table) — prefer it
+        # for the identity namespace where present
+        sch = pc.cast(pc.struct_field(src, "schema"), pa.string())
+        db = pc.if_else(
+            pc.equal(pc.fill_null(sch, ""), ""), db, sch)
     name = pc.cast(pc.struct_field(src, "table"), pa.string())
     table = pc.if_else(
         pc.equal(pc.fill_null(db, ""), ""), name,
@@ -281,6 +319,26 @@ def _convert_envelopes(batch: pa.Table) -> pa.Table:
                  if f is not None and p is not None else None
                  for f, p in zip(fl.to_pylist(), po)], pa.int64())
             lsn = pc.if_else(pc.is_valid(ints), ints, lsn)
+    if "sequence" in src_names:
+        # Postgres textual WAL positions: sequence = JSON array of
+        # pg_lsn "X/Y" strings; the LAST element is the event's own
+        # position (public Debezium postgres envelope) — bridge it
+        # through PgLsn where no other position shape resolved
+        sq = pc.cast(pc.struct_field(src, "sequence"), pa.string())
+        if pc.any(pc.is_valid(sq)).as_py():
+            def _pg(x):
+                if x is None:
+                    return None
+                try:
+                    arr = json.loads(x)
+                except ValueError:
+                    return None
+                if not isinstance(arr, list) or not arr:
+                    return None
+                v = PgLsn.parse(arr[-1])
+                return v.to_int() if v.is_available else None
+            ints = pa.array([_pg(x) for x in sq.to_pylist()], pa.int64())
+            lsn = pc.if_else(pc.is_valid(lsn), lsn, ints)
     if "change_lsn" in src_names:
         # composite SQL-Server positions: change_lsn hex -> the engine's
         # int64 via the byte-order-preserving Lsn bridge

@@ -314,3 +314,62 @@ def mysql_transaction_id(gtid: str | None, file: str | None,
     if gtid:
         return gtid
     return f"{file}{TRX_ID_SEP}{pos}"
+
+
+@functools.total_ordering
+class PgLsn:
+    """PostgreSQL textual WAL position — the public ``pg_lsn`` type's
+    ``XXXXXXXX/XXXXXXXX`` rendering (PostgreSQL docs, datatype-pg-lsn;
+    Debezium's postgres connector carries it in the envelope's
+    ``source.sequence`` JSON array as strings and orders by the 64-bit
+    value). ``PgLsn.NULL`` (missing / unparseable) sorts below every
+    valid position, matching the Lsn / MySqlOffset NULL rule."""
+
+    __slots__ = ("_v",)
+
+    def __init__(self, v: int | None) -> None:
+        self._v = v if v is not None and v >= 0 else None
+
+    @classmethod
+    def parse(cls, text: str | None) -> "PgLsn":
+        if not text:
+            return cls(None)
+        try:
+            hi_s, lo_s = text.split("/")
+            hi, lo = int(hi_s, 16), int(lo_s, 16)
+            if not (0 <= hi < (1 << 32) and 0 <= lo < (1 << 32)):
+                return cls(None)
+            return cls((hi << 32) | lo)
+        except ValueError:
+            return cls(None)
+
+    @classmethod
+    def from_int(cls, v: int) -> "PgLsn":
+        if v < 0:
+            raise ValueError("engine lsns are non-negative")
+        if v >= (1 << 64):
+            raise ValueError("pg lsn exceeds 64 bits")
+        return cls(v)
+
+    def to_int(self) -> int:
+        """The engine's int64 IS the pg WAL position (both are the same
+        monotone 64-bit domain); NULL maps to -1, below every valid."""
+        return -1 if self._v is None else self._v
+
+    @property
+    def is_available(self) -> bool:
+        return self._v is not None
+
+    def __str__(self) -> str:
+        if self._v is None:
+            return "NULL"
+        return f"{self._v >> 32:X}/{self._v & 0xFFFFFFFF:X}"
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, PgLsn) and self.to_int() == other.to_int()
+
+    def __lt__(self, other: "PgLsn") -> bool:
+        return self.to_int() < other.to_int()
+
+    def __hash__(self) -> int:
+        return hash(self.to_int())
