@@ -62,6 +62,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="mid-snapshot resume policy: continue off the "
                          "partition fences (native) or wipe-and-restart "
                          "the snapshot like the reference")
+    pr.add_argument("--toast-columns", default=None,
+                    help="comma-separated payload columns that may carry "
+                         "Debezium's TOAST placeholder "
+                         "(__debezium_unavailable_value); enables "
+                         "postgres carry-forward semantics")
     pr.add_argument("--history", action="store_true",
                     help="retain superseded versions + delete tombstones "
                          "(the change-data-feed prerequisite for "
@@ -260,6 +265,8 @@ def main(argv: list[str] | None = None) -> int:
                   primary_key=tuple(a.primary_key.split(",")),
                   snapshot_restart=a.snapshot_restart,
                   history=a.history)
+        if a.toast_columns:
+            kw["toast_columns"] = tuple(a.toast_columns.split(","))
         if a.follow:
             import signal
             import threading

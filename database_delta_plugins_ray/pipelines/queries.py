@@ -613,6 +613,84 @@ def cdc_from_debezium_postgres(sf_dir: str):
     return final_state(lake, columns=FINAL_COLS)
 
 
+def cdc_from_debezium_postgres_resume(sf_dir: str):
+    """Resume equivalence THROUGH the Postgres wire shape: replay the
+    pg-shaped segments to half the watermark, checkpoint, resume to
+    the end — must equal one-shot replay (same final-state oracle).
+    Passing requires the sequence-array pg_lsn positions to round-trip
+    the checkpoint exactly (the PgLsn bridge is the identity on the
+    64-bit WAL domain) and the duplicate-replay fence to hold."""
+    sdir, max_lsn = _ensure_wire_segments(sf_dir, "postgres")
+    lake = fresh_lake(sf_dir, "lake_dbz_postgres_resume")
+    run_replication(sdir, lake, num_partitions=16, upto_lsn=max_lsn // 2)
+    run_replication(sdir, lake, num_partitions=16)
+    return final_state(lake, columns=FINAL_COLS)
+
+
+def ensure_toast_log(sf_dir: str) -> str:
+    """Variant log whose UPDATE events carry Debezium's reserved TOAST
+    placeholder in ``after.content`` on a deterministic subset
+    (``lsn % 3 == 0`` — the public postgres contract: a TOASTed column
+    unchanged by the update is NOT shipped). Built once per sf by
+    post-processing a fresh variant log; idempotent via a stamp tied to
+    the base log's meta."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from ..stages.merge import TOAST_SENTINEL
+
+    base = ensure_variant_log(sf_dir, "toast_base")
+    tag = sf_tag(sf_dir)
+    d = os.path.join(CACHE_ROOT, f"sf{tag}", "toast_log")
+    with open(os.path.join(base, "meta.json")) as fh:
+        base_meta = _json.load(fh)
+    stamp = os.path.join(d, "meta.json")
+    if os.path.exists(stamp):
+        with open(stamp) as fh:
+            if _json.load(fh) == base_meta:
+                return d
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    for fname in sorted(os.listdir(base)):
+        if not (fname.startswith("seg-") and fname.endswith(".parquet")):
+            continue
+        tbl = pq.read_table(os.path.join(base, fname))
+        rows = tbl.to_pylist()
+        for r in rows:
+            if (r["op"] == "U" and r["lsn"] % 3 == 0
+                    and r["after"] is not None):
+                r["after"] = {**r["after"], "content": TOAST_SENTINEL}
+        out = pa.Table.from_pylist(rows, schema=tbl.schema)
+        tmp = os.path.join(d, fname + f".tmp.{os.getpid()}")
+        pq.write_table(out, tmp)
+        os.replace(tmp, os.path.join(d, fname))
+    tmp = stamp + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        _json.dump(base_meta, fh)
+    os.replace(tmp, stamp)
+    return d
+
+
+def cdc_toast_carry_forward(sf_dir: str):
+    """Postgres TOAST carry-forward (public Debezium contract: an
+    UPDATE that doesn't modify a TOASTed column ships the reserved
+    ``__debezium_unavailable_value`` placeholder; the sink must keep
+    the previous value). Replays a log whose update events carry the
+    placeholder in ``content`` on a deterministic subset with
+    ``toast_columns=("content",)`` — the merger resolves each sentinel
+    to the key's most recent earlier value (within the batch, or
+    forcing a base merge when it predates the batch), and the derived
+    ``content_sha`` rides along. Oracled by a sentinel-aware LWW SQL:
+    ``last_value(nullif(content, sentinel) IGNORE NULLS)`` per key in
+    lsn order."""
+    log = ensure_toast_log(sf_dir)
+    lake = fresh_lake(sf_dir, "lake_toast")
+    run_replication(log, lake, num_partitions=8,
+                    toast_columns=("content",))
+    return final_state(lake, columns=FINAL_COLS)
+
+
 def cdc_from_debezium_mysql_resume(sf_dir: str):
     """Resume equivalence THROUGH the MySQL wire shape: replay the
     mysql-shaped segments to half the watermark, checkpoint, resume to
@@ -1315,6 +1393,34 @@ FROM dd WHERE rn2 = 1
         "cdc_from_debezium_mysql_resume": final_sql,
         "cdc_from_debezium_sqlserver": final_sql,
         "cdc_from_debezium_postgres": final_sql,
+        "cdc_from_debezium_postgres_resume": final_sql,
+        "cdc_toast_carry_forward": f"""
+WITH ev AS (
+  SELECT lsn, op,
+         coalesce(after.repo, before.repo)  AS k_repo,
+         coalesce(after.path, before.path)  AS k_path,
+         after."commit" AS "commit",
+         coalesce(after.language, after.lang) AS language,
+         after.stars AS stars,
+         nullif(after.content, '__debezium_unavailable_value') AS content_nn
+  FROM read_parquet('{_variant_glob(sf, "toast_log")}')
+  WHERE op <> 'DDL'
+),
+res AS (
+  SELECT *, last_value(content_nn IGNORE NULLS) OVER (
+      PARTITION BY k_repo, k_path ORDER BY lsn
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS content_res
+  FROM ev
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY k_repo, k_path
+                               ORDER BY lsn DESC) AS rn
+  FROM res
+)
+SELECT k_repo AS repo, k_path AS path, "commit", language, stars,
+       sha256(content_res) AS content_sha, lsn AS _sequence_num
+FROM ranked WHERE rn = 1 AND op <> 'D'
+""",
         "cdc_op_counts": f"""
 SELECT op, count(*) AS n FROM read_parquet('{glob}') GROUP BY op
 """,
@@ -1671,6 +1777,8 @@ CDC_QUERIES = {
     "cdc_from_debezium_mysql_resume": cdc_from_debezium_mysql_resume,
     "cdc_from_debezium_sqlserver": cdc_from_debezium_sqlserver,
     "cdc_from_debezium_postgres": cdc_from_debezium_postgres,
+    "cdc_from_debezium_postgres_resume": cdc_from_debezium_postgres_resume,
+    "cdc_toast_carry_forward": cdc_toast_carry_forward,
     "cdc_op_counts": cdc_op_counts,
     "cdc_events_per_repo": cdc_events_per_repo,
     "cdc_snapshot_ddl_sequence": cdc_snapshot_ddl_sequence,

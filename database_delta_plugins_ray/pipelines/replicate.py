@@ -150,6 +150,7 @@ def run_replication(
     incremental_snapshot: bool = False,
     on_error: str = "fail",
     history: bool = False,
+    toast_columns: tuple[str, ...] = (),
 ) -> dict:
     """Replay the event log into the Parquet lake; returns a lineage summary.
 
@@ -334,6 +335,7 @@ def run_replication(
         incremental_snapshot=incremental_snapshot,
         on_error=on_error,
         dlq_dir=(os.path.join(lake_dir, "_dlq") if on_error == "dlq" else None),
+        toast_fields=tuple(toast_columns),
     )
     # Bandwidth-wall cap: this string-heavy normalize saturates a node's
     # memory bus near ~16 concurrent tasks (BASELINE.md: 8-16 CPUs beat 32
@@ -354,6 +356,12 @@ def run_replication(
     )
 
     payload_columns = _payload_columns(registry, columns, compute_sha)
+    if (toast_columns and "content" in toast_columns and compute_sha
+            and "content_sha" not in toast_columns):
+        # the derived sha column rides the sentinel with content
+        # (normalize propagates TOAST_SENTINEL into content_sha), so it
+        # carries forward by the same per-column rule
+        toast_columns = (*toast_columns, "content_sha")
     if merge_concurrency is None:
         # leave headroom for read/normalize/shuffle tasks next to the pool
         merge_concurrency = max(1, min(num_partitions, cpus - 1))
@@ -368,6 +376,7 @@ def run_replication(
             scatter_batch_size=scatter_batch_size or max(4 * batch_size, 131072),
             fragment_buckets=fragment_buckets,
             keep_history=history,
+            toast_columns=toast_columns,
         )
     else:
         # autoscaling pool (1, N): a fixed pool would pre-start N actors that
@@ -379,6 +388,7 @@ def run_replication(
             fn_constructor_kwargs=dict(
                 key_columns=("table", *primary_key),
                 max_delta_files=max_delta_files, keep_history=history,
+                toast_columns=toast_columns,
             ),
             batch_format="pyarrow",
             concurrency=(1, merge_concurrency),
@@ -458,7 +468,8 @@ def _fragment_exchange(ds, lake_dir: str, reg_ref, payload_columns,
                        num_partitions: int = 32,
                        scatter_batch_size: int = 131072,
                        fragment_buckets: int | None = None,
-                       keep_history: bool = False) -> list[dict]:
+                       keep_history: bool = False,
+                       toast_columns: tuple[str, ...] = ()) -> list[dict]:
     """Hash-partitioned-write exchange: normalized batches append
     partition-bucketed Parquet fragments (parallel, barrier-free), then one
     Ray task per partition folds its rows into the fenced partition state.
@@ -594,7 +605,7 @@ def _fragment_exchange(ds, lake_dir: str, reg_ref, payload_columns,
         merger = PartitionMerger(
             lake_dir, reg_ref, payload_columns,
             key_columns=key_columns, max_delta_files=max_delta_files,
-            keep_history=keep_history,
+            keep_history=keep_history, toast_columns=toast_columns,
         )
         # row-group pruned read: only this partition's row groups leave
         # storage (slices were written part-aligned; leftover files from

@@ -65,6 +65,14 @@ SUMMARY_SCHEMA = pa.schema(
 )
 
 
+#: Debezium's reserved placeholder for a column whose value was NOT
+#: shipped with the change event (public contract: postgres TOAST
+#: columns unchanged by an UPDATE arrive as this literal; the sink must
+#: carry the previous value forward). Reserved by Debezium — a real
+#: payload can never legitimately equal it.
+TOAST_SENTINEL = "__debezium_unavailable_value"
+
+
 def exact_lww_indices(tbl: pa.Table, key_cols: tuple[str, ...], lsn_col: str) -> np.ndarray:
     """Indices of the max-``lsn_col`` row per key — exact (string equality via
     pandas hash table), O(n), no full sort of payload columns."""
@@ -96,6 +104,7 @@ class PartitionMerger:
         keep_tombstones: bool = True,
         max_delta_files: int = 4,
         keep_history: bool = False,
+        toast_columns: tuple[str, ...] = (),
     ) -> None:
         import ray
 
@@ -108,6 +117,7 @@ class PartitionMerger:
         self.keep_tombstones = keep_tombstones
         self.max_delta_files = max(1, max_delta_files)
         self.keep_history = keep_history
+        self.toast_columns = tuple(toast_columns)
         self.fences = registry.fences()
 
     # -- helpers ---------------------------------------------------------
@@ -122,6 +132,47 @@ class PartitionMerger:
         cols[IS_DELETED] = pc.equal(ev["op"], OP_DELETE)
         cols[SEQUENCE_NUM] = ev["lsn"]
         return pa.table(cols)
+
+    def _resolve_toast(self, state: pa.Table) -> pa.Table:
+        """Postgres TOAST carry-forward (public Debezium contract): a
+        configured column holding ``TOAST_SENTINEL`` inherits the key's
+        most recent earlier value — one stable seq sort + per-key ffill
+        per column (sentinels convert to NaN first, so nulls from
+        delete images are skipped exactly like the SQL oracle's
+        ``last_value(... IGNORE NULLS)``). No-op (and not called)
+        without configured toast columns."""
+        cols = [c for c in self.toast_columns if c in state.column_names]
+        if not cols or state.num_rows == 0:
+            return state
+        seq = state[SEQUENCE_NUM].to_numpy(zero_copy_only=False)
+        order = np.argsort(seq, kind="stable")
+        keys = [pd.Series(state[k].to_numpy(zero_copy_only=False))
+                .iloc[order] for k in self.key_columns]
+        for c in cols:
+            vals = state[c].to_pandas()
+            sent = vals == TOAST_SENTINEL
+            if not sent.any():
+                continue
+            masked = vals.where(~sent)
+            filled = masked.iloc[order].groupby(keys, sort=False).ffill()
+            filled = filled.reindex(vals.index)
+            # a sentinel with no in-scope predecessor stays a SENTINEL
+            # (never silently null): _has_sentinel then routes the key
+            # through the full merge, where the BASE rows resolve it
+            filled = filled.where(pd.notna(filled) | ~sent, vals)
+            i = state.schema.get_field_index(c)
+            state = state.set_column(
+                i, c, pa.array(filled.where(pd.notna(filled), None),
+                               type=state.schema.field(c).type))
+        return state
+
+    def _has_sentinel(self, state: pa.Table) -> bool:
+        for c in self.toast_columns:
+            if c in state.column_names and bool(
+                    pc.any(pc.equal(pc.fill_null(state[c], ""),
+                                    TOAST_SENTINEL)).as_py()):
+                return True
+        return False
 
     def _apply_fences(self, state: pa.Table) -> pa.Table:
         """TRUNCATE/DROP: rows whose winning lsn predates the fence are dead."""
@@ -214,12 +265,23 @@ class PartitionMerger:
         new_state = self._events_to_state(group)
         last_lsn = max(watermark, int(pc.max(group["lsn"]).as_py()))
 
+        if self.toast_columns:
+            # resolve sentinels within the incoming events BEFORE the
+            # per-key reduce (the winner's value may live in an earlier
+            # event of the same batch that LWW would discard)
+            new_state = self._resolve_toast(new_state)
+
         # reduce the NEW events per key first (cheap, no base read): LWW over
         # the incoming events alone — every surviving row supersedes any base
         # row of the same key because its lsn is past the watermark
         idx = exact_lww_indices(new_state, self.key_columns, SEQUENCE_NUM)
         if len(idx) < new_state.num_rows:
             new_state = new_state.take(pa.array(idx))
+
+        # a sentinel that survived the in-batch resolve needs the BASE
+        # rows (its value predates this batch) — force the full merge
+        toast_needs_base = (bool(self.toast_columns)
+                            and self._has_sentinel(new_state))
 
         base_files = (manifest.get("files") or [manifest["file"]]) if manifest else []
 
@@ -234,6 +296,7 @@ class PartitionMerger:
         base_tables = set(manifest.get("tables", [])) if manifest else set()
         can_delta = (
             manifest is not None
+            and not toast_needs_base
             and fmax <= manifest.get("fence_max_applied", 0)
             and all(self.registry.resolve_table(t) == t for t in base_tables)
             and self.keep_tombstones
@@ -268,6 +331,9 @@ class PartitionMerger:
             state = pa.concat_tables([old, new_state], promote_options="default")
         else:
             state = new_state
+
+        if toast_needs_base:
+            state = self._resolve_toast(state)
 
         idx = exact_lww_indices(state, self.key_columns, SEQUENCE_NUM)
         state = state.take(pa.array(idx))

@@ -131,6 +131,7 @@ class Normalizer:
         incremental_snapshot: bool = False,
         on_error: str = "fail",
         dlq_dir: str | None = None,
+        toast_fields: tuple[str, ...] = (),
     ) -> None:
         """``partition_mode`` controls the shuffle key (SURVEY.md §4 skew):
 
@@ -154,6 +155,13 @@ class Normalizer:
         self.columns = columns
         self.compute_sha = compute_sha
         self.combine = combine
+        #: after-image struct fields that may carry the Debezium TOAST
+        #: placeholder (merge.py TOAST_SENTINEL). The per-batch LWW
+        #: combiner then keeps, per key, the latest PROVIDER row (field
+        #: non-null and non-sentinel) BESIDE the winner, so the merge
+        #: stage's carry-forward always finds the predecessor value the
+        #: plain combiner would have dropped.
+        self.toast_fields = tuple(toast_fields)
         self.partition_mode = partition_mode
         self.repo_salt = repo_salt or {}
         self.primary_key = tuple(primary_key)
@@ -379,6 +387,38 @@ class Normalizer:
         if self.combine and batch.num_rows > 1:
             lsn = batch["lsn"].to_numpy(zero_copy_only=False)
             keep = _lww_keep_indices(kh, lsn, (tb, *pk_arrays))
+            if self.toast_fields and len(keep) < batch.num_rows:
+                # keep the latest PROVIDER row per key beside the winner:
+                # a sentinel winner resolves from it at the merge stage
+                # (dropping it here would lose the value forever)
+                from .merge import TOAST_SENTINEL
+
+                after = batch["after"]
+                if isinstance(after, pa.ChunkedArray):
+                    after = after.combine_chunks()
+                a_names = {after.type.field(i).name
+                           for i in range(after.type.num_fields)}
+                sent = np.zeros(batch.num_rows, dtype=bool)
+                provider = np.ones(batch.num_rows, dtype=bool)
+                for f in self.toast_fields:
+                    if f not in a_names:
+                        continue
+                    v = pc.struct_field(after, f)
+                    fs = pc.equal(pc.fill_null(pc.cast(v, pa.string()), ""),
+                                  TOAST_SENTINEL).to_numpy(
+                                      zero_copy_only=False).astype(bool)
+                    sent |= fs
+                    provider &= (pc.is_valid(v).to_numpy(
+                        zero_copy_only=False).astype(bool) & ~fs)
+                # providers are kept even in sentinel-free batches: a
+                # LATER batch/leg may resolve through this key's base
+                # tombstone, which inherits its value from the provider
+                pidx = np.flatnonzero(provider)
+                if len(pidx):
+                    keep_p = pidx[_lww_keep_indices(
+                        kh[pidx], lsn[pidx],
+                        tuple(a[pidx] for a in (tb, *pk_arrays)))]
+                    keep = np.union1d(keep, keep_p)
             if len(keep) < batch.num_rows:
                 batch = batch.take(pa.array(keep))
                 part = part[keep]
@@ -403,7 +443,25 @@ class Normalizer:
 
         if self.compute_sha and "content" in out.column_names:
             content = pc.fill_null(out["content"], "").to_pylist()
-            out = out.append_column("content_sha", pa.array(sha256_hex(content)))
+            sha = pa.array(sha256_hex(content))
+            if self.toast_fields:
+                # Debezium's TOAST placeholder is reserved (merge.py
+                # TOAST_SENTINEL): its sha is meaningless, so the
+                # sentinel propagates — the merger's carry-forward then
+                # resolves content and content_sha by the same
+                # per-column rule. Null content (delete images) gets a
+                # NULL sha (matching SQL sha256(NULL)) so the ffill
+                # skips tombstones on BOTH columns consistently.
+                from .merge import TOAST_SENTINEL
+
+                is_sent = pc.equal(pc.fill_null(out["content"], ""),
+                                   TOAST_SENTINEL)
+                if pc.any(is_sent).as_py():
+                    sha = pc.if_else(is_sent, pa.scalar(TOAST_SENTINEL),
+                                     sha)
+                sha = pc.if_else(pc.is_valid(out["content"]), sha,
+                                 pa.scalar(None, pa.string()))
+            out = out.append_column("content_sha", sha)
 
         out = out.append_column("part", pa.array(part.astype(np.int64)))
         return out
