@@ -1758,8 +1758,116 @@ def cdc_to_training_corpus(sf_dir: str):
             .map_groups(keep_min, batch_format="pandas"))
 
 
+def cdc_to_packed_corpus(sf_dir: str, seq_tokens: int = 256):
+    """The full lake → TRAINING-READY corpus path fused end-to-end:
+    replicate the change log, quality-gate the live rows (length ≥ 64),
+    exact-dedup by content hash, TRAIN a BPE tokenizer on the surviving
+    corpus (persisted as ``tokenizer.json`` beside the lake), count
+    subword tokens under it, and pack documents into fixed
+    ``seq_tokens`` training sequences with the distributed prefix scan.
+
+    Scale shape: the dedup fold ships ONLY (sha, repo, path) keys; the
+    LOSERS (duplicate-group members that lost — the exception, not the
+    corpus) broadcast back via ``ray.put`` so content never rides a
+    shuffle; BPE training folds the distinct-word histogram (bounded by
+    vocabulary); packing's only exchange is the prefix scan's bucket
+    partials. Deterministic at any parallelism (integer histogram +
+    total-order merges + md5 layout order). Returns the per-sequence
+    summary ``(seq_id, n_docs, n_tokens)``; rows-only (the tokenizer
+    has no SQL shape) — pytest gates parity vs a single-process
+    reference build (tests/test_packed_corpus.py)."""
+    import pandas as pd
+    import pyarrow.compute as _pc
+
+    from ..stages.bpe import save_merges, train_bpe, word_histogram
+    from ..stages.sample import md5_u64
+    from ..stages.scan import ordered_cumsum
+
+    log = ensure_log(sf_dir)
+    lake = fresh_lake(sf_dir, "lake_packed")
+    run_replication(log, lake, num_partitions=16)
+    ds = final_state(lake, columns=["repo", "path", "content",
+                                    "content_sha"])
+
+    def keyrows(t: "pa.Table") -> "pa.Table":
+        t = t.filter(_pc.greater_equal(_pc.utf8_length(t["content"]),
+                                       pa.scalar(64)))
+        df = pd.DataFrame({
+            "content_sha": t["content_sha"].to_numpy(zero_copy_only=False),
+            "repo": t["repo"].to_numpy(zero_copy_only=False),
+            "path": t["path"].to_numpy(zero_copy_only=False),
+        })
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    def losers_of(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["repo", "path"], kind="stable")
+        return g.iloc[1:][["repo", "path"]]  # everyone but the winner
+
+    losers = (ds.map_batches(keyrows, batch_format="pyarrow")
+              .groupby("content_sha")
+              .map_groups(losers_of, batch_format="pandas")
+              .to_pandas())
+    loser_keys = set(zip(losers.get("repo", ()), losers.get("path", ())))
+    import ray
+
+    losers_ref = ray.put(loser_keys)
+
+    def survivors(t: "pa.Table") -> "pa.Table":
+        t = t.filter(_pc.greater_equal(_pc.utf8_length(t["content"]),
+                                       pa.scalar(64)))
+        lk = ray.get(losers_ref)
+        if lk:
+            rp = t["repo"].to_pylist()
+            pp = t["path"].to_pylist()
+            keep = pa.array([(a, b) not in lk for a, b in zip(rp, pp)])
+            t = t.filter(keep)
+        return t
+
+    surv = ds.map_batches(survivors, batch_format="pyarrow")
+    merges = train_bpe(word_histogram(surv, text_col="content"),
+                       num_merges=40)
+    save_merges(merges, os.path.join(lake, "tokenizer.json"))
+    merges_ref = ray.put(merges)
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.bpe import encode_stats
+
+        st = encode_stats(df["content"].reset_index(drop=True),
+                          ray.get(merges_ref))
+        key = (df["repo"] + "|" + df["path"]).to_numpy(dtype=object)
+        h = (md5_u64(key) + np.uint64(1 << 63)).view(np.int64)
+        return pd.DataFrame({
+            "doc": key, "h": h,
+            "n_tokens": st["n_subword_tokens"].to_numpy()})
+
+    scanned = ordered_cumsum(
+        surv.map_batches(counts, batch_format="pandas"),
+        order_col="h", tiebreak_col="doc", value_col="n_tokens")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        excl = (df["running_total"] - df["n_tokens"]).to_numpy()
+        return pd.DataFrame({
+            "seq_id": (excl // seq_tokens).astype("int64"),
+            "n_docs": np.ones(len(df), dtype=np.int64),
+            "n_tokens": df["n_tokens"].astype("int64"),
+        })
+
+    from ray.data.aggregate import Sum as _Sum
+
+    out = (scanned.map_batches(project, batch_format="pandas")
+           .groupby("seq_id")
+           .aggregate(_Sum("n_docs", alias_name="n_docs"),
+                      _Sum("n_tokens", alias_name="n_tokens"))
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("seq_id").reset_index(drop=True)
+
+
 CDC_QUERIES = {
     "cdc_final_state": cdc_final_state,
+    "cdc_to_packed_corpus": cdc_to_packed_corpus,
     "cdc_to_training_corpus": cdc_to_training_corpus,
     "cdc_resume_equivalence": cdc_resume_equivalence,
     "cdc_reshard_continuation": cdc_reshard_continuation,

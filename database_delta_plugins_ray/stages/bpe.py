@@ -201,3 +201,36 @@ def encode_stats(texts: pd.Series, merges: pd.DataFrame) -> pd.DataFrame:
         "n_subword_tokens": n_tok,
         "n_chars": n_chars,
     })
+
+
+def save_merges(merges: pd.DataFrame, path: str) -> None:
+    """Persist a merge table as a JSON artifact (tmp+rename, same
+    single-writer publish contract as every other persisted artifact
+    in this repo)."""
+    import json
+    import os
+
+    obj = {"format": "bpe-merges-v1",
+           "merges": [[l, r, int(f)] for l, r, f in
+                      zip(merges["left"], merges["right"],
+                          merges["freq"])]}
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh)
+    os.replace(tmp, path)
+
+
+def load_merges(path: str) -> pd.DataFrame:
+    import json
+
+    with open(path) as fh:
+        obj = json.load(fh)
+    if obj.get("format") != "bpe-merges-v1":
+        raise ValueError(f"not a bpe-merges-v1 artifact: {path}")
+    m = obj["merges"]
+    return pd.DataFrame({
+        "rank": pd.Series(range(len(m)), dtype="int64"),
+        "left": pd.Series([x[0] for x in m], dtype=object),
+        "right": pd.Series([x[1] for x in m], dtype=object),
+        "freq": pd.Series([x[2] for x in m], dtype="int64"),
+    })
