@@ -36,7 +36,7 @@ _GATE_PREFIX = [
     "cdc_point_lookup", "cdc_search_lake_content",
     "cdc_vector_search_lake", "cdc_scd2_history",
     "cdc_truncate_fence", "cdc_dead_letter_queue", "cdc_incremental_snapshot",
-    "cdc_to_training_corpus",
+    "cdc_to_training_corpus", "cdc_to_packed_corpus",
     # TPC-H shapes
     "q1_pricing_summary", "q3_shipping_priority", "q10_returned_items",
     "q18_large_volume_customers", "q5_local_supplier_volume",

@@ -5720,6 +5720,40 @@ def bpe_corpus_compression(sf_dir: str):
     return agg.sort_values("lang").reset_index(drop=True)
 
 
+def export_documents_tokens(sf_dir: str, seq_tokens: int = 256,
+                            nbuckets: int = 32):
+    """TRAINING-READY packed-token export (stages/tokexport.py): train
+    BPE over the corpus, build the deterministic subword vocabulary,
+    then tokenize + pack the documents into fixed-``seq_tokens``
+    uint32 sequences laid out as per-bucket ``.bin`` shards in md5
+    document order — the Megatron-LM-style indexed binary a trainer
+    mmaps, produced with one count pass + ONE bucket shuffle and no
+    global sort. Returns the manifest's per-shard summary ``(bucket,
+    start_token, n_tokens, n_docs)``. Rows-only for the driver (the
+    trained tokenizer has no SQL shape); pytest gates byte-parity of
+    the shard stream and ``read_sequences`` slices against a
+    single-process reference, parallelism invariance, and shard-level
+    resume (tests/test_tokexport.py)."""
+    from ..stages.bpe import train_bpe, word_histogram
+    from ..stages.tokexport import build_token_vocab, export_packed_tokens
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    hist = word_histogram(ds)
+    merges = train_bpe(hist, BPE_MERGES)
+    vocab = build_token_vocab(hist, merges)
+    m = export_packed_tokens(
+        ds, _cache_dir(sf_dir, "packed_tokens"), merges, vocab,
+        seq_tokens=seq_tokens, nbuckets=nbuckets,
+        key_cols=("doc_id",), text_col="text",
+        source_tag=_source_fingerprint(
+            os.path.join(sf_dir, "documents.parquet")))
+    out = pd.DataFrame(m["shards"])[
+        ["bucket", "start_token", "n_tokens", "n_docs"]]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
 SUBSTR_N = 20
 
 
@@ -5990,6 +6024,7 @@ ANALYTICS_QUERIES = {
     "q20_prefix_part_shippers": q20_prefix_part_shippers,
     "bpe_train_documents": bpe_train_documents,
     "bpe_corpus_compression": bpe_corpus_compression,
+    "export_documents_tokens": export_documents_tokens,
     "dedup_substring_documents": dedup_substring_documents,
     "dsir_sample_documents": dsir_sample_documents,
 }
