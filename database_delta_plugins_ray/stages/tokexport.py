@@ -185,14 +185,22 @@ def export_packed_tokens(ds, out_dir: str, merges: pd.DataFrame,
         out["__b"] = _buckets_of(_keys_of(df, key_cols), nbuckets)
         return out
 
-    def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    import pyarrow as pa
+
+    wrote_schema = pa.schema([("bucket", pa.int64()),
+                              ("skipped", pa.bool_())])
+
+    def write_bucket(g: pd.DataFrame) -> "pa.Table":
         from .sample import md5_u64
 
+        if g.empty:  # pinned schema for Ray's empty group blocks
+            return wrote_schema.empty_table()
         b = int(g["__b"].iloc[0])
         path = os.path.join(out_dir, f"shard-{b:05d}.bin")
         expect = int(n_tok[b]) * _DTYPE.itemsize
         if os.path.exists(path) and os.path.getsize(path) == expect:
-            return pd.DataFrame({"bucket": [b], "skipped": [True]})
+            return pa.table({"bucket": [b], "skipped": [True]},
+                            schema=wrote_schema)
         keys = _keys_of(g, key_cols)
         o = np.lexsort((keys, md5_u64(keys)))
         ids, _ = _encode_ids(
@@ -203,7 +211,8 @@ def export_packed_tokens(ds, out_dir: str, merges: pd.DataFrame,
         with open(tmp, "wb") as fh:
             fh.write(ids.tobytes())
         os.replace(tmp, path)
-        return pd.DataFrame({"bucket": [b], "skipped": [False]})
+        return pa.table({"bucket": [b], "skipped": [False]},
+                        schema=wrote_schema)
 
     wrote = (ds.map_batches(attach, batch_format="pandas")
              .groupby("__b")
