@@ -91,6 +91,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="(follow) IVM view dir to increment after every "
                          "applying poll (requires --maintain-view-log "
                          "defaulting to --log)")
+    pr.add_argument("--export-incremental", default=None,
+                    help="(follow) materialized-export dir kept current "
+                         "after every applying poll: only the shards the "
+                         "change feed touched rewrite (requires "
+                         "--history)")
+    pr.add_argument("--export-shards", type=int, default=16,
+                    help="shard count for --export-incremental "
+                         "(first call fixes it; later calls must match)")
 
     pstop = sub.add_parser(
         "stop", help="gracefully stop a follow loop on this lake")
@@ -297,6 +305,13 @@ def main(argv: list[str] | None = None) -> int:
 
                 hooks.append(
                     lambda _lk: maintain_view(a.log, a.maintain_view))
+            if a.export_incremental:
+                from .stages.export import export_lake_incremental
+
+                hooks.append(
+                    lambda lk: export_lake_incremental(
+                        lk, a.export_incremental,
+                        nshards=a.export_shards))
             s = follow_replication(
                 a.log, a.lake, poll_interval_s=a.poll_interval,
                 max_polls=a.max_polls, idle_polls_to_stop=a.idle_stop,

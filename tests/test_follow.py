@@ -308,3 +308,66 @@ def test_follow_auto_optimize_bounds_file_count(tmp_path):
     got = {(r["table"], r["repo"], r["path"]): r["content_sha"]
            for r in final_state(lake).take_all()}
     assert got == {k: v["content_sha"] for k, v in want.items()}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_follow_export_incremental_keeps_export_current(tmp_path):
+    """post_commit export hook (the CLI's --export-incremental): the
+    materialized shard export follows the lake — after the loop stops
+    it equals a fresh full export, and the polls rewrote only touched
+    shards (never the whole export per poll)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from database_delta_plugins_ray.pipelines.replicate import (
+        follow_replication,
+        run_replication,
+    )
+    from database_delta_plugins_ray.sources.gen import (
+        GenConfig,
+        generate_log,
+    )
+    from database_delta_plugins_ray.stages.export import (
+        export_lake_incremental,
+    )
+
+    def rows_of(out_dir):
+        got = {}
+        for f in glob.glob(os.path.join(out_dir, "shard=*", "*.parquet")):
+            for r in pq.read_table(f).to_pylist():
+                got[(r["table"], r["repo"], r["path"])] = (
+                    r["content_sha"], r["_sequence_num"])
+        return got
+
+    log = str(tmp_path / "log")
+    lake = str(tmp_path / "lake")
+    out = str(tmp_path / "export")
+    from database_delta_plugins_ray.pipelines.queries import (
+        _time_travel_boundary,
+    )
+
+    meta = generate_log(log, GenConfig(n_keys=200, n_events=1800, seed=5,
+                                       n_segments=4))
+    # first export past all schema evolution: the export pins its Arrow
+    # schema at first call (documented contract — re-export after DDL)
+    half = _time_travel_boundary(log)
+    run_replication(log, lake, num_partitions=4, history=True,
+                    upto_lsn=half)
+    export_lake_incremental(lake, out, nshards=16)
+
+    calls = []
+
+    def export_hook(lake_dir):
+        calls.append(export_lake_incremental(lake_dir, out, nshards=16))
+
+    s = follow_replication(log, lake, num_partitions=4, history=True,
+                           poll_interval_s=0.05, idle_polls_to_stop=2,
+                           post_commit=[export_hook])
+    assert s["events_applied"] > 0
+    applied = [c for c in calls if c["rewritten_shards"] > 0]
+    assert applied  # the hook actually advanced the export
+
+    full = str(tmp_path / "full")
+    export_lake_incremental(lake, full, nshards=16)
+    assert rows_of(out) == rows_of(full)
