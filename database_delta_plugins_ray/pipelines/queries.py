@@ -560,7 +560,8 @@ def _ensure_wire_segments(sf_dir: str, shape: str) -> tuple[str, int]:
         shutil.rmtree(sdir, ignore_errors=True)
         write_debezium_jsonl(log, jdir, mysql=(shape == "mysql"),
                              composite=(shape == "composite"),
-                             postgres=(shape == "postgres"))
+                             postgres=(shape == "postgres"),
+                             mongo=(shape == "mongo"))
         jsonl_to_segments(jdir, sdir)
     return sdir, int(src_meta["max_lsn"])
 
@@ -609,6 +610,22 @@ def cdc_from_debezium_postgres(sf_dir: str):
     value-transparent."""
     sdir, _max_lsn = _ensure_wire_segments(sf_dir, "postgres")
     lake = fresh_lake(sf_dir, "lake_dbz_postgres")
+    run_replication(sdir, lake, num_partitions=16)
+    return final_state(lake, columns=FINAL_COLS)
+
+
+def cdc_from_debezium_mongo(sf_dir: str):
+    """Replay driven from a MONGODB-shaped Debezium JSONL feed: no
+    integer position and NO ``table`` key on the wire — only
+    BSON-timestamp ``sec``+``ord`` offset fields (the public Debezium
+    mongodb SourceInfo shape) with ``db``+``collection`` identity and
+    transaction identity from the multi-document-transaction fields
+    ``lsid``+``txnNumber``. The reader rebuilds the engine lsn through
+    the packed 64-bit MongoTs bridge and joins lsid:txnNumber as the
+    tx token. Same final-state oracle: the mongo wire shape must be
+    value-transparent."""
+    sdir, _max_lsn = _ensure_wire_segments(sf_dir, "mongo")
+    lake = fresh_lake(sf_dir, "lake_dbz_mongo")
     run_replication(sdir, lake, num_partitions=16)
     return final_state(lake, columns=FINAL_COLS)
 
@@ -1394,6 +1411,7 @@ FROM dd WHERE rn2 = 1
         "cdc_from_debezium_sqlserver": final_sql,
         "cdc_from_debezium_postgres": final_sql,
         "cdc_from_debezium_postgres_resume": final_sql,
+        "cdc_from_debezium_mongo": final_sql,
         "cdc_toast_carry_forward": f"""
 WITH ev AS (
   SELECT lsn, op,
@@ -1886,6 +1904,7 @@ CDC_QUERIES = {
     "cdc_from_debezium_sqlserver": cdc_from_debezium_sqlserver,
     "cdc_from_debezium_postgres": cdc_from_debezium_postgres,
     "cdc_from_debezium_postgres_resume": cdc_from_debezium_postgres_resume,
+    "cdc_from_debezium_mongo": cdc_from_debezium_mongo,
     "cdc_toast_carry_forward": cdc_toast_carry_forward,
     "cdc_op_counts": cdc_op_counts,
     "cdc_events_per_repo": cdc_events_per_repo,

@@ -35,7 +35,15 @@ Three source-position shapes are accepted per envelope:
   ``X/Y`` pg_lsn strings (the public Debezium postgres envelope; the
   reader takes the array's LAST element — the event's own position —
   through the PgLsn bridge) with the pg ``schema`` namespace preferred
-  over ``db`` for table identity and numeric ``txId``.
+  over ``db`` for table identity and numeric ``txId``,
+* MongoDB oplog positions: BSON-timestamp ``sec`` + ``ord`` (the public
+  Debezium mongodb connector's SourceInfo offset fields) through the
+  MongoTs bridge, the table namespaced as ``db.collection`` (``rs`` is
+  carried but not part of identity), and transaction identity from the
+  multi-document-transaction fields ``lsid`` + ``txnNumber`` (joined
+  ``lsid:txnNumber``, the connector's transaction-metadata id shape)
+  with a ``mongo:<position>`` auto-commit token where absent — every
+  oplog entry outside a multi-doc transaction is its own transaction.
 """
 
 from __future__ import annotations
@@ -57,7 +65,7 @@ from ..model import (
     PAYLOAD_STRUCT,
     event_log_schema,
 )
-from ..state.offsets import TRX_ID_SEP, Lsn, MySqlOffset, PgLsn
+from ..state.offsets import TRX_ID_SEP, Lsn, MongoTs, MySqlOffset, PgLsn
 
 #: engine op -> Debezium envelope op code (public Debezium contract:
 #: c=create, u=update, d=delete, r=snapshot read)
@@ -76,7 +84,8 @@ def _split_table(table: str) -> tuple[str, str]:
 def write_debezium_jsonl(log_dir: str, out_dir: str,
                          composite: bool = False,
                          mysql: bool = False,
-                         postgres: bool = False) -> list[str]:
+                         postgres: bool = False,
+                         mongo: bool = False) -> list[str]:
     """Export every ``seg-*.parquet`` log segment as a Debezium-envelope
     ``.jsonl`` file (one JSON envelope per line). Interop/fixture writer —
     runs on the driver; sized for test fixtures, not the 10^10 log.
@@ -99,10 +108,19 @@ def write_debezium_jsonl(log_dir: str, out_dir: str,
     ``X/Y`` pg_lsn strings ([last commit position, event position], as
     the public Debezium postgres connector renders them), the table
     namespaced by pg ``schema`` (with ``db`` set to the database name,
-    NOT the identity namespace) and a numeric ``txId``."""
-    if sum((composite, mysql, postgres)) > 1:
+    NOT the identity namespace) and a numeric ``txId``.
+
+    ``mongo=True`` emits MongoDB-oplog-shaped positions — NO integer
+    ``pos`` on the wire, only BSON-timestamp ``sec`` + ``ord`` fields
+    (the public Debezium mongodb SourceInfo offset shape), the table
+    carried as ``db`` + ``collection`` (no ``table`` key at all) with
+    a constant ``rs`` replica-set name, and NO ``txId``: transaction
+    identity rides the multi-document-transaction fields ``lsid`` +
+    ``txnNumber``. The fixture lsid embeds the log's tx_id so tx
+    identity round-trips verifiably (same trick as the mysql gtid)."""
+    if sum((composite, mysql, postgres, mongo)) > 1:
         raise ValueError(
-            "pick ONE position shape: composite, mysql or postgres")
+            "pick ONE position shape: composite, mysql, postgres or mongo")
     os.makedirs(out_dir, exist_ok=True)
     out_files = []
     for fname in sorted(os.listdir(log_dir)):
@@ -139,6 +157,22 @@ def write_debezium_jsonl(log_dir: str, out_dir: str,
                         "row": 0,
                         "event": 0,
                         "gtid": f"{_FIXTURE_SERVER_UUID}:{row['tx_id']}",
+                        "snapshot": bool(row["is_snapshot"]),
+                        "schema_version": row["schema_version"],
+                    }
+                elif mongo:
+                    mts = MongoTs.from_int(row["lsn"])
+                    src = {
+                        "rs": "rs0",
+                        "db": db,
+                        "collection": name,
+                        "sec": mts.sec,
+                        "ord": mts.ord,
+                        # multi-doc-transaction identity: the fixture
+                        # lsid carries the engine tx token; txnNumber
+                        # is the session's first (and only) txn
+                        "lsid": row["tx_id"],
+                        "txnNumber": 1,
                         "snapshot": bool(row["is_snapshot"]),
                         "schema_version": row["schema_version"],
                     }
@@ -234,7 +268,16 @@ def _convert_envelopes(batch: pa.Table) -> pa.Table:
         sch = pc.cast(pc.struct_field(src, "schema"), pa.string())
         db = pc.if_else(
             pc.equal(pc.fill_null(sch, ""), ""), db, sch)
-    name = pc.cast(pc.struct_field(src, "table"), pa.string())
+    name = (pc.cast(pc.struct_field(src, "table"), pa.string())
+            if "table" in src_names0
+            else pa.nulls(len(pay), type=pa.string()))
+    if "collection" in src_names0:
+        # MongoDB envelopes name the captured set ``collection`` and
+        # carry no ``table`` key at all (public Debezium mongodb source
+        # block: rs + db + collection); identity stays db.collection
+        coll = pc.cast(pc.struct_field(src, "collection"), pa.string())
+        name = pc.if_else(
+            pc.equal(pc.fill_null(coll, ""), ""), name, coll)
     table = pc.if_else(
         pc.equal(pc.fill_null(db, ""), ""), name,
         pc.binary_join_element_wise(pc.fill_null(db, ""), name, "."))
@@ -339,6 +382,19 @@ def _convert_envelopes(batch: pa.Table) -> pa.Table:
                 return v.to_int() if v.is_available else None
             ints = pa.array([_pg(x) for x in sq.to_pylist()], pa.int64())
             lsn = pc.if_else(pc.is_valid(lsn), lsn, ints)
+    if "sec" in src_names:
+        # MongoDB BSON-timestamp positions: (sec, ord) -> the engine's
+        # int64 via the packed 64-bit MongoTs bridge — order-preserving
+        # by the BSON timestamp comparison rule (sec-major)
+        se = pc.struct_field(src, "sec")
+        if pc.any(pc.is_valid(se)).as_py():
+            od = (pc.struct_field(src, "ord").to_pylist()
+                  if "ord" in src_names else [None] * len(pay))
+            ints = pa.array(
+                [MongoTs.parse(s, o).to_int()
+                 if s is not None and o is not None else None
+                 for s, o in zip(se.to_pylist(), od)], pa.int64())
+            lsn = pc.if_else(pc.is_valid(lsn), lsn, ints)
     if "change_lsn" in src_names:
         # composite SQL-Server positions: change_lsn hex -> the engine's
         # int64 via the byte-order-preserving Lsn bridge
@@ -372,6 +428,34 @@ def _convert_envelopes(batch: pa.Table) -> pa.Table:
             tx = pc.if_else(pc.or_kleene(pc.is_valid(tx),
                                          pc.invert(has_filepos)),
                             tx, synth)
+    if "lsid" in src_names or "sec" in src_names:
+        # MongoDB transaction identity: events of one multi-document
+        # transaction share (lsid, txnNumber) — join them as the
+        # connector's transaction-metadata id shape ``lsid:txnNumber``.
+        # An oplog entry OUTSIDE a multi-doc transaction (no lsid) is
+        # its own auto-commit transaction: token ``mongo:<position>``
+        # in the engine's ``prefix:tx-start`` convention, so the
+        # tx-boundary fence parses its start as the event's own lsn.
+        if "lsid" in src_names:
+            ls = pc.fill_null(
+                pc.cast(pc.struct_field(src, "lsid"), pa.string()), "")
+            tn = pc.fill_null(pc.cast(
+                pc.struct_field(src, "txnNumber")
+                if "txnNumber" in src_names else pa.nulls(len(pay)),
+                pa.string()), "1")
+            synth = pc.binary_join_element_wise(ls, tn, TRX_ID_SEP)
+            has_lsid = pc.not_equal(ls, "")
+            tx = pc.if_else(pc.or_kleene(pc.is_valid(tx),
+                                         pc.invert(has_lsid)),
+                            tx, synth)
+        if "sec" in src_names:
+            se = pc.struct_field(src, "sec")
+            if pc.any(pc.is_valid(se)).as_py():
+                auto = pc.binary_join_element_wise(
+                    "mongo", pc.cast(lsn, pa.string()), TRX_ID_SEP)
+                tx = pc.if_else(
+                    pc.or_kleene(pc.is_valid(tx), pc.is_null(lsn)),
+                    tx, auto)
     if "commit_lsn" in src_names:
         # SQL Server synthesizes the transaction id from the COMMIT lsn
         # when the feed carries none (SqlServerRecordConsumer.java:205-222)
@@ -424,8 +508,18 @@ def envelope_schema() -> pa.Schema:
         pa.field("event", pa.int64()),
         pa.field("gtid", pa.string()),
         pa.field("gtids", pa.string()),
+        # MongoDB-shaped positions and identity (public Debezium mongodb
+        # SourceInfo): BSON-timestamp sec+ord locate the oplog entry;
+        # rs+collection name the captured set; lsid+txnNumber carry
+        # multi-document-transaction identity
+        pa.field("rs", pa.string()),
+        pa.field("collection", pa.string()),
+        pa.field("sec", pa.int64()),
+        pa.field("ord", pa.int64()),
+        pa.field("lsid", pa.string()),
+        pa.field("txnNumber", pa.int64()),
         # SQL-Server-shaped composite positions (SqlServerOffset.java:33-55)
-        # — either pos, file+pos, OR change_lsn must be present per envelope
+        # — either pos, file+pos, change_lsn OR sec+ord must be present
         pa.field("change_lsn", pa.string()),
         pa.field("commit_lsn", pa.string()),
         pa.field("snapshot_completed", pa.bool_()),

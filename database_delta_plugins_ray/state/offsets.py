@@ -373,3 +373,71 @@ class PgLsn:
 
     def __hash__(self) -> int:
         return hash(self.to_int())
+
+
+@functools.total_ordering
+class MongoTs:
+    """MongoDB oplog position — the BSON timestamp the public Debezium
+    MongoDB connector records as the ``sec`` + ``ord`` offset fields
+    (its SourceInfo contract; the BSON spec packs a timestamp as 32-bit
+    epoch seconds and a 32-bit ordinal within that second, compared as
+    the combined 64-bit value). ``MongoTs.NULL`` (missing / negative)
+    sorts below every valid position, matching the other bridges'
+    NULL rule. The engine's int64 lsn domain IS the packed 64-bit
+    value: ``to_int() == (sec << 32) | ord``."""
+
+    __slots__ = ("_sec", "_ord")
+
+    def __init__(self, sec: int | None, ordinal: int | None) -> None:
+        ok = (sec is not None and ordinal is not None
+              and 0 <= sec < (1 << 32) and 0 <= ordinal < (1 << 32))
+        self._sec = int(sec) if ok else None
+        self._ord = int(ordinal) if ok else None
+
+    @classmethod
+    def from_int(cls, v: int) -> "MongoTs":
+        if v < 0:
+            raise ValueError("engine lsns are non-negative")
+        if v >= (1 << 64):
+            raise ValueError("mongo timestamp exceeds 64 bits")
+        return cls(v >> 32, v & 0xFFFFFFFF)
+
+    @classmethod
+    def parse(cls, sec, ordinal) -> "MongoTs":
+        try:
+            return cls(int(sec), int(ordinal))
+        except (TypeError, ValueError):
+            return cls(None, None)
+
+    def to_int(self) -> int:
+        """Packed 64-bit BSON-timestamp value; NULL maps to -1, below
+        every valid position."""
+        if self._sec is None:
+            return -1
+        return (self._sec << 32) | self._ord
+
+    @property
+    def sec(self) -> int | None:
+        return self._sec
+
+    @property
+    def ord(self) -> int | None:
+        return self._ord
+
+    @property
+    def is_available(self) -> bool:
+        return self._sec is not None
+
+    def __str__(self) -> str:
+        if self._sec is None:
+            return "NULL"
+        return f"{self._sec}:{self._ord}"
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, MongoTs) and self.to_int() == other.to_int()
+
+    def __lt__(self, other: "MongoTs") -> bool:
+        return self.to_int() < other.to_int()
+
+    def __hash__(self) -> int:
+        return hash(self.to_int())
