@@ -630,6 +630,22 @@ def cdc_from_debezium_mongo(sf_dir: str):
     return final_state(lake, columns=FINAL_COLS)
 
 
+def cdc_from_debezium_mongo_resume(sf_dir: str):
+    """Resume equivalence THROUGH the MongoDB wire shape: replay the
+    mongo-shaped segments to half the watermark, checkpoint, resume to
+    the end — must equal one-shot replay (same final-state oracle).
+    Passing requires the BSON-timestamp ``sec``+``ord`` positions to
+    round-trip the checkpoint exactly (the packed MongoTs bridge is the
+    identity on the 64-bit domain) and the duplicate-replay fence to
+    hold for events whose position is only a (sec, ord) pair on the
+    wire."""
+    sdir, max_lsn = _ensure_wire_segments(sf_dir, "mongo")
+    lake = fresh_lake(sf_dir, "lake_dbz_mongo_resume")
+    run_replication(sdir, lake, num_partitions=16, upto_lsn=max_lsn // 2)
+    run_replication(sdir, lake, num_partitions=16)
+    return final_state(lake, columns=FINAL_COLS)
+
+
 def cdc_from_debezium_postgres_resume(sf_dir: str):
     """Resume equivalence THROUGH the Postgres wire shape: replay the
     pg-shaped segments to half the watermark, checkpoint, resume to
@@ -1412,6 +1428,7 @@ FROM dd WHERE rn2 = 1
         "cdc_from_debezium_postgres": final_sql,
         "cdc_from_debezium_postgres_resume": final_sql,
         "cdc_from_debezium_mongo": final_sql,
+        "cdc_from_debezium_mongo_resume": final_sql,
         "cdc_toast_carry_forward": f"""
 WITH ev AS (
   SELECT lsn, op,
@@ -1905,6 +1922,7 @@ CDC_QUERIES = {
     "cdc_from_debezium_postgres": cdc_from_debezium_postgres,
     "cdc_from_debezium_postgres_resume": cdc_from_debezium_postgres_resume,
     "cdc_from_debezium_mongo": cdc_from_debezium_mongo,
+    "cdc_from_debezium_mongo_resume": cdc_from_debezium_mongo_resume,
     "cdc_toast_carry_forward": cdc_toast_carry_forward,
     "cdc_op_counts": cdc_op_counts,
     "cdc_events_per_repo": cdc_events_per_repo,
