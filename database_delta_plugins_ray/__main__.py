@@ -76,6 +76,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="continuous tail: poll the log dir until stopped "
                          "(SIGINT/SIGTERM or the `stop` command); each "
                          "stop flushes pending events before exit")
+    pr.add_argument("--jsonl", default=None,
+                    help="(follow) tail a growing Debezium JSONL feed dir: "
+                         "each poll first converts new/grown .jsonl files "
+                         "into --log (which tail mode owns) before "
+                         "draining it into the lake")
     pr.add_argument("--poll-interval", type=float, default=1.0)
     pr.add_argument("--max-polls", type=int, default=None)
     pr.add_argument("--idle-stop", type=int, default=None,
@@ -312,10 +317,16 @@ def main(argv: list[str] | None = None) -> int:
                     lambda lk: export_lake_incremental(
                         lk, a.export_incremental,
                         nshards=a.export_shards))
+            pre = None
+            if a.jsonl:
+                from .sources.debezium_json import tail_jsonl_segments
+
+                pre = lambda: tail_jsonl_segments(a.jsonl, a.log)  # noqa: E731
             s = follow_replication(
                 a.log, a.lake, poll_interval_s=a.poll_interval,
                 max_polls=a.max_polls, idle_polls_to_stop=a.idle_stop,
-                stop_event=ev, post_commit=hooks or None, **kw)
+                stop_event=ev, pre_poll=pre,
+                post_commit=hooks or None, **kw)
         else:
             from .pipelines.replicate import run_replication
 

@@ -532,6 +532,61 @@ def cdc_from_debezium_jsonl(sf_dir: str):
     return final_state(lake, columns=FINAL_COLS)
 
 
+def _ensure_jsonl_feed(sf_dir: str) -> str:
+    """Debezium-envelope JSONL export of the standard log, cached per sf
+    with its own stamp (the segment caches key off their OWN metas, so
+    this dir must self-describe freshness)."""
+    import json as _json
+
+    from ..sources.debezium_json import write_debezium_jsonl
+
+    log = ensure_log(sf_dir)
+    tag = sf_tag(sf_dir)
+    jdir = os.path.join(CACHE_ROOT, f"sf{tag}", "dbz_jsonl")
+    with open(os.path.join(log, "meta.json")) as fh:
+        src_meta = _json.load(fh)
+    stamp = os.path.join(jdir, "_src_meta.json")
+    if os.path.exists(stamp):
+        with open(stamp) as fh:
+            if _json.load(fh) == src_meta:
+                return jdir
+    shutil.rmtree(jdir, ignore_errors=True)
+    write_debezium_jsonl(log, jdir)
+    tmp = stamp + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        _json.dump(src_meta, fh)
+    os.replace(tmp, stamp)
+    return jdir
+
+
+def cdc_jsonl_tail_follow(sf_dir: str):
+    """Continuous-tail ingestion off the Debezium JSONL wire: the feed
+    directory is drip-fed in three chunks, each brought current by the
+    follow loop's pre-poll converter (``tail_jsonl_segments`` — only
+    new/grown files convert, per-file idempotent tagged segments) and
+    drained by the standard incremental replication poll. Same
+    final-state oracle as the batch wire path: the incremental tail
+    must be value- and fence-transparent."""
+    from ..sources.debezium_json import tail_jsonl_segments
+
+    jdir = _ensure_jsonl_feed(sf_dir)
+    files = sorted(f for f in os.listdir(jdir) if f.endswith(".jsonl"))
+    tag = sf_tag(sf_dir)
+    feed = os.path.join(CACHE_ROOT, f"sf{tag}", "dbz_tail_feed")
+    sdir = os.path.join(CACHE_ROOT, f"sf{tag}", "dbz_tail_segs")
+    shutil.rmtree(feed, ignore_errors=True)
+    shutil.rmtree(sdir, ignore_errors=True)
+    os.makedirs(feed)
+    lake = fresh_lake(sf_dir, "lake_dbz_tail")
+    per = (len(files) + 2) // 3 or 1
+    for i in range(0, len(files), per):
+        for f in files[i:i + per]:
+            os.link(os.path.join(jdir, f), os.path.join(feed, f))
+        tail_jsonl_segments(feed, sdir)
+        run_replication(sdir, lake, num_partitions=16)
+    return final_state(lake, columns=FINAL_COLS)
+
+
 def _ensure_wire_segments(sf_dir: str, shape: str) -> tuple[str, int]:
     """Build (or reuse) a wire-shaped segment dir for this sf; ``shape``
     is ``mysql`` (binlog file+pos, gtid tx ids) or ``composite``
@@ -1429,6 +1484,7 @@ FROM dd WHERE rn2 = 1
         "cdc_from_debezium_postgres_resume": final_sql,
         "cdc_from_debezium_mongo": final_sql,
         "cdc_from_debezium_mongo_resume": final_sql,
+        "cdc_jsonl_tail_follow": final_sql,
         "cdc_toast_carry_forward": f"""
 WITH ev AS (
   SELECT lsn, op,
@@ -1923,6 +1979,7 @@ CDC_QUERIES = {
     "cdc_from_debezium_postgres_resume": cdc_from_debezium_postgres_resume,
     "cdc_from_debezium_mongo": cdc_from_debezium_mongo,
     "cdc_from_debezium_mongo_resume": cdc_from_debezium_mongo_resume,
+    "cdc_jsonl_tail_follow": cdc_jsonl_tail_follow,
     "cdc_toast_carry_forward": cdc_toast_carry_forward,
     "cdc_op_counts": cdc_op_counts,
     "cdc_events_per_repo": cdc_events_per_repo,

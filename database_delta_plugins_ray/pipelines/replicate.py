@@ -680,6 +680,7 @@ def follow_replication(
     idle_polls_to_stop: int | None = None,
     stop_event=None,
     on_poll=None,
+    pre_poll=None,
     post_commit=None,
     **repl_kwargs,
 ) -> dict:
@@ -705,6 +706,12 @@ def follow_replication(
     the next follow/replication run resumes exactly-once off the
     watermark fences — no flush needed for correctness, only latency.
 
+    ``pre_poll`` — callable ``fn() -> Any`` invoked before EVERY poll's
+    ``run_replication`` (including the final flush poll): the ingest
+    hook that brings the log directory itself current first — e.g.
+    ``tail_jsonl_segments`` converting a growing Debezium JSONL feed.
+    Runs on the driver, so it never races the poll's readers.
+
     ``post_commit`` — list of callables ``fn(lake_dir) -> Any`` invoked
     after every poll that APPLIED events (and after the final flush
     poll): the hook point that keeps DERIVED artifacts following the
@@ -727,6 +734,8 @@ def follow_replication(
     stopped_by = "max_polls"
     while True:
         stopping = stop_event.is_set() or os.path.exists(_stop_file(lake_dir))
+        if pre_poll is not None:
+            pre_poll()
         s = run_replication(log_dir, lake_dir, **repl_kwargs)
         polls += 1
         applied += s["events_applied"]

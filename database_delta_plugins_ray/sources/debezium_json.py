@@ -622,3 +622,152 @@ def jsonl_to_segments(paths: str | list[str], seg_dir: str,
         json.dump(meta, fh, indent=1)
     os.replace(tmp, os.path.join(seg_dir, "meta.json"))
     return meta
+
+
+TAIL_STATE = "jsonl_tail.json"
+
+
+def _tail_tag(fname: str) -> str:
+    import hashlib
+
+    return hashlib.md5(os.path.basename(fname).encode()).hexdigest()[:10]
+
+
+def tail_jsonl_segments(jsonl_dir: str, seg_dir: str,
+                        rows_per_segment: int = 1 << 20) -> dict:
+    """INCREMENTAL JSONL -> segment conversion: bring ``seg_dir`` current
+    with a GROWING Debezium JSONL feed directory, converting only files
+    that are new or have grown since the last call — the tail-mode
+    counterpart of :func:`jsonl_to_segments` (which wipes and rebuilds).
+
+    Contract and crash story:
+
+    * Each source file's segments carry a per-file tag in their name
+      (``seg-j<md5(fname)>-<lo>-<hi>-<n>.parquet``), so re-converting a
+      file is IDEMPOTENT regardless of Ray's block batching: the file's
+      old segments are deleted first, then the whole file converts
+      fresh (tmp+rename). A crash between the deletes/writes and the
+      state commit re-runs the same per-file conversion harmlessly.
+    * A file is re-converted whenever its byte size differs from the
+      recorded one — append-grown actives and newly rotated files both
+      converge; an untouched file costs one ``stat``. Feeds should
+      rotate (bounded file sizes), else each poll re-reads the active
+      file; rotation is the normal Debezium-to-file layout.
+    * Single writer: run from one process (the follow loop driver).
+      Conversion happens between replication polls, so a rewrite of an
+      already-applied lsn range never races a reader; the replication
+      watermark makes the re-applied prefix a no-op.
+    * ``meta.json`` is rebuilt cumulatively from the per-file state so
+      the replay path's footer fast path (``log_max_lsn``) stays valid.
+
+    Returns the cumulative meta dict (total_events, max_lsn, segments,
+    plus ``converted_files`` for observability).
+    """
+    import glob as _g
+
+    import ray.data  # noqa: F401  (read path initializes Ray Data)
+
+    os.makedirs(seg_dir, exist_ok=True)
+    spath = os.path.join(seg_dir, TAIL_STATE)
+    state: dict = {"files": {}}
+    if os.path.exists(spath):
+        with open(spath) as fh:
+            state = json.load(fh)
+    else:
+        stale = [f for f in os.listdir(seg_dir) if f.startswith("seg-")]
+        if stale:
+            raise ValueError(
+                f"{seg_dir} holds {len(stale)} segments but no tail state "
+                f"({TAIL_STATE}) — tail mode owns its segment dir; point "
+                "it at a fresh directory")
+
+    feed = sorted(
+        f for f in os.listdir(jsonl_dir) if f.endswith(".jsonl"))
+    converted = []
+    for fname in feed:
+        path = os.path.join(jsonl_dir, fname)
+        size = os.path.getsize(path)
+        rec = state["files"].get(fname)
+        if rec is not None and rec["size"] == size:
+            continue
+        tag = _tail_tag(fname)
+        for old in _g.glob(os.path.join(seg_dir, f"seg-j{tag}-*.parquet")):
+            os.remove(old)
+        ds = read_debezium_jsonl(path)
+
+        def write_seg(tbl: pa.Table) -> pa.Table:
+            stats_schema = pa.schema(
+                [("file", pa.string()), ("rows", pa.int64()),
+                 ("max_lsn", pa.int64())])
+            if tbl.num_rows == 0:
+                return stats_schema.empty_table()
+            tbl = tbl.sort_by("lsn")
+            lo = int(tbl["lsn"][0].as_py())
+            hi = int(tbl["lsn"][-1].as_py())
+            out_name = (f"seg-j{tag}-{lo:020d}-{hi:020d}-"
+                        f"{tbl.num_rows}.parquet")
+            out = os.path.join(seg_dir, out_name)
+            tmp = out + f".tmp.{os.getpid()}"
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, out)
+            return pa.table(
+                {"file": [out_name], "rows": [tbl.num_rows],
+                 "max_lsn": [hi]}, schema=stats_schema)
+
+        for attempt in (1, 2):  # same transient-import retry as the batch path
+            try:
+                stats = ds.map_batches(
+                    write_seg, batch_format="pyarrow", zero_copy_batch=True,
+                    batch_size=rows_per_segment,
+                ).take_all()
+                break
+            except Exception:
+                if attempt == 2:
+                    raise
+                for old in _g.glob(
+                        os.path.join(seg_dir, f"seg-j{tag}-*.parquet")):
+                    os.remove(old)
+                ds = read_debezium_jsonl(path)
+        state["files"][fname] = {
+            "size": size,
+            "rows": int(sum(r["rows"] for r in stats)),
+            "max_lsn": int(max((r["max_lsn"] for r in stats), default=0)),
+            "segments": sorted(r["file"] for r in stats),
+        }
+        converted.append(fname)
+
+    meta = {
+        "total_events": int(sum(r["rows"]
+                                for r in state["files"].values())),
+        "max_lsn": int(max((r["max_lsn"]
+                            for r in state["files"].values()), default=0)),
+        "segments": sorted(s for r in state["files"].values()
+                           for s in r["segments"]),
+        "source_format": "debezium-jsonl-tail",
+    }
+    tmp = spath + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(state, fh)
+    os.replace(tmp, spath)
+    tmpm = os.path.join(seg_dir, f"meta.json.tmp.{os.getpid()}")
+    with open(tmpm, "w") as fh:
+        json.dump(meta, fh, indent=1)
+    os.replace(tmpm, os.path.join(seg_dir, "meta.json"))
+    return dict(meta, converted_files=converted)
+
+
+def follow_debezium_jsonl(jsonl_dir: str, seg_dir: str, lake_dir: str,
+                          **follow_kwargs) -> dict:
+    """Continuous replication straight off a growing Debezium JSONL feed:
+    every poll first brings ``seg_dir`` current with
+    :func:`tail_jsonl_segments`, then drains it into the lake — the
+    native-connector lifecycle (EventReader.start/stop tailing a live
+    wire, MySqlEventReader.java:85-185) over the file-based wire format.
+    Accepts every :func:`~..pipelines.replicate.follow_replication`
+    keyword (poll cadence, stop paths, post-commit hooks)."""
+    from ..pipelines.replicate import follow_replication
+
+    return follow_replication(
+        seg_dir, lake_dir,
+        pre_poll=lambda: tail_jsonl_segments(jsonl_dir, seg_dir),
+        **follow_kwargs)
