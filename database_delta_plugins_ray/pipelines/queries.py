@@ -616,7 +616,8 @@ def _ensure_wire_segments(sf_dir: str, shape: str) -> tuple[str, int]:
         write_debezium_jsonl(log, jdir, mysql=(shape == "mysql"),
                              composite=(shape == "composite"),
                              postgres=(shape == "postgres"),
-                             mongo=(shape == "mongo"))
+                             mongo=(shape == "mongo"),
+                             oracle=(shape == "oracle"))
         jsonl_to_segments(jdir, sdir)
     return sdir, int(src_meta["max_lsn"])
 
@@ -681,6 +682,22 @@ def cdc_from_debezium_mongo(sf_dir: str):
     value-transparent."""
     sdir, _max_lsn = _ensure_wire_segments(sf_dir, "mongo")
     lake = fresh_lake(sf_dir, "lake_dbz_mongo")
+    run_replication(sdir, lake, num_partitions=16)
+    return final_state(lake, columns=FINAL_COLS)
+
+
+def cdc_from_debezium_oracle(sf_dir: str):
+    """Replay driven from an ORACLE-shaped Debezium JSONL feed: no
+    integer position on the wire — only decimal-string ``scn`` +
+    ``commit_scn`` fields (the public Debezium oracle connector's
+    SourceInfo offset shape), table identity namespaced by the Oracle
+    ``schema`` (owning user; ``db`` is the PDB name, NOT identity), and
+    the connector's opaque string ``txId``. The reader rebuilds the
+    engine lsn through the identity ``OracleScn`` bridge. Same
+    final-state oracle: the oracle wire shape must be
+    value-transparent."""
+    sdir, _max_lsn = _ensure_wire_segments(sf_dir, "oracle")
+    lake = fresh_lake(sf_dir, "lake_dbz_oracle")
     run_replication(sdir, lake, num_partitions=16)
     return final_state(lake, columns=FINAL_COLS)
 
@@ -1485,6 +1502,7 @@ FROM dd WHERE rn2 = 1
         "cdc_from_debezium_mongo": final_sql,
         "cdc_from_debezium_mongo_resume": final_sql,
         "cdc_jsonl_tail_follow": final_sql,
+        "cdc_from_debezium_oracle": final_sql,
         "cdc_toast_carry_forward": f"""
 WITH ev AS (
   SELECT lsn, op,
@@ -1980,6 +1998,7 @@ CDC_QUERIES = {
     "cdc_from_debezium_mongo": cdc_from_debezium_mongo,
     "cdc_from_debezium_mongo_resume": cdc_from_debezium_mongo_resume,
     "cdc_jsonl_tail_follow": cdc_jsonl_tail_follow,
+    "cdc_from_debezium_oracle": cdc_from_debezium_oracle,
     "cdc_toast_carry_forward": cdc_toast_carry_forward,
     "cdc_op_counts": cdc_op_counts,
     "cdc_events_per_repo": cdc_events_per_repo,

@@ -43,7 +43,12 @@ Three source-position shapes are accepted per envelope:
   multi-document-transaction fields ``lsid`` + ``txnNumber`` (joined
   ``lsid:txnNumber``, the connector's transaction-metadata id shape)
   with a ``mongo:<position>`` auto-commit token where absent — every
-  oplog entry outside a multi-doc transaction is its own transaction.
+  oplog entry outside a multi-doc transaction is its own transaction,
+* Oracle SCN positions: decimal-string ``scn`` + ``commit_scn`` (the
+  public Debezium oracle connector's SourceInfo offset fields) through
+  the identity OracleScn bridge, table identity namespaced by the
+  Oracle ``schema`` (owning user — ``db`` is the PDB name) and the
+  connector's opaque string ``txId`` passed through verbatim.
 """
 
 from __future__ import annotations
@@ -65,7 +70,14 @@ from ..model import (
     PAYLOAD_STRUCT,
     event_log_schema,
 )
-from ..state.offsets import TRX_ID_SEP, Lsn, MongoTs, MySqlOffset, PgLsn
+from ..state.offsets import (
+    TRX_ID_SEP,
+    Lsn,
+    MongoTs,
+    MySqlOffset,
+    OracleScn,
+    PgLsn,
+)
 
 #: engine op -> Debezium envelope op code (public Debezium contract:
 #: c=create, u=update, d=delete, r=snapshot read)
@@ -85,7 +97,8 @@ def write_debezium_jsonl(log_dir: str, out_dir: str,
                          composite: bool = False,
                          mysql: bool = False,
                          postgres: bool = False,
-                         mongo: bool = False) -> list[str]:
+                         mongo: bool = False,
+                         oracle: bool = False) -> list[str]:
     """Export every ``seg-*.parquet`` log segment as a Debezium-envelope
     ``.jsonl`` file (one JSON envelope per line). Interop/fixture writer —
     runs on the driver; sized for test fixtures, not the 10^10 log.
@@ -118,9 +131,9 @@ def write_debezium_jsonl(log_dir: str, out_dir: str,
     identity rides the multi-document-transaction fields ``lsid`` +
     ``txnNumber``. The fixture lsid embeds the log's tx_id so tx
     identity round-trips verifiably (same trick as the mysql gtid)."""
-    if sum((composite, mysql, postgres, mongo)) > 1:
-        raise ValueError(
-            "pick ONE position shape: composite, mysql, postgres or mongo")
+    if sum((composite, mysql, postgres, mongo, oracle)) > 1:
+        raise ValueError("pick ONE position shape: composite, mysql, "
+                         "postgres, mongo or oracle")
     os.makedirs(out_dir, exist_ok=True)
     out_files = []
     for fname in sorted(os.listdir(log_dir)):
@@ -173,6 +186,20 @@ def write_debezium_jsonl(log_dir: str, out_dir: str,
                         # is the session's first (and only) txn
                         "lsid": row["tx_id"],
                         "txnNumber": 1,
+                        "snapshot": bool(row["is_snapshot"]),
+                        "schema_version": row["schema_version"],
+                    }
+                elif oracle:
+                    src = {
+                        "db": "ORCLPDB1",
+                        "schema": db,  # oracle namespaces tables by
+                        # schema (owning user); db is the PDB name
+                        "table": name,
+                        # decimal-string SCNs (public Debezium oracle
+                        # SourceInfo offset shape)
+                        "scn": str(OracleScn.from_int(row["lsn"])),
+                        "commit_scn": str(OracleScn.from_int(max_lsn)),
+                        "txId": row["tx_id"],
                         "snapshot": bool(row["is_snapshot"]),
                         "schema_version": row["schema_version"],
                     }
@@ -395,6 +422,20 @@ def _convert_envelopes(batch: pa.Table) -> pa.Table:
                  if s is not None and o is not None else None
                  for s, o in zip(se.to_pylist(), od)], pa.int64())
             lsn = pc.if_else(pc.is_valid(lsn), lsn, ints)
+    if "scn" in src_names:
+        # Oracle SCN positions: decimal-string system change numbers
+        # (the public Debezium oracle connector's SourceInfo offset
+        # fields) -> the engine's int64 via the identity OracleScn
+        # bridge; SCN order IS numeric order
+        sc = pc.struct_field(src, "scn")
+        if pc.any(pc.is_valid(sc)).as_py():
+            def _ora(x):
+                if x is None:
+                    return None
+                v = OracleScn.parse(x)
+                return v.to_int() if v.is_available else None
+            ints = pa.array([_ora(x) for x in sc.to_pylist()], pa.int64())
+            lsn = pc.if_else(pc.is_valid(lsn), lsn, ints)
     if "change_lsn" in src_names:
         # composite SQL-Server positions: change_lsn hex -> the engine's
         # int64 via the byte-order-preserving Lsn bridge
@@ -520,6 +561,10 @@ def envelope_schema() -> pa.Schema:
         pa.field("txnNumber", pa.int64()),
         # SQL-Server-shaped composite positions (SqlServerOffset.java:33-55)
         # — either pos, file+pos, change_lsn OR sec+ord must be present
+        # Oracle-shaped positions (public Debezium oracle SourceInfo):
+        # decimal-string SCNs; identity namespaced by ``schema``
+        pa.field("scn", pa.string()),
+        pa.field("commit_scn", pa.string()),
         pa.field("change_lsn", pa.string()),
         pa.field("commit_lsn", pa.string()),
         pa.field("snapshot_completed", pa.bool_()),

@@ -441,3 +441,54 @@ class MongoTs:
 
     def __hash__(self) -> int:
         return hash(self.to_int())
+
+
+@functools.total_ordering
+class OracleScn:
+    """Oracle system change number — the decimal-string position the
+    public Debezium Oracle connector records as its ``scn`` /
+    ``commit_scn`` offset fields (its SourceInfo contract; Oracle SCNs
+    are unsigned monotone integers rendered as decimal strings on the
+    wire). ``OracleScn.NULL`` (missing / malformed / negative) sorts
+    below every valid position, matching the other bridges' NULL rule.
+    The engine's int64 lsn domain IS the numeric SCN value — the bridge
+    is the identity on non-negative int64."""
+
+    __slots__ = ("_v",)
+
+    def __init__(self, value: int | None) -> None:
+        ok = value is not None and 0 <= value < (1 << 63)
+        self._v = int(value) if ok else None
+
+    @classmethod
+    def from_int(cls, v: int) -> "OracleScn":
+        if v < 0:
+            raise ValueError("engine lsns are non-negative")
+        return cls(v)
+
+    @classmethod
+    def parse(cls, s) -> "OracleScn":
+        try:
+            return cls(int(str(s).strip()))
+        except (TypeError, ValueError):
+            return cls(None)
+
+    def to_int(self) -> int:
+        """Numeric SCN; NULL maps to -1, below every valid position."""
+        return -1 if self._v is None else self._v
+
+    @property
+    def is_available(self) -> bool:
+        return self._v is not None
+
+    def __str__(self) -> str:
+        return "NULL" if self._v is None else str(self._v)
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, OracleScn) and self.to_int() == other.to_int()
+
+    def __lt__(self, other: "OracleScn") -> bool:
+        return self.to_int() < other.to_int()
+
+    def __hash__(self) -> int:
+        return hash(self.to_int())
