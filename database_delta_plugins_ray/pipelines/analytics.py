@@ -2010,6 +2010,54 @@ def decontaminate_documents(sf_dir: str):
     return decontaminate(docs, ray.put(ev), n=3)
 
 
+def decontaminate_semantic_embeddings(sf_dir: str):
+    """SEMANTIC decontamination — the embedding-space analog of the
+    n-gram route above: drop every corpus vector whose max cosine
+    similarity to ANY eval/benchmark vector reaches the threshold
+    (used to purge eval-set lookalikes that share no literal n-gram,
+    e.g. translations/paraphrases). Eval slice = ``vec_id % 20 == 0``
+    (fixture rule, same spirit as the n-gram route's ``% 97``);
+    τ = 0.35 sits inside the synthetic fixture's similarity geometry
+    (isotropic vectors — no ≥0.9 pairs exist; the closest value is
+    ≥7e-5 from τ at every sf, so the float64 compare can never flip a
+    boundary row vs DuckDB's ``list_cosine_similarity``).
+
+    Scale plan: the eval matrix is tiny (k×d) — L2-normalized float64,
+    ``ray.put`` ONCE; one corpus scan does a per-batch matmul against
+    it and keeps survivors. No shuffle, no pairwise corpus work;
+    O(corpus × eval) flops streaming at any corpus size."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def eval_part(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        keep = ids % 20 == 0
+        return t.filter(pa.array(keep))
+
+    ev_rows = emb.map_batches(eval_part, batch_format="pyarrow").take_all()
+    E = np.vstack([r["embedding"] for r in ev_rows]).astype(np.float64)
+    E /= np.linalg.norm(E, axis=1, keepdims=True)
+    ev_ref = ray.put(E)
+
+    def survivors(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        corp = ids % 20 != 0
+        if not corp.any():
+            return pa.table({"vec_id": pa.array([], pa.int64())})
+        t = t.filter(pa.array(corp))
+        X = np.vstack(
+            t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        ev = ray.get(ev_ref)
+        mx = (X @ ev.T).max(axis=1)
+        return pa.table({"vec_id": t["vec_id"].filter(pa.array(mx < 0.35))})
+
+    return emb.map_batches(survivors, batch_format="pyarrow").sort("vec_id")
+
+
 def dedup_passages_documents(sf_dir: str):
     """C4-style cross-corpus passage dedup (10-token windows): first
     occurrence survives, documents rebuilt from surviving passages.
@@ -3658,6 +3706,22 @@ SELECT d.doc_id,
                          WHERE g.doc_id = d.doc_id) THEN 1 ELSE 0 END
          AS contaminated
 FROM documents d WHERE d.doc_id % 97 <> 0
+"""
+
+# embedding-space decontamination: max cosine vs the vec_id%20==0 eval
+# slice under τ=0.35 (fixture geometry; see the query docstring for the
+# boundary-margin argument)
+ANALYTICS_ORACLE_SQL["decontaminate_semantic_embeddings"] = r"""
+WITH ev AS (
+  SELECT embedding FROM embeddings WHERE vec_id % 20 = 0
+)
+SELECT c.vec_id
+FROM embeddings c
+WHERE c.vec_id % 20 <> 0
+  AND NOT EXISTS (
+    SELECT 1 FROM ev e
+    WHERE list_cosine_similarity(c.embedding, e.embedding) >= 0.35)
+ORDER BY c.vec_id
 """
 
 ANALYTICS_ORACLE_SQL["vocab_document_frequency"] = r"""
@@ -5959,6 +6023,7 @@ ANALYTICS_QUERIES = {
     "events_unpivot_type_counts": events_unpivot_type_counts,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "decontaminate_documents": decontaminate_documents,
+    "decontaminate_semantic_embeddings": decontaminate_semantic_embeddings,
     "repetition_stats_documents": repetition_stats_documents,
     "dedup_passages_documents": dedup_passages_documents,
     "vocab_document_frequency": vocab_document_frequency,
@@ -6040,6 +6105,7 @@ BENCH_QUERIES = {
     "q3_shipping_priority": q3_shipping_priority,
     "dedup_passages_documents": dedup_passages_documents,
     "decontaminate_documents": decontaminate_documents,
+    "decontaminate_semantic_embeddings": decontaminate_semantic_embeddings,
     "events_trailing_hour_revenue": events_trailing_hour_revenue,
     "cohort_retention_weekly": cohort_retention_weekly,
     "dedup_substring_documents": dedup_substring_documents,
