@@ -172,7 +172,13 @@ def export_lake_incremental(lake_dir: str, out_dir: str, *,
     and commits tmp+rename. Cost is O(touched shards + changes), never
     O(lake). The rewrite is IDEMPOTENT (drop-then-re-add of the same
     key set), so a crash between shard commits and the manifest write
-    re-runs safely; the manifest commits last, atomically."""
+    re-runs safely; the manifest commits last, atomically.
+
+    Schema evolution: the pinned schema holds as long as every increment
+    casts losslessly into it (the normal case — adds/in-range widens).
+    The first increment that CANNOT (an ALTER-widened column outgrowing
+    the pinned type, a rename dropping a pinned column) self-heals with
+    ONE full rebuild that re-pins at the lake's current schema."""
     import base64
     import shutil
     import uuid
@@ -263,9 +269,32 @@ def export_lake_incremental(lake_dir: str, out_dir: str, *,
                          "rows": pa.array([c[1] for c in counts],
                                           pa.int64())})
 
-    counts = (lake_diff(lake_dir, g0)
-              .map_batches(stage_delta, batch_format="pyarrow")
-              .take_all())  # one tiny row per (task, shard)
+    def _repin_rebuild():
+        # an exported column was retyped/renamed since the schema was
+        # pinned (e.g. an ALTER widen whose values no longer fit the
+        # pinned type, or a column rename): the incremental rewrite
+        # cannot express that in the old schema. Self-heal with ONE
+        # full rebuild that re-pins at the lake's current schema —
+        # correct at any point, and DDL is rare enough that the full
+        # pass amortizes to nothing.
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(stage_tmp, ignore_errors=True)
+        return export_lake_incremental(lake_dir, out_dir,
+                                       nshards=nshards, columns=columns)
+
+    def _is_schema_drift(err) -> bool:
+        cause = getattr(err, "cause", err)
+        return isinstance(cause, (pa.lib.ArrowInvalid, pa.lib.ArrowTypeError,
+                                  KeyError))
+
+    try:
+        counts = (lake_diff(lake_dir, g0)
+                  .map_batches(stage_delta, batch_format="pyarrow")
+                  .take_all())  # one tiny row per (task, shard)
+    except (ray.exceptions.RayTaskError, KeyError) as e:
+        if _is_schema_drift(e):
+            return _repin_rebuild()
+        raise
     touched = sorted({int(r["shard"]) for r in counts})
     os.rename(stage_tmp, stage)
 
@@ -311,7 +340,12 @@ def export_lake_incremental(lake_dir: str, out_dir: str, *,
                 os.remove(f)
         return new.num_rows
 
-    ray.get([rewrite.remote(s) for s in touched])
+    try:
+        ray.get([rewrite.remote(s) for s in touched])
+    except ray.exceptions.RayTaskError as e:
+        if _is_schema_drift(e):
+            return _repin_rebuild()
+        raise
     new_manifest = dict(manifest, watermark=g1, skipped=False,
                         rewritten_shards=len(touched))
     tmpm = mpath + f".tmp.{os.getpid()}"

@@ -108,6 +108,54 @@ def test_incremental_export_three_increments_schema_stable(small_log,
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_incremental_export_repins_on_unexpressible_cast(small_log,
+                                                         tmp_path):
+    """When an increment can no longer cast into the pinned schema (a
+    column outgrew its pinned type — the ALTER-widen-overflow case), the
+    export must self-heal with ONE full re-pinning rebuild, not crash.
+    Simulated by shrinking the pinned ``stars`` type to int8 (fixture
+    values exceed it), exactly what a post-pin widen with big values
+    produces."""
+    import base64
+
+    import pyarrow as pa
+
+    log_dir, _, meta = small_log
+    lake = str(tmp_path / "laker")
+    out = str(tmp_path / "outr")
+    full = str(tmp_path / "fullr")
+    b1 = _time_travel_boundary(log_dir)
+    run_replication(log_dir, lake, num_partitions=8, history=True,
+                    upto_lsn=b1)
+    m0 = export_lake_incremental(lake, out, nshards=16)
+
+    mp = os.path.join(out, "manifest.json")
+    with open(mp) as fh:
+        man = json.load(fh)
+    pinned = pa.ipc.read_schema(
+        pa.BufferReader(base64.b64decode(man["schema_ipc"])))
+    shrunk = pa.schema([f.with_type(pa.int8()) if f.name == "stars" else f
+                        for f in pinned])
+    man["schema_ipc"] = base64.b64encode(
+        shrunk.serialize().to_pybytes()).decode()
+    with open(mp, "w") as fh:
+        json.dump(man, fh)
+
+    run_replication(log_dir, lake, num_partitions=8, history=True)
+    m1 = export_lake_incremental(lake, out, nshards=16)
+    # self-healed: full rebuild, re-pinned at the current (int64) schema
+    assert m1["rewritten_shards"] == 16
+    got = pa.ipc.read_schema(
+        pa.BufferReader(base64.b64decode(m1["schema_ipc"])))
+    assert got.field("stars").type == pinned.field("stars").type
+    export_lake_incremental(lake, full, nshards=16)
+    assert _rows(out) == _rows(full)
+    # and the export is incremental again afterwards
+    m2 = export_lake_incremental(lake, out, nshards=16)
+    assert m2["skipped"]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_export_sorted_global_order(tmp_path):
     """export_sorted: file ranges are disjoint and ascending in name
     order; concatenation equals the full ORDER BY; probe via manifest."""
