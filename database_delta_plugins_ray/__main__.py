@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -29,10 +30,13 @@ def _ray_init(num_cpus: int | None):
     import ray
 
     if not ray.is_initialized():
-        kw = dict(address="local", include_dashboard=False,
+        # honor the environment under `ray job submit` (RAY_ADDRESS points
+        # at the cluster); default to a local session otherwise.
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        kw = dict(address=addr, include_dashboard=False,
                   ignore_reinit_error=True, logging_level="ERROR")
-        if num_cpus:
-            kw["num_cpus"] = num_cpus
+        if num_cpus and addr == "local":
+            kw["num_cpus"] = num_cpus  # only a local session takes a budget
         ray.init(**kw)
     from ray.data import DataContext
 
