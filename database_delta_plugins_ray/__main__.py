@@ -221,12 +221,16 @@ def main(argv: list[str] | None = None) -> int:
                        "feed) or a globally-sorted range layout")
     pex.add_argument("--lake", required=True)
     pex.add_argument("--out", required=True)
-    pex.add_argument("--mode", choices=["incremental", "sorted"],
+    pex.add_argument("--mode", choices=["incremental", "sorted", "tokens"],
                      default="incremental")
     pex.add_argument("--shards", type=int, default=16)
     pex.add_argument("--order-by", default="_sequence_num",
                      help="(sorted) order column — numeric/timestamp "
                           "(string keys have no range layout)")
+    pex.add_argument("--seq-tokens", type=int, default=2048,
+                     help="(tokens) training sequence length")
+    pex.add_argument("--bpe-merges", type=int, default=200,
+                     help="(tokens) BPE merges to train on the lake")
 
     pan = sub.add_parser(
         "analyze", help="collect per-column table statistics (rows, "
@@ -496,6 +500,27 @@ def main(argv: list[str] | None = None) -> int:
 
             print(json.dumps(export_lake_incremental(
                 a.lake, a.out, nshards=a.shards), default=str))
+        elif a.mode == "tokens":
+            # lake live rows -> trained BPE -> packed uint32 token shards
+            # (training-ready binary corpus; stages/tokexport.py layout)
+            from .pipelines.replicate import final_state
+            from .stages.bpe import train_bpe, word_histogram
+            from .stages.tokexport import (
+                build_token_vocab,
+                export_packed_tokens,
+            )
+            from .state import checkpoint as ckpt
+
+            ds = final_state(a.lake, columns=["repo", "path", "content"])
+            hist = word_histogram(ds, text_col="content")
+            merges = train_bpe(hist, num_merges=a.bpe_merges)
+            vocab = build_token_vocab(hist, merges)
+            tag = f"lake@{ckpt.read_global_watermark(a.lake)}"
+            m = export_packed_tokens(
+                ds, a.out, merges, vocab, seq_tokens=a.seq_tokens,
+                nbuckets=a.shards, key_cols=("repo", "path"),
+                text_col="content", source_tag=tag)
+            print(json.dumps(m, default=str))
         else:
             from .pipelines.replicate import final_state
             from .stages.export import export_sorted
