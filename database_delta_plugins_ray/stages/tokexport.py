@@ -45,7 +45,8 @@ import numpy as np
 import pandas as pd
 
 __all__ = ["build_token_vocab", "export_packed_tokens",
-           "read_sequences", "num_sequences", "UNK_ID", "EOD_ID"]
+           "read_sequences", "read_packed_dataset", "num_sequences",
+           "UNK_ID", "EOD_ID"]
 
 UNK_ID = 0
 EOD_ID = 1
@@ -290,3 +291,69 @@ def read_sequences(out_dir: str, seq_ids) -> np.ndarray:
             t0 += take
             need -= take
     return out
+
+
+def read_packed_dataset(out_dir: str, *,
+                        sequences_per_block: int = 4096):
+    """The packed corpus as a Ray Dataset of training sequences —
+    ``(seq_id: int64, tokens: fixed_size_list<uint32>[seq_tokens])`` —
+    the distributed counterpart of :func:`read_sequences` (which a
+    single trainer rank calls). Each block materializes ONE contiguous
+    sequence range via byte arithmetic over the manifest: a task reads
+    exactly its own token span (plus at most one shard-boundary seek),
+    so a full-corpus scan streams every shard once with no overlap, and
+    a downstream ``random_shuffle``/``limit`` behaves like any Dataset.
+    Block size is ``sequences_per_block`` sequences (tune to worker
+    heap: block bytes = sequences_per_block × seq_tokens × 4)."""
+    import pyarrow as pa
+    import ray.data
+
+    with open(os.path.join(out_dir, "manifest.json")) as fh:
+        m = json.load(fh)
+    n, s = int(m["n_sequences"]), int(m["seq_tokens"])
+    starts = [int(sh["start_token"]) for sh in m["shards"]]
+    lens = [int(sh["n_tokens"]) for sh in m["shards"]]
+
+    items = [{"lo": lo, "hi": min(lo + sequences_per_block, n)}
+             for lo in range(0, n, sequences_per_block)]
+
+    def load(batch: pa.Table) -> pa.Table:
+        st = np.asarray(starts, dtype=np.int64)
+        ln = np.asarray(lens, dtype=np.int64)
+        out_tables = []
+        for lo, hi in zip(batch["lo"].to_pylist(), batch["hi"].to_pylist()):
+            t0, t1 = lo * s, hi * s
+            flat = np.empty(t1 - t0, dtype=_DTYPE)
+            filled, pos = 0, t0
+            while pos < t1:
+                b = int(np.searchsorted(st, pos, side="right") - 1)
+                while ln[b] == 0 or pos >= st[b] + ln[b]:
+                    b += 1  # skip empty buckets at the boundary
+                off = pos - int(st[b])
+                take = min(t1 - pos, int(ln[b]) - off)
+                # the LAST shard may end mid-sequence (total tokens not a
+                # multiple of seq_tokens): the tail pads with <eod>
+                take = min(take, t1 - pos)
+                with open(os.path.join(out_dir, f"shard-{b:05d}.bin"),
+                          "rb") as fh:
+                    fh.seek(off * _DTYPE.itemsize)
+                    chunk = np.frombuffer(
+                        fh.read(take * _DTYPE.itemsize), dtype=_DTYPE)
+                flat[filled:filled + len(chunk)] = chunk
+                filled += len(chunk)
+                pos += len(chunk)
+                if len(chunk) < take:
+                    break  # ran off the corpus tail
+            if filled < len(flat):
+                flat[filled:] = EOD_ID  # pad the final partial sequence
+            out_tables.append(pa.table({
+                "seq_id": pa.array(range(lo, hi), pa.int64()),
+                "tokens": pa.FixedSizeListArray.from_arrays(
+                    pa.array(flat, pa.uint32()), s),
+            }))
+        return pa.concat_tables(out_tables) if out_tables else pa.table({
+            "seq_id": pa.array([], pa.int64()),
+            "tokens": pa.array([], pa.list_(pa.uint32(), s))})
+
+    return (ray.data.from_items(items)
+            .map_batches(load, batch_format="pyarrow", batch_size=1))

@@ -198,3 +198,22 @@ def test_query_entry_runs(ray_session):
         out["start_token"].to_numpy(),
         np.cumsum(out["n_tokens"].to_numpy())
         - out["n_tokens"].to_numpy())
+
+
+def test_read_packed_dataset_full_scan_parity(exported, ray_session):
+    """The Ray Dataset reader streams every sequence exactly once and
+    each block's rows equal the rank-loader's byte arithmetic."""
+    from database_delta_plugins_ray.stages.tokexport import (
+        num_sequences, read_packed_dataset, read_sequences)
+
+    df, merges, vocab, m = exported
+    n = num_sequences(OUT)
+    ds = read_packed_dataset(OUT, sequences_per_block=3)
+    rows = ds.take_all()
+    assert len(rows) == n
+    assert sorted(r["seq_id"] for r in rows) == list(range(n))
+    got = {r["seq_id"]: np.asarray(r["tokens"], dtype=np.uint32)
+           for r in rows}
+    want = read_sequences(OUT, list(range(n)))
+    for sid in range(n):
+        np.testing.assert_array_equal(got[sid], want[sid])
