@@ -113,6 +113,20 @@ def main(argv: list[str] | None = None) -> int:
         "stop", help="gracefully stop a follow loop on this lake")
     pstop.add_argument("--lake", required=True)
 
+    pboot = sub.add_parser(
+        "bootstrap", help="snapshot an EXISTING parquet table of the "
+                          "governed shape (repo,path,commit,lang,content"
+                          "[,stars]) into log segments — the "
+                          "replicateExistingData path; replicate them, "
+                          "then tail the live feed into the same lake")
+    pboot.add_argument("--table-parquet", required=True,
+                       help="parquet file or directory to snapshot")
+    pboot.add_argument("--segments", required=True,
+                       help="fresh directory for the snapshot segments")
+    pboot.add_argument("--table", default=None,
+                       help="qualified target table name "
+                            "(default inventory.code_files)")
+
     pg = sub.add_parser("gen")
     pg.add_argument("--out", required=True)
     pg.add_argument("--keys", type=int, default=2000)
@@ -350,6 +364,18 @@ def main(argv: list[str] | None = None) -> int:
 
         request_stop(a.lake)
         print(json.dumps({"stop_requested": a.lake}))
+        return 0
+
+    if a.cmd == "bootstrap":
+        _ray_init(a.num_cpus)
+        from .sources.bootstrap import bootstrap_snapshot_segments
+
+        kw = {"table": a.table} if a.table else {}
+        print(json.dumps(bootstrap_snapshot_segments(
+            a.table_parquet, a.segments, **kw), default=str))
+        import ray
+
+        ray.shutdown()
         return 0
 
     if a.cmd == "view":

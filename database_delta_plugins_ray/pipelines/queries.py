@@ -686,6 +686,48 @@ def cdc_from_debezium_mongo(sf_dir: str):
     return final_state(lake, columns=FINAL_COLS)
 
 
+def cdc_bootstrap_from_parquet(sf_dir: str):
+    """Snapshot bootstrap from an EXISTING Parquet table — the
+    reference's ``replicateExistingData=true`` path
+    (MySqlEventReader.java:126 snapshot mode ``initial``) over real user
+    data: a source table of the governed input shape (derived
+    deterministically from the ``documents`` fixture) converts into
+    snapshot segments (one shared offset for the whole data phase, the
+    reference's snapshot-offset semantics) + a CREATE DDL prefix, then
+    the standard replication path replays it. Oracle: the same
+    projection in SQL — the bootstrap must be value-transparent."""
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    from ..sources.bootstrap import bootstrap_snapshot_segments
+
+    tag = sf_tag(sf_dir)
+    src = os.path.join(CACHE_ROOT, f"sf{tag}", "bootstrap_src.parquet")
+    segs = os.path.join(CACHE_ROOT, f"sf{tag}", "bootstrap_segs")
+    if not os.path.exists(src):
+        # fixture builder (driver-side, one pass over the small fixture)
+        t = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "lang"])
+        did = _pc.cast(t["doc_id"], pa.string())
+        out = pa.table({
+            "repo": _pc.binary_join_element_wise(
+                "src", _pc.cast(_pc.subtract(t["doc_id"], _pc.multiply(_pc.divide(t["doc_id"], 7), 7)), pa.string()), ""),
+            "path": _pc.binary_join_element_wise("d", did, ""),
+            "commit": _pc.binary_join_element_wise("c", did, ""),
+            "lang": t["lang"],
+            "content": _pc.cast(t["text"], pa.large_string()),
+        })
+        tmp = src + f".tmp.{os.getpid()}"
+        _pq.write_table(out, tmp)
+        os.replace(tmp, src)
+    shutil.rmtree(segs, ignore_errors=True)
+    bootstrap_snapshot_segments(src, segs)
+    lake = fresh_lake(sf_dir, "lake_bootstrap")
+    run_replication(segs, lake, num_partitions=16)
+    return final_state(
+        lake, columns=["repo", "path", "commit", "lang", "content"])
+
+
 def cdc_from_debezium_oracle(sf_dir: str):
     """Replay driven from an ORACLE-shaped Debezium JSONL feed: no
     integer position on the wire — only decimal-string ``scn`` +
@@ -1503,6 +1545,14 @@ FROM dd WHERE rn2 = 1
         "cdc_from_debezium_mongo_resume": final_sql,
         "cdc_jsonl_tail_follow": final_sql,
         "cdc_from_debezium_oracle": final_sql,
+        "cdc_bootstrap_from_parquet": """
+SELECT 'src' || CAST(doc_id % 7 AS VARCHAR) AS repo,
+       'd' || CAST(doc_id AS VARCHAR) AS path,
+       'c' || CAST(doc_id AS VARCHAR) AS "commit",
+       lang,
+       text AS content
+FROM documents
+""",
         "cdc_toast_carry_forward": f"""
 WITH ev AS (
   SELECT lsn, op,
@@ -1999,6 +2049,7 @@ CDC_QUERIES = {
     "cdc_from_debezium_mongo_resume": cdc_from_debezium_mongo_resume,
     "cdc_jsonl_tail_follow": cdc_jsonl_tail_follow,
     "cdc_from_debezium_oracle": cdc_from_debezium_oracle,
+    "cdc_bootstrap_from_parquet": cdc_bootstrap_from_parquet,
     "cdc_toast_carry_forward": cdc_toast_carry_forward,
     "cdc_op_counts": cdc_op_counts,
     "cdc_events_per_repo": cdc_events_per_repo,
