@@ -64,6 +64,7 @@ _GATE_PREFIX = [
     "dedup_ngram_documents", "dedup_cluster_documents",
     "dedup_passages_documents", "dedup_incremental_documents",
     "dedup_semantic_embeddings", "dedup_substring_documents",
+    "dedup_crawl_loop_documents",
     "decontaminate_documents", "decontaminate_semantic_embeddings",
     # similarity / clustering
     "ann_topk_cosine", "ann_topk_ivf", "ann_topk_pq",

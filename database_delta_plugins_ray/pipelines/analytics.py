@@ -1392,6 +1392,48 @@ def dedup_incremental_documents(sf_dir: str):
     return out.sort_values(["doc_id", "dup_of"]).reset_index(drop=True)
 
 
+def dedup_crawl_loop_documents(sf_dir: str):
+    """The FULL crawl-ingestion loop: three md5-deterministic "crawl
+    batches" arrive in order; each probes the persisted MinHash index
+    (dedupe against everything ingested so far), then its documents
+    EXTEND the index (generation-fenced appends — stages/dedup_index.py
+    ``extend``) before the next batch. Returns every dup pair found
+    across the loop with the batch it arrived in. Rows-only (signature
+    estimation); the extend crash/fence contract is gated in
+    tests/test_dedup_index_extend.py. Scale shape: probe cost is
+    O(batch) partition-pruned reads; extend appends into the existing
+    hash partitions, nothing rewrites."""
+    import shutil
+
+    from ..stages.dedup_index import MinHashDiskIndex
+    from ..stages.sample import md5_u64
+
+    idx_dir = _cache_dir(sf_dir, "minhash_crawl_index")
+    shutil.rmtree(idx_dir, ignore_errors=True)  # the loop OWNS the index
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def batch_of(df: pd.DataFrame) -> np.ndarray:
+        return (md5_u64(df["doc_id"].to_numpy().astype("U")) % 3).astype(int)
+
+    def slice_fn(k):
+        return lambda df: df[batch_of(df) == k]
+
+    idx = MinHashDiskIndex.build(
+        docs.map_batches(slice_fn(0), batch_format="pandas"), idx_dir,
+        source_tag="crawl-0")
+    outs = []
+    for k in (1, 2):
+        new = docs.map_batches(slice_fn(k), batch_format="pandas")
+        out = idx.probe_df(new, threshold=0.5)
+        out["batch"] = k
+        outs.append(out)
+        idx.extend(new)
+    res = pd.concat(outs, ignore_index=True)
+    res["est_jaccard"] = res["est_jaccard"].round(5)
+    return res.sort_values(["batch", "doc_id", "dup_of"]).reset_index(
+        drop=True)
+
+
 # ---------------------------------------------------------------------------
 # multimodal (stubbed decode; real plumbing)
 # ---------------------------------------------------------------------------
@@ -6038,6 +6080,7 @@ ANALYTICS_QUERIES = {
     "approx_quantiles_event_value": approx_quantiles_event_value,
     "corpus_report_documents": corpus_report_documents,
     "dedup_incremental_documents": dedup_incremental_documents,
+    "dedup_crawl_loop_documents": dedup_crawl_loop_documents,
     "events_running_revenue": events_running_revenue,
     "events_moving_revenue": events_moving_revenue,
     "export_documents_shards": export_documents_shards,

@@ -154,12 +154,94 @@ class MinHashDiskIndex:
     def _pruned_dirs(self, table: str, key: str, values) -> list[str]:
         import glob
 
+        committed = int(self.meta.get("generation", 0))
         files = []
         for v in sorted(set(int(x) for x in values)):
             d = os.path.join(self.index_dir, table, f"{key}={v}")
             if os.path.isdir(d):
-                files.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+                files.extend(
+                    f for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
+                    # an uncommitted extend's files (gen > meta) are
+                    # invisible until their meta commit lands
+                    if _file_gen(f) <= committed)
         return files
+
+    def extend(self, new_docs, *, text_col: str = "text",
+               id_col: str = "doc_id") -> dict:
+        """APPEND new documents to the index — the ingestion half of the
+        probe→extend crawl loop (probe dedupes the incoming batch
+        against everything indexed; extend makes its survivors part of
+        "everything" for the next batch). One hashing pass (the same
+        ``_combined_frame`` the build uses); band/sig rows append as
+        generation-named files inside the existing hash partitions, so
+        probe pruning is unchanged and nothing rewrites.
+
+        Crash contract (same shape as the ANN family's refresh): the new
+        generation's files go LIVE only when ``meta.json`` commits last;
+        a crashed attempt's files are invisible to probes (generation
+        fence in ``_pruned_dirs``) and swept by the next extend. Growth
+        is append-only — a corpus-scale rebuild IS the compaction."""
+        import glob
+        import hashlib
+
+        import pyarrow as pa
+
+        gen = int(self.meta.get("generation", 0)) + 1
+        for f in glob.glob(os.path.join(self.index_dir, "*", "*",
+                                        "g*.parquet")):
+            if _file_gen(f) > gen - 1:
+                os.remove(f)  # uncommitted leftovers of a crashed extend
+
+        m = self.meta
+        kw = dict(num_perm=m["num_perm"], bands=m["bands"],
+                  ngram=m["ngram"], nparts=m["nparts"],
+                  text_col=text_col, id_col=id_col)
+        bands, nparts = m["bands"], m["nparts"]
+        root = self.index_dir
+
+        def append_parts(df: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow.parquet as pq
+
+            comb = MinHashDiskIndex._combined_frame(df, **kw)
+            rows = MinHashDiskIndex._explode_bands(
+                comb, bands=bands, nparts=nparts)
+            def _name(ids: np.ndarray) -> str:
+                # content-deterministic: a RETRIED task rewrites the same
+                # file instead of appending a duplicate copy
+                h = hashlib.md5(
+                    np.ascontiguousarray(ids, np.int64).tobytes()
+                ).hexdigest()[:12]
+                return f"g{gen:06d}-{h}.parquet"
+
+            for part, sub in rows.groupby("part"):
+                d = os.path.join(root, "bands", f"part={int(part)}")
+                os.makedirs(d, exist_ok=True)
+                out = os.path.join(d, _name(sub["doc_id"].to_numpy()))
+                pq.write_table(pa.Table.from_pandas(
+                    sub[["band", "band_hash", "doc_id"]],
+                    preserve_index=False), out + ".tmp")
+                os.replace(out + ".tmp", out)
+            for sp, sub in comb.groupby("spart"):
+                d = os.path.join(root, "sigs", f"spart={int(sp)}")
+                os.makedirs(d, exist_ok=True)
+                out = os.path.join(d, _name(sub["doc_id"].to_numpy()))
+                pq.write_table(pa.Table.from_pandas(
+                    sub[["doc_id", "sig"]], preserve_index=False),
+                    out + ".tmp")
+                os.replace(out + ".tmp", out)
+            return pd.DataFrame({"docs": [len(comb)]})
+
+        stats = new_docs.map_batches(
+            append_parts, batch_format="pandas").take_all()
+        n = int(sum(r["docs"] for r in stats))
+        new_meta = dict(m, generation=gen)
+        mp = os.path.join(root, "meta.json")
+        tmp = mp + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(new_meta, fh)
+        os.replace(tmp, mp)
+        self.meta = new_meta
+        return {"generation": gen, "docs_added": n}
 
     def probe_df(self, new_docs, **kw) -> pd.DataFrame:
         """``probe`` folded to a pandas frame with the (doc_id, dup_of,
@@ -287,3 +369,12 @@ class MinHashDiskIndex:
                 "est_jaccard": est[keep]})
 
         return shuffle_hash_join(j1, old_sigs, on="old_id", post=verify)
+
+
+def _file_gen(path: str) -> int:
+    """Generation encoded in an appended file's name (``g000002-...``);
+    the atomic build's own files carry no prefix and are generation 0."""
+    b = os.path.basename(path)
+    if (len(b) > 8 and b[0] == "g" and b[1:7].isdigit() and b[7] == "-"):
+        return int(b[1:7])
+    return 0
