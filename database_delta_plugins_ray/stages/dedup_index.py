@@ -371,6 +371,56 @@ class MinHashDiskIndex:
         return shuffle_hash_join(j1, old_sigs, on="old_id", post=verify)
 
 
+    def compact(self) -> "MinHashDiskIndex":
+        """Fold every extend generation into a fresh atomic base layout
+        (one file set per partition, no generation suffixes) WITHOUT
+        re-reading or re-hashing any document: band hashes are a pure
+        projection of the stored signatures, so compaction is one
+        distributed pass over the sigs table. The generation counter is
+        preserved (monotone across compactions, mirroring the ANN
+        family's contract); duplicate doc_ids from repeated extends
+        collapse within each batch (a re-extended doc carries an
+        IDENTICAL signature, so any residual cross-batch duplicate is
+        harmless — probe dedups pairs — and only costs bytes). Staged dir + rename — a crash leaves the
+        old index intact."""
+        import glob
+        import shutil
+
+        import ray.data
+
+        m = self.meta
+        committed = int(m.get("generation", 0))
+        files = []
+        for d in sorted(glob.glob(os.path.join(self.index_dir,
+                                               "sigs", "spart=*"))):
+            files.extend(
+                f for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
+                if _file_gen(f) <= committed)
+        kw = dict(num_perm=m["num_perm"], bands=m["bands"],
+                  nparts=m["nparts"])
+        inter = (ray.data.read_parquet(files, columns=["doc_id", "sig"])
+                 .map_batches(lambda df: _compact_frame(df, **kw),
+                              batch_format="pandas")
+                 .materialize())
+        tmp = self.index_dir + f".compact.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        bands, nparts = m["bands"], m["nparts"]
+        inter.map_batches(
+            lambda df: MinHashDiskIndex._explode_bands(
+                df, bands=bands, nparts=nparts),
+            batch_format="pandas").write_parquet(
+            os.path.join(tmp, "bands"), partition_cols=["part"])
+        inter.map_batches(
+            lambda df: df[["doc_id", "sig", "spart"]],
+            batch_format="pandas").write_parquet(
+            os.path.join(tmp, "sigs"), partition_cols=["spart"])
+        with open(os.path.join(tmp, "meta.json"), "w") as fh:
+            json.dump(m, fh)
+        shutil.rmtree(self.index_dir, ignore_errors=True)
+        os.rename(tmp, self.index_dir)
+        return MinHashDiskIndex(self.index_dir)
+
 def _file_gen(path: str) -> int:
     """Generation encoded in an appended file's name (``g000002-...``);
     the atomic build's own files carry no prefix and are generation 0."""
@@ -378,3 +428,29 @@ def _file_gen(path: str) -> int:
     if (len(b) > 8 and b[0] == "g" and b[1:7].isdigit() and b[7] == "-"):
         return int(b[1:7])
     return 0
+
+
+def _compact_frame(df: pd.DataFrame, *, num_perm: int, bands: int,
+                   nparts: int) -> pd.DataFrame:
+    """Rebuild the combined (sig + band blob) frame from STORED
+    signatures — band hashes are a pure projection of a signature, so
+    compaction never re-reads or re-hashes a document."""
+    from ..functions.text import band_hashes_matrix
+
+    df = df.drop_duplicates("doc_id", keep="last").reset_index(drop=True)
+    n = len(df)
+    if n == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "sig": pd.Series([], dtype=object),
+                             "spart": pd.Series([], dtype=np.int32),
+                             "bands_blob": pd.Series([], dtype=object)})
+    sigs = np.frombuffer(b"".join(df["sig"]),
+                         dtype=np.uint64).reshape(n, num_perm)
+    bh = band_hashes_matrix(sigs, bands)
+    return pd.DataFrame({
+        "doc_id": df["doc_id"].to_numpy(),
+        "sig": df["sig"].to_numpy(),
+        "spart": _spart(df["doc_id"].to_numpy(), nparts),
+        "bands_blob": [b.tobytes() for b in
+                       np.ascontiguousarray(bh, dtype=np.uint64)],
+    })

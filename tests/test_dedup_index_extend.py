@@ -102,3 +102,33 @@ def test_uncommitted_generation_is_invisible_and_swept(built, ray_session):
         part_dirs[0], "g000001-deadbeef.parquet"))
     out = idx.probe_df(ray.data.from_items(probe), threshold=0.5)
     assert set(out["dup_of"]) == {0}
+
+
+def test_compact_folds_generations(built, ray_session):
+    import glob
+
+    import ray.data
+
+    idx, corpus_rows, rng, vocab = built
+    batch_b = _mkdocs(rng, vocab, range(100, 106))
+    idx.extend(ray.data.from_items(batch_b))
+    idx.extend(ray.data.from_items(_mkdocs(rng, vocab, range(110, 114))))
+    probe = [_near_dup(batch_b[2], 400), _near_dup(corpus_rows[7], 401)]
+    before = idx.probe_df(ray.data.from_items(probe), threshold=0.5)
+
+    idx2 = idx.compact()
+    assert idx2.meta["generation"] == 2  # counter preserved
+    # no generation-suffixed files remain
+    assert not glob.glob(os.path.join(idx2.index_dir, "*", "*",
+                                      "g*.parquet"))
+    after = idx2.probe_df(ray.data.from_items(probe), threshold=0.5)
+    key = lambda df: sorted(zip(df["doc_id"], df["dup_of"]))  # noqa: E731
+    assert key(after) == key(before)
+    assert {400: 102, 401: 7} == dict(zip(after["doc_id"],
+                                          after["dup_of"]))
+
+    # extends continue past a compaction
+    s = idx2.extend(ray.data.from_items(_mkdocs(rng, vocab, [500])))
+    assert s["generation"] == 3
+    again = idx2.probe_df(ray.data.from_items(probe), threshold=0.5)
+    assert key(again) == key(before)
