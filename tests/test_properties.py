@@ -352,3 +352,44 @@ def test_chunk_windows_invariants(n, w, s):
     # all but the last window are full-width
     for lo, hi in wins[:-1]:
         assert hi - lo == w
+
+
+@given(st.integers(min_value=0, max_value=(1 << 63) - 1))
+@settings(max_examples=200, deadline=None)
+def test_mongots_bridge_is_identity_and_monotone(v):
+    from database_delta_plugins_ray.state.offsets import MongoTs
+
+    ts = MongoTs.from_int(v)
+    assert ts.to_int() == v
+    # wire round-trip: (sec, ord) fields -> parse -> same position
+    assert MongoTs.parse(ts.sec, ts.ord).to_int() == v
+    # BSON comparison rule == integer order
+    if v > 0:
+        assert MongoTs.from_int(v - 1) < ts
+
+
+@given(st.integers(min_value=0, max_value=(1 << 63) - 1))
+@settings(max_examples=200, deadline=None)
+def test_oraclescn_bridge_is_identity_and_monotone(v):
+    from database_delta_plugins_ray.state.offsets import OracleScn
+
+    scn = OracleScn.from_int(v)
+    assert scn.to_int() == v
+    # wire round-trip: decimal-string SCN -> parse -> same position
+    assert OracleScn.parse(str(scn)).to_int() == v
+    if v > 0:
+        assert OracleScn.from_int(v - 1) < scn
+
+
+@given(st.one_of(st.none(), st.text(max_size=8),
+                 st.integers(max_value=-1)))
+@settings(max_examples=100, deadline=None)
+def test_new_bridges_null_rule(bad):
+    """Whatever garbage arrives on the wire, NULL sorts below every
+    valid position (the shared bridge contract)."""
+    from database_delta_plugins_ray.state.offsets import MongoTs, OracleScn
+
+    o = OracleScn.parse(bad)
+    assert o.is_available or o < OracleScn(0)
+    m = MongoTs.parse(bad, bad)
+    assert m.is_available or m < MongoTs(0, 0)
