@@ -537,7 +537,10 @@ def main(argv: list[str] | None = None) -> int:
             )
             from .state import checkpoint as ckpt
 
-            ds = final_state(a.lake, columns=["repo", "path", "content"])
+            # three consumers follow (histogram, count pass, write pass) —
+            # pay the lake replay/scan ONCE and serve them from blocks
+            ds = final_state(
+                a.lake, columns=["repo", "path", "content"]).materialize()
             hist = word_histogram(ds, text_col="content")
             merges = train_bpe(hist, num_merges=a.bpe_merges)
             vocab = build_token_vocab(hist, merges)

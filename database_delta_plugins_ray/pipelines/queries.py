@@ -1805,15 +1805,21 @@ FROM ranked WHERE rn = 1 AND op <> 'D' GROUP BY 1
 WITH mx AS (
   SELECT 3 * max(lsn) // 5 AS l FROM read_parquet('{_variant_glob(sf, "tx_log")}')
 ),
--- the first event past the bound belongs to the tx starting at min(tx_start);
--- if that start is <= the bound, the bound cuts the tx: fence = start - 1
+-- a tx is complete at the bound iff none of its events lie past it;
+-- the fence drops below the earliest pre-bound event of any tx that
+-- continues past the bound (starts are MEASURED, never parsed out of
+-- the token — matches tx_consistent_lsn's semi-join)
 bound AS (
   SELECT least(
            (SELECT l FROM mx),
            coalesce(
-             (SELECT min(CAST(string_split(tx_id, ':')[2] AS BIGINT)) - 1
+             (SELECT min(lsn) - 1
               FROM read_parquet('{_variant_glob(sf, "tx_log")}')
-              WHERE lsn > (SELECT l FROM mx)),
+              WHERE lsn <= (SELECT l FROM mx)
+                AND tx_id IN (
+                  SELECT DISTINCT tx_id
+                  FROM read_parquet('{_variant_glob(sf, "tx_log")}')
+                  WHERE lsn > (SELECT l FROM mx))),
              (SELECT l FROM mx))) AS b
 ),
 ev AS (

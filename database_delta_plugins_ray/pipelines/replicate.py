@@ -76,42 +76,99 @@ def log_files(log_dir: str) -> list[str]:
     ]
 
 
+#: above this many continuing transactions the fence's semi-join stops
+#: broadcasting the id set and folds the whole (lsn, tx_id) projection
+#: through a groupby instead — tiny rows, exact at any size.
+_FENCE_BROADCAST_CAP = 1_000_000
+
+
 def tx_consistent_lsn(log_dir: str, upto_lsn: int) -> int:
     """Lower ``upto_lsn`` to the last COMPLETE-transaction commit boundary.
 
-    A binlog transaction is a contiguous run of events whose shared
-    ``tx_id`` suffix encodes the transaction's FIRST lsn (MySQL semantics:
-    all row events of one tx are consecutive in the log, then the XID
-    commit; the reference stamps the same transactionId on every DMLEvent
-    of the tx, MySqlRecordConsumer.java:209-225). Contiguity makes the
-    fence ONE tiny distributed aggregate: the first event PAST the bound
-    belongs to a transaction that started at lsn ``s``; if ``s <=
-    upto_lsn`` the bound cuts that transaction in half and the fence drops
-    to ``s - 1``, else the bound already sits on a commit boundary.
-    tx-start is monotone in lsn (runs are contiguous), so ``min`` over the
-    pruned ``lsn > upto_lsn`` read — row-group pushdown, columns (lsn,
-    tx_id) only — is exactly the first event's tx-start. DDL events are
-    auto-commit (their own single-event tx) and never lower the fence.
-    Scale: reads only row groups past the bound, moves one int per batch.
+    A transaction is COMPLETE at the bound iff none of its events lie
+    past it (the reference stamps the same transactionId on every
+    DMLEvent of a tx, MySqlRecordConsumer.java:209-225). The fence
+    assumes NOTHING about the token's shape — engine ``prefix:start``,
+    MySQL GTID ``uuid:txno``, Mongo ``lsid:txnNumber``, Oracle's opaque
+    txId all work — because transaction STARTS are measured from the
+    log, never parsed out of the token:
+
+    * pass 1 (pruned ``lsn > upto_lsn`` read, columns (lsn, tx_id)
+      only): the distinct ids of transactions that CONTINUE past the
+      bound, shrunk per batch before the exchange;
+    * pass 2 (pruned ``lsn <= upto_lsn`` read): the earliest pre-bound
+      event of any continuing transaction — the bound cuts that
+      transaction, so the fence drops to ``min - 1``; if no transaction
+      spans the bound, the bound already sits on a commit boundary.
+
+    Scale: the common bound sits near the log tail, so pass 1 reads a
+    few row groups and its id set broadcasts (``ray.put`` once) into
+    pass 2's per-batch ``is_in`` + min partial — one int per batch to
+    the driver. An early bound can make the continuing set huge; past
+    ``_FENCE_BROADCAST_CAP`` ids the fence switches to one full
+    (lsn, tx_id) scan folded through a per-batch combiner + groupby —
+    no broadcast, rows are (tx_id, min_le, any_gt) triples. DDL events
+    are auto-commit (their own single-event tx) and never lower the
+    fence.
     """
+    import numpy as np
     import pyarrow.compute as pc
 
     if upto_lsn >= log_max_lsn(log_dir):
         return upto_lsn  # nothing past the bound: every tx is complete
-    ds = ray.data.read_parquet(
+    after = ray.data.read_parquet(
         log_files(log_dir),
-        columns=["lsn", "tx_id"],
+        columns=["tx_id"],
         filter=pads.field("lsn") > upto_lsn,
     )
 
-    def tx_start_partial(batch: pa.Table) -> pa.Table:
-        starts = pc.cast(
-            pc.list_element(pc.split_pattern(batch["tx_id"], ":"), 1),
-            pa.int64(),
-        )
-        return pa.table({"s": pa.array([pc.min(starts).as_py()], pa.int64())})
+    def ids_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"tx_id": pc.unique(batch["tx_id"])})
 
-    nxt = ds.map_batches(tx_start_partial, batch_format="pyarrow").min("s")
+    ids = (after.map_batches(ids_partial, batch_format="pyarrow")
+           .unique("tx_id"))
+    if not ids:
+        return upto_lsn
+
+    if len(ids) <= _FENCE_BROADCAST_CAP:
+        id_ref = ray.put(pa.array(ids, pa.string()))
+
+        def min_partial(batch: pa.Table) -> pa.Table:
+            sel = pc.is_in(batch["tx_id"], value_set=ray.get(id_ref))
+            m = pc.min(pc.filter(batch["lsn"], sel)).as_py()
+            return pa.table({"s": pa.array([m], pa.int64())})
+
+        nxt = (ray.data.read_parquet(
+            log_files(log_dir),
+            columns=["lsn", "tx_id"],
+            filter=pads.field("lsn") <= upto_lsn,
+        ).map_batches(min_partial, batch_format="pyarrow").min("s"))
+        if nxt is None:
+            return upto_lsn
+        return min(upto_lsn, int(nxt) - 1)
+
+    # huge continuing set: exact groupby fold over the 2-column scan
+    from ray.data.aggregate import Max, Min
+
+    big = np.int64(1 << 62)
+
+    def span_partial(df):
+        lsn = df["lsn"].to_numpy()
+        le = np.where(lsn <= upto_lsn, lsn, big)
+        gt = (lsn > upto_lsn).astype(np.int64)
+        g = (df.assign(le=le, gt=gt)
+             .groupby("tx_id", sort=False)
+             .agg(le=("le", "min"), gt=("gt", "max")).reset_index())
+        return g
+
+    agg = (ray.data.read_parquet(log_files(log_dir),
+                                 columns=["lsn", "tx_id"])
+           .map_batches(span_partial, batch_format="pandas")
+           .groupby("tx_id")
+           .aggregate(Min("le", alias_name="le"),
+                      Max("gt", alias_name="gt")))
+    nxt = (agg.filter(lambda r: r["gt"] == 1 and r["le"] < big)
+           .min("le", ignore_nulls=True))
     if nxt is None:
         return upto_lsn
     return min(upto_lsn, int(nxt) - 1)

@@ -108,6 +108,28 @@ def bootstrap_snapshot_segments(parquet_path: str, seg_dir: str,
         raise ValueError(f"bootstrap table lacks required columns "
                          f"{missing} (governed shape: {_BASE_COLS})")
     has_stars = "stars" in have
+
+    # every bootstrap row shares SNAPSHOT_LSN and one tx token, so LWW
+    # has no tiebreaker among duplicate keys — final state would depend
+    # on block order. Enforce the 'one event per primary key' contract
+    # up front with an exact distributed count over the key column only.
+    import pyarrow.compute as pc
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table({"k": pc.binary_join_element_wise(
+            pc.cast(t["repo"], pa.string()),
+            pc.cast(t["path"], pa.string()), "\x1f")})
+
+    dup = (ds.map_batches(keyed, batch_format="pyarrow")
+           .groupby("k").count()
+           .filter(lambda r: r["count()"] > 1).take(1))
+    if dup:
+        k = dup[0]["k"].replace("\x1f", ", ")
+        raise ValueError(
+            f"bootstrap table holds duplicate (repo, path) keys "
+            f"(e.g. {k!r}) — a snapshot must carry one row per primary "
+            "key; de-duplicate the table first")
+
     pq.write_table(_ddl_prefix_segment(table, has_stars),
                    os.path.join(seg_dir, "seg-00000-ddl.parquet"))
 

@@ -53,6 +53,8 @@ Three source-position shapes are accepted per envelope:
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
 import os
 from datetime import timezone
@@ -175,16 +177,20 @@ def write_debezium_jsonl(log_dir: str, out_dir: str,
                     }
                 elif mongo:
                     mts = MongoTs.from_int(row["lsn"])
+                    # multi-doc-transaction identity: a REALISTIC lsid —
+                    # base64 of a (deterministic) session UUID, exactly
+                    # the opaque shape a live connector emits. Nothing
+                    # downstream may parse it: the tx fence measures
+                    # starts from the log, tokens are identity only.
+                    lsid = base64.b64encode(hashlib.md5(
+                        f"lsid-{row['tx_id']}".encode()).digest()).decode()
                     src = {
                         "rs": "rs0",
                         "db": db,
                         "collection": name,
                         "sec": mts.sec,
                         "ord": mts.ord,
-                        # multi-doc-transaction identity: the fixture
-                        # lsid carries the engine tx token; txnNumber
-                        # is the session's first (and only) txn
-                        "lsid": row["tx_id"],
+                        "lsid": lsid,
                         "txnNumber": 1,
                         "snapshot": bool(row["is_snapshot"]),
                         "schema_version": row["schema_version"],
@@ -749,8 +755,20 @@ def tail_jsonl_segments(jsonl_dir: str, seg_dir: str,
             tbl = tbl.sort_by("lsn")
             lo = int(tbl["lsn"][0].as_py())
             hi = int(tbl["lsn"][-1].as_py())
+            # name by CONTENT DIGEST, not (lo, hi, rows): a snapshot
+            # feed where every event carries one offset yields blocks
+            # with identical lsn range and count — a count-based name
+            # would overwrite one block with another and silently drop
+            # events. The digest is deterministic, so a retried task
+            # still overwrites its own file (at-least-once safe).
+            import hashlib
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, tbl.schema) as w:
+                w.write_table(tbl)
+            dig = hashlib.md5(
+                sink.getvalue().to_pybytes()).hexdigest()[:12]
             out_name = (f"seg-j{tag}-{lo:020d}-{hi:020d}-"
-                        f"{tbl.num_rows}.parquet")
+                        f"{dig}.parquet")
             out = os.path.join(seg_dir, out_name)
             tmp = out + f".tmp.{os.getpid()}"
             pq.write_table(tbl, tmp)

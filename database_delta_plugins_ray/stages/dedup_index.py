@@ -62,6 +62,16 @@ def _empty_result():
 class MinHashDiskIndex:
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
+        if not os.path.exists(os.path.join(index_dir, "meta.json")):
+            # a compact() crashed between its two renames: the committed
+            # index sits aside under '.compact.old' — restore it (the
+            # half-staged replacement dir, if any, is swept by the next
+            # compact's rmtree of its tmp path)
+            aside = index_dir + ".compact.old"
+            if os.path.exists(os.path.join(aside, "meta.json")):
+                if os.path.isdir(index_dir):
+                    os.rmdir(index_dir)  # rename target was never created
+                os.rename(aside, index_dir)
         with open(os.path.join(index_dir, "meta.json")) as fh:
             self.meta = json.load(fh)
 
@@ -213,22 +223,26 @@ class MinHashDiskIndex:
                 ).hexdigest()[:12]
                 return f"g{gen:06d}-{h}.parquet"
 
+            # the FINAL name is content-deterministic (retry-idempotent)
+            # but the staging path must be writer-private: a zombie task
+            # racing its retry on one '.tmp' path would interleave bytes
+            tsuf = f".tmp.{os.getpid()}"
             for part, sub in rows.groupby("part"):
                 d = os.path.join(root, "bands", f"part={int(part)}")
                 os.makedirs(d, exist_ok=True)
                 out = os.path.join(d, _name(sub["doc_id"].to_numpy()))
                 pq.write_table(pa.Table.from_pandas(
                     sub[["band", "band_hash", "doc_id"]],
-                    preserve_index=False), out + ".tmp")
-                os.replace(out + ".tmp", out)
+                    preserve_index=False), out + tsuf)
+                os.replace(out + tsuf, out)
             for sp, sub in comb.groupby("spart"):
                 d = os.path.join(root, "sigs", f"spart={int(sp)}")
                 os.makedirs(d, exist_ok=True)
                 out = os.path.join(d, _name(sub["doc_id"].to_numpy()))
                 pq.write_table(pa.Table.from_pandas(
                     sub[["doc_id", "sig"]], preserve_index=False),
-                    out + ".tmp")
-                os.replace(out + ".tmp", out)
+                    out + tsuf)
+                os.replace(out + tsuf, out)
             return pd.DataFrame({"docs": [len(comb)]})
 
         stats = new_docs.map_batches(
@@ -417,8 +431,14 @@ class MinHashDiskIndex:
             os.path.join(tmp, "sigs"), partition_cols=["spart"])
         with open(os.path.join(tmp, "meta.json"), "w") as fh:
             json.dump(m, fh)
-        shutil.rmtree(self.index_dir, ignore_errors=True)
+        # swap via rename-aside, never rmtree-then-rename: a crash
+        # between the two renames leaves the committed index under
+        # '.compact.old', which __init__ restores on the next open
+        aside = self.index_dir + ".compact.old"
+        shutil.rmtree(aside, ignore_errors=True)
+        os.rename(self.index_dir, aside)
         os.rename(tmp, self.index_dir)
+        shutil.rmtree(aside, ignore_errors=True)
         return MinHashDiskIndex(self.index_dir)
 
 def _file_gen(path: str) -> int:

@@ -276,16 +276,28 @@ def export_lake_incremental(lake_dir: str, out_dir: str, *,
         # cannot express that in the old schema. Self-heal with ONE
         # full rebuild that re-pins at the lake's current schema —
         # correct at any point, and DDL is rare enough that the full
-        # pass amortizes to nothing.
-        shutil.rmtree(out_dir, ignore_errors=True)
+        # pass amortizes to nothing. Only the MANIFEST is removed here —
+        # the fresh path stages into out_dir+'.tmp.<pid>' and swaps at
+        # the end, so the old export stays readable (and survives a
+        # crash) until the rebuilt one is complete.
         shutil.rmtree(stage_tmp, ignore_errors=True)
+        os.remove(mpath)
         return export_lake_incremental(lake_dir, out_dir,
-                                       nshards=nshards, columns=columns)
+                                       nshards=nshards,
+                                       columns=columns or want_cols)
 
     def _is_schema_drift(err) -> bool:
+        # Arrow cast failures are drift by definition; a KeyError is
+        # drift only when the missing key IS a pinned column (a rename/
+        # drop in the lake) — any other KeyError is a real bug that must
+        # surface, not trigger a destructive O(lake) rebuild.
         cause = getattr(err, "cause", err)
-        return isinstance(cause, (pa.lib.ArrowInvalid, pa.lib.ArrowTypeError,
-                                  KeyError))
+        if isinstance(cause, (pa.lib.ArrowInvalid, pa.lib.ArrowTypeError)):
+            return True
+        if isinstance(cause, KeyError):
+            msg = str(cause.args[0]) if cause.args else ""
+            return any(c in msg for c in delta_cols)
+        return False
 
     try:
         counts = (lake_diff(lake_dir, g0)

@@ -331,21 +331,22 @@ def read_packed_dataset(out_dir: str, *,
                     b += 1  # skip empty buckets at the boundary
                 off = pos - int(st[b])
                 take = min(t1 - pos, int(ln[b]) - off)
-                # the LAST shard may end mid-sequence (total tokens not a
-                # multiple of seq_tokens): the tail pads with <eod>
-                take = min(take, t1 - pos)
+                # a partial corpus-tail sequence is DROPPED, not padded:
+                # the manifest floors n_sequences = total_tokens //
+                # seq_tokens, so t1 <= total_tokens always and every
+                # read here is fully inside some shard
                 with open(os.path.join(out_dir, f"shard-{b:05d}.bin"),
                           "rb") as fh:
                     fh.seek(off * _DTYPE.itemsize)
                     chunk = np.frombuffer(
                         fh.read(take * _DTYPE.itemsize), dtype=_DTYPE)
-                flat[filled:filled + len(chunk)] = chunk
-                filled += len(chunk)
-                pos += len(chunk)
-                if len(chunk) < take:
-                    break  # ran off the corpus tail
-            if filled < len(flat):
-                flat[filled:] = EOD_ID  # pad the final partial sequence
+                if len(chunk) != take:  # truncated/corrupt shard file
+                    raise IOError(
+                        f"shard-{b:05d}.bin ended {take - len(chunk)} "
+                        f"tokens early vs manifest (offset {off})")
+                flat[filled:filled + take] = chunk
+                filled += take
+                pos += take
             out_tables.append(pa.table({
                 "seq_id": pa.array(range(lo, hi), pa.int64()),
                 "tokens": pa.FixedSizeListArray.from_arrays(

@@ -389,8 +389,13 @@ class MongoTs:
     __slots__ = ("_sec", "_ord")
 
     def __init__(self, sec: int | None, ordinal: int | None) -> None:
+        # sec is bounded at 2^31 (not BSON's 2^32) because the packed
+        # value must live in the engine's SIGNED int64 lsn domain —
+        # (sec << 32) | ord with sec >= 2^31 would overflow the Arrow
+        # int64 lsn column downstream. Out-of-domain maps to NULL,
+        # the same rule as every other malformed position.
         ok = (sec is not None and ordinal is not None
-              and 0 <= sec < (1 << 32) and 0 <= ordinal < (1 << 32))
+              and 0 <= sec < (1 << 31) and 0 <= ordinal < (1 << 32))
         self._sec = int(sec) if ok else None
         self._ord = int(ordinal) if ok else None
 
@@ -398,8 +403,8 @@ class MongoTs:
     def from_int(cls, v: int) -> "MongoTs":
         if v < 0:
             raise ValueError("engine lsns are non-negative")
-        if v >= (1 << 64):
-            raise ValueError("mongo timestamp exceeds 64 bits")
+        if v >= (1 << 63):
+            raise ValueError("mongo timestamp exceeds the int64 lsn domain")
         return cls(v >> 32, v & 0xFFFFFFFF)
 
     @classmethod

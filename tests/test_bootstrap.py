@@ -126,3 +126,16 @@ def test_bootstrap_carries_optional_stars(ray_session, tmp_path):
     rows = final_state(lake).take_all()
     got = {(r["repo"], r["path"]): r["stars"] for r in rows}
     assert got == {(r.repo, r.path): r.stars for r in df.itertuples()}
+
+def test_bootstrap_rejects_duplicate_keys(ray_session, tmp_path):
+    """Every bootstrap row shares one lsn and tx token, so duplicate
+    (repo, path) keys would make LWW nondeterministic — reject them."""
+    from database_delta_plugins_ray.sources.bootstrap import (
+        bootstrap_snapshot_segments)
+
+    df = _source_table(6)
+    df.loc[5, ["repo", "path"]] = df.loc[2, ["repo", "path"]].values
+    src = str(tmp_path / "dup.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), src)
+    with pytest.raises(ValueError, match="duplicate"):
+        bootstrap_snapshot_segments(src, str(tmp_path / "segs"))

@@ -132,3 +132,26 @@ def test_compact_folds_generations(built, ray_session):
     assert s["generation"] == 3
     again = idx2.probe_df(ray.data.from_items(probe), threshold=0.5)
     assert key(again) == key(before)
+
+def test_compact_crash_between_renames_restores_on_open(built, ray_session):
+    """compact() swaps via rename-aside; a crash after the aside rename
+    (the committed index moved, the replacement not yet in place) must
+    be healed by the next open — no rmtree window may lose the index."""
+    import ray.data
+
+    from database_delta_plugins_ray.stages.dedup_index import (
+        MinHashDiskIndex)
+
+    idx, corpus_rows, rng, vocab = built
+    idx.extend(ray.data.from_items(_mkdocs(rng, vocab, range(100, 104))))
+    probe = [_near_dup(corpus_rows[3], 300)]
+    before = idx.probe_df(ray.data.from_items(probe), threshold=0.5)
+
+    # simulate the crash window: index moved aside, replacement missing
+    os.rename(idx.index_dir, idx.index_dir + ".compact.old")
+    healed = MinHashDiskIndex(idx.index_dir)
+    assert healed.meta["generation"] == 1
+    assert not os.path.exists(idx.index_dir + ".compact.old")
+    after = healed.probe_df(ray.data.from_items(probe), threshold=0.5)
+    assert (sorted(zip(after["doc_id"], after["dup_of"]))
+            == sorted(zip(before["doc_id"], before["dup_of"])))

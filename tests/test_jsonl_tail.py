@@ -189,3 +189,41 @@ def test_follow_debezium_jsonl_end_to_end(ray_session, tmp_path):
     exp = {k: (v["content_sha"], v["_sequence_num"])
            for k, v in replay(log).items()}
     assert got == exp
+
+def test_tail_snapshot_blocks_sharing_one_offset_all_survive(
+        ray_session, tmp_path):
+    """A snapshot-phase feed stamps ONE offset on every event; blocks
+    then share (lo, hi) and a range+count segment name would collide and
+    silently overwrite. Names carry a content digest instead — every
+    event must reach disk."""
+    import pyarrow.parquet as pq
+
+    from database_delta_plugins_ray.sources.debezium_json import (
+        tail_jsonl_segments)
+
+    jdir = str(tmp_path / "jsonl")
+    os.makedirs(jdir)
+    n = 30
+    with open(os.path.join(jdir, "feed-000.jsonl"), "w") as fh:
+        for i in range(n):
+            env = {"payload": {
+                "op": "r",
+                "before": None,
+                "after": {"repo": "r0", "path": f"f{i}.py",
+                          "commit": "c0", "lang": "py",
+                          "content": f"x = {i}", "stars": i,
+                          "language": None},
+                "source": {"db": "repos", "table": "files", "pos": 7,
+                           "txId": "snap", "snapshot": True,
+                           "schema_version": 0},
+                "ts_ms": 1_700_000_000_000,
+            }}
+            fh.write(json.dumps(env) + "\n")
+
+    seg_dir = str(tmp_path / "segs")
+    meta = tail_jsonl_segments(jdir, seg_dir, rows_per_segment=8)
+    files = [os.path.join(seg_dir, s) for s in meta["segments"]]
+    assert len(set(files)) == len(files)  # distinct names
+    on_disk = sum(pq.read_metadata(f).num_rows for f in files)
+    assert on_disk == n
+    assert meta["total_events"] == n

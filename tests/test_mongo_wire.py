@@ -27,7 +27,7 @@ def test_mongots_null_rule_and_ordering():
     assert not null.is_available and null.to_int() == -1
     assert str(null) == "NULL"
     for bad in ((None, 1), (1, None), (-1, 0), (0, -1),
-                (1 << 32, 0), (0, 1 << 32), ("junk", 0)):
+                (1 << 31, 0), (1 << 32, 0), (0, 1 << 32), ("junk", 0)):
         assert not MongoTs.parse(*bad).is_available
     # BSON timestamp comparison: sec-major, then ordinal
     assert MongoTs(0, 0) > null

@@ -141,3 +141,45 @@ def test_tx_fence_then_full_resume_equals_one_shot(ray_session, tx_log, tmp_path
     b = final_state(lake_b, columns=cols).to_pandas().sort_values(
         ["repo", "path"]).reset_index(drop=True)
     assert a.equals(b)
+
+def test_fence_is_token_shape_independent(ray_session, tx_log, tmp_path):
+    """The fence measures tx starts from the log; it must give identical
+    answers when every token is replaced by an OPAQUE id (no ':', no
+    embedded lsn — the shape a real Oracle txId / Mongo lsid has)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    opaque = str(tmp_path / "opaque_log")
+    os.makedirs(opaque)
+    for f in _segs(tx_log):
+        t = pq.read_table(f)
+        toks = [hashlib.md5(x.encode()).hexdigest()
+                for x in t["tx_id"].to_pylist()]
+        t = t.set_column(t.schema.get_field_index("tx_id"), "tx_id",
+                         pa.array(toks, t["tx_id"].type))
+        pq.write_table(t, os.path.join(opaque, os.path.basename(f)))
+
+    lsn, tx, op = _load(tx_log)
+    starts = _tx_start(tx)
+    uniq, counts = np.unique(
+        starts[(op != "DDL") & (starts > lsn.min() + 10)],
+        return_counts=True)
+    s = int(uniq[counts >= 3][len(uniq[counts >= 3]) // 2])
+    members = np.sort(lsn[starts == s])
+    mid, end = int(members[1]), int(members[-1])
+    assert tx_consistent_lsn(opaque, mid) == s - 1
+    assert tx_consistent_lsn(opaque, end) == end
+
+    # the huge-continuing-set groupby fallback computes the same fence
+    from database_delta_plugins_ray.pipelines import replicate as repl
+
+    cap = repl._FENCE_BROADCAST_CAP
+    try:
+        repl._FENCE_BROADCAST_CAP = 0
+        assert tx_consistent_lsn(opaque, mid) == s - 1
+        assert tx_consistent_lsn(opaque, end) == end
+    finally:
+        repl._FENCE_BROADCAST_CAP = cap
