@@ -1561,14 +1561,19 @@ WITH ev AS (
          after."commit" AS "commit",
          coalesce(after.language, after.lang) AS language,
          after.stars AS stars,
+         after.content AS content_raw,
          nullif(after.content, '__debezium_unavailable_value') AS content_nn
   FROM read_parquet('{_variant_glob(sf, "toast_log")}')
   WHERE op <> 'DDL'
 ),
 res AS (
-  SELECT *, last_value(content_nn IGNORE NULLS) OVER (
-      PARTITION BY k_repo, k_path ORDER BY lsn
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS content_res
+  -- carry forward ONLY at placeholder rows: a genuine NULL written by
+  -- an update is a real value and keeps NULL (Debezium contract)
+  SELECT *, CASE WHEN content_raw = '__debezium_unavailable_value'
+      THEN coalesce(last_value(content_nn IGNORE NULLS) OVER (
+          PARTITION BY k_repo, k_path ORDER BY lsn
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), content_raw)
+      ELSE content_raw END AS content_res
   FROM ev
 ),
 ranked AS (

@@ -156,13 +156,18 @@ class PartitionMerger:
             masked = vals.where(~sent)
             filled = masked.iloc[order].groupby(keys, sort=False).ffill()
             filled = filled.reindex(vals.index)
+            # substitute ONLY at sentinel positions: a genuine NULL
+            # written by an update is a real value (the Debezium
+            # contract reserves carry-forward for the placeholder
+            # alone) and must NOT inherit the stale previous value
+            resolved = vals.where(~sent, filled)
             # a sentinel with no in-scope predecessor stays a SENTINEL
             # (never silently null): _has_sentinel then routes the key
             # through the full merge, where the BASE rows resolve it
-            filled = filled.where(pd.notna(filled) | ~sent, vals)
+            resolved = resolved.where(pd.notna(resolved) | ~sent, vals)
             i = state.schema.get_field_index(c)
             state = state.set_column(
-                i, c, pa.array(filled.where(pd.notna(filled), None),
+                i, c, pa.array(resolved.where(pd.notna(resolved), None),
                                type=state.schema.field(c).type))
         return state
 

@@ -120,3 +120,74 @@ def test_without_opt_in_sentinel_passes_through(ray_session, tmp_path):
     rows = final_state(lake).take_all()
     assert any(r["content"] == TOAST_SENTINEL for r in rows
                if not r["_is_deleted"])
+
+
+def test_genuine_null_update_not_resurrected(ray_session, tmp_path):
+    """An UPDATE that legitimately sets a toast column to NULL is a
+    real value: carry-forward applies ONLY at placeholder rows, so the
+    NULL must survive (not inherit the stale previous value)."""
+    from database_delta_plugins_ray.pipelines.replicate import (
+        final_state, run_replication)
+    from database_delta_plugins_ray.stages.merge import TOAST_SENTINEL
+
+    log = make_toast_log(tmp_path)
+    # rewrite: for keys whose LAST event is a non-sentinel UPDATE, set
+    # content to a genuine NULL (a later sentinel for the same key
+    # cannot occur in a real feed: the placeholder implies a stored
+    # non-null TOASTed value)
+    last = {}
+    files = sorted(f for f in os.listdir(log)
+                   if f.startswith("seg-") and f.endswith(".parquet"))
+    for f in files:
+        for ev in pq.read_table(os.path.join(log, f)).to_pylist():
+            if ev["op"] == "DDL":
+                continue
+            img = ev["after"] or ev["before"]
+            last[(img["repo"], img["path"])] = ev
+    nulled = set()
+    for key, ev in last.items():
+        if (ev["op"] == "U" and ev["after"] is not None
+                and ev["after"]["content"] != TOAST_SENTINEL):
+            nulled.add(key)
+    assert nulled, "fixture produced no candidate keys"
+    target_lsns = {last[k]["lsn"] for k in nulled}
+
+    def relax(schema):
+        # the generator declares content NOT NULL; from_pylist would
+        # silently coerce None to '' under that schema
+        out = []
+        for fld in schema:
+            if pa.types.is_struct(fld.type):
+                out.append(pa.field(fld.name, pa.struct(
+                    [pa.field(c.name, c.type, nullable=True)
+                     for c in fld.type])))
+            else:
+                out.append(fld)
+        return pa.schema(out)
+
+    for f in files:
+        p = os.path.join(log, f)
+        t = pq.read_table(p)
+        rows = t.to_pylist()
+        hit = False
+        for r in rows:
+            if r["lsn"] in target_lsns and r["op"] == "U":
+                r["after"] = {**r["after"], "content": None}
+                hit = True
+        if hit:
+            pq.write_table(
+                pa.Table.from_pylist(rows, schema=relax(t.schema)), p)
+
+    lake = str(tmp_path / "lake_null")
+    run_replication(log, lake, num_partitions=4,
+                    toast_columns=("content",))
+    rows = final_state(lake).take_all()
+    got = {(r["repo"], r["path"]): r for r in rows
+           if not r["_is_deleted"]}
+    checked = 0
+    for key in nulled:
+        if key in got:
+            assert got[key]["content"] is None, key
+            assert got[key]["content_sha"] is None, key
+            checked += 1
+    assert checked > 0
