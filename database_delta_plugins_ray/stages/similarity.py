@@ -197,6 +197,28 @@ def _idx_meta(index_dir: str) -> dict:
     return {"gen": 0}
 
 
+def _idx_committed_deltas(index_dir: str) -> list:
+    """Delta dirs whose generation is <= the COMMITTED meta gen,
+    sorted. A refresh that crashes after the ``delta-g<g>`` rename but
+    before ``_idx_commit_refresh`` leaves that dir on disk with meta
+    still at g-1; serving it would expose half-applied state (new rows
+    without their upsert tombstones, so both versions of an id rank).
+    The re-run replaces the dir at the same gen and THEN commits meta,
+    at which point it becomes visible."""
+    import glob as _glob
+
+    g = int(_idx_meta(index_dir).get("gen", 0))
+    out = []
+    for d in sorted(_glob.glob(os.path.join(index_dir, "delta-g*"))):
+        try:
+            dg = int(os.path.basename(d)[len("delta-g"):])
+        except ValueError:
+            continue
+        if dg <= g:
+            out.append(d)
+    return out
+
+
 def _idx_tombstones(index_dir: str) -> dict:
     """id -> tombstone generation; a row is live iff its gen >= the
     tombstone's (adds auto-tombstone their own ids, so refresh() is an
@@ -295,10 +317,10 @@ def _idx_live_rows(index_dir: str, id_col: str, vec_col: str,
     if _glob.glob(os.path.join(base, "**", "*.parquet"), recursive=True):
         out.append(ray.data.read_parquet(base, columns=[id_col, vec_col])
                    .map_batches(strip, batch_format="pandas"))
-    deltas = [f for d in sorted(_glob.glob(
-        os.path.join(index_dir, "delta-g*")))
-        for f in _glob.glob(os.path.join(d, delta_sub, "**", "*.parquet"),
-                            recursive=True)]
+    deltas = [f for d in _idx_committed_deltas(index_dir)
+              for f in _glob.glob(
+                  os.path.join(d, delta_sub, "**", "*.parquet"),
+                  recursive=True)]
     if deltas:
         out.append(ray.data.read_parquet(
             deltas, columns=[id_col, vec_col, "gen"])
@@ -309,9 +331,23 @@ def _idx_live_rows(index_dir: str, id_col: str, vec_col: str,
 def _idx_swap_in(index_dir: str, tmp_dir: str) -> None:
     """Replace the live index dir with the compacted one (same
     non-atomicity window as ``build``: rmtree then rename — single
-    writer assumed, crash leaves the staged dir for a re-run)."""
+    writer assumed, crash leaves the staged dir for a re-run).
+
+    Sidecar files that OTHER components store in the index dir (e.g.
+    the CDC lake watermark stamp ``lake_watermark.json`` written by
+    ``lake_vector_index_build``) are carried into the staged dir
+    first: compact stages only the structures the index owns, and a
+    swap must not silently drop a stranger's state — ``tombstones
+    .parquet`` is the one exception (compact folds it into the new
+    base), and anything the compactor already staged wins."""
     import shutil
 
+    for f in os.listdir(index_dir):
+        src = os.path.join(index_dir, f)
+        dst = os.path.join(tmp_dir, f)
+        if (os.path.isfile(src) and not os.path.exists(dst)
+                and f != "tombstones.parquet" and not f.startswith(".")):
+            shutil.copy2(src, dst)
     shutil.rmtree(index_dir, ignore_errors=True)
     os.rename(tmp_dir, index_dir)
 
@@ -519,8 +555,7 @@ class IVFDiskIndex:
                 os.path.join(root, f"cluster={int(c)}", "*.parquet"))]
 
         base = bucket_files(os.path.join(self.index_dir, "data"))
-        delta_dirs = sorted(_glob.glob(
-            os.path.join(self.index_dir, "delta-g*")))
+        delta_dirs = _idx_committed_deltas(self.index_dir)
         deltas = [f for d in delta_dirs for f in bucket_files(d)]
         tomb = self._tombstones()
         t_ref = ray.put(tomb) if tomb else None
@@ -545,8 +580,13 @@ class IVFDiskIndex:
         if not tops:
             return pd.DataFrame({id_col: [], "score": []})
         allrows = pd.concat(tops, ignore_index=True)
-        rows = list(zip(allrows[id_col], allrows["score"]))
-        top = heapq.nsmallest(k, rows, key=lambda t: (-t[1], t[0]))
+        # per-id best score: committed state has one live row per id,
+        # but an id must never fill two of the k slots regardless
+        best: dict = {}
+        for i, s in zip(allrows[id_col], allrows["score"]):
+            if i not in best or s > best[i]:
+                best[i] = s
+        top = heapq.nsmallest(k, best.items(), key=lambda t: (-t[1], t[0]))
         return pd.DataFrame(top, columns=[id_col, "score"])
 
 
@@ -692,19 +732,11 @@ class LSHDiskIndex:
 
             staged = add_ds.map_batches(
                 scatter, batch_format="pandas").materialize()
-            rep_ids = [r[id_col] for r in staged.select_columns(
-                [id_col]).take_all()]
+            rep_ids = _idx_stage_delta(self.index_dir, g, staged,
+                                       ["tbl", "bucket"], id_col)
             add_ids = sorted(set(rep_ids))  # each id appears L times
             added = len(add_ids)
             tomb_new.extend(add_ids)
-            import shutil
-
-            tmp = os.path.join(self.index_dir, f".delta.tmp.{os.getpid()}")
-            shutil.rmtree(tmp, ignore_errors=True)
-            staged.write_parquet(tmp, partition_cols=["tbl", "bucket"])
-            dst = os.path.join(self.index_dir, f"delta-g{g}")
-            shutil.rmtree(dst, ignore_errors=True)
-            os.rename(tmp, dst)
         _idx_commit_refresh(self.index_dir, g, tomb_new)
         return {"gen": g, "added": added,
                 "tombstoned": len(set(tomb_new))}
@@ -780,8 +812,7 @@ class LSHDiskIndex:
                              "*.parquet"))]
 
         base = bucket_files(os.path.join(self.index_dir, "data"))
-        delta_dirs = sorted(_glob.glob(
-            os.path.join(self.index_dir, "delta-g*")))
+        delta_dirs = _idx_committed_deltas(self.index_dir)
         deltas = [f for d in delta_dirs for f in bucket_files(d)]
         tomb = _idx_tombstones(self.index_dir)
         t_ref = ray.put(tomb) if tomb else None
@@ -931,6 +962,15 @@ class PQCodebooks:
                     if mask.any():
                         c[j] = xs[mask].mean(axis=0)
             books[mi, :kk] = c
+            if kk < k:
+                # fill unused rows with copies of a REAL centroid: a
+                # zero row would act as a phantom centroid (distance
+                # ||x_sub||^2 can beat every trained one for small
+                # samples) whose ADC contribution is always 0; with a
+                # duplicate, argmin ties resolve to the lower index so
+                # these rows are never emitted and their LUT entries
+                # are correct either way
+                books[mi, kk:] = c[0]
         return cls(books)
 
     def encode(self, x: np.ndarray) -> np.ndarray:
@@ -1118,15 +1158,18 @@ class PQDiskIndex:
         partials = (ray.data.read_parquet(
             os.path.join(self.index_dir, "codes"))
             .map_batches(adc_partial, batch_format="pandas").take_all())
-        delta_files = [f for d in sorted(_glob.glob(
-            os.path.join(self.index_dir, "delta-g*")))
-            for f in _glob.glob(os.path.join(d, "*.parquet"))]
+        delta_files = [f for d in _idx_committed_deltas(self.index_dir)
+                       for f in _glob.glob(os.path.join(d, "*.parquet"))]
         if delta_files:
             partials += (ray.data.read_parquet(delta_files)
                          .map_batches(adc_partial,
                                       batch_format="pandas").take_all())
-        rows = [(r[id_col], r["score"]) for r in partials]
-        cand = heapq.nsmallest(c, rows, key=lambda t: (-t[1], t[0]))
+        best: dict = {}
+        for r in partials:
+            i, s = r[id_col], r["score"]
+            if i not in best or s > best[i]:
+                best[i] = s
+        cand = heapq.nsmallest(c, best.items(), key=lambda t: (-t[1], t[0]))
         if rerank_ds is None:
             return pd.DataFrame(cand[:k], columns=[id_col, "score"])
         # exact rerank: the candidate id set broadcasts once; only the
@@ -1194,18 +1237,21 @@ def pq_search_multi(
     codes_ds = ray.data.read_parquet(os.path.join(index.index_dir, "codes"))
     partials = codes_ds.map_batches(
         adc_partial, batch_format="pandas").take_all()
-    delta_files = [f for d in sorted(_glob.glob(
-        os.path.join(index.index_dir, "delta-g*")))
-        for f in _glob.glob(os.path.join(d, "*.parquet"))]
+    delta_files = [f for d in _idx_committed_deltas(index.index_dir)
+                   for f in _glob.glob(os.path.join(d, "*.parquet"))]
     if delta_files:
         partials += (ray.data.read_parquet(delta_files)
                      .map_batches(adc_partial,
                                   batch_format="pandas").take_all())
-    by_q: dict[int, list] = {i: [] for i in range(nq)}
+    by_q: dict[int, dict] = {i: {} for i in range(nq)}
     for r in partials:
-        by_q[r["query_idx"]].append((r[id_col], r["score"]))
-    cand_by_q = {qi: heapq.nsmallest(c, rows, key=lambda t: (-t[1], t[0]))
-                 for qi, rows in by_q.items()}
+        b = by_q[r["query_idx"]]
+        i, s = r[id_col], r["score"]
+        if i not in b or s > b[i]:
+            b[i] = s
+    cand_by_q = {qi: heapq.nsmallest(c, best.items(),
+                                     key=lambda t: (-t[1], t[0]))
+                 for qi, best in by_q.items()}
     if rerank_ds is None:
         out = []
         for qi in range(nq):

@@ -23,9 +23,12 @@ Scale shape (the whole point):
    shard ``b`` covers global tokens ``[start_b, start_b + n_b)`` and a
    reader slices any sequence by byte arithmetic across shards.
 4. **Resumable** — a re-run skips every shard whose file already has
-   exactly the expected byte size for the same ``source_tag``; the
-   manifest commits last (tmp+rename), so a crashed export re-runs only
-   the missing shards.
+   exactly the expected byte size for the same run identity
+   (``run.json`` stamps source_tag + params up front; a mismatch
+   sweeps all existing shards AND the stale manifest before the write
+   pass, so same-size shards from a different corpus can never be
+   republished); the manifest commits last (tmp+rename), so a crashed
+   export re-runs only the missing shards.
 
 Every document contributes its subword ids followed by ONE ``<eod>``
 (id 1); subwords outside the vocabulary map to ``<unk>`` (id 0). The
@@ -144,6 +147,33 @@ def export_packed_tokens(ds, out_dir: str, merges: pd.DataFrame,
                 and m.get("seq_tokens") == seq_tokens
                 and m.get("nbuckets") == nbuckets):
             return m
+
+    # the size-based shard skip below is valid ONLY within one run
+    # identity: a different source_tag/params means every existing
+    # shard is stale, even when its byte size coincides with the new
+    # expected size. Stamp the identity first and sweep on mismatch
+    # (the stale manifest goes too, so a crash mid-sweep can never
+    # advertise shards that were just deleted).
+    run_p = os.path.join(out_dir, "run.json")
+    run_id = {"source_tag": source_tag, "seq_tokens": int(seq_tokens),
+              "nbuckets": int(nbuckets), "key_cols": list(key_cols),
+              "text_col": text_col}
+    prev = None
+    if os.path.exists(run_p):
+        try:
+            with open(run_p) as fh:
+                prev = json.load(fh)
+        except (ValueError, OSError):
+            prev = None
+    if prev != run_id:
+        if os.path.exists(man_p):
+            os.remove(man_p)
+        for f in os.listdir(out_dir):
+            if f.startswith("shard-") and f.endswith(".bin"):
+                os.remove(os.path.join(out_dir, f))
+        with open(run_p + ".tmp", "w") as fh:
+            json.dump(run_id, fh)
+        os.replace(run_p + ".tmp", run_p)
 
     key_cols = list(key_cols)
     ranks = _merge_ranks(merges)

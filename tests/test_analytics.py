@@ -716,3 +716,47 @@ def test_pq_search_multi_sees_refresh(ray_session, tmp_path):
         single = idx.search(qs[qi], k=10)
         mrows = multi[multi["query_idx"] == qi]
         assert list(mrows["vec_id"]) == list(single["vec_id"])
+
+
+def test_index_search_ignores_uncommitted_delta(ray_session, tmp_path):
+    """A refresh that crashes between the delta-dir rename and the
+    meta commit must be invisible: search serves only generations
+    <= the committed meta gen (otherwise an upserted id ranks twice —
+    its new row carries no tombstone until the commit)."""
+    import pandas as pd
+
+    from database_delta_plugins_ray.stages.similarity import (
+        IVFDiskIndex,
+        _idx_stage_delta,
+    )
+
+    rng = np.random.default_rng(91)
+    v = rng.standard_normal((120, 16)).astype(np.float32)
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": v[i].tolist()} for i in range(120)])
+    d = str(tmp_path / "ivf")
+    idx = IVFDiskIndex.build(ds, d, n_clusters=4)
+    q = v[7]
+    before = idx.search(q, k=10, nprobe=4)
+
+    # crash simulation: the delta dir lands (id 7 moved to ~q exactly,
+    # which WOULD rank first), but _idx_commit_refresh never ran
+    moved = v[7] / np.linalg.norm(v[7])
+    c = idx.centroids
+    cl = int(np.argmax(moved @ c.T))
+    staged = ray.data.from_pandas(pd.DataFrame({
+        "vec_id": [7], "embedding": [moved.astype(np.float32)],
+        "gen": np.int64(1), "cluster": np.int32(cl)}))
+    _idx_stage_delta(d, 1, staged, ["cluster"], "vec_id")
+
+    after_crash = IVFDiskIndex(d).search(q, k=10, nprobe=4)
+    assert list(after_crash["vec_id"]) == list(before["vec_id"])
+    assert len(set(after_crash["vec_id"])) == len(after_crash)
+
+    # the re-run replaces the same generation and commits: now visible
+    r = IVFDiskIndex(d).refresh(
+        ray.data.from_items([{"vec_id": 7, "embedding": moved.tolist()}]))
+    assert r["gen"] == 1
+    final = IVFDiskIndex(d).search(q, k=10, nprobe=4)
+    assert list(final["vec_id"]).count(7) == 1
+    assert final.iloc[0]["vec_id"] == 7  # the moved version won

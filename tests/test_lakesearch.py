@@ -260,3 +260,49 @@ def test_follow_refreshes_vecindex(ray_session, tmp_path):
     order = sorted(range(len(ids)),
                    key=lambda i: (-scores[i], ids[i]))[:10]
     assert list(got["vec_id"]) == [ids[i] for i in order]
+
+
+def test_vecindex_compact_preserves_watermark(ray_session, small_log,
+                                              tmp_path):
+    """compact() stages a fresh index dir and swaps it in; the lake
+    watermark stamp lives in that dir but belongs to the lake-index
+    layer — a compact between build and refresh must not destroy it
+    (refresh would crash on the missing file)."""
+    import json
+
+    from database_delta_plugins_ray.pipelines.queries import (
+        VEC_KEY_SEP,
+        _content_vecs,
+        lake_vector_index_build,
+        lake_vector_index_refresh,
+    )
+    from database_delta_plugins_ray.pipelines.replicate import final_state
+    from database_delta_plugins_ray.stages.similarity import IVFDiskIndex
+
+    log_dir, _, meta = small_log
+    lake = str(tmp_path / "lake")
+    idx_dir = str(tmp_path / "vecidx")
+    half = meta["max_lsn"] // 2
+    run_replication(log_dir, lake, num_partitions=8, history=True,
+                    upto_lsn=half)
+    lake_vector_index_build(lake, idx_dir, n_clusters=8)
+    IVFDiskIndex(idx_dir).compact()
+    with open(os.path.join(idx_dir, "lake_watermark.json")) as fh:
+        wm = json.load(fh)["watermark"]  # stamp survived the swap
+    assert isinstance(wm, int) and 0 < wm <= half
+
+    run_replication(log_dir, lake, num_partitions=8, history=True)
+    s = lake_vector_index_refresh(lake, idx_dir)
+    assert s["changed"] > 0
+
+    q = _content_vecs(["vector probe"])[0]
+    got = IVFDiskIndex(idx_dir).search(q, k=10, nprobe=8)
+    rows = final_state(
+        lake, columns=["table", "repo", "path", "content"]).take_all()
+    ids = [VEC_KEY_SEP.join(map(str, (x["table"], x["repo"], x["path"])))
+           for x in rows]
+    vecs = _content_vecs([x["content"] for x in rows])
+    scores = vecs @ q
+    order = sorted(range(len(ids)),
+                   key=lambda i: (-scores[i], ids[i]))[:10]
+    assert list(got["vec_id"]) == [ids[i] for i in order]

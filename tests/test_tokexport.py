@@ -217,3 +217,31 @@ def test_read_packed_dataset_full_scan_parity(exported, ray_session):
     want = read_sequences(OUT, list(range(n)))
     for sid in range(n):
         np.testing.assert_array_equal(got[sid], want[sid])
+
+
+def test_changed_tag_sweeps_same_size_shards(exported, ray_session):
+    """A re-export under a DIFFERENT source_tag must not honor the
+    size-based shard skip: a stale shard with a coincidentally equal
+    byte size would otherwise be republished under the new manifest."""
+    import ray.data
+
+    df, merges, vocab, m = exported
+    out = OUT + "_retag"
+    shutil.rmtree(out, ignore_errors=True)
+    m1 = _export(ray.data.from_pandas(df).repartition(4),
+                 merges, vocab, out, tag="tagA")
+    victim = next(sh["bucket"] for sh in m1["shards"]
+                  if sh["n_tokens"] > 0)
+    vp = os.path.join(out, f"shard-{victim:05d}.bin")
+    size = os.path.getsize(vp)
+    with open(vp, "wb") as fh:  # same-size garbage = stale corpus relic
+        fh.write(b"\xff" * size)
+    m2 = _export(ray.data.from_pandas(df).repartition(4),
+                 merges, vocab, out, tag="tagB")
+    assert m2["source_tag"] == "tagB"
+    got = np.fromfile(vp, dtype="<u4")
+    assert not np.all(got == np.frombuffer(b"\xff" * 4, dtype="<u4")[0])
+    np.testing.assert_array_equal(_shard_stream(out, m2),
+                                  _shard_stream(OUT, m))
+    with open(os.path.join(out, "run.json")) as fh:
+        assert json.load(fh)["source_tag"] == "tagB"
