@@ -282,6 +282,18 @@ def main(argv: list[str] | None = None) -> int:
 
     a = p.parse_args(argv)
 
+    if a.cmd == "replicate" and a.follow:
+        # these hooks walk lake_diff over RETAINED versions; on a
+        # non-history lake deletes leave no old-version trace, so the
+        # export/index would silently diverge — fail before ray.init
+        # (the help text already says "requires --history")
+        for flag, val in (("--refresh-index", a.refresh_index),
+                          ("--refresh-vecindex", a.refresh_vecindex),
+                          ("--export-incremental", a.export_incremental)):
+            if val and not a.history:
+                p.error(f"{flag} requires --history (the change feed "
+                        "needs retained versions to surface deletes)")
+
     if a.cmd == "gen":
         from .sources.gen import GenConfig, generate_log
 

@@ -650,9 +650,12 @@ def jsonl_to_segments(paths: str | list[str], seg_dir: str,
                          "max_lsn": [hi]}, schema=stats_schema)
 
     # one retry: a cold Ray worker occasionally hits a transient fsspec
-    # circular-import race inside read_json's first task; re-executing
-    # the lineage lands on warmed workers (segment writes are
-    # deterministic tmp+rename, so a partial first attempt is harmless)
+    # circular-import race inside read_json's first task. The failed
+    # attempt's partial segments must be swept first — re-execution may
+    # batch blocks differently, so its segment NAMES (lsn-range + row
+    # count) need not overwrite the leftovers, and replication reads
+    # the seg-* glob (the startup sweep above guards the same hazard
+    # across process crashes).
     for attempt in (1, 2):
         try:
             stats = ds.map_batches(
@@ -663,6 +666,9 @@ def jsonl_to_segments(paths: str | list[str], seg_dir: str,
         except Exception:
             if attempt == 2:
                 raise
+            for f in os.listdir(seg_dir):
+                if f.startswith("seg-"):
+                    os.remove(os.path.join(seg_dir, f))
             ds = read_debezium_jsonl(paths)
     meta = {"total_events": int(sum(r["rows"] for r in stats)),
             "max_lsn": int(max((r["max_lsn"] for r in stats), default=0)),

@@ -7,6 +7,8 @@ Parquet segments -> full replication; final state must equal the
 pure-Python oracle replay of the ORIGINAL log.
 """
 
+import os
+
 import pytest
 
 from database_delta_plugins_ray.pipelines.oracle import replay
@@ -119,3 +121,24 @@ def test_jsonl_feed_drives_full_replication(dbz, tmp_path):
         o = oracle[k]
         assert r["content_sha"] == o["content_sha"]
         assert r["_sequence_num"] == o["_sequence_num"]
+
+
+def test_stale_segments_swept_before_materialize(dbz, tmp_path):
+    """A crashed earlier materialization (or a failed first attempt of
+    this one) may leave seg-* files whose names — lsn range + row count
+    from a DIFFERENT batching — never collide with the fresh run's, so
+    replication's seg-* glob would double-count. jsonl_to_segments owns
+    seg_dir: anything seg-* is swept before (re)writing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    segs = str(tmp_path / "segs")
+    os.makedirs(segs)
+    stale = os.path.join(segs, "seg-" + "9" * 20 + "-" + "9" * 20
+                         + "-77.parquet")
+    pq.write_table(pa.table({"lsn": [1]}), stale)
+    meta = jsonl_to_segments(dbz["jsonl"], segs)
+    assert not os.path.exists(stale)
+    assert meta["total_events"] == dbz["meta"]["total_events"]
+    on_disk = sorted(f for f in os.listdir(segs) if f.startswith("seg-"))
+    assert on_disk == meta["segments"]

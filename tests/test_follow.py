@@ -371,3 +371,20 @@ def test_follow_export_incremental_keeps_export_current(tmp_path):
     full = str(tmp_path / "full")
     export_lake_incremental(lake, full, nshards=16)
     assert rows_of(out) == rows_of(full)
+
+
+def test_follow_hooks_require_history(tmp_path, capsys):
+    """--refresh-index / --refresh-vecindex / --export-incremental walk
+    lake_diff over retained versions; on a non-history lake deletes
+    leave no trace and the derived artifact silently diverges. The CLI
+    must reject the combination up front (before ray.init)."""
+    from database_delta_plugins_ray.__main__ import main
+
+    for flag in ("--refresh-index", "--refresh-vecindex",
+                 "--export-incremental"):
+        with pytest.raises(SystemExit) as ei:
+            main(["replicate", "--log", str(tmp_path / "log"),
+                  "--lake", str(tmp_path / "lake"), "--follow",
+                  flag, str(tmp_path / "idx")])
+        assert ei.value.code == 2
+        assert "requires --history" in capsys.readouterr().err
