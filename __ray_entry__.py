@@ -82,7 +82,8 @@ _GATE_PREFIX = [
     "approx_distinct_users_hll", "heavy_hitters_tokens",
     "approx_quantiles_event_value", "orders_median_price_by_status",
     # search / multimodal / exports / pivots / DQ
-    "search_documents_bm25", "multimodal_features",
+    "search_documents_bm25", "search_documents_hybrid",
+    "multimodal_features",
     "export_documents_shards", "export_documents_jsonl",
     "export_documents_sorted",
     "events_pivot_type_counts", "events_cube_type_hour",

@@ -1104,6 +1104,80 @@ def search_documents_bm25(sf_dir: str, terms=("query", "window")):
     return out.select_columns(["doc_id", "score_micros"])
 
 
+def search_documents_hybrid(sf_dir: str, terms=("query", "window"),
+                            k: int = 20, k_each: int = 50,
+                            rrf_k: int = 60):
+    """HYBRID retrieval: BM25 keyword ranking fused with embedding-cosine
+    ranking by Reciprocal Rank Fusion (Cormack, Clarke & Buettcher,
+    SIGIR 2009): ``rrf(d) = Σ_legs 1/(rrf_k + rank_leg(d))`` over the
+    union of each leg's top-``k_each`` candidates; a doc absent from a
+    leg contributes nothing for that leg. The standard first-stage
+    fusion where a corpus indexes both keywords and embeddings (RAG
+    retrieval, near-dup candidate generation).
+
+    Scale plan — each leg is already sublinear/streaming:
+
+    - text leg: ``InvertedIndex.lookup_bm25`` (pruned bucket reads,
+      O(query-term postings)), sort-limited to ``k_each`` INSIDE the
+      Dataset, so the driver receives k_each rows;
+    - vector leg: one streaming pass over the embeddings, per-batch
+      float64 cosine vs the broadcast query + per-batch top-``k_each``
+      partial ordered by the total (-score, id) order — the driver
+      merges O(k_each × batches) candidate rows, never the corpus.
+
+    The fusion itself touches ≤ 2·k_each rows. Everything past the raw
+    cosine is integer arithmetic in BOTH systems — cosine rounds to
+    int64 micros first (float64 on both sides agrees to ~2e-16 while
+    the fixture's closest value sits ≥3e-10 from every rounding
+    boundary, verified at every sf), ranks are row_number over
+    (score desc, id), and the fused score is
+    ``Σ floor(1e9 / (rrf_k + rank))`` — so the DuckDB oracle is
+    hash-exact."""
+    import heapq
+
+    from ..stages.invindex import InvertedIndex
+
+    idx = InvertedIndex.ensure(
+        lambda: _t(sf_dir, "documents", ["doc_id", "text"]),
+        _cache_dir(sf_dir, "inverted_index"),
+        _source_fingerprint(os.path.join(sf_dir, "documents.parquet")))
+    bm = idx.lookup_bm25(list(terms), mode="and", k=k_each).take_all()
+    bm_rank = {int(r["doc_id"]): i + 1 for i, r in enumerate(bm)}
+
+    q = _query_vec(sf_dir)  # raw (un-normalized) float64, as in the SQL
+    q_ref = ray.put(q)
+
+    def vec_partial(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        X = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)
+                      ).astype(np.float64)
+        qv = ray.get(q_ref)
+        # mirror list_cosine_similarity's form exactly: dot / (|x| |q|)
+        cos = (X @ qv) / (np.linalg.norm(X, axis=1) * np.linalg.norm(qv))
+        mic = np.floor(cos * 1e6 + 0.5).astype(np.int64)
+        # keep the batch's top-k_each BY THE TOTAL ORDER (-mic, id): a
+        # plain argpartition could drop a boundary-tied row that the
+        # id tiebreak ranks ahead, corrupting the global merge
+        order = np.lexsort((ids, -mic))[:k_each]
+        return pa.table({"vec_id": pa.array(ids[order], pa.int64()),
+                         "mic": pa.array(mic[order], pa.int64())})
+
+    parts = (_t(sf_dir, "embeddings", ["vec_id", "embedding"])
+             .map_batches(vec_partial, batch_format="pyarrow")
+             .take_all())
+    vec_top = heapq.nsmallest(
+        k_each, ((-int(r["mic"]), int(r["vec_id"])) for r in parts))
+    vec_rank = {vid: i + 1 for i, (_, vid) in enumerate(vec_top)}
+
+    fused: dict[int, int] = {}
+    for leg in (bm_rank, vec_rank):
+        for d, r in leg.items():
+            fused[d] = fused.get(d, 0) + 10**9 // (rrf_k + r)
+    rows = heapq.nsmallest(k, fused.items(), key=lambda kv: (-kv[1], kv[0]))
+    return pd.DataFrame(rows, columns=["doc_id", "rrf_fp"]).astype(
+        {"doc_id": "int64", "rrf_fp": "int64"})
+
+
 def events_running_revenue(sf_dir: str):
     """Global window function SUM(cents) OVER (ORDER BY ts, event_id)
     via the distributed range-bucket prefix scan (stages/scan.py) — no
@@ -4239,6 +4313,55 @@ SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_micros
 FROM scored GROUP BY doc_id HAVING count(*) = 2
 """
 
+ANALYTICS_ORACLE_SQL["search_documents_hybrid"] = r"""
+WITH flat AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+  FROM documents
+), post AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM flat GROUP BY 1, 2
+), dls AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM flat GROUP BY 1
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS total_tokens FROM flat),
+m AS (
+  SELECT p.doc_id, p.tok, p.tf, d.dl
+  FROM post p JOIN dls d USING (doc_id)
+  WHERE p.tok IN ('query', 'window')
+), dfs AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM m GROUP BY 1
+), scored AS (
+  SELECT m.doc_id,
+         CAST(floor(
+           ln(1.0 + (n.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * m.tf * (1.2 + 1.0)
+           / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * m.dl
+                / (CAST(tot.total_tokens AS DOUBLE) / n.n_docs)))
+           * 1e6 + 0.5) AS BIGINT) AS s
+  FROM m JOIN dfs USING (tok), n, tot
+), bm AS (
+  SELECT doc_id, CAST(sum(s) AS BIGINT) AS sc
+  FROM scored GROUP BY doc_id HAVING count(*) = 2
+), bmr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY sc DESC, doc_id) AS r
+  FROM bm QUALIFY r <= 50
+), vec AS (
+  SELECT vec_id AS doc_id,
+         CAST(floor(list_cosine_similarity(
+             CAST(embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+              WHERE vec_id = 0)) * 1e6 + 0.5) AS BIGINT) AS sc
+  FROM embeddings
+), vecr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY sc DESC, doc_id) AS r
+  FROM vec QUALIFY r <= 50
+), fused AS (
+  SELECT doc_id, CAST(sum(1000000000 // (60 + r)) AS BIGINT) AS rrf_fp
+  FROM (SELECT * FROM bmr UNION ALL SELECT * FROM vecr)
+  GROUP BY doc_id
+)
+SELECT doc_id, rrf_fp FROM fused ORDER BY rrf_fp DESC, doc_id LIMIT 20
+"""
+
 ANALYTICS_ORACLE_SQL["cohort_retention_weekly"] = r"""
 WITH w AS (
   SELECT DISTINCT user_id,
@@ -6099,6 +6222,7 @@ ANALYTICS_QUERIES = {
     "cohort_retention_weekly": cohort_retention_weekly,
     "search_documents_terms": search_documents_terms,
     "search_documents_bm25": search_documents_bm25,
+    "search_documents_hybrid": search_documents_hybrid,
     "events_value_outliers": events_value_outliers,
     "token_pmi_pairs": token_pmi_pairs,
     "lm_surprise_documents": lm_surprise_documents,

@@ -725,3 +725,65 @@ def test_cms_query_exact_in_wide_regime(ray_session):
     # wide regime: the top tokens' estimates should be exact
     assert all(int(est) == int(exact[tok])
                for tok, est in zip(got["tok"], got["est"]) if tok in exact.index)
+
+
+def test_hybrid_search_matches_duckdb(ray_session):
+    """search_documents_hybrid == the DuckDB RRF oracle, hash-exact:
+    BM25 leg (integer micros) + cosine leg (float64 both sides, micros
+    rounding with a verified >=3e-10 boundary margin) fused with
+    integer reciprocal-rank arithmetic."""
+    import duckdb
+
+    from database_delta_plugins_ray.pipelines.analytics import (
+        ANALYTICS_ORACLE_SQL,
+        search_documents_hybrid,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = search_documents_hybrid(sf)
+    con = duckdb.connect()
+    for t in ["documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = con.execute(
+        ANALYTICS_ORACLE_SQL["search_documents_hybrid"]).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_hybrid_search_rrf_semantics(ray_session):
+    """RRF arithmetic on a planted case: a doc ranked by BOTH legs must
+    out-score a doc ranked #1 by only one leg when its two ranks are
+    good enough — 1/(60+2)+1/(60+2) > 1/(60+1) — and every returned
+    fused score equals the sum of its legs' floor(1e9/(60+rank))."""
+    from database_delta_plugins_ray.pipelines.analytics import (
+        search_documents_hybrid,
+        search_documents_bm25,
+        _query_vec,
+    )
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    out = search_documents_hybrid(sf, k=10_000, k_each=50)
+    # recompute both legs' rank maps brute-force
+    bm = search_documents_bm25(sf).to_pandas()
+    bm = bm.sort_values(["score_micros", "doc_id"],
+                        ascending=[False, True]).head(50)
+    bm_rank = {int(d): i + 1 for i, d in enumerate(bm["doc_id"])}
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    X = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)
+                  ).astype(np.float64)
+    ids = t["vec_id"].to_numpy()
+    q = _query_vec(sf)
+    cos = (X @ q) / (np.linalg.norm(X, axis=1) * np.linalg.norm(q))
+    mic = np.floor(cos * 1e6 + 0.5).astype(np.int64)
+    order = np.lexsort((ids, -mic))[:50]
+    vec_rank = {int(ids[i]): r + 1 for r, i in enumerate(order)}
+    want = {}
+    for leg in (bm_rank, vec_rank):
+        for d, r in leg.items():
+            want[d] = want.get(d, 0) + 10**9 // (60 + r)
+    got = dict(zip(out["doc_id"].astype(int), out["rrf_fp"].astype(int)))
+    assert got == want
