@@ -36,6 +36,7 @@ _GATE_PREFIX = [
     "cdc_resume_equivalence", "cdc_full_lifecycle", "cdc_all_datatypes",
     "cdc_snapshot_ddl_sequence", "cdc_time_travel", "cdc_changefeed",
     "cdc_point_lookup", "cdc_search_lake_content",
+    "cdc_search_lake_compacted",
     "cdc_vector_search_lake", "cdc_scd2_history",
     "cdc_truncate_fence", "cdc_dead_letter_queue", "cdc_incremental_snapshot",
     "cdc_to_training_corpus", "cdc_to_packed_corpus",

@@ -203,8 +203,10 @@ def main(argv: list[str] | None = None) -> int:
     pix = sub.add_parser(
         "index", help="full-text index over the lake's content: build at "
                       "the current watermark, refresh from the change "
-                      "feed (history lakes), or search terms")
-    pix.add_argument("action", choices=["build", "refresh", "search"])
+                      "feed (history lakes), compact refresh generations "
+                      "into a fresh base, or search terms")
+    pix.add_argument("action",
+                     choices=["build", "refresh", "compact", "search"])
     pix.add_argument("--lake", required=True)
     pix.add_argument("--index", required=True, help="index directory")
     pix.add_argument("--terms", default=None,
@@ -488,6 +490,8 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(idx.meta))
         elif a.action == "refresh":
             print(json.dumps(LakeTextIndex(a.index).refresh(a.lake)))
+        elif a.action == "compact":
+            print(json.dumps(LakeTextIndex(a.index).compact()))
         else:
             if not a.terms:
                 raise SystemExit("search needs --terms")

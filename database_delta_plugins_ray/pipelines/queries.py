@@ -166,6 +166,44 @@ def cdc_search_lake_content(sf_dir: str):
                .map_batches(split_key, batch_format="pandas"))
 
 
+def cdc_search_lake_compacted(sf_dir: str):
+    """Index COMPACTION mid-lifecycle (``LakeTextIndex.compact`` — the
+    Lucene segment-merge analog): build at half, refresh from the change
+    feed, COMPACT (fold the refresh generations and the live-docs
+    overlay into a fresh base, one pass over the index's own files,
+    never the corpus), then answer the same term query as
+    cdc_search_lake_content — identical oracle, which only holds if the
+    compaction physically dropped exactly the superseded generations and
+    deleted docs the overlay was fencing at read time."""
+    import json
+
+    from ..stages.invindex import _SEP, LakeTextIndex
+
+    log = ensure_log(sf_dir)
+    with open(os.path.join(log, "meta.json")) as fh:
+        half = json.load(fh)["max_lsn"] // 2
+    lake = fresh_lake(sf_dir, "lake_search_cpt")
+    idx_dir = fresh_lake(sf_dir, "lake_search_cpt_index")
+    run_replication(log, lake, num_partitions=16, history=True,
+                    upto_lsn=half)
+    LakeTextIndex.build(lake, idx_dir)
+    run_replication(log, lake, num_partitions=16, history=True)
+    idx = LakeTextIndex(idx_dir)
+    idx.refresh(lake)
+    stats = idx.compact()
+    assert not idx.overlay and not stats["counters_drifted"]
+
+    def split_key(df):
+        import pandas as pd
+
+        parts = df["doc_key"].str.split(_SEP, expand=True)
+        return pd.DataFrame({"repo": parts[1], "path": parts[2],
+                             "score": df["score"]})
+
+    return (idx.lookup(["def", "v2"], mode="and")
+               .map_batches(split_key, batch_format="pandas"))
+
+
 def _content_vecs(contents) -> "np.ndarray":
     """Deterministic 16-dim unit embedding of a content string (md5
     bytes, centered, normalized) — the stand-in for a real embedding
@@ -1522,6 +1560,7 @@ FROM dd WHERE rn2 = 1
         "cdc_reshard_continuation": final_sql,
         "cdc_full_lifecycle": final_sql,
         "cdc_search_lake_content": search_sql,
+        "cdc_search_lake_compacted": search_sql,
         "cdc_commit_lookup": commit_sql,
         "cdc_export_incremental": final_sql,
         "cdc_repo_skew_report": skew_sql,
@@ -2043,6 +2082,7 @@ CDC_QUERIES = {
     "cdc_reshard_continuation": cdc_reshard_continuation,
     "cdc_full_lifecycle": cdc_full_lifecycle,
     "cdc_search_lake_content": cdc_search_lake_content,
+    "cdc_search_lake_compacted": cdc_search_lake_compacted,
     "cdc_vector_search_lake": cdc_vector_search_lake,
     "cdc_commit_lookup": cdc_commit_lookup,
     "cdc_export_incremental": cdc_export_incremental,

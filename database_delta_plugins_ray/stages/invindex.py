@@ -561,6 +561,127 @@ class LakeTextIndex:
         return {"changed": len(doc_keys), "created_or_updated": new_alive,
                 "deleted": len(dead), "watermark": g1}
 
+    # -- compact ---------------------------------------------------------
+
+    def compact(self) -> dict:
+        """Fold every refresh generation and the live-docs overlay into
+        a fresh base WITHOUT touching the lake — the Lucene segment-merge
+        analog for this index, and the OPTIMIZE the refresh docstring
+        points at when the change-feed horizon is gone.
+
+        One pass over the INDEX's own files (never the corpus, no
+        re-tokenization): postings of superseded generations and deleted
+        docs are physically dropped, the per-doc sidecar reduces to one
+        live row per doc, and the overlay resets to ``{}`` — lookups and
+        BM25 scores are unchanged (parity-tested vs a rebuild), but
+        lookup batches stop paying the overlay fence and later refreshes
+        stop re-reading superseded sidecar rows. Cost is O(index bytes).
+
+        Everything with ``seq`` past the COMMITTED watermark is fenced
+        out and swept by the staged swap, so rows a crashed refresh
+        attempt already wrote disappear — compact doubles as the
+        recovery path. (n_docs, total_tokens) are recomputed exactly
+        from the compacted sidecar; ``counters_drifted`` in the return
+        value flags any disagreement with the maintained meta (there
+        should never be one — the refresh deltas are exact).
+
+        Staged into ``index_dir + '.compact.<pid>'`` and swapped with
+        the shared ``_idx_swap_in`` (single writer assumed; stranger
+        sidecar files in the index dir are carried across the swap).
+        """
+        import pyarrow.parquet as pq
+
+        from .similarity import _idx_swap_in
+
+        g = int(self.meta["watermark"])
+        n_buckets = int(self.meta["n_buckets"])
+        n_shards = int(self.meta["n_shards"])
+        ov_ref = ray.put(self.overlay)
+        tmp = self.index_dir + f".compact.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(os.path.join(tmp, "data"), exist_ok=True)
+        os.makedirs(os.path.join(tmp, "docs"), exist_ok=True)
+
+        def live_postings(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["seq"].to_numpy(np.int64) <= g]
+            ov = ray.get(ov_ref)
+            if ov and len(df):
+                live = df["doc_key"].map(ov)
+                df = df[(live.isna() | (df["seq"] == live)).to_numpy(bool)]
+            out = df[["doc_key", "tok", "tf", "dl", "seq"]].reset_index(
+                drop=True)
+            out["bucket"] = _tok_bucket(
+                out["tok"].to_numpy(dtype=object), n_buckets)
+            return out
+
+        post_files = _glob.glob(os.path.join(
+            self.index_dir, "data", "bucket=*", "*.parquet"))
+        if post_files:
+            (ray.data.read_parquet(
+                post_files,
+                columns=["doc_key", "tok", "tf", "dl", "seq"])
+                .map_batches(live_postings, batch_format="pandas")
+                .write_parquet(os.path.join(tmp, "data"),
+                               partition_cols=["bucket"]))
+
+        # sidecar: per-shard exact LWW at the committed watermark — a doc
+        # lives wholly in one shard, so one task per shard, no shuffle
+        tmp_docs = os.path.join(tmp, "docs")
+
+        def per_shard(batch: pa.Table) -> pa.Table:
+            fs = batch["file"].to_pylist()[0]
+            shard = int(batch["shard"][0].as_py())
+            t = pa.concat_tables(
+                [pq.read_table(f, columns=["doc_key", "dl", "seq", "alive"])
+                 for f in fs])
+            df = t.to_pandas()
+            df = df[df["seq"].to_numpy(np.int64) <= g]
+            df = (df.sort_values("seq", kind="stable")
+                    .drop_duplicates("doc_key", keep="last"))
+            df = df[df["alive"]].reset_index(drop=True)
+            if len(df):
+                d = os.path.join(tmp_docs, f"shard={shard}")
+                os.makedirs(d, exist_ok=True)
+                final = os.path.join(d, "base.parquet")
+                ftmp = final + f".tmp.{os.getpid()}"
+                pq.write_table(
+                    pa.Table.from_pandas(df, preserve_index=False), ftmp)
+                os.replace(ftmp, final)
+            return pa.table({
+                "n": pa.array([len(df)], pa.int64()),
+                "tok": pa.array([int(df["dl"].sum())], pa.int64())})
+
+        shard_files: dict[str, list[str]] = {}
+        for f in _glob.glob(os.path.join(
+                self.index_dir, "docs", "shard=*", "*.parquet")):
+            shard_files.setdefault(os.path.dirname(f), []).append(f)
+        n_docs = total_tokens = 0
+        if shard_files:
+            res = (ray.data.from_items(
+                       [{"file": fs,
+                         "shard": int(d.rsplit("=", 1)[1])}
+                        for d, fs in shard_files.items()])
+                   .map_batches(per_shard, batch_format="pyarrow",
+                                batch_size=1)
+                   .take_all())
+            n_docs = int(sum(r["n"] for r in res))
+            total_tokens = int(sum(r["tok"] for r in res))
+
+        drifted = (n_docs != int(self.meta["n_docs"])
+                   or total_tokens != int(self.meta["total_tokens"]))
+        meta = dict(self.meta, n_docs=n_docs, total_tokens=total_tokens)
+        with open(os.path.join(tmp, "meta.json"), "w") as fh:
+            json.dump(meta, fh)
+        with open(os.path.join(tmp, "overlay.json"), "w") as fh:
+            json.dump({}, fh)
+        cleared = len(self.overlay)
+        _idx_swap_in(self.index_dir, tmp)
+        self.meta = meta
+        self.overlay = {}
+        return {"n_docs": n_docs, "total_tokens": total_tokens,
+                "watermark": g, "overlay_cleared": cleared,
+                "counters_drifted": drifted}
+
     def _commit_meta(self, overlay: dict | None = None, **updates) -> None:
         meta = dict(self.meta, **{k: int(v) for k, v in updates.items()})
         mp = os.path.join(self.index_dir, "meta.json")

@@ -122,6 +122,100 @@ def test_refresh_noop_and_crash_rerun_idempotent(half_built):
     assert idx.meta["watermark"] == meta1["watermark"]
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_compact_equals_rebuild(half_built, tmp_path):
+    """build → refresh → COMPACT must equal a fresh rebuild for term
+    lookup AND BM25 (counters recomputed exactly), with the overlay
+    cleared and every refresh-generation file physically gone."""
+    import glob
+
+    log_dir, lake, idx, meta = half_built
+    run_replication(log_dir, lake, num_partitions=8, history=True)
+    idx.refresh(lake)
+    assert idx.overlay
+    stats = idx.compact()
+    assert stats["overlay_cleared"] > 0
+    assert not stats["counters_drifted"]
+    assert idx.overlay == {}
+    assert not glob.glob(
+        os.path.join(idx.index_dir, "*", "*", "refresh-*.parquet"))
+
+    rebuilt = LakeTextIndex.build(lake, str(tmp_path / "idx_rb3"))
+    assert idx.meta["n_docs"] == rebuilt.meta["n_docs"]
+    assert idx.meta["total_tokens"] == rebuilt.meta["total_tokens"]
+    assert idx.meta["watermark"] == rebuilt.meta["watermark"]
+    for terms in TERMS:
+        for mode in ("and", "or"):
+            assert _res(idx.lookup(terms, mode=mode)) == \
+                _res(rebuilt.lookup(terms, mode=mode)), (terms, mode)
+    got = _res(idx.lookup_bm25(["def", "src"], mode="or"), "score_micros")
+    want = _res(rebuilt.lookup_bm25(["def", "src"], mode="or"),
+                "score_micros")
+    assert got == want and got
+
+    # refresh after compact is a no-op at the same watermark and the
+    # compacted sidecar still answers the superseded-state read
+    s = idx.refresh(lake)
+    assert s["changed"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compact_sweeps_crashed_refresh(half_built, tmp_path):
+    """A refresh that crashed before its meta commit leaves fenced
+    files at the TARGET watermark; compact at the committed watermark
+    must sweep them (seq fence), restoring exactly the committed state
+    — then a re-run refresh converges to the rebuild."""
+    log_dir, lake, idx, meta = half_built
+    committed = _res(idx.lookup(["def"], mode="or"))
+    run_replication(log_dir, lake, num_partitions=8, history=True)
+    meta0 = dict(idx.meta)
+    overlay0 = dict(idx.overlay)
+    idx.refresh(lake)  # full refresh ...
+    idx._commit_meta(overlay=overlay0, **{  # ... then roll back = crash
+        k: meta0[k] for k in ("watermark", "n_docs", "total_tokens")})
+    stats = idx.compact()
+    assert not stats["counters_drifted"]
+    assert _res(idx.lookup(["def"], mode="or")) == committed
+
+    s = idx.refresh(lake)
+    assert s["changed"] > 0
+    rebuilt = LakeTextIndex.build(lake, str(tmp_path / "idx_rb4"))
+    assert idx.meta["n_docs"] == rebuilt.meta["n_docs"]
+    assert idx.meta["total_tokens"] == rebuilt.meta["total_tokens"]
+    assert _res(idx.lookup(["def"], mode="or")) == \
+        _res(rebuilt.lookup(["def"], mode="or"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compact_then_refresh(half_built, tmp_path):
+    """Compact between build and refresh (no overlay yet): the compacted
+    base sidecar must still serve the superseded-state read the next
+    refresh needs, and the CLI verb wraps the same call."""
+    import json
+    import subprocess
+    import sys
+
+    log_dir, lake, idx, meta = half_built
+    r = subprocess.run(
+        [sys.executable, "-m", "database_delta_plugins_ray",
+         "--num-cpus", "2", "index", "compact",
+         "--lake", lake, "--index", idx.index_dir],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["n_docs"] > 0 and not stats["counters_drifted"]
+
+    idx = LakeTextIndex(idx.index_dir)
+    run_replication(log_dir, lake, num_partitions=8, history=True)
+    s = idx.refresh(lake)
+    assert s["changed"] > 0
+    rebuilt = LakeTextIndex.build(lake, str(tmp_path / "idx_rb5"))
+    got = _res(idx.lookup_bm25(["def", "src"], mode="or"), "score_micros")
+    want = _res(rebuilt.lookup_bm25(["def", "src"], mode="or"),
+                "score_micros")
+    assert got == want and got
+
+
 def test_vector_search_lake_matches_brute(ray_session):
     """The CDC-refreshed vector index's top-10 must equal brute-force
     cosine over a ONE-SHOT replay's final-state embeddings — only true
