@@ -32,6 +32,7 @@ _GATE_PREFIX = [
     "cdc_from_debezium_postgres", "cdc_from_debezium_postgres_resume",
     "cdc_from_debezium_mongo", "cdc_from_debezium_mongo_resume",
     "cdc_jsonl_tail_follow", "cdc_from_debezium_oracle",
+    "cdc_wire_relay_roundtrip",
     "cdc_bootstrap_from_parquet", "cdc_toast_carry_forward",
     "cdc_resume_equivalence", "cdc_full_lifecycle", "cdc_all_datatypes",
     "cdc_snapshot_ddl_sequence", "cdc_time_travel", "cdc_changefeed",

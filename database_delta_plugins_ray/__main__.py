@@ -216,6 +216,26 @@ def main(argv: list[str] | None = None) -> int:
                      help="BM25 ranking instead of tf sums")
     pix.add_argument("--limit", type=int, default=20)
 
+    prl = sub.add_parser(
+        "relay", help="publish the lake as a Debezium JSONL feed (the "
+                      "CDC outbox): 'snapshot' emits DDL prefix + op='r' "
+                      "row envelopes at a watermark; 'changes' emits the "
+                      "c/u/d change feed between two retained versions")
+    prl.add_argument("action", choices=["snapshot", "changes"])
+    prl.add_argument("--lake", required=True)
+    prl.add_argument("--out", required=True, help="feed directory")
+    prl.add_argument("--as-of", type=int, default=None,
+                     help="snapshot watermark (default: current)")
+    prl.add_argument("--positions", choices=["preserve", "shared"],
+                     default="preserve",
+                     help="snapshot positions: true per-row winning "
+                          "positions, or the ONE shared snapshot offset "
+                          "(reference semantics)")
+    prl.add_argument("--from-lsn", type=int, default=None,
+                     help="change feed start version (changes)")
+    prl.add_argument("--to-lsn", type=int, default=None,
+                     help="change feed end version (default: current)")
+
     pvx = sub.add_parser(
         "vecindex", help="vector index over the lake's content "
                          "embeddings: build at the current watermark, "
@@ -501,6 +521,23 @@ def main(argv: list[str] | None = None) -> int:
                   else idx.lookup(terms, mode=a.mode, k=a.limit))
             for r in ds.take(a.limit):
                 print(json.dumps(r))
+        import ray
+
+        ray.shutdown()
+        return 0
+
+    if a.cmd == "relay":
+        _ray_init(a.num_cpus)
+        from .stages.relay import relay_changes_jsonl, relay_snapshot_jsonl
+
+        if a.action == "snapshot":
+            print(json.dumps(relay_snapshot_jsonl(
+                a.lake, a.out, as_of_lsn=a.as_of, positions=a.positions)))
+        else:
+            if a.from_lsn is None:
+                raise SystemExit("changes needs --from-lsn")
+            print(json.dumps(relay_changes_jsonl(
+                a.lake, a.out, a.from_lsn, to_lsn=a.to_lsn)))
         import ray
 
         ray.shutdown()

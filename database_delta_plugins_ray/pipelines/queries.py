@@ -204,6 +204,41 @@ def cdc_search_lake_compacted(sf_dir: str):
                .map_batches(split_key, batch_format="pandas"))
 
 
+def cdc_wire_relay_roundtrip(sf_dir: str):
+    """Lake → Debezium-wire RELAY round trip (the CDC outbox /
+    downstream-feed direction — the engine reads five public Debezium
+    wire shapes; ``stages/relay.py`` writes one): replicate the log into
+    a source lake in two history legs, publish snapshot-at-half +
+    changes half→end as Debezium JSONL envelopes, then ingest that feed
+    back through the engine's OWN wire reader into a FRESH lake — whose
+    final state must equal the source's (same oracle as
+    cdc_final_state). Passing requires the relay's registry-derived DDL
+    prefix, the shared snapshot offset, true winning positions on
+    c/u envelopes and horizon-positioned deletes to compose exactly
+    under the consumer's replay fences."""
+    import json
+    from glob import glob
+
+    from ..sources.debezium_json import jsonl_to_segments
+    from ..stages.relay import relay_changes_jsonl, relay_snapshot_jsonl
+
+    log = ensure_log(sf_dir)
+    with open(os.path.join(log, "meta.json")) as fh:
+        half = json.load(fh)["max_lsn"] // 2
+    src = fresh_lake(sf_dir, "lake_relay_src")
+    run_replication(log, src, num_partitions=16, upto_lsn=half,
+                    history=True)
+    run_replication(log, src, num_partitions=16, history=True)
+    wire = fresh_lake(sf_dir, "lake_relay_wire")
+    relay_snapshot_jsonl(src, wire, as_of_lsn=half)
+    relay_changes_jsonl(src, wire, half)
+    seg = fresh_lake(sf_dir, "lake_relay_seg")
+    jsonl_to_segments(sorted(glob(os.path.join(wire, "*.jsonl"))), seg)
+    dst = fresh_lake(sf_dir, "lake_relay_dst")
+    run_replication(seg, dst, num_partitions=8)
+    return final_state(dst, columns=FINAL_COLS)
+
+
 def _content_vecs(contents) -> "np.ndarray":
     """Deterministic 16-dim unit embedding of a content string (md5
     bytes, centered, normalized) — the stand-in for a real embedding
@@ -1561,6 +1596,7 @@ FROM dd WHERE rn2 = 1
         "cdc_full_lifecycle": final_sql,
         "cdc_search_lake_content": search_sql,
         "cdc_search_lake_compacted": search_sql,
+        "cdc_wire_relay_roundtrip": final_sql,
         "cdc_commit_lookup": commit_sql,
         "cdc_export_incremental": final_sql,
         "cdc_repo_skew_report": skew_sql,
@@ -2083,6 +2119,7 @@ CDC_QUERIES = {
     "cdc_full_lifecycle": cdc_full_lifecycle,
     "cdc_search_lake_content": cdc_search_lake_content,
     "cdc_search_lake_compacted": cdc_search_lake_compacted,
+    "cdc_wire_relay_roundtrip": cdc_wire_relay_roundtrip,
     "cdc_vector_search_lake": cdc_vector_search_lake,
     "cdc_commit_lookup": cdc_commit_lookup,
     "cdc_export_incremental": cdc_export_incremental,

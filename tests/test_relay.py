@@ -1,0 +1,153 @@
+"""Lake → Debezium-wire relay (stages/relay.py): publish a replicated
+lake as a Debezium JSONL feed and prove a consumer of that feed — this
+engine's own wire reader — reconstructs the source exactly.
+
+Gold gate: snapshot-at-half + changes half→end, ingested into a FRESH
+lake, equals the source's final state INCLUDING per-key positions
+(positions='preserve'); the reference-semantics 'shared' snapshot mode
+equals on content with positions restarted at the snapshot offset."""
+
+import glob
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from database_delta_plugins_ray.pipelines.replicate import (
+    final_state,
+    run_replication,
+)
+from database_delta_plugins_ray.sources.debezium_json import (
+    jsonl_to_segments,
+)
+from database_delta_plugins_ray.stages.relay import (
+    relay_changes_jsonl,
+    relay_snapshot_jsonl,
+)
+
+COLS = ["table", "repo", "path", "commit", "language", "stars",
+        "content_sha", "_sequence_num"]
+
+
+def _frame(lake, cols=COLS):
+    df = final_state(lake, columns=cols).to_pandas()
+    return (df.sort_values(["table", "repo", "path"])
+              .reset_index(drop=True))
+
+
+@pytest.fixture()
+def relayed(ray_session, small_log, tmp_path):
+    log_dir, _, meta = small_log
+    src = str(tmp_path / "src")
+    half = meta["max_lsn"] // 2
+    run_replication(log_dir, src, num_partitions=8, history=True,
+                    upto_lsn=half)
+    run_replication(log_dir, src, num_partitions=8, history=True)
+    return log_dir, src, half
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_roundtrip_preserve_positions(relayed, tmp_path):
+    log_dir, src, half = relayed
+    wire = str(tmp_path / "wire")
+    s = relay_snapshot_jsonl(src, wire, as_of_lsn=half)
+    c = relay_changes_jsonl(src, wire, half)
+    assert s["events"] > 0 and c["events"] > 0
+    assert c["created"] >= 0 and c["deleted"] > 0 and c["updated"] > 0
+
+    seg = str(tmp_path / "seg")
+    jsonl_to_segments(sorted(glob.glob(os.path.join(wire, "*.jsonl"))), seg)
+    dst = str(tmp_path / "dst")
+    run_replication(seg, dst, num_partitions=4)
+    # bit-exact INCLUDING each key's winning position and derived sha
+    pd.testing.assert_frame_equal(_frame(src), _frame(dst))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_roundtrip_shared_snapshot_offset(relayed, tmp_path):
+    """Reference snapshot semantics: every snapshot row at the ONE
+    watermark position (SURVEY §2.7) — content round-trips exactly;
+    positions of snapshot-era keys restart at the watermark."""
+    log_dir, src, half = relayed
+    wire = str(tmp_path / "wire")
+    relay_snapshot_jsonl(src, wire, as_of_lsn=half, positions="shared")
+    relay_changes_jsonl(src, wire, half)
+    for f in glob.glob(os.path.join(wire, "snap-*.jsonl")):
+        with open(f) as fh:
+            for line in fh:
+                assert json.loads(line)["payload"]["source"]["pos"] == half
+
+    seg = str(tmp_path / "seg")
+    jsonl_to_segments(sorted(glob.glob(os.path.join(wire, "*.jsonl"))), seg)
+    dst = str(tmp_path / "dst")
+    run_replication(seg, dst, num_partitions=4)
+    cols = [c for c in COLS if c != "_sequence_num"]
+    pd.testing.assert_frame_equal(_frame(src, cols), _frame(dst, cols))
+    got = _frame(dst)
+    assert (got["_sequence_num"] >= half).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_relay_idempotent_and_deletes_fenced(relayed, tmp_path):
+    """Deterministic content-keyed names: a re-run overwrites its own
+    files (same set, no duplicates); deleted keys never surface
+    downstream even though their tombstones ride at the horizon."""
+    log_dir, src, half = relayed
+    wire = str(tmp_path / "wire")
+    relay_snapshot_jsonl(src, wire, as_of_lsn=half)
+    c1 = relay_changes_jsonl(src, wire, half)
+    files1 = sorted(os.listdir(wire))
+    relay_snapshot_jsonl(src, wire, as_of_lsn=half)
+    c2 = relay_changes_jsonl(src, wire, half)
+    assert sorted(os.listdir(wire)) == files1
+    assert c1["files"] == c2["files"] and c1["events"] == c2["events"]
+
+    seg = str(tmp_path / "seg")
+    jsonl_to_segments(sorted(glob.glob(os.path.join(wire, "*.jsonl"))), seg)
+    dst = str(tmp_path / "dst")
+    run_replication(seg, dst, num_partitions=4)
+    src_keys = set(map(tuple, _frame(src)[["repo", "path"]].to_numpy()))
+    dst_keys = set(map(tuple, _frame(dst)[["repo", "path"]].to_numpy()))
+    assert src_keys == dst_keys
+    # the change feed really carried deletes of snapshot-era keys
+    snap_keys = set(map(tuple, final_state(
+        src, columns=["repo", "path"],
+        as_of_lsn=half).to_pandas().to_numpy()))
+    assert snap_keys - src_keys, "fixture deleted no snapshot-era key"
+    assert not (snap_keys - src_keys) & dst_keys
+
+
+def test_cli_relay_verbs(ray_session, small_log, tmp_path):
+    """CLI wraps both relay halves; the emitted feed is consumable."""
+    import subprocess
+    import sys
+
+    log_dir, _, meta = small_log
+    src = str(tmp_path / "src")
+    half = meta["max_lsn"] // 2
+    run_replication(log_dir, src, num_partitions=8, history=True,
+                    upto_lsn=half)
+    run_replication(log_dir, src, num_partitions=8, history=True)
+    wire = str(tmp_path / "wire")
+
+    def cli(*args):
+        r = subprocess.run(
+            [sys.executable, "-m", "database_delta_plugins_ray",
+             "--num-cpus", "2", "relay", *args],
+            capture_output=True, text=True, timeout=600)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    s = cli("snapshot", "--lake", src, "--out", wire,
+            "--as-of", str(half))
+    assert s["events"] > 0 and s["watermark"] == half
+    c = cli("changes", "--lake", src, "--out", wire,
+            "--from-lsn", str(half))
+    assert c["events"] > 0 and c["from_lsn"] == half
+
+    seg = str(tmp_path / "seg")
+    jsonl_to_segments(sorted(glob.glob(os.path.join(wire, "*.jsonl"))), seg)
+    dst = str(tmp_path / "dst")
+    run_replication(seg, dst, num_partitions=4)
+    pd.testing.assert_frame_equal(_frame(src), _frame(dst))
