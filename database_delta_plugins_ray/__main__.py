@@ -108,6 +108,11 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--export-shards", type=int, default=16,
                     help="shard count for --export-incremental "
                          "(first call fixes it; later calls must match)")
+    pr.add_argument("--relay-out", default=None,
+                    help="(follow) Debezium JSONL feed dir kept current "
+                         "after every applying poll: first poll publishes "
+                         "a snapshot, later polls relay the change feed "
+                         "(requires --history)")
 
     pstop = sub.add_parser(
         "stop", help="gracefully stop a follow loop on this lake")
@@ -221,7 +226,7 @@ def main(argv: list[str] | None = None) -> int:
                       "CDC outbox): 'snapshot' emits DDL prefix + op='r' "
                       "row envelopes at a watermark; 'changes' emits the "
                       "c/u/d change feed between two retained versions")
-    prl.add_argument("action", choices=["snapshot", "changes"])
+    prl.add_argument("action", choices=["snapshot", "changes", "continue"])
     prl.add_argument("--lake", required=True)
     prl.add_argument("--out", required=True, help="feed directory")
     prl.add_argument("--as-of", type=int, default=None,
@@ -311,7 +316,8 @@ def main(argv: list[str] | None = None) -> int:
         # (the help text already says "requires --history")
         for flag, val in (("--refresh-index", a.refresh_index),
                           ("--refresh-vecindex", a.refresh_vecindex),
-                          ("--export-incremental", a.export_incremental)):
+                          ("--export-incremental", a.export_incremental),
+                          ("--relay-out", a.relay_out)):
             if val and not a.history:
                 p.error(f"{flag} requires --history (the change feed "
                         "needs retained versions to surface deletes)")
@@ -373,6 +379,10 @@ def main(argv: list[str] | None = None) -> int:
                     lambda lk: export_lake_incremental(
                         lk, a.export_incremental,
                         nshards=a.export_shards))
+            if a.relay_out:
+                from .stages.relay import relay_continue
+
+                hooks.append(lambda lk: relay_continue(lk, a.relay_out))
             pre = None
             if a.jsonl:
                 from .sources.debezium_json import tail_jsonl_segments
@@ -533,6 +543,11 @@ def main(argv: list[str] | None = None) -> int:
         if a.action == "snapshot":
             print(json.dumps(relay_snapshot_jsonl(
                 a.lake, a.out, as_of_lsn=a.as_of, positions=a.positions)))
+        elif a.action == "continue":
+            from .stages.relay import relay_continue
+
+            print(json.dumps(relay_continue(
+                a.lake, a.out, positions=a.positions)))
         else:
             if a.from_lsn is None:
                 raise SystemExit("changes needs --from-lsn")

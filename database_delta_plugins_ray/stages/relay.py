@@ -168,7 +168,12 @@ def _after_image(row: dict, plan: list) -> dict:
     return out
 
 
-def _load_registry(lake_dir: str):
+def _load_registry(lake_dir: str, upto_lsn: int | None = None):
+    """Registry replayed from the lake's persisted DDL history —
+    optionally only up to a watermark (``upto_lsn``), so a snapshot
+    relay at v0 declares the schema the v0 rows actually have, and the
+    changes leg forwards the DDLs between v0 and v1 at their true
+    positions (the consumer replays the same evolution the source saw)."""
     from ..state import checkpoint as ckpt
     from ..state.ddl import Registry
 
@@ -178,16 +183,38 @@ def _load_registry(lake_dir: str):
         raise FileNotFoundError(
             f"{hist} missing — the relay derives its CREATE DDL from the "
             "lake's persisted schema registry")
-    return Registry.load(hist)
+    reg = Registry.load(hist)
+    if upto_lsn is None:
+        return reg
+    cut = Registry()
+    for rec in reg.history:
+        if rec["lsn"] <= upto_lsn:
+            cut.apply(rec["lsn"], rec["op"], rec["table"],
+                      rec["prev_table"], rec["payload"])
+    return cut
+
+
+def _sanitize_ddl_payload(payload: str) -> str:
+    """Strip value-converter specs from a relayed DDL record: the lake
+    stores CONVERTED values, so the consumer must not re-apply the
+    source's raw-encoding converters to them."""
+    doc = json.loads(payload) if payload else {}
+    if "columns" in doc:
+        doc["columns"] = [list(c[:2]) for c in doc["columns"]]
+    doc.pop("converter", None)
+    return json.dumps(doc)
 
 
 def _ddl_prefix_lines(lake_dir: str, snapshot_lsn: int) -> list[str]:
     """CREATE_DATABASE + CREATE_TABLE envelopes from the lake's registry
-    (final post-evolution schemas), at positions 1..n below the snapshot
-    offset — the golden snapshot prefix a fresh consumer replays."""
+    AS OF the snapshot watermark, at positions 1..n below the snapshot
+    offset — the golden snapshot prefix a fresh consumer replays. DDLs
+    past the watermark are NOT folded in: the changes leg forwards them
+    at their true positions, so the consumer replays the same schema
+    evolution the source saw."""
     from ..model import DDL_CREATE_DATABASE, DDL_CREATE_TABLE
 
-    reg = _load_registry(lake_dir)
+    reg = _load_registry(lake_dir, upto_lsn=snapshot_lsn)
     for tname, ts in reg.tables.items():
         extra = [c for c, _ in ts.columns if c not in _WIRE_FIELDS]
         if extra:
@@ -216,7 +243,7 @@ def _ddl_prefix_lines(lake_dir: str, snapshot_lsn: int) -> list[str]:
                            "snapshot": False, "schema_version": 0},
                 "ts_ms": lsn,
                 "ddl": {"op": op, "table": tbl, "prev_table": "",
-                        "payload": payload},
+                        "payload": _sanitize_ddl_payload(payload)},
             }}))
     if lsn >= snapshot_lsn:
         raise ValueError(
@@ -250,6 +277,13 @@ def relay_snapshot_jsonl(lake_dir: str, out_dir: str, *,
     if positions not in ("preserve", "shared"):
         raise ValueError("positions must be 'preserve' or 'shared'")
     os.makedirs(out_dir, exist_ok=True)
+    # sweep a crashed earlier attempt's files first: Ray's block
+    # batching may differ between runs, so its content-keyed names
+    # might not collide with this run's (the jsonl_to_segments rule);
+    # duplicate envelopes would be LWW-harmless downstream, but the
+    # feed stays exactly one snapshot
+    for f in _glob.glob(os.path.join(out_dir, "snap-*.jsonl")):
+        os.remove(f)
     g0 = int(as_of_lsn if as_of_lsn is not None
              else ckpt.read_global_watermark(lake_dir))
     ddl = _ddl_prefix_lines(lake_dir, g0)
@@ -261,7 +295,8 @@ def relay_snapshot_jsonl(lake_dir: str, out_dir: str, *,
     os.replace(tmp, dpath)
 
     ds = final_state(lake_dir, as_of_lsn=g0)
-    plans = _coalesce_plans(_load_registry(lake_dir))
+    # images in the schema AS OF the watermark — matching the DDL prefix
+    plans = _coalesce_plans(_load_registry(lake_dir, upto_lsn=g0))
     shared = positions == "shared"
 
     def write(tbl: pa.Table) -> pa.Table:
@@ -296,6 +331,45 @@ def relay_snapshot_jsonl(lake_dir: str, out_dir: str, *,
     return out
 
 
+def relayed_upto(out_dir: str) -> int | None:
+    """Highest lake version the feed has published (None: no feed yet).
+    Taken from the relay manifest, which commits AFTER the envelope
+    files — a crash in between re-relays the same deterministic files."""
+    mp = os.path.join(out_dir, _META)
+    if not os.path.exists(mp):
+        return None
+    with open(mp) as fh:
+        meta = json.load(fh)
+    hi = None
+    for v in meta.values():
+        w = v.get("to_lsn", v.get("watermark"))
+        if w is not None:
+            hi = int(w) if hi is None else max(hi, int(w))
+    return hi
+
+
+def relay_continue(lake_dir: str, out_dir: str, *,
+                   positions: str = "preserve") -> dict:
+    """Bring the wire feed current with the lake — the follow-mode hook
+    (``replicate --follow --relay-out``, the continuous CDC outbox):
+    the FIRST call publishes a full snapshot at the lake's current
+    watermark; every later call relays the change feed from the last
+    published version (requires ``history=True`` within retention, like
+    every derived-artifact hook); a caught-up call is a manifest-read
+    no-op. Exactly-once off the feed's own manifest: a crash between
+    the lake commit and this hook re-runs the same deterministic relay
+    on the next poll, overwriting its own files."""
+    from ..state import checkpoint as ckpt
+
+    g = int(ckpt.read_global_watermark(lake_dir))
+    last = relayed_upto(out_dir)
+    if last is None:
+        return relay_snapshot_jsonl(lake_dir, out_dir, positions=positions)
+    if g <= last:
+        return {"from_lsn": last, "to_lsn": g, "events": 0, "noop": True}
+    return relay_changes_jsonl(lake_dir, out_dir, last)
+
+
 def relay_changes_jsonl(lake_dir: str, out_dir: str, from_lsn: int, *,
                         to_lsn: int | None = None) -> dict:
     """Publish the lake's change data feed between two retained versions
@@ -306,10 +380,40 @@ def relay_changes_jsonl(lake_dir: str, out_dir: str, from_lsn: int, *,
     from ..state import checkpoint as ckpt
 
     os.makedirs(out_dir, exist_ok=True)
+    # sweep this leg's files from a crashed earlier attempt (batching
+    # may differ between runs — see relay_snapshot_jsonl)
+    for f in _glob.glob(os.path.join(out_dir,
+                                     f"diff-{from_lsn:020d}-*.jsonl")):
+        os.remove(f)
     g1 = int(to_lsn if to_lsn is not None
              else ckpt.read_global_watermark(lake_dir))
     ds = lake_diff(lake_dir, from_lsn, to_lsn)
-    plans = _coalesce_plans(_load_registry(lake_dir))
+    reg = _load_registry(lake_dir, upto_lsn=g1)
+    plans = _coalesce_plans(reg)
+    # forward the DDLs of this window at their TRUE positions (a column
+    # rename between two relay legs otherwise strands the consumer on
+    # the snapshot-era schema); converter specs are stripped — the lake
+    # already stores converted values
+    ddl_lines = []
+    for rec in reg.history:
+        if not (from_lsn < rec["lsn"] <= g1):
+            continue
+        db, name = _split_table(rec["table"])
+        ddl_lines.append(json.dumps({"payload": {
+            "source": {"db": db, "table": name, "pos": rec["lsn"],
+                       "txId": f"ddl:{rec['lsn']}", "snapshot": False,
+                       "schema_version": 0},
+            "ts_ms": rec["lsn"],
+            "ddl": {"op": rec["op"], "table": rec["table"],
+                    "prev_table": rec["prev_table"],
+                    "payload": _sanitize_ddl_payload(rec["payload"])},
+        }}))
+    if ddl_lines:
+        dpath = os.path.join(out_dir, f"diff-{from_lsn:020d}-ddl.jsonl")
+        dtmp = dpath + f".tmp.{os.getpid()}"
+        with open(dtmp, "w") as fh:
+            fh.write("\n".join(ddl_lines) + "\n")
+        os.replace(dtmp, dpath)
     # delete envelopes carry a key-only before image; the key layout is
     # manifest-declared (``table`` rides source.db/table, not the image)
     any_m = next(iter(ckpt.all_manifests(lake_dir).values()))
@@ -350,11 +454,15 @@ def relay_changes_jsonl(lake_dir: str, out_dir: str, from_lsn: int, *,
             schema=stats)
 
     res = ds.map_batches(write, batch_format="pyarrow").take_all()
+    files = sorted(r["file"] for r in res)
+    if ddl_lines:
+        files.append(f"diff-{from_lsn:020d}-ddl.jsonl")
     out = {"from_lsn": int(from_lsn), "to_lsn": g1,
            "events": int(sum(r["n"] for r in res)),
            "created": int(sum(r["c"] for r in res)),
            "updated": int(sum(r["u"] for r in res)),
            "deleted": int(sum(r["d"] for r in res)),
-           "files": sorted(r["file"] for r in res)}
+           "ddl_events": len(ddl_lines),
+           "files": files}
     _update_manifest(out_dir, f"changes-{from_lsn}-{g1}", out)
     return out

@@ -118,6 +118,87 @@ def test_relay_idempotent_and_deletes_fenced(relayed, tmp_path):
     assert not (snap_keys - src_keys) & dst_keys
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_relay_continue_lifecycle(small_log, tmp_path):
+    """The follow-mode hook: first call snapshots, later calls relay the
+    change feed, caught-up calls no-op, and a crash between the envelope
+    writes and the manifest commit re-runs idempotently."""
+    from database_delta_plugins_ray.stages.relay import (
+        relay_continue,
+        relayed_upto,
+    )
+
+    log_dir, _, meta = small_log
+    src = str(tmp_path / "src")
+    wire = str(tmp_path / "wire")
+    half = meta["max_lsn"] // 2
+    run_replication(log_dir, src, num_partitions=8, history=True,
+                    upto_lsn=half)
+    s1 = relay_continue(src, wire)
+    assert s1["watermark"] == half and s1["events"] > 0  # snapshot leg
+    manifest_after_snap = open(os.path.join(wire, "relay.json")).read()
+
+    run_replication(log_dir, src, num_partitions=8, history=True)
+    s2 = relay_continue(src, wire)
+    assert s2["from_lsn"] == half and s2["events"] > 0  # changes leg
+    s3 = relay_continue(src, wire)
+    assert s3.get("noop") and s3["events"] == 0  # caught up
+    assert relayed_upto(wire) == meta["max_lsn"]
+
+    # crash between the change-feed files and the manifest commit:
+    # roll the manifest back and re-run — same files, same feed
+    files = sorted(os.listdir(wire))
+    with open(os.path.join(wire, "relay.json"), "w") as fh:
+        fh.write(manifest_after_snap)
+    s4 = relay_continue(src, wire)
+    assert s4["files"] == s2["files"] and sorted(os.listdir(wire)) == files
+
+    seg = str(tmp_path / "seg")
+    jsonl_to_segments(sorted(glob.glob(os.path.join(wire, "*.jsonl"))), seg)
+    dst = str(tmp_path / "dst")
+    run_replication(seg, dst, num_partitions=4)
+    pd.testing.assert_frame_equal(_frame(src), _frame(dst))
+
+
+def test_follow_relay_out_cli(ray_session, small_log, tmp_path):
+    """replicate --follow --relay-out keeps the downstream wire feed
+    current across a growing log AND across follow restarts."""
+    import shutil
+    import subprocess
+    import sys
+
+    log_dir, _, meta = small_log
+    feed_log = str(tmp_path / "feed_log")
+    src = str(tmp_path / "src")
+    wire = str(tmp_path / "wire")
+    os.makedirs(feed_log)
+    segs = sorted(f for f in os.listdir(log_dir) if f.startswith("seg-"))
+    for f in segs[:2]:
+        shutil.copy(os.path.join(log_dir, f), os.path.join(feed_log, f))
+
+    def follow():
+        r = subprocess.run(
+            [sys.executable, "-m", "database_delta_plugins_ray",
+             "--num-cpus", "2", "replicate", "--log", feed_log,
+             "--lake", src, "--partitions", "8", "--history", "--follow",
+             "--idle-stop", "2", "--poll-interval", "0.2",
+             "--relay-out", wire],
+            capture_output=True, text=True, timeout=600)
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    follow()
+    assert os.path.exists(os.path.join(wire, "relay.json"))
+    for f in segs[2:]:
+        shutil.copy(os.path.join(log_dir, f), os.path.join(feed_log, f))
+    follow()
+
+    seg = str(tmp_path / "seg")
+    jsonl_to_segments(sorted(glob.glob(os.path.join(wire, "*.jsonl"))), seg)
+    dst = str(tmp_path / "dst")
+    run_replication(seg, dst, num_partitions=4)
+    pd.testing.assert_frame_equal(_frame(src), _frame(dst))
+
+
 def test_cli_relay_verbs(ray_session, small_log, tmp_path):
     """CLI wraps both relay halves; the emitted feed is consumable."""
     import subprocess
