@@ -236,6 +236,12 @@ def main(argv: list[str] | None = None) -> int:
                      help="snapshot positions: true per-row winning "
                           "positions, or the ONE shared snapshot offset "
                           "(reference semantics)")
+    prl.add_argument("--dialect", default="native",
+                     choices=["native", "mysql", "sqlserver", "postgres",
+                              "mongo", "oracle"],
+                     help="source-position shape on the wire (the five "
+                          "public Debezium families, through the same "
+                          "offset bridges the reader uses)")
     prl.add_argument("--from-lsn", type=int, default=None,
                      help="change feed start version (changes)")
     prl.add_argument("--to-lsn", type=int, default=None,
@@ -542,17 +548,19 @@ def main(argv: list[str] | None = None) -> int:
 
         if a.action == "snapshot":
             print(json.dumps(relay_snapshot_jsonl(
-                a.lake, a.out, as_of_lsn=a.as_of, positions=a.positions)))
+                a.lake, a.out, as_of_lsn=a.as_of, positions=a.positions,
+                dialect=a.dialect)))
         elif a.action == "continue":
             from .stages.relay import relay_continue
 
             print(json.dumps(relay_continue(
-                a.lake, a.out, positions=a.positions)))
+                a.lake, a.out, positions=a.positions, dialect=a.dialect)))
         else:
             if a.from_lsn is None:
                 raise SystemExit("changes needs --from-lsn")
             print(json.dumps(relay_changes_jsonl(
-                a.lake, a.out, a.from_lsn, to_lsn=a.to_lsn)))
+                a.lake, a.out, a.from_lsn, to_lsn=a.to_lsn,
+                dialect=a.dialect)))
         import ray
 
         ray.shutdown()

@@ -128,16 +128,68 @@ def _wire_cast(tbl: pa.Table) -> pa.Table:
     return tbl
 
 
+#: deterministic server uuid for relayed MySQL-shaped gtids (the same
+#: role as debezium_json._FIXTURE_SERVER_UUID — identity only)
+_RELAY_SERVER_UUID = "8c3f12aa-41b2-4c09-9e77-0d5a6b7c8d9e"
+
+DIALECTS = ("native", "mysql", "sqlserver", "postgres", "mongo", "oracle")
+
+
+def _source_block(dialect: str, *, db: str, name: str, pos: int,
+                  tx_id: str, snapshot: bool) -> dict:
+    """The envelope ``source`` block in one of the five public Debezium
+    position shapes the engine's own reader accepts (plus the native
+    integer ``pos``), through the same offset bridges the reader uses —
+    so a relayed feed in any dialect round-trips bit-exactly."""
+    from ..state.offsets import Lsn, MongoTs, MySqlOffset, OracleScn, PgLsn
+
+    if dialect == "native":
+        return {"db": db, "table": name, "pos": pos, "txId": tx_id,
+                "snapshot": snapshot, "schema_version": 0}
+    if dialect == "mysql":
+        off = MySqlOffset.from_int(pos)
+        return {"db": db, "table": name, "file": off.file, "pos": off.pos,
+                "row": 0, "event": 0,
+                # gtid embeds the relayed tx token so tx identity — not
+                # just final state — survives the dialect (the reader's
+                # GTID-preferred tx synthesis picks it up verbatim)
+                "gtid": f"{_RELAY_SERVER_UUID}:{tx_id}",
+                "snapshot": snapshot, "schema_version": 0}
+    if dialect == "sqlserver":
+        lsn = str(Lsn.from_int(pos))
+        return {"db": db, "table": name, "change_lsn": lsn,
+                "commit_lsn": lsn, "txId": tx_id, "snapshot": snapshot,
+                "snapshot_completed": not snapshot, "schema_version": 0}
+    if dialect == "postgres":
+        p = str(PgLsn.from_int(pos))
+        return {"db": "postgres", "schema": db, "table": name,
+                "sequence": json.dumps([p, p]), "txId": tx_id,
+                "snapshot": snapshot, "schema_version": 0}
+    if dialect == "mongo":
+        mts = MongoTs.from_int(pos)
+        return {"rs": "rs0", "db": db, "collection": name,
+                "sec": mts.sec, "ord": mts.ord,
+                "lsid": hashlib.md5(tx_id.encode()).hexdigest(),
+                "txnNumber": 1, "snapshot": snapshot,
+                "schema_version": 0}
+    if dialect == "oracle":
+        scn = str(OracleScn.from_int(pos))
+        return {"db": "ORCLPDB1", "schema": db, "table": name,
+                "scn": scn, "commit_scn": scn, "txId": tx_id,
+                "snapshot": snapshot, "schema_version": 0}
+    raise ValueError(f"dialect must be one of {DIALECTS}")
+
+
 def _row_env(*, op: str, pos: int, table: str, tx_id: str, ts_ms: int,
              snapshot: bool, after: dict | None,
-             before: dict | None = None) -> str:
+             before: dict | None = None, dialect: str = "native") -> str:
     db, name = _split_table(table)
     env = {
         "op": op,
         "before": before,
         "after": after,
-        "source": {"db": db, "table": name, "pos": pos, "txId": tx_id,
-                   "snapshot": snapshot, "schema_version": 0},
+        "source": _source_block(dialect, db=db, name=name, pos=pos,
+                                tx_id=tx_id, snapshot=snapshot),
         "ts_ms": ts_ms,
     }
     return json.dumps({"payload": env}, default=str)
@@ -205,7 +257,22 @@ def _sanitize_ddl_payload(payload: str) -> str:
     return json.dumps(doc)
 
 
-def _ddl_prefix_lines(lake_dir: str, snapshot_lsn: int) -> list[str]:
+def _ddl_env(rec: dict, dialect: str) -> str:
+    """One DDL envelope from a registry-history record, at its position."""
+    db, name = _split_table(rec["table"])
+    return json.dumps({"payload": {
+        "source": _source_block(dialect, db=db, name=name,
+                                pos=rec["lsn"], tx_id=f"ddl:{rec['lsn']}",
+                                snapshot=False),
+        "ts_ms": rec["lsn"],
+        "ddl": {"op": rec["op"], "table": rec["table"],
+                "prev_table": rec.get("prev_table", ""),
+                "payload": _sanitize_ddl_payload(rec["payload"])},
+    }})
+
+
+def _ddl_prefix_lines(lake_dir: str, snapshot_lsn: int,
+                      dialect: str = "native") -> list[str]:
     """CREATE_DATABASE + CREATE_TABLE envelopes from the lake's registry
     AS OF the snapshot watermark, at positions 1..n below the snapshot
     offset — the golden snapshot prefix a fresh consumer replays. DDLs
@@ -236,15 +303,9 @@ def _ddl_prefix_lines(lake_dir: str, snapshot_lsn: int) -> list[str]:
                      "primary_key": list(ts.primary_key)}))]:
             seen_dbs.add(db)
             lsn += 1
-            ddl_db, ddl_name = _split_table(tbl)
-            lines.append(json.dumps({"payload": {
-                "source": {"db": ddl_db or db, "table": ddl_name,
-                           "pos": lsn, "txId": f"ddl:{lsn}",
-                           "snapshot": False, "schema_version": 0},
-                "ts_ms": lsn,
-                "ddl": {"op": op, "table": tbl, "prev_table": "",
-                        "payload": _sanitize_ddl_payload(payload)},
-            }}))
+            lines.append(_ddl_env(
+                {"lsn": lsn, "op": op, "table": tbl, "prev_table": "",
+                 "payload": payload}, dialect))
     if lsn >= snapshot_lsn:
         raise ValueError(
             f"snapshot watermark {snapshot_lsn} leaves no room below it "
@@ -254,7 +315,8 @@ def _ddl_prefix_lines(lake_dir: str, snapshot_lsn: int) -> list[str]:
 
 def relay_snapshot_jsonl(lake_dir: str, out_dir: str, *,
                          as_of_lsn: int | None = None,
-                         positions: str = "preserve") -> dict:
+                         positions: str = "preserve",
+                         dialect: str = "native") -> dict:
     """Publish the lake's live rows as a Debezium snapshot feed: DDL
     prefix (driver-written, tiny) + ``op='r'`` row envelopes, written by
     distributed per-block tasks.
@@ -276,6 +338,8 @@ def relay_snapshot_jsonl(lake_dir: str, out_dir: str, *,
 
     if positions not in ("preserve", "shared"):
         raise ValueError("positions must be 'preserve' or 'shared'")
+    if dialect not in DIALECTS:
+        raise ValueError(f"dialect must be one of {DIALECTS}")
     os.makedirs(out_dir, exist_ok=True)
     # sweep a crashed earlier attempt's files first: Ray's block
     # batching may differ between runs, so its content-keyed names
@@ -286,7 +350,7 @@ def relay_snapshot_jsonl(lake_dir: str, out_dir: str, *,
         os.remove(f)
     g0 = int(as_of_lsn if as_of_lsn is not None
              else ckpt.read_global_watermark(lake_dir))
-    ddl = _ddl_prefix_lines(lake_dir, g0)
+    ddl = _ddl_prefix_lines(lake_dir, g0, dialect)
     n_ddl = len(ddl)
     dpath = os.path.join(out_dir, "00000000-ddl.jsonl")
     tmp = dpath + f".tmp.{os.getpid()}"
@@ -317,7 +381,7 @@ def relay_snapshot_jsonl(lake_dir: str, out_dir: str, *,
             lines.append(_row_env(
                 op="r", pos=pos, table=row["table"],
                 tx_id=str(row[ROW_ID]), ts_ms=_ts_ms(row[SOURCE_TIMESTAMP]),
-                snapshot=True,
+                snapshot=True, dialect=dialect,
                 after=_after_image(row, plans[row["table"]])))
         fname = _write_jsonl(out_dir, "snap", lines)
         return pa.table({"file": [fname], "n": [len(lines)]}, schema=stats)
@@ -326,7 +390,8 @@ def relay_snapshot_jsonl(lake_dir: str, out_dir: str, *,
                          zero_copy_batch=True).take_all()
     n = int(sum(r["n"] for r in res))
     out = {"watermark": g0, "events": n, "ddl_events": n_ddl,
-           "positions": positions, "files": sorted(r["file"] for r in res)}
+           "positions": positions, "dialect": dialect,
+           "files": sorted(r["file"] for r in res)}
     _update_manifest(out_dir, "snapshot", out)
     return out
 
@@ -349,7 +414,8 @@ def relayed_upto(out_dir: str) -> int | None:
 
 
 def relay_continue(lake_dir: str, out_dir: str, *,
-                   positions: str = "preserve") -> dict:
+                   positions: str = "preserve",
+                   dialect: str = "native") -> dict:
     """Bring the wire feed current with the lake — the follow-mode hook
     (``replicate --follow --relay-out``, the continuous CDC outbox):
     the FIRST call publishes a full snapshot at the lake's current
@@ -364,14 +430,16 @@ def relay_continue(lake_dir: str, out_dir: str, *,
     g = int(ckpt.read_global_watermark(lake_dir))
     last = relayed_upto(out_dir)
     if last is None:
-        return relay_snapshot_jsonl(lake_dir, out_dir, positions=positions)
+        return relay_snapshot_jsonl(lake_dir, out_dir, positions=positions,
+                                    dialect=dialect)
     if g <= last:
         return {"from_lsn": last, "to_lsn": g, "events": 0, "noop": True}
-    return relay_changes_jsonl(lake_dir, out_dir, last)
+    return relay_changes_jsonl(lake_dir, out_dir, last, dialect=dialect)
 
 
 def relay_changes_jsonl(lake_dir: str, out_dir: str, from_lsn: int, *,
-                        to_lsn: int | None = None) -> dict:
+                        to_lsn: int | None = None,
+                        dialect: str = "native") -> dict:
     """Publish the lake's change data feed between two retained versions
     as ``c``/``u``/``d`` Debezium envelopes (requires ``history=True``
     within the retention horizon). See module docstring for position
