@@ -236,12 +236,14 @@ def main(argv: list[str] | None = None) -> int:
                      help="snapshot positions: true per-row winning "
                           "positions, or the ONE shared snapshot offset "
                           "(reference semantics)")
-    prl.add_argument("--dialect", default="native",
+    prl.add_argument("--dialect", default=None,
                      choices=["native", "mysql", "sqlserver", "postgres",
                               "mongo", "oracle"],
                      help="source-position shape on the wire (the five "
                           "public Debezium families, through the same "
-                          "offset bridges the reader uses)")
+                          "offset bridges the reader uses); 'continue' "
+                          "inherits the feed's established dialect when "
+                          "omitted")
     prl.add_argument("--from-lsn", type=int, default=None,
                      help="change feed start version (changes)")
     prl.add_argument("--to-lsn", type=int, default=None,
@@ -549,7 +551,7 @@ def main(argv: list[str] | None = None) -> int:
         if a.action == "snapshot":
             print(json.dumps(relay_snapshot_jsonl(
                 a.lake, a.out, as_of_lsn=a.as_of, positions=a.positions,
-                dialect=a.dialect)))
+                dialect=a.dialect or "native")))
         elif a.action == "continue":
             from .stages.relay import relay_continue
 
@@ -560,7 +562,7 @@ def main(argv: list[str] | None = None) -> int:
                 raise SystemExit("changes needs --from-lsn")
             print(json.dumps(relay_changes_jsonl(
                 a.lake, a.out, a.from_lsn, to_lsn=a.to_lsn,
-                dialect=a.dialect)))
+                dialect=a.dialect or "native")))
         import ray
 
         ray.shutdown()

@@ -415,7 +415,7 @@ def relayed_upto(out_dir: str) -> int | None:
 
 def relay_continue(lake_dir: str, out_dir: str, *,
                    positions: str = "preserve",
-                   dialect: str = "native") -> dict:
+                   dialect: str | None = None) -> dict:
     """Bring the wire feed current with the lake — the follow-mode hook
     (``replicate --follow --relay-out``, the continuous CDC outbox):
     the FIRST call publishes a full snapshot at the lake's current
@@ -424,8 +424,24 @@ def relay_continue(lake_dir: str, out_dir: str, *,
     every derived-artifact hook); a caught-up call is a manifest-read
     no-op. Exactly-once off the feed's own manifest: a crash between
     the lake commit and this hook re-runs the same deterministic relay
-    on the next poll, overwriting its own files."""
+    on the next poll, overwriting its own files.
+
+    ``dialect=None`` (default) inherits the feed's OWN dialect from its
+    manifest — one feed speaks one position family; pass a dialect only
+    on the first call (or to assert the established one)."""
     from ..state import checkpoint as ckpt
+
+    established = None
+    mp = os.path.join(out_dir, _META)
+    if os.path.exists(mp):
+        with open(mp) as fh:
+            established = json.load(fh).get("snapshot", {}).get("dialect")
+    if dialect is None:
+        dialect = established or "native"
+    elif established and dialect != established:
+        raise ValueError(
+            f"feed {out_dir} was established in dialect {established!r}; "
+            f"refusing to mix in {dialect!r}")
 
     g = int(ckpt.read_global_watermark(lake_dir))
     last = relayed_upto(out_dir)
@@ -447,6 +463,8 @@ def relay_changes_jsonl(lake_dir: str, out_dir: str, from_lsn: int, *,
     from ..pipelines.replicate import lake_diff
     from ..state import checkpoint as ckpt
 
+    if dialect not in DIALECTS:
+        raise ValueError(f"dialect must be one of {DIALECTS}")
     os.makedirs(out_dir, exist_ok=True)
     # sweep this leg's files from a crashed earlier attempt (batching
     # may differ between runs — see relay_snapshot_jsonl)
@@ -462,20 +480,8 @@ def relay_changes_jsonl(lake_dir: str, out_dir: str, from_lsn: int, *,
     # rename between two relay legs otherwise strands the consumer on
     # the snapshot-era schema); converter specs are stripped — the lake
     # already stores converted values
-    ddl_lines = []
-    for rec in reg.history:
-        if not (from_lsn < rec["lsn"] <= g1):
-            continue
-        db, name = _split_table(rec["table"])
-        ddl_lines.append(json.dumps({"payload": {
-            "source": {"db": db, "table": name, "pos": rec["lsn"],
-                       "txId": f"ddl:{rec['lsn']}", "snapshot": False,
-                       "schema_version": 0},
-            "ts_ms": rec["lsn"],
-            "ddl": {"op": rec["op"], "table": rec["table"],
-                    "prev_table": rec["prev_table"],
-                    "payload": _sanitize_ddl_payload(rec["payload"])},
-        }}))
+    ddl_lines = [_ddl_env(rec, dialect) for rec in reg.history
+                 if from_lsn < rec["lsn"] <= g1]
     if ddl_lines:
         dpath = os.path.join(out_dir, f"diff-{from_lsn:020d}-ddl.jsonl")
         dtmp = dpath + f".tmp.{os.getpid()}"
@@ -507,13 +513,14 @@ def relay_changes_jsonl(lake_dir: str, out_dir: str, from_lsn: int, *,
                     op="d", pos=g1, table=row["table"],
                     tx_id=("relay:d:"
                            + hashlib.md5(key.encode()).hexdigest()[:16]),
-                    ts_ms=0, snapshot=False, after=None,
+                    ts_ms=0, snapshot=False, after=None, dialect=dialect,
                     before={k: row[k] for k in keys}))
             else:
                 lines.append(_row_env(
                     op=op, pos=int(row[SEQUENCE_NUM]),
                     table=row["table"], tx_id=str(row[ROW_ID]),
                     ts_ms=_ts_ms(row[SOURCE_TIMESTAMP]), snapshot=False,
+                    dialect=dialect,
                     after=_after_image(row, plans[row["table"]])))
         fname = _write_jsonl(out_dir, f"diff-{from_lsn:020d}", lines)
         return pa.table(

@@ -227,6 +227,69 @@ def test_follow_relay_out_cli(ray_session, small_log, tmp_path):
     pd.testing.assert_frame_equal(_frame(src), _frame(dst))
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_relay_continue_inherits_dialect(small_log, tmp_path):
+    """One feed speaks one position family: continue inherits the
+    established dialect from the manifest and refuses a mixed one."""
+    from database_delta_plugins_ray.stages.relay import relay_continue
+
+    log_dir, _, meta = small_log
+    src = str(tmp_path / "src")
+    wire = str(tmp_path / "wire")
+    half = meta["max_lsn"] // 2
+    run_replication(log_dir, src, num_partitions=8, history=True,
+                    upto_lsn=half)
+    relay_snapshot_jsonl(src, wire, as_of_lsn=half, dialect="mysql")
+    run_replication(log_dir, src, num_partitions=8, history=True)
+    with pytest.raises(ValueError, match="dialect"):
+        relay_continue(src, wire, dialect="native")
+    relay_continue(src, wire)  # inherits mysql
+    diff_file = sorted(f for f in os.listdir(wire)
+                       if f.startswith("diff-") and "ddl" not in f)[0]
+    with open(os.path.join(wire, diff_file)) as fh:
+        srcblk = json.loads(fh.readline())["payload"]["source"]
+    assert "file" in srcblk and "gtid" in srcblk
+
+    seg = str(tmp_path / "seg")
+    jsonl_to_segments(sorted(glob.glob(os.path.join(wire, "*.jsonl"))), seg)
+    dst = str(tmp_path / "dst")
+    run_replication(seg, dst, num_partitions=4)
+    pd.testing.assert_frame_equal(_frame(src), _frame(dst))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_roundtrip_property_random_logs(tmp_path):
+    """Property: for arbitrary generated logs (keys, churn, seed), the
+    snapshot+changes relay re-ingested into a fresh lake equals the
+    source bit-exactly — run over a seed sweep (a hypothesis @given
+    around multi-second Ray pipelines would blow every deadline, so the
+    sweep is explicit and deterministic)."""
+    from database_delta_plugins_ray.sources.gen import (
+        GenConfig,
+        generate_log,
+    )
+
+    for i, (seed, nk, ne) in enumerate(
+            [(7, 80, 500), (1234, 40, 900), (999, 150, 700)]):
+        log = str(tmp_path / f"log{i}")
+        src = str(tmp_path / f"src{i}")
+        wire = str(tmp_path / f"wire{i}")
+        seg = str(tmp_path / f"seg{i}")
+        dst = str(tmp_path / f"dst{i}")
+        meta = generate_log(log, GenConfig(
+            n_keys=nk, n_events=ne, n_repos=5, seed=seed, n_segments=3))
+        half = meta["max_lsn"] // 2
+        run_replication(log, src, num_partitions=4, history=True,
+                        upto_lsn=half)
+        run_replication(log, src, num_partitions=4, history=True)
+        relay_snapshot_jsonl(src, wire, as_of_lsn=half)
+        relay_changes_jsonl(src, wire, half)
+        jsonl_to_segments(
+            sorted(glob.glob(os.path.join(wire, "*.jsonl"))), seg)
+        run_replication(seg, dst, num_partitions=4)
+        pd.testing.assert_frame_equal(_frame(src), _frame(dst)), (seed, nk)
+
+
 def test_cli_relay_verbs(ray_session, small_log, tmp_path):
     """CLI wraps both relay halves; the emitted feed is consumable."""
     import subprocess
