@@ -246,6 +246,32 @@ def run_bench() -> dict:
     maintain_view(log_dir, view_dir, num_partitions=32)
     timings["ivm_incremental_noop"] = time.time() - t0
 
+    # lake → Debezium wire relay (the CDC outbox encoder path): history
+    # lake built once OUTSIDE the timed section; timed = snapshot leg at
+    # half + change-feed leg half→end, min-of-2 into fresh feed dirs
+    import json as _json
+
+    from database_delta_plugins_ray.stages.relay import (
+        relay_changes_jsonl,
+        relay_snapshot_jsonl,
+    )
+
+    relay_lake = fresh_lake(SF_DIR, "bench_relay_lake")
+    with open(os.path.join(log, "meta.json")) as fh:
+        half = _json.load(fh)["max_lsn"] // 2
+    run_replication(log, relay_lake, num_partitions=max(32, NUM_CPUS * 2),
+                    history=True, upto_lsn=half)
+    run_replication(log, relay_lake, num_partitions=max(32, NUM_CPUS * 2),
+                    history=True)
+    best = float("inf")
+    for rep in range(2):
+        wire = fresh_lake(SF_DIR, f"bench_relay_wire_{rep}")
+        t0 = time.time()
+        relay_snapshot_jsonl(relay_lake, wire, as_of_lsn=half)
+        relay_changes_jsonl(relay_lake, wire, half)
+        best = min(best, time.time() - t0)
+    timings["cdc_wire_relay"] = best
+
     ray.shutdown()
     return {
         "metric": "cdc_replay_sec",
