@@ -67,6 +67,7 @@ _GATE_PREFIX = [
     "dedup_passages_documents", "dedup_incremental_documents",
     "dedup_semantic_embeddings", "dedup_substring_documents",
     "dedup_crawl_loop_documents",
+    "dedup_cross_corpus_documents",
     "decontaminate_documents", "decontaminate_semantic_embeddings",
     # similarity / clustering
     "ann_topk_cosine", "ann_topk_ivf", "ann_topk_pq",
@@ -75,6 +76,7 @@ _GATE_PREFIX = [
     # text analysis / tokenizer training
     "lang_id_documents", "quality_scores_documents",
     "quality_classifier_documents", "bpe_train_documents",
+    "unigram_train_documents",
     "tfidf_top_terms_documents", "corpus_report_documents",
     # sampling / packing
     "sample_documents_deterministic", "split_documents_train_val_test",

@@ -5870,6 +5870,16 @@ JOIN nation ON s_nationkey = n_nationkey
 ORDER BY s_suppkey
 """
 
+ANALYTICS_ORACLE_SQL["dedup_cross_corpus_documents"] = """
+SELECT b.doc_id, b.lang, b.source
+FROM documents b
+WHERE b.source NOT IN ('src0','src1','src2','src3','src4')
+  AND NOT EXISTS (
+    SELECT 1 FROM documents a
+    WHERE a.source IN ('src0','src1','src2','src3','src4')
+      AND md5(a.text) = md5(b.text))
+"""
+
 
 BPE_MERGES = 40
 
@@ -5981,6 +5991,109 @@ def export_documents_tokens(sf_dir: str, seq_tokens: int = 256,
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("bucket").reset_index(drop=True)
+
+
+UNIGRAM_VOCAB = 96
+
+
+def unigram_train_documents(sf_dir: str):
+    """Distributed unigram-LM tokenizer training (Kudo 2018,
+    arXiv:1804.10959; SentencePiece, Kudo & Richardson 2018 — the
+    other major subword family beside BPE): distinct-word histogram
+    fold → distributed substring seeding → EM rounds whose E-step runs
+    as map_batches over the vocabulary-bounded histogram with
+    fixed-point int64 expected counts (exact fold — bit-identical at
+    any parallelism) → driver M-step + deterministic prune toward the
+    target vocabulary (stages/unigram.py). Returns the final
+    ``(piece, q_count)`` vocabulary. Iterative EM has no SQL shape, so
+    rows-only for the driver; pytest gates bit-parity vs an
+    independent single-process reference, a planted corpus, chars-
+    never-pruned, and parallelism invariance (tests/test_unigram.py)."""
+    from ..stages.unigram import train_unigram
+
+    ds = _t(sf_dir, "documents", ["text"])
+    v = train_unigram(ds, vocab_size=UNIGRAM_VOCAB, max_piece_len=6)
+    return pa.table({"piece": pa.array(v["piece"].tolist(), pa.string()),
+                     "q_count": pa.array(v["q_count"].tolist(), pa.int64())})
+
+
+def unigram_corpus_compression(sf_dir: str):
+    """Corpus compression under the trained unigram-LM tokenizer:
+    train the piece vocabulary (see unigram_train_documents),
+    broadcast it once via ``ray.put``, then one map_batches pass
+    Viterbi-encodes each batch (memoized per DISTINCT word) and folds
+    per-language integer partials ``(lang, n_docs, total_words,
+    total_pieces, total_chars)``. All-int aggregates of a
+    deterministic encode → bit-stable at any parallelism; rows-only
+    (depends on the trained vocabulary, no SQL shape); pytest gates
+    the encode against the module's own Viterbi on the driver and the
+    totals against a single-process pass (tests/test_unigram.py)."""
+    import ray
+
+    from ..stages.unigram import train_unigram
+
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+    vocab = train_unigram(_t(sf_dir, "documents", ["text"]),
+                          vocab_size=UNIGRAM_VOCAB, max_piece_len=6)
+    vocab_ref = ray.put(vocab)
+
+    uc_schema = pa.schema([
+        ("lang", pa.string()), ("n_docs", pa.int64()),
+        ("total_words", pa.int64()), ("total_pieces", pa.int64()),
+        ("total_chars", pa.int64())])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        from ..stages.unigram import unigram_encode_stats
+
+        if df.empty:  # one pinned Arrow schema for every block
+            return uc_schema.empty_table()
+        v = ray.get(vocab_ref)
+        st = unigram_encode_stats(df["text"].reset_index(drop=True), v)
+        st["lang"] = df["lang"].to_numpy()
+        g = st.groupby("lang", as_index=False).agg(
+            n_docs=("n_words", "size"),
+            total_words=("n_words", "sum"),
+            total_pieces=("n_pieces", "sum"),
+            total_chars=("n_chars", "sum"))
+        return pa.Table.from_pandas(
+            g, preserve_index=False).cast(uc_schema)
+
+    # tiny fan-in (batches × langs rows): driver fold, like the BPE one
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = (parts.groupby("lang", as_index=False)
+           [["n_docs", "total_words", "total_pieces", "total_chars"]]
+           .sum())
+    for c in agg.columns[1:]:
+        agg[c] = agg[c].astype("int64")
+    return agg.sort_values("lang").reset_index(drop=True)
+
+
+#: the KEPT corpus for the cross-corpus dedup demo: sources src0..src4
+_BLOOM_KEPT_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+
+def dedup_cross_corpus_documents(sf_dir: str):
+    """Cross-corpus Bloom dedup (stages/bloom.py — the CCNet /
+    RefinedWeb crawl-vs-kept pattern): documents from sources
+    src0..src4 are the KEPT corpus A, the rest the NEW corpus B; drop
+    every B row whose exact text content appears in A. Neither corpus
+    rides a shuffle: A folds into one broadcast Bloom filter, B rows
+    with any unset probe bit pass inside their own scan task, and only
+    Bloom-positive candidates enter the (candidate-bounded) exact
+    verify exchange — so the result is EXACT and SQL-oracled."""
+    from ..stages.bloom import cross_corpus_dedup
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    kept = list(_BLOOM_KEPT_SOURCES)
+
+    def split(t: pa.Table, want_kept: bool) -> pa.Table:
+        m = pc.is_in(t["source"], value_set=pa.array(kept))
+        return t.filter(m if want_kept else pc.invert(m))
+
+    ds_a = ds.map_batches(lambda t: split(t, True), batch_format="pyarrow")
+    ds_b = ds.map_batches(lambda t: split(t, False), batch_format="pyarrow")
+    out = cross_corpus_dedup(ds_b, ds_a, col="text")
+    return out.select_columns(["doc_id", "lang", "source"])
 
 
 SUBSTR_N = 20
@@ -6259,6 +6372,9 @@ ANALYTICS_QUERIES = {
     "export_documents_tokens": export_documents_tokens,
     "dedup_substring_documents": dedup_substring_documents,
     "dsir_sample_documents": dsir_sample_documents,
+    "unigram_train_documents": unigram_train_documents,
+    "unigram_corpus_compression": unigram_corpus_compression,
+    "dedup_cross_corpus_documents": dedup_cross_corpus_documents,
 }
 
 #: subset timed by bench.py at sf0.1
