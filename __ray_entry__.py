@@ -76,7 +76,7 @@ _GATE_PREFIX = [
     # text analysis / tokenizer training
     "lang_id_documents", "quality_scores_documents",
     "quality_classifier_documents", "bpe_train_documents",
-    "unigram_train_documents",
+    "unigram_train_documents", "kn_bigram_surprise_documents",
     "tfidf_top_terms_documents", "corpus_report_documents",
     # sampling / packing
     "sample_documents_deterministic", "split_documents_train_val_test",

@@ -5880,6 +5880,59 @@ WHERE b.source NOT IN ('src0','src1','src2','src3','src4')
       AND md5(a.text) = md5(b.text))
 """
 
+ANALYTICS_ORACLE_SQL["kn_bigram_surprise_documents"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+  FROM documents
+), flat AS (
+  SELECT doc_id, unnest(ts) AS tok FROM toks
+), counts AS (
+  SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM flat GROUP BY tok
+), vocab AS (
+  SELECT tok FROM counts
+  QUALIFY row_number() OVER (ORDER BY df DESC, tok) <= 1000
+), pairs_raw AS (
+  SELECT t.doc_id, t.ts[g.i] AS r1, t.ts[g.i + 1] AS r2
+  FROM toks t,
+       LATERAL (SELECT unnest(generate_series(
+                  1, greatest(len(t.ts) - 1, 0))) AS i) g
+), pairs AS (
+  SELECT p.doc_id,
+         coalesce(v1.tok, '<unk>') AS w1,
+         coalesce(v2.tok, '<unk>') AS w2
+  FROM pairs_raw p
+  LEFT JOIN vocab v1 ON v1.tok = p.r1
+  LEFT JOIN vocab v2 ON v2.tok = p.r2
+), big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY w1, w2
+), lefts AS (
+  SELECT w1, CAST(sum(c) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS n1p
+  FROM big GROUP BY w1
+), rights AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS nc FROM big GROUP BY w2
+), tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM big),
+stab AS (
+  -- term-for-term the engine's numpy expression over identical doubles
+  SELECT b.w1, b.w2,
+         CAST(floor(ln((greatest(CAST(b.c AS DOUBLE) - 0.75, 0)
+                        + (0.75 * l.n1p)
+                          * (CAST(r.nc AS DOUBLE) / CAST(tt.t AS DOUBLE)))
+                       / CAST(l.c1 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS s
+  FROM big b JOIN lefts l USING (w1) JOIN rights r USING (w2), tt
+), perdoc AS (
+  SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(-sum(st.s) AS BIGINT) AS kn_surprise_sum_micros
+  FROM pairs p JOIN stab st USING (w1, w2) GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(pd.kn_surprise_sum_micros, 0) AS BIGINT)
+         AS kn_surprise_sum_micros
+FROM documents d LEFT JOIN perdoc pd USING (doc_id)
+"""
+
 
 BPE_MERGES = 40
 
@@ -6066,6 +6119,99 @@ def unigram_corpus_compression(sf_dir: str):
     for c in agg.columns[1:]:
         agg[c] = agg[c].astype("int64")
     return agg.sort_values("lang").reset_index(drop=True)
+
+
+_BG_SEP = "\x1f"  # cannot occur inside a [a-z0-9_]+ token
+_BG_UNK = "<unk>"
+
+
+def kn_bigram_surprise_documents(sf_dir: str, vocab_cap: int = 1000):
+    """Kneser–Ney-smoothed bigram LM surprise per document (Kneser &
+    Ney 1995; Chen & Goodman 1999 "An empirical study of smoothing
+    techniques for language modeling") — the perplexity-quality-filter
+    shape CCNet runs with KenLM (Wenzek et al. 2020, arXiv:1911.00359),
+    here with an exactly computable model so the gate is hash-exact.
+
+    Model: tokens outside the top-``vocab_cap`` vocabulary (df-desc,
+    tok tiebreak — the shared ``_vocab_tf_df`` rule) pool into
+    ``<unk>``; absolute discount d = 0.75 with the continuation-count
+    backoff  p(w2|w1) = (max(c12−d,0) + d·N1+(w1·)·(N1+(·w2)/T)) / c1.
+    Trained and scored on the same corpus, so every scored bigram has a
+    trained probability (no unseen-pair backoff needed).
+
+    Exactness under distribution: bigram counts fold EXACTLY (per-batch
+    ``value_counts`` partials over within-doc adjacent pairs → one
+    bigram groupby, bounded by distinct mapped bigram types ≤
+    (V+1)², never corpus positions); the KN expression is evaluated on
+    both engines term-for-term over identical doubles-from-ints, and
+    each bigram's log-prob quantizes to integer micros BEFORE the
+    per-document sum — which is then pure int64 arithmetic, immune to
+    summation order. Two corpus scans + vocabulary-bounded state on
+    the driver; the score table broadcasts once via ``ray.put``."""
+    import ray
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    vocab = _vocab_tf_df(ds, vocab_cap)
+    vs_ref = ray.put(set(vocab["tok"]))
+
+    def _doc_bigrams(texts: pd.Series):
+        from ..functions.text import _flat_lower_tokens
+
+        flat, di, _ = _flat_lower_tokens(texts)
+        if len(flat) < 2:
+            return (np.empty(0, object), np.empty(0, np.int64))
+        vs = ray.get(vs_ref)
+        mapped = np.where(pd.Series(flat).isin(vs).to_numpy(),
+                          flat, _BG_UNK)
+        same = di[:-1] == di[1:]
+        bg = (pd.Series(mapped[:-1][same]) + _BG_SEP
+              + pd.Series(mapped[1:][same])).to_numpy(dtype=object)
+        return bg, di[:-1][same]
+
+    def bigram_partial(df: pd.DataFrame) -> pd.DataFrame:
+        bg, _ = _doc_bigrams(df["text"].reset_index(drop=True))
+        if not len(bg):
+            return pd.DataFrame({"bg": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype=np.int64)})
+        vc = pd.Series(bg).value_counts()
+        return pd.DataFrame({"bg": vc.index.to_numpy(dtype=object),
+                             "c": vc.to_numpy(np.int64)})
+
+    big = (ds.map_batches(bigram_partial, batch_format="pandas")
+           .groupby("bg").aggregate(Sum("c", alias_name="c"))
+           .to_pandas())
+    parts = big["bg"].str.partition(_BG_SEP)
+    big["w1"], big["w2"] = parts[0], parts[2]
+    lefts = big.groupby("w1")["c"].agg(["sum", "size"])
+    rights = big.groupby("w2").size()
+    t_types = float(len(big))
+    c12 = big["c"].to_numpy(np.float64)
+    c1 = lefts["sum"].reindex(big["w1"]).to_numpy(np.float64)
+    n1p = lefts["size"].reindex(big["w1"]).to_numpy(np.float64)
+    nc = rights.reindex(big["w2"]).to_numpy(np.float64)
+    # term-for-term the SQL oracle's expression (left-assoc products)
+    p = (np.maximum(c12 - 0.75, 0.0)
+         + (0.75 * n1p) * (nc / t_types)) / c1
+    s = np.floor(np.log(p) * 1e6 + 0.5).astype(np.int64)
+    sc_ref = ray.put(dict(zip(big["bg"], s)))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        sc = ray.get(sc_ref)
+        bg, owner = _doc_bigrams(df["text"].reset_index(drop=True))
+        n = len(df)
+        acc = np.zeros(n, dtype=np.int64)
+        cnt = np.zeros(n, dtype=np.int64)
+        if len(bg):
+            vals = pd.Series(bg).map(sc).to_numpy(np.int64)
+            np.add.at(acc, owner, vals)
+            np.add.at(cnt, owner, 1)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_bigrams": cnt,
+            "kn_surprise_sum_micros": -acc,
+        })
+
+    return ds.map_batches(score, batch_format="pandas")
 
 
 #: the KEPT corpus for the cross-corpus dedup demo: sources src0..src4
@@ -6375,6 +6521,7 @@ ANALYTICS_QUERIES = {
     "unigram_train_documents": unigram_train_documents,
     "unigram_corpus_compression": unigram_corpus_compression,
     "dedup_cross_corpus_documents": dedup_cross_corpus_documents,
+    "kn_bigram_surprise_documents": kn_bigram_surprise_documents,
 }
 
 #: subset timed by bench.py at sf0.1
