@@ -34,6 +34,7 @@ _GATE_PREFIX = [
     "cdc_jsonl_tail_follow", "cdc_from_debezium_oracle",
     "cdc_wire_relay_roundtrip",
     "cdc_bootstrap_from_parquet", "cdc_toast_carry_forward",
+    "cdc_transformed_apply",
     "cdc_resume_equivalence", "cdc_full_lifecycle", "cdc_all_datatypes",
     "cdc_snapshot_ddl_sequence", "cdc_time_travel", "cdc_changefeed",
     "cdc_point_lookup", "cdc_search_lake_content",

@@ -71,6 +71,12 @@ def main(argv: list[str] | None = None) -> int:
                          "Debezium's TOAST placeholder "
                          "(__debezium_unavailable_value); enables "
                          "postgres carry-forward semantics")
+    pr.add_argument("--transform", action="append", default=[],
+                    metavar="COL=OP",
+                    help="apply-time column transform (Debezium-SMT "
+                         "analog), repeatable: OP is upper, lower, mask, "
+                         "mask_email, sha256 or truncate:N; applied to "
+                         "after-images before content_sha derives")
     pr.add_argument("--history", action="store_true",
                     help="retain superseded versions + delete tombstones "
                          "(the change-data-feed prerequisite for "
@@ -350,6 +356,14 @@ def main(argv: list[str] | None = None) -> int:
                   history=a.history)
         if a.toast_columns:
             kw["toast_columns"] = tuple(a.toast_columns.split(","))
+        if a.transform:
+            tf = {}
+            for spec in a.transform:
+                col, _, op = spec.partition("=")
+                if not op:
+                    raise SystemExit(f"--transform wants COL=OP: {spec!r}")
+                tf[col] = op
+            kw["transforms"] = tf
         if a.follow:
             import signal
             import threading

@@ -6541,4 +6541,7 @@ BENCH_QUERIES = {
     "dedup_substring_documents": dedup_substring_documents,
     "bpe_train_documents": bpe_train_documents,
     "dsir_sample_documents": dsir_sample_documents,
+    "unigram_train_documents": unigram_train_documents,
+    "kn_bigram_surprise_documents": kn_bigram_surprise_documents,
+    "dedup_cross_corpus_documents": dedup_cross_corpus_documents,
 }

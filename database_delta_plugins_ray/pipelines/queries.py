@@ -95,6 +95,23 @@ def cdc_final_state(sf_dir: str):
     return final_state(lake, columns=FINAL_COLS)
 
 
+def cdc_transformed_apply(sf_dir: str):
+    """Apply-time column transforms (the public Debezium SMT idea —
+    single-message transforms between source and sink): replay with
+    ``language`` uppercased and ``content`` truncated to its first 100
+    codepoints BEFORE ``content_sha`` derives, so the lake's stored
+    values and its sha bookkeeping both reflect the transformed
+    payload. Vectorized pyarrow.compute kernels inside the normalize
+    stage — no extra pass (stages/normalize.py:_compile_transform);
+    key and bookkeeping columns are transform-blocked."""
+    log = ensure_log(sf_dir)
+    lake = fresh_lake(sf_dir, "lake_smt")
+    run_replication(log, lake, num_partitions=16,
+                    transforms={"language": "upper",
+                                "content": "truncate:100"})
+    return final_state(lake, columns=FINAL_COLS)
+
+
 def cdc_resume_equivalence(sf_dir: str):
     """Replay first half, checkpoint, resume rest -> must equal one-shot
     replay (same oracle SQL as cdc_final_state; F6.1)."""
@@ -1590,6 +1607,20 @@ FROM dd WHERE rn2 = 1
 """
     return {
         "cdc_final_state": final_sql,
+        "cdc_transformed_apply": (
+            lww
+            .replace("coalesce(after.language, after.lang) AS language",
+                     "upper(coalesce(after.language, after.lang)) "
+                     "AS language")
+            .replace("sha256(after.content) AS content_sha",
+                     "sha256(substr(after.content, 1, 100)) "
+                     "AS content_sha")
+            + """
+SELECT k_repo AS repo, k_path AS path, "commit", language, stars, content_sha,
+       lsn AS _sequence_num
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+        ),
         "cdc_to_training_corpus": corpus_sql,
         "cdc_resume_equivalence": final_sql,
         "cdc_reshard_continuation": final_sql,
@@ -2112,6 +2143,7 @@ def cdc_to_packed_corpus(sf_dir: str, seq_tokens: int = 256):
 
 CDC_QUERIES = {
     "cdc_final_state": cdc_final_state,
+    "cdc_transformed_apply": cdc_transformed_apply,
     "cdc_to_packed_corpus": cdc_to_packed_corpus,
     "cdc_to_training_corpus": cdc_to_training_corpus,
     "cdc_resume_equivalence": cdc_resume_equivalence,

@@ -208,6 +208,7 @@ def run_replication(
     on_error: str = "fail",
     history: bool = False,
     toast_columns: tuple[str, ...] = (),
+    transforms: dict[str, str] | None = None,
 ) -> dict:
     """Replay the event log into the Parquet lake; returns a lineage summary.
 
@@ -393,6 +394,7 @@ def run_replication(
         on_error=on_error,
         dlq_dir=(os.path.join(lake_dir, "_dlq") if on_error == "dlq" else None),
         toast_fields=tuple(toast_columns),
+        transforms=transforms,
     )
     # Bandwidth-wall cap: this string-heavy normalize saturates a node's
     # memory bus near ~16 concurrent tasks (BASELINE.md: 8-16 CPUs beat 32

@@ -112,6 +112,39 @@ def lww_combine(tbl: pa.Table, khash: np.ndarray) -> pa.Table:
     return t.filter(pa.array(keep))
 
 
+#: apply-time column transforms (the public Debezium SMT idea — single
+#: message transforms applied between source and sink): name -> factory
+#: of a vectorized Arrow kernel. All pure pyarrow.compute, null-preserving.
+def _compile_transform(spec: str):
+    if spec == "upper":
+        return lambda a: pc.utf8_upper(a)
+    if spec == "lower":
+        return lambda a: pc.utf8_lower(a)
+    if spec == "mask":
+        return lambda a: pc.if_else(
+            pc.is_valid(a), pa.scalar("***"), pa.scalar(None, pa.string()))
+    if spec == "mask_email":
+        return lambda a: pc.replace_substring_regex(
+            a, pattern=r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+",
+            replacement="<email>")
+    if spec == "sha256":
+        def _sha(a: pa.ChunkedArray | pa.Array):
+            vals = a.to_pylist()
+            out = [None if v is None else
+                   hashlib.sha256(str(v).encode()).hexdigest()
+                   for v in vals]
+            return pa.array(out, pa.string())
+        return _sha
+    if spec.startswith("truncate:"):
+        n = int(spec.split(":", 1)[1])
+        if n < 0:
+            raise ValueError(f"truncate length must be >= 0: {spec!r}")
+        return lambda a: pc.utf8_slice_codeunits(a, 0, n)
+    raise ValueError(
+        f"unknown transform {spec!r} (upper, lower, mask, mask_email, "
+        f"sha256, truncate:N)")
+
+
 class Normalizer:
     """Callable batch transform (usable as a stateless fn via closure or as
     an actor-pool class). Holds the broadcast schema registry."""
@@ -132,6 +165,7 @@ class Normalizer:
         on_error: str = "fail",
         dlq_dir: str | None = None,
         toast_fields: tuple[str, ...] = (),
+        transforms: dict[str, str] | None = None,
     ) -> None:
         """``partition_mode`` controls the shuffle key (SURVEY.md §4 skew):
 
@@ -172,6 +206,24 @@ class Normalizer:
             raise ValueError("on_error='dlq' requires dlq_dir")
         self.on_error = on_error
         self.dlq_dir = dlq_dir
+        #: SMT-analog apply-time transforms: payload column -> kernel.
+        #: Applied to after-images BEFORE content_sha derives, so the
+        #: lake (and its sha bookkeeping) stores transformed values —
+        #: the Debezium SMT contract (transform between source and sink).
+        self.transforms: dict[str, object] = {}
+        if transforms:
+            blocked = set(self.primary_key) | {
+                "table", "op", "lsn", "tx_id", "ingest_ts", "part",
+                "content_sha"}
+            for col, spec in transforms.items():
+                if col in blocked:
+                    raise ValueError(
+                        f"cannot transform key/bookkeeping column {col!r}")
+                if col in self.toast_fields:
+                    raise ValueError(
+                        f"cannot transform TOAST carry-forward column "
+                        f"{col!r} (the sentinel must pass through intact)")
+                self.transforms[col] = _compile_transform(spec)
         if partition_mode in ("repo", "repo_salted") and len(self.primary_key) < 2:
             raise ValueError(
                 f"partition_mode {partition_mode!r} needs a composite primary "
@@ -440,6 +492,11 @@ class Normalizer:
                 part_chunks.append(part[mnp])
             out = pa.concat_tables(parts, promote_options="default")
             part = np.concatenate(part_chunks)
+
+        for col, fn in self.transforms.items():
+            if col in out.column_names:
+                i = out.column_names.index(col)
+                out = out.set_column(i, col, fn(out[col]))
 
         if self.compute_sha and "content" in out.column_names:
             content = pc.fill_null(out["content"], "").to_pylist()

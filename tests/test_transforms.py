@@ -1,0 +1,77 @@
+"""Apply-time column transform (Debezium-SMT analog) gates
+(stages/normalize.py:_compile_transform + run_replication(transforms=)).
+
+The driver gate (cdc_transformed_apply) is hash-exact vs a DuckDB
+oracle whose LWW CTE applies the same expressions; these tests add the
+pure-Python-oracle pipeline parity, the blocked-column contract, and
+kernel unit checks."""
+import hashlib
+
+import pyarrow as pa
+import pytest
+
+
+def test_pipeline_parity_with_transformed_oracle(ray_session, tmp_path):
+    from database_delta_plugins_ray.pipelines.oracle import replay
+    from database_delta_plugins_ray.pipelines.replicate import (
+        final_state, run_replication)
+    from database_delta_plugins_ray.sources.gen import (
+        GenConfig, generate_log)
+
+    log = str(tmp_path / "log")
+    lake = str(tmp_path / "lake")
+    generate_log(log, GenConfig(n_keys=200, n_events=1500, seed=11))
+    run_replication(log, lake, num_partitions=4,
+                    transforms={"language": "upper",
+                                "content": "truncate:50"})
+    got = {(r["repo"], r["path"]): r
+           for r in final_state(lake).take_all()}
+    want = replay(log)
+    assert len(got) == len(want)
+    for k, o in want.items():
+        key = (k[1], k[2]) if len(k) == 3 else k
+        g = got[key]
+        lang = o["language"]
+        assert g["language"] == (lang.upper() if lang is not None else None)
+        content = o.get("content")
+        if content is not None:
+            tc = content[:50]
+            assert g["content_sha"] == hashlib.sha256(
+                tc.encode()).hexdigest()
+        assert g["_sequence_num"] == o["_sequence_num"]
+
+
+def test_blocked_columns_raise(ray_session):
+    from database_delta_plugins_ray.state.ddl import Registry
+    from database_delta_plugins_ray.stages.normalize import Normalizer
+
+    reg = Registry()
+    for col in ("repo", "path", "lsn", "content_sha", "part"):
+        with pytest.raises(ValueError):
+            Normalizer(reg, 4, transforms={col: "upper"})
+    # TOAST carry-forward columns must pass the sentinel through intact
+    with pytest.raises(ValueError):
+        Normalizer(reg, 4, transforms={"content": "upper"},
+                   toast_fields=("content",))
+    with pytest.raises(ValueError):
+        Normalizer(reg, 4, transforms={"content": "rot13"})
+
+
+def test_transform_kernels():
+    from database_delta_plugins_ray.stages.normalize import (
+        _compile_transform)
+
+    a = pa.array(["Reach me at bob.smith+x@corp.example.com today",
+                  None, "no address here"])
+    masked = _compile_transform("mask_email")(a).to_pylist()
+    assert masked == ["Reach me at <email> today", None,
+                      "no address here"]
+
+    t = _compile_transform("truncate:3")(pa.array(["abcdef", "ab", None]))
+    assert t.to_pylist() == ["abc", "ab", None]
+
+    m = _compile_transform("mask")(pa.array(["secret", None]))
+    assert m.to_pylist() == ["***", None]
+
+    s = _compile_transform("sha256")(pa.array(["x", None]))
+    assert s.to_pylist() == [hashlib.sha256(b"x").hexdigest(), None]
