@@ -286,6 +286,12 @@ def main(argv: list[str] | None = None) -> int:
                      help="(tokens) training sequence length")
     pex.add_argument("--bpe-merges", type=int, default=200,
                      help="(tokens) BPE merges to train on the lake")
+    pex.add_argument("--tokenizer", choices=["bpe", "unigram"],
+                     default="bpe",
+                     help="(tokens) subword family: greedy-merge BPE or "
+                          "the unigram-LM (SentencePiece-style) trainer")
+    pex.add_argument("--unigram-vocab", type=int, default=256,
+                     help="(tokens) unigram piece-vocabulary size")
 
     pan = sub.add_parser(
         "analyze", help="collect per-column table statistics (rows, "
@@ -634,13 +640,23 @@ def main(argv: list[str] | None = None) -> int:
             ds = final_state(
                 a.lake, columns=["repo", "path", "content"]).materialize()
             hist = word_histogram(ds, text_col="content")
-            merges = train_bpe(hist, num_merges=a.bpe_merges)
-            vocab = build_token_vocab(hist, merges)
+            if a.tokenizer == "unigram":
+                from .stages.tokexport import build_token_vocab_spec
+                from .stages.unigram import train_unigram
+
+                uni = train_unigram(ds, text_col="content",
+                                    vocab_size=a.unigram_vocab)
+                spec = ("unigram", uni)
+                merges, vocab = None, build_token_vocab_spec(hist, spec)
+            else:
+                spec = None
+                merges = train_bpe(hist, num_merges=a.bpe_merges)
+                vocab = build_token_vocab(hist, merges)
             tag = f"lake@{ckpt.read_global_watermark(a.lake)}"
             m = export_packed_tokens(
                 ds, a.out, merges, vocab, seq_tokens=a.seq_tokens,
                 nbuckets=a.shards, key_cols=("repo", "path"),
-                text_col="content", source_tag=tag)
+                text_col="content", source_tag=tag, tokenizer=spec)
             print(json.dumps(m, default=str))
         else:
             from .pipelines.replicate import final_state

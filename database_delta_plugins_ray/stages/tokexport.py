@@ -57,6 +57,30 @@ _SPECIALS = ["<unk>", "<eod>"]
 _DTYPE = np.dtype("<u4")  # little-endian uint32: vocab up to 2^32
 
 
+def _make_segmenter(spec):
+    """``(kind, model)`` → a ``word -> tuple[str, ...]`` callable.
+    ``kind='bpe'``: model is the BPE merge table; ``kind='unigram'``:
+    the trained unigram vocabulary (``stages/unigram.py``). Built once
+    per batch from the broadcast model frame (dict build over a
+    vocabulary-bounded table — microseconds, the stateless-task-pool
+    convention)."""
+    kind, model = spec
+    if kind == "bpe":
+        from .bpe import _encode_word, _merge_ranks
+
+        ranks = _merge_ranks(model)
+        return lambda w: _encode_word(w, ranks)
+    if kind == "unigram":
+        from .unigram import _viterbi_word
+
+        pieces = model["piece"].tolist()
+        logp = model["logprob"].tolist()
+        vb = {p: i for i, p in enumerate(pieces)}
+        max_len = max((len(p) for p in pieces), default=1)
+        return lambda w: _viterbi_word(w, vb, logp, pieces, max_len)
+    raise ValueError(f"unknown tokenizer kind {kind!r} (bpe, unigram)")
+
+
 def build_token_vocab(hist: pd.DataFrame, merges: pd.DataFrame
                       ) -> pd.DataFrame:
     """Deterministic ``(token, id)`` table from a word histogram and a
@@ -64,11 +88,17 @@ def build_token_vocab(hist: pd.DataFrame, merges: pd.DataFrame
     training corpus, lexicographic order, ids from 2 (after the
     specials). The histogram is vocabulary-bounded (Zipf), so this is
     a driver-side pass over distinct words, never the corpus."""
-    from .bpe import encode_words
+    return build_token_vocab_spec(hist, ("bpe", merges))
 
+
+def build_token_vocab_spec(hist: pd.DataFrame, tokenizer) -> pd.DataFrame:
+    """``build_token_vocab`` for either tokenizer family: segment the
+    distinct histogram words with the spec'd segmenter and collect
+    every emitted subword."""
+    seg = _make_segmenter(tokenizer)
     seen: set[str] = set()
-    for syms in encode_words(hist["word"].tolist(), merges):
-        seen.update(syms)
+    for w in hist["word"]:
+        seen.update(seg(w))
     toks = _SPECIALS + sorted(seen)
     return pd.DataFrame({
         "token": pd.Series(toks, dtype=object),
@@ -76,13 +106,13 @@ def build_token_vocab(hist: pd.DataFrame, merges: pd.DataFrame
     })
 
 
-def _encode_ids(texts: pd.Series, ranks: dict, tok2id: dict
+def _encode_ids(texts: pd.Series, seg, tok2id: dict
                 ) -> tuple[np.ndarray, np.ndarray]:
     """Token-id stream of a batch: ``(ids uint32 — each doc's subwords
     followed by one EOD, per_doc_counts int64 incl. the EOD)``. One
-    encode per DISTINCT word, then a vectorized ragged gather."""
+    encode per DISTINCT word via the ``seg`` segmenter callable
+    (either tokenizer family), then a vectorized ragged gather."""
     from ..functions.text import _flat_lower_tokens
-    from .bpe import _encode_word
 
     flat, doc_idx, lens = _flat_lower_tokens(texts.reset_index(drop=True))
     n_docs = len(texts)
@@ -90,7 +120,7 @@ def _encode_ids(texts: pd.Series, ranks: dict, tok2id: dict
         ids = np.full(n_docs, EOD_ID, dtype=_DTYPE)
         return ids, np.ones(n_docs, dtype=np.int64)
     uniq, inv = np.unique(flat.astype(str), return_inverse=True)
-    enc = [np.array([tok2id.get(s, UNK_ID) for s in _encode_word(w, ranks)],
+    enc = [np.array([tok2id.get(s, UNK_ID) for s in seg(w)],
                     dtype=_DTYPE) for w in uniq]
     ulen = np.array([len(e) for e in enc], dtype=np.int64)
     uenc = np.concatenate(enc) if enc else np.empty(0, dtype=_DTYPE)
@@ -125,18 +155,28 @@ def _buckets_of(keys: np.ndarray, nbuckets: int) -> np.ndarray:
     return (md5_u64(keys) // np.uint64(width)).astype(np.int64)
 
 
-def export_packed_tokens(ds, out_dir: str, merges: pd.DataFrame,
+def export_packed_tokens(ds, out_dir: str, merges: pd.DataFrame | None,
                          vocab: pd.DataFrame, *, seq_tokens: int = 2048,
                          nbuckets: int = 64,
                          key_cols=("doc_id",), text_col: str = "text",
-                         source_tag: str = "") -> dict:
+                         source_tag: str = "",
+                         tokenizer=None) -> dict:
     """Tokenize + pack a documents Dataset into ``shard-<b>.bin`` files
     under ``out_dir``; returns (and persists) the manifest. See the
-    module docstring for the layout and scale contract."""
+    module docstring for the layout and scale contract.
+
+    ``tokenizer`` selects the subword family: ``None`` / omitted keeps
+    the BPE default (``merges`` is the model); pass
+    ``("unigram", vocab_df)`` (from ``stages.unigram.train_unigram``)
+    to pack with the unigram-LM Viterbi segmentation instead — same
+    layout, manifest and read paths."""
     import ray
     from ray.data.aggregate import Sum
 
-    from .bpe import _merge_ranks, save_merges
+    from .bpe import save_merges
+
+    spec = tokenizer if tokenizer is not None else ("bpe", merges)
+    tok_kind = spec[0]
 
     os.makedirs(out_dir, exist_ok=True)
     man_p = os.path.join(out_dir, "manifest.json")
@@ -145,7 +185,8 @@ def export_packed_tokens(ds, out_dir: str, merges: pd.DataFrame,
             m = json.load(fh)
         if (m.get("source_tag") == source_tag
                 and m.get("seq_tokens") == seq_tokens
-                and m.get("nbuckets") == nbuckets):
+                and m.get("nbuckets") == nbuckets
+                and m.get("tokenizer", "bpe") == tok_kind):
             return m
 
     # the size-based shard skip below is valid ONLY within one run
@@ -157,7 +198,7 @@ def export_packed_tokens(ds, out_dir: str, merges: pd.DataFrame,
     run_p = os.path.join(out_dir, "run.json")
     run_id = {"source_tag": source_tag, "seq_tokens": int(seq_tokens),
               "nbuckets": int(nbuckets), "key_cols": list(key_cols),
-              "text_col": text_col}
+              "text_col": text_col, "tokenizer": tok_kind}
     prev = None
     if os.path.exists(run_p):
         try:
@@ -176,19 +217,28 @@ def export_packed_tokens(ds, out_dir: str, merges: pd.DataFrame,
         os.replace(run_p + ".tmp", run_p)
 
     key_cols = list(key_cols)
-    ranks = _merge_ranks(merges)
     tok2id = dict(zip(vocab["token"], vocab["id"].astype(int)))
-    ranks_ref = ray.put(ranks)
+    spec_ref = ray.put(spec)
     tok2id_ref = ray.put(tok2id)
+
+    def _doc_token_counts(texts: pd.Series, seg) -> np.ndarray:
+        from ..functions.text import _flat_lower_tokens
+
+        flat, di, _ = _flat_lower_tokens(texts.reset_index(drop=True))
+        out = np.zeros(len(texts), dtype=np.int64)
+        if len(flat):
+            uniq, inv = np.unique(flat.astype(str), return_inverse=True)
+            per = np.fromiter((len(seg(w)) for w in uniq),
+                              dtype=np.int64, count=len(uniq))
+            np.add.at(out, di, per[inv])
+        return out
 
     # ---- pass 1: per-bucket (docs, tokens-incl-EOD) partials --------
     def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
-        from .bpe import encode_stats
-
         b = _buckets_of(_keys_of(df, key_cols), nbuckets)
-        st = encode_stats(df[text_col].reset_index(drop=True),
-                          merges)  # merges rides the closure: tiny
-        tok = st["n_subword_tokens"].to_numpy() + 1  # + EOD
+        seg = _make_segmenter(ray.get(spec_ref))
+        tok = _doc_token_counts(
+            df[text_col].reset_index(drop=True), seg) + 1  # + EOD
         nt = np.zeros(nbuckets, dtype=np.int64)
         nd = np.zeros(nbuckets, dtype=np.int64)
         np.add.at(nt, b, tok)
@@ -236,7 +286,7 @@ def export_packed_tokens(ds, out_dir: str, merges: pd.DataFrame,
         o = np.lexsort((keys, md5_u64(keys)))
         ids, _ = _encode_ids(
             g[text_col].iloc[o].reset_index(drop=True),
-            ray.get(ranks_ref), ray.get(tok2id_ref))
+            _make_segmenter(ray.get(spec_ref)), ray.get(tok2id_ref))
         assert ids.nbytes == expect, (b, ids.nbytes, expect)
         tmp = path + f".tmp.{os.getpid()}"
         with open(tmp, "wb") as fh:
@@ -261,7 +311,12 @@ def export_packed_tokens(ds, out_dir: str, merges: pd.DataFrame,
     if missing:
         raise RuntimeError(f"buckets never materialized: {missing}")
 
-    save_merges(merges, os.path.join(out_dir, "tokenizer.json"))
+    if tok_kind == "bpe":
+        save_merges(merges, os.path.join(out_dir, "tokenizer.json"))
+    else:
+        from .unigram import save_vocab
+
+        save_vocab(spec[1], os.path.join(out_dir, "tokenizer.json"))
     vp = os.path.join(out_dir, "vocab.json")
     with open(vp + ".tmp", "w") as fh:
         json.dump({"format": "tok-vocab-v1",
@@ -269,6 +324,7 @@ def export_packed_tokens(ds, out_dir: str, merges: pd.DataFrame,
     os.replace(vp + ".tmp", vp)
     manifest = {
         "format": "packed-tokens-v1", "source_tag": source_tag,
+        "tokenizer": tok_kind,
         "dtype": "uint32", "seq_tokens": int(seq_tokens),
         "nbuckets": int(nbuckets), "total_tokens": total_tokens,
         "total_docs": int(n_doc.sum()),

@@ -411,3 +411,38 @@ def unigram_encode_stats(texts: pd.Series,
         "n_pieces": n_tok,
         "n_chars": n_chars,
     })
+
+
+def save_vocab(vocab_df: pd.DataFrame, path: str) -> None:
+    """Persist a trained unigram vocabulary as a JSON artifact
+    (tmp+rename, the repo's single-writer publish contract)."""
+    import json
+    import os
+
+    obj = {"format": "unigram-vocab-v1",
+           "pieces": [[p, int(q)] for p, q in
+                      zip(vocab_df["piece"], vocab_df["q_count"])]}
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh)
+    os.replace(tmp, path)
+
+
+def load_vocab(path: str) -> pd.DataFrame:
+    """Load a unigram vocabulary artifact; logprob re-derives from the
+    stored exact integer counts (the same pure function of q used at
+    train time)."""
+    import json
+
+    with open(path) as fh:
+        obj = json.load(fh)
+    if obj.get("format") != "unigram-vocab-v1":
+        raise ValueError(f"not a unigram-vocab-v1 artifact: {path}")
+    pieces = [x[0] for x in obj["pieces"]]
+    q = [int(x[1]) for x in obj["pieces"]]
+    tot = sum(q) or 1
+    return pd.DataFrame({
+        "piece": pd.Series(pieces, dtype=object),
+        "q_count": pd.Series(q, dtype="int64"),
+        "logprob": [math.log(v / tot) if v > 0 else -1e9 for v in q],
+    })
