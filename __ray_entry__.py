@@ -73,7 +73,7 @@ _GATE_PREFIX = [
     # similarity / clustering
     "ann_topk_cosine", "ann_topk_ivf", "ann_topk_pq",
     "ann_topk_ivf_incremental", "kmeans_embeddings",
-    "pca_embeddings",
+    "pca_embeddings", "pagerank_customer_supplier",
     # text analysis / tokenizer training
     "lang_id_documents", "quality_scores_documents",
     "quality_classifier_documents", "bpe_train_documents",

@@ -6046,6 +6046,86 @@ def export_documents_tokens(sf_dir: str, seq_tokens: int = 256,
     return out.sort_values("bucket").reset_index(drop=True)
 
 
+def export_documents_tokens_unigram(sf_dir: str, seq_tokens: int = 256,
+                                    nbuckets: int = 32):
+    """The packed-token export driven by the OTHER tokenizer family:
+    train the unigram-LM piece vocabulary (stages/unigram.py), segment
+    with its Viterbi, pack the same Megatron-style uint32 shard layout
+    (stages/tokexport.py, ``tokenizer=("unigram", vocab)``). Returns
+    the manifest's per-shard summary. Rows-only (trained tokenizer has
+    no SQL shape); pytest gates byte parity vs a single-process
+    Viterbi reference and the tokenizer-switch sweep
+    (tests/test_tokexport_unigram.py)."""
+    from ..stages.bpe import word_histogram
+    from ..stages.tokexport import (build_token_vocab_spec,
+                                    export_packed_tokens)
+    from ..stages.unigram import train_unigram
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    uni = train_unigram(ds, vocab_size=UNIGRAM_VOCAB, max_piece_len=6)
+    hist = word_histogram(ds)
+    vocab = build_token_vocab_spec(hist, ("unigram", uni))
+    m = export_packed_tokens(
+        ds, _cache_dir(sf_dir, "packed_tokens_uni"), None, vocab,
+        seq_tokens=seq_tokens, nbuckets=nbuckets,
+        key_cols=("doc_id",), text_col="text",
+        tokenizer=("unigram", uni),
+        source_tag=_source_fingerprint(
+            os.path.join(sf_dir, "documents.parquet")))
+    out = pd.DataFrame(m["shards"])[
+        ["bucket", "start_token", "n_tokens", "n_docs"]]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def pagerank_customer_supplier(sf_dir: str, iters: int = 8, topk: int = 50):
+    """PageRank over the customer↔supplier trade graph (stages/graph.py
+    — fixed-point BSP message passing, bit-identical at any
+    parallelism): edges from orders ⋈ lineitem (who traded with whom),
+    deduplicated per pair, both directions so the bipartite graph is
+    strongly connected along trades. Node ids pack as
+    ``custkey·2 / suppkey·2+1`` (disjoint int64 namespaces). Returns
+    the top-``topk`` nodes by ``(rank_fp desc, node)`` with the packed
+    id split back into ``(kind, key, rank_fp)``. Rows-only (fixed-point
+    iterative algorithm, no SQL shape); pytest gates an independent
+    single-process reference, a planted star graph, parallelism
+    invariance, and mass conservation (tests/test_pagerank.py)."""
+    from ..stages.graph import pagerank
+    from ..stages.join import shuffle_hash_join
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]).map_batches(
+        lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas")
+
+    def pairs(j: pd.DataFrame) -> pd.DataFrame:
+        # per-ORDER distinct pairs: every orderkey lives wholly in one
+        # join partition, so this dedup is deterministic at any
+        # partitioning; pairs repeat per order they share — a
+        # MULTIGRAPH whose edge multiplicity weights trade intensity
+        # (no extra pair-dedup shuffle needed)
+        u = j[["o_orderkey", "o_custkey", "l_suppkey"]].drop_duplicates()
+        return pd.DataFrame({
+            "src": u["o_custkey"].to_numpy(np.int64) * 2,
+            "dst": u["l_suppkey"].to_numpy(np.int64) * 2 + 1,
+        })
+
+    fwd = shuffle_hash_join(orders, li, on="o_orderkey", post=pairs)
+    edges = fwd.union(fwd.map_batches(
+        lambda df: df.rename(columns={"src": "dst", "dst": "src"})
+        [["src", "dst"]], batch_format="pandas")).materialize()
+    ranks = pagerank(edges, iters=iters)
+    top = (ranks.sort(["rank_fp", "node"], descending=[True, False])
+           .limit(topk).to_pandas())
+    n = top["node"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "kind": np.where(n % 2 == 0, "customer", "supplier"),
+        "key": n >> np.int64(1),
+        "rank_fp": top["rank_fp"].to_numpy(np.int64),
+    })
+
+
 UNIGRAM_VOCAB = 96
 
 
@@ -6522,6 +6602,8 @@ ANALYTICS_QUERIES = {
     "unigram_corpus_compression": unigram_corpus_compression,
     "dedup_cross_corpus_documents": dedup_cross_corpus_documents,
     "kn_bigram_surprise_documents": kn_bigram_surprise_documents,
+    "export_documents_tokens_unigram": export_documents_tokens_unigram,
+    "pagerank_customer_supplier": pagerank_customer_supplier,
 }
 
 #: subset timed by bench.py at sf0.1
