@@ -6111,7 +6111,10 @@ def pagerank_customer_supplier(sf_dir: str, iters: int = 8, topk: int = 50):
             "dst": u["l_suppkey"].to_numpy(np.int64) * 2 + 1,
         })
 
-    fwd = shuffle_hash_join(orders, li, on="o_orderkey", post=pairs)
+    # materialize BEFORE the union: Ray has no common-subplan cache, so
+    # a lazy fwd would execute the orders⋈lineitem shuffle once per branch
+    fwd = shuffle_hash_join(orders, li, on="o_orderkey",
+                            post=pairs).materialize()
     edges = fwd.union(fwd.map_batches(
         lambda df: df.rename(columns={"src": "dst", "dst": "src"})
         [["src", "dst"]], batch_format="pandas")).materialize()

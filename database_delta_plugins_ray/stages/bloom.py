@@ -48,11 +48,21 @@ _NPARTS = 64
 
 
 def _md5_hex(values) -> np.ndarray:
-    """Content md5 hex per value — the EXACT identity the verify path
-    and the SQL oracle both compare on."""
+    """Content md5 hex per value, ``None`` for nulls — SQL semantics:
+    ``md5(NULL) IS NULL`` and never matches anything, so a null-content
+    row is never a duplicate (and never collides with the literal
+    string ``'None'``)."""
     return np.array(
-        [hashlib.md5(str(v).encode("utf-8", "surrogatepass")).hexdigest()
+        [None if v is None else
+         hashlib.md5(str(v).encode("utf-8", "surrogatepass")).hexdigest()
          for v in values], dtype=object)
+
+
+def _valid_md5(values) -> tuple[np.ndarray, np.ndarray]:
+    """(md5 hex of the non-null values, boolean validity mask)."""
+    md5s = _md5_hex(values)
+    mask = np.array([v is not None for v in md5s], dtype=bool)
+    return md5s[mask].astype(object), mask
 
 
 def _probe_hash(md5_hex: np.ndarray) -> np.ndarray:
@@ -83,11 +93,13 @@ def build_content_bloom(ds, *, col: str = "text", m_bits: int = 1 << 22,
     def acc_block(state: np.ndarray, block) -> np.ndarray:
         vals = (block[col].to_pylist() if hasattr(block, "to_pylist")
                 else list(block[col]))
-        if not vals:
+        md5s, mask = _valid_md5(vals)
+        if not len(md5s):
             return state
-        out = state.copy()
-        bloom_set(out, _probe_hash(_md5_hex(vals)), k)
-        return out
+        # the accumulator is partition-private: mutate in place (a
+        # per-block copy of a GB-scale filter would dominate the build)
+        bloom_set(state, _probe_hash(md5s), k)
+        return state
 
     fn = AggregateFn(
         init=lambda _key: np.zeros(nbytes, dtype=np.uint8),
@@ -123,10 +135,17 @@ def cross_corpus_dedup(ds_b, ds_a, *, col: str = "text",
         bits = ray.get(ref_a)
         if t.num_rows == 0:
             return t.append_column("_bloom_hit", pa.array([], pa.bool_()))
-        hit = bloom_contains(bits, _probe_hash(_md5_hex(t[col].to_pylist())), k)
+        md5s, mask = _valid_md5(t[col].to_pylist())
+        hit = np.zeros(t.num_rows, dtype=bool)  # null content: never a dup
+        if len(md5s):
+            hit[mask] = bloom_contains(bits, _probe_hash(md5s), k)
         return t.append_column("_bloom_hit", pa.array(hit))
 
     tagged = ds_b.map_batches(probe, batch_format="pyarrow")
+    if verify:
+        # both branches (clean + candidates) consume the probe output:
+        # materialize it once or corpus B pays the md5 pass twice
+        tagged = tagged.materialize()
     clean = (tagged.filter(expr="_bloom_hit == False")
              .drop_columns(["_bloom_hit"]))
     if not verify:
@@ -156,7 +175,9 @@ def cross_corpus_dedup(ds_b, ds_a, *, col: str = "text",
         bits = ray.get(ref_c)
         if t.num_rows == 0:
             return union_schema.empty_table()
-        md5s = _md5_hex(t[col].to_pylist())
+        md5s, _ = _valid_md5(t[col].to_pylist())  # null A rows match nothing
+        if not len(md5s):
+            return union_schema.empty_table()
         m = bloom_contains(bits, _probe_hash(md5s), k)
         md5s = pd.Series(md5s[m]).drop_duplicates().to_numpy(dtype=object)
         n = len(md5s)

@@ -215,6 +215,8 @@ class Normalizer:
             blocked = set(self.primary_key) | {
                 "table", "op", "lsn", "tx_id", "ingest_ts", "part",
                 "content_sha"}
+            known = {name for ts in registry.tables.values()
+                     for name, _typ in ts.columns}
             for col, spec in transforms.items():
                 if col in blocked:
                     raise ValueError(
@@ -223,6 +225,12 @@ class Normalizer:
                     raise ValueError(
                         f"cannot transform TOAST carry-forward column "
                         f"{col!r} (the sentinel must pass through intact)")
+                if known and col not in known:
+                    # a typo'd masking transform that silently never
+                    # fires is a PII incident, not a no-op
+                    raise ValueError(
+                        f"transform column {col!r} exists in no known "
+                        f"table schema (known: {sorted(known)})")
                 self.transforms[col] = _compile_transform(spec)
         if partition_mode in ("repo", "repo_salted") and len(self.primary_key) < 2:
             raise ValueError(

@@ -99,6 +99,10 @@ def build_token_vocab_spec(hist: pd.DataFrame, tokenizer) -> pd.DataFrame:
     seen: set[str] = set()
     for w in hist["word"]:
         seen.update(seg(w))
+    # a segmenter may emit its own '<unk>' (unigram Viterbi on a char
+    # outside the trained pieces): that's the special at id 0, never a
+    # learned token — a duplicate row would shadow UNK_ID in tok2id
+    seen.difference_update(_SPECIALS)
     toks = _SPECIALS + sorted(seen)
     return pd.DataFrame({
         "token": pd.Series(toks, dtype=object),
@@ -177,6 +181,19 @@ def export_packed_tokens(ds, out_dir: str, merges: pd.DataFrame | None,
 
     spec = tokenizer if tokenizer is not None else ("bpe", merges)
     tok_kind = spec[0]
+    # the trained MODEL is part of the run identity: re-exporting with a
+    # different vocab size / merge count at the same source watermark
+    # must re-pack, not serve the previous model's shards
+    import hashlib
+
+    if tok_kind == "bpe":
+        model_rows = [(l, r) for l, r in zip(spec[1]["left"],
+                                             spec[1]["right"])]
+    else:
+        model_rows = [(p, int(c)) for p, c in zip(spec[1]["piece"],
+                                                  spec[1]["q_count"])]
+    model_tag = hashlib.md5(
+        repr((tok_kind, model_rows)).encode()).hexdigest()
 
     os.makedirs(out_dir, exist_ok=True)
     man_p = os.path.join(out_dir, "manifest.json")
@@ -186,7 +203,8 @@ def export_packed_tokens(ds, out_dir: str, merges: pd.DataFrame | None,
         if (m.get("source_tag") == source_tag
                 and m.get("seq_tokens") == seq_tokens
                 and m.get("nbuckets") == nbuckets
-                and m.get("tokenizer", "bpe") == tok_kind):
+                and m.get("tokenizer", "bpe") == tok_kind
+                and m.get("model_tag") == model_tag):
             return m
 
     # the size-based shard skip below is valid ONLY within one run
@@ -198,7 +216,8 @@ def export_packed_tokens(ds, out_dir: str, merges: pd.DataFrame | None,
     run_p = os.path.join(out_dir, "run.json")
     run_id = {"source_tag": source_tag, "seq_tokens": int(seq_tokens),
               "nbuckets": int(nbuckets), "key_cols": list(key_cols),
-              "text_col": text_col, "tokenizer": tok_kind}
+              "text_col": text_col, "tokenizer": tok_kind,
+              "model_tag": model_tag}
     prev = None
     if os.path.exists(run_p):
         try:
@@ -324,7 +343,7 @@ def export_packed_tokens(ds, out_dir: str, merges: pd.DataFrame | None,
     os.replace(vp + ".tmp", vp)
     manifest = {
         "format": "packed-tokens-v1", "source_tag": source_tag,
-        "tokenizer": tok_kind,
+        "tokenizer": tok_kind, "model_tag": model_tag,
         "dtype": "uint32", "seq_tokens": int(seq_tokens),
         "nbuckets": int(nbuckets), "total_tokens": total_tokens,
         "total_docs": int(n_doc.sum()),

@@ -303,6 +303,11 @@ def train_unigram(ds, *, text_col: str = "text", vocab_size: int = 256,
         kept = pd.concat([chars, multi.head(keep_multi)])
         kept = kept.sort_values(["q", "piece"], ascending=[False, True],
                                 kind="mergesort").reset_index(drop=True)
+        if len(kept) == n:
+            # chars are never pruned, so a vocab_size below the distinct
+            # character count bottoms out at the char set: done (an
+            # unguarded loop would re-run EM forever)
+            break
         pieces = kept["piece"].tolist()
         q = kept["q"].to_numpy(dtype=np.int64)
         tot_q = int(q.sum()) or 1

@@ -100,3 +100,17 @@ def test_parallelism_invariance(ray_session, corpora):
     key = lambda df: df.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(key(o1)[["doc_id", "text"]],
                                   key(o2)[["doc_id", "text"]])
+
+
+def test_null_text_never_a_duplicate(ray_session):
+    import ray
+
+    from database_delta_plugins_ray.stages.bloom import cross_corpus_dedup
+
+    A = pd.DataFrame({"doc_id": [1, 2], "text": [None, "None"]})
+    B = pd.DataFrame({"doc_id": [10, 11, 12],
+                      "text": [None, "None", "fresh"]})
+    out = cross_corpus_dedup(_mk(ray, B, 2), _mk(ray, A, 2)).to_pandas()
+    # SQL semantics: md5(NULL) matches nothing -> the null B row stays;
+    # the literal string 'None' IS a real duplicate of A's 'None'
+    assert set(out["doc_id"]) == {10, 12}

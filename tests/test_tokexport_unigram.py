@@ -146,3 +146,34 @@ def test_read_sequences_on_unigram_pack(ray_session, corpus, uni_model,
         for s in sorted(m["shards"], key=lambda s: s["start_token"])])
     seqs = read_sequences(out, list(range(n)))
     assert np.array_equal(seqs.ravel(), full[:n * 16])
+
+
+def test_model_change_repacks(ray_session, corpus, tmp_path):
+    from database_delta_plugins_ray.stages.bpe import word_histogram
+    from database_delta_plugins_ray.stages.tokexport import (
+        build_token_vocab_spec, export_packed_tokens)
+    from database_delta_plugins_ray.stages.unigram import train_unigram
+
+    ds, _ = corpus
+    hist = word_histogram(ds)
+    out = str(tmp_path / "packed_model_change")
+    u1 = train_unigram(ds, vocab_size=48, max_piece_len=4)
+    v1 = build_token_vocab_spec(hist, ("unigram", u1))
+    m1 = export_packed_tokens(ds, out, None, v1, seq_tokens=32,
+                              nbuckets=4, tokenizer=("unigram", u1),
+                              source_tag="t1")
+    # same source_tag + params, BIGGER trained model: must re-pack,
+    # not fast-path the stale manifest
+    u2 = train_unigram(ds, vocab_size=96, max_piece_len=5)
+    v2 = build_token_vocab_spec(hist, ("unigram", u2))
+    m2 = export_packed_tokens(ds, out, None, v2, seq_tokens=32,
+                              nbuckets=4, tokenizer=("unigram", u2),
+                              source_tag="t1")
+    assert m2["model_tag"] != m1["model_tag"]
+    assert m2["total_tokens"] != m1["total_tokens"] or \
+        m2["model_tag"] != m1["model_tag"]
+    # re-run with the same model is the manifest no-op
+    m3 = export_packed_tokens(ds, out, None, v2, seq_tokens=32,
+                              nbuckets=4, tokenizer=("unigram", u2),
+                              source_tag="t1")
+    assert m3 == m2

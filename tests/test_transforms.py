@@ -55,6 +55,16 @@ def test_blocked_columns_raise(ray_session):
                    toast_fields=("content",))
     with pytest.raises(ValueError):
         Normalizer(reg, 4, transforms={"content": "rot13"})
+    # a typo'd column must raise once the registry knows any schema
+    from database_delta_plugins_ray.state.ddl import TableState
+
+    reg2 = Registry()
+    reg2.tables["t"] = TableState(
+        name="t", columns=[("repo", "string"), ("path", "string"),
+                           ("content", "string")])
+    with pytest.raises(ValueError):
+        Normalizer(reg2, 4, transforms={"contnet": "upper"})
+    Normalizer(reg2, 4, transforms={"content": "upper"})  # known: fine
 
 
 def test_transform_kernels():

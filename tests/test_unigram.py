@@ -218,3 +218,17 @@ def test_encode_stats_totals(ray_session, fixture_docs):
         assert st["n_words"].iloc[i] == len(words)
         assert st["n_pieces"].iloc[i] == sum(len(x) for x in toks)
         assert st["n_chars"].iloc[i] == len(t or "")
+
+
+def test_vocab_size_below_char_count_terminates(ray_session):
+    import ray
+
+    from database_delta_plugins_ray.stages.unigram import train_unigram
+
+    docs = pd.DataFrame({"text": ["abcdefgh ijklmnop qrstuvwx yz012345"] * 4})
+    # 30+ distinct chars, vocab_size 8: chars are never pruned, so the
+    # result bottoms out at the char set instead of looping forever
+    v = train_unigram(ray.data.from_pandas(docs), vocab_size=8,
+                      max_piece_len=4)
+    assert (v["piece"].str.len() == 1).all()
+    assert len(v) >= 28
