@@ -106,6 +106,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="(follow) IVM view dir to increment after every "
                          "applying poll (requires --maintain-view-log "
                          "defaulting to --log)")
+    pr.add_argument("--refresh-tokens", default=None,
+                    help="(follow) keep a packed-token export current: "
+                         "refresh_packed_tokens(LAKE, DIR) after each "
+                         "poll that applied events — only buckets the "
+                         "change feed touched re-encode, with the "
+                         "pack's own frozen tokenizer (requires "
+                         "--history; build the pack first with "
+                         "`export --mode tokens`)")
     pr.add_argument("--export-incremental", default=None,
                     help="(follow) materialized-export dir kept current "
                          "after every applying poll: only the shards the "
@@ -337,6 +345,7 @@ def main(argv: list[str] | None = None) -> int:
         for flag, val in (("--refresh-index", a.refresh_index),
                           ("--refresh-vecindex", a.refresh_vecindex),
                           ("--export-incremental", a.export_incremental),
+                          ("--refresh-tokens", a.refresh_tokens),
                           ("--relay-out", a.relay_out)):
             if val and not a.history:
                 p.error(f"{flag} requires --history (the change feed "
@@ -407,6 +416,13 @@ def main(argv: list[str] | None = None) -> int:
                     lambda lk: export_lake_incremental(
                         lk, a.export_incremental,
                         nshards=a.export_shards))
+            if a.refresh_tokens:
+                from .stages.tokexport import refresh_packed_tokens
+
+                hooks.append(
+                    lambda lk: refresh_packed_tokens(
+                        lk, a.refresh_tokens,
+                        key_cols=("repo", "path"), text_col="content"))
             if a.relay_out:
                 from .stages.relay import relay_continue
 

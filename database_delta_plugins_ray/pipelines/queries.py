@@ -112,6 +112,71 @@ def cdc_transformed_apply(sf_dir: str):
     return final_state(lake, columns=FINAL_COLS)
 
 
+def cdc_packed_tokens_refresh(sf_dir: str):
+    """CDC-maintained packed-token corpus (the training-corpus analog of
+    the incremental lake export): replicate half the log, pack the lake
+    into token shards (distributed BPE, frozen thereafter), replicate
+    the rest, then ``refresh_packed_tokens`` re-encodes ONLY the buckets
+    the change feed touched — and must byte-equal a full re-pack of the
+    final lake under the same frozen tokenizer. Returns the per-shard
+    manifest summary plus a parity bit per bucket. Rows-only (trained
+    tokenizer has no SQL shape); tests/test_tokexport_refresh.py gates
+    byte parity, idempotence, deletes, and the follow hook."""
+    import json as _json
+
+    import pandas as pd
+
+    from ..sources.gen import GenConfig  # noqa: F401 (log via ensure_log)
+    from ..stages.bpe import train_bpe, word_histogram
+    from ..stages.tokexport import (build_token_vocab,
+                                    export_packed_tokens,
+                                    refresh_packed_tokens)
+    from ..state import checkpoint as ckpt
+
+    log = ensure_log(sf_dir)
+    with open(os.path.join(log, "meta.json")) as fh:
+        half = _json.load(fh)["max_lsn"] // 2
+    lake = fresh_lake(sf_dir, "lake_tokrefresh")
+    pack = os.path.join(CACHE_ROOT, f"sf{sf_tag(sf_dir)}",
+                        "pack_tokrefresh")
+    shutil.rmtree(pack, ignore_errors=True)
+    run_replication(log, lake, num_partitions=8, upto_lsn=half,
+                    history=True)
+    ds = final_state(lake, columns=["repo", "path", "content"]).materialize()
+    hist = word_histogram(ds, text_col="content")
+    merges = train_bpe(hist, 40)
+    vocab = build_token_vocab(hist, merges)
+    export_packed_tokens(
+        ds, pack, merges, vocab, seq_tokens=64, nbuckets=16,
+        key_cols=("repo", "path"), text_col="content",
+        source_tag=f"lake@{ckpt.read_global_watermark(lake)}")
+    run_replication(log, lake, num_partitions=8, history=True)
+    m = refresh_packed_tokens(lake, pack, key_cols=("repo", "path"),
+                              text_col="content")
+    # parity: full re-pack of the final lake under the SAME tokenizer
+    ref = pack + "_ref"
+    shutil.rmtree(ref, ignore_errors=True)
+    ds2 = final_state(lake, columns=["repo", "path", "content"]).materialize()
+    export_packed_tokens(
+        ds2, ref, merges, vocab, seq_tokens=64, nbuckets=16,
+        key_cols=("repo", "path"), text_col="content",
+        source_tag=m["source_tag"])
+    rows = []
+    for s in m["shards"]:
+        b = int(s["bucket"])
+        fa = os.path.join(pack, f"shard-{b:05d}.bin")
+        fb = os.path.join(ref, f"shard-{b:05d}.bin")
+        with open(fa, "rb") as f1, open(fb, "rb") as f2:
+            eq = f1.read() == f2.read()
+        rows.append({"bucket": b, "start_token": int(s["start_token"]),
+                     "n_tokens": int(s["n_tokens"]),
+                     "n_docs": int(s["n_docs"]),
+                     "matches_full_repack": bool(eq)})
+    out = pd.DataFrame(rows)
+    assert out["matches_full_repack"].all(), "refresh != full re-pack"
+    return out
+
+
 def cdc_resume_equivalence(sf_dir: str):
     """Replay first half, checkpoint, resume rest -> must equal one-shot
     replay (same oracle SQL as cdc_final_state; F6.1)."""
@@ -2144,6 +2209,7 @@ def cdc_to_packed_corpus(sf_dir: str, seq_tokens: int = 256):
 CDC_QUERIES = {
     "cdc_final_state": cdc_final_state,
     "cdc_transformed_apply": cdc_transformed_apply,
+    "cdc_packed_tokens_refresh": cdc_packed_tokens_refresh,
     "cdc_to_packed_corpus": cdc_to_packed_corpus,
     "cdc_to_training_corpus": cdc_to_training_corpus,
     "cdc_resume_equivalence": cdc_resume_equivalence,

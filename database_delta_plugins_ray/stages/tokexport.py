@@ -463,3 +463,218 @@ def read_packed_dataset(out_dir: str, *,
 
     return (ray.data.from_items(items)
             .map_batches(load, batch_format="pyarrow", batch_size=1))
+
+
+def load_tokenizer(out_dir: str):
+    """(kind, model) spec from a pack's persisted ``tokenizer.json`` —
+    dispatches on the artifact format tag."""
+    with open(os.path.join(out_dir, "tokenizer.json")) as fh:
+        fmt = json.load(fh).get("format")
+    p = os.path.join(out_dir, "tokenizer.json")
+    if fmt == "bpe-merges-v1":
+        from .bpe import load_merges
+
+        return ("bpe", load_merges(p))
+    if fmt == "unigram-vocab-v1":
+        from .unigram import load_vocab
+
+        return ("unigram", load_vocab(p))
+    raise ValueError(f"unknown tokenizer artifact format {fmt!r}")
+
+
+def refresh_packed_tokens(lake_dir: str, out_dir: str, *,
+                          key_cols=("repo", "path"),
+                          text_col: str = "content") -> dict:
+    """Bring a lake's packed-token export current off the change data
+    feed — the token-level counterpart of ``export_lake_incremental``:
+    only the buckets TOUCHED by changed keys re-encode and rewrite.
+
+    The tokenizer is FROZEN at its original training (loaded back from
+    the pack's own ``tokenizer.json``): token ids stay stable across
+    increments — the standard corpus-maintenance contract (retraining
+    is a deliberate full re-export, which the model-tag identity then
+    forces through cleanly).
+
+    Cost model: ``lake_diff(g0)`` is partition-local (history lakes);
+    dirty buckets fold to the driver as a ≤ ``nbuckets`` id set; ONE
+    filtered pass over the lake's live rows recounts and re-encodes
+    only those buckets (each bucket's byte stream is independent — md5
+    document order is per-bucket, so untouched shard FILES are reused
+    byte-identically and only the manifest's start offsets shift).
+    Crash-safe: shard writes are tmp+rename and the manifest commits
+    last, so a partial refresh re-runs idempotently off the OLD
+    watermark."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    import pyarrow as pa
+
+    from ..pipelines.replicate import final_state, lake_diff
+    from ..state import checkpoint as ckpt
+
+    man_p = os.path.join(out_dir, "manifest.json")
+    with open(man_p) as fh:
+        manifest = json.load(fh)
+    tag = manifest.get("source_tag", "")
+    if not tag.startswith("lake@"):
+        raise ValueError(
+            f"not a lake-tagged pack (source_tag={tag!r}); only packs "
+            f"built from a lake can refresh")
+    g0 = int(tag.split("@", 1)[1])
+    g1 = int(ckpt.read_global_watermark(lake_dir))
+    if g1 <= g0:
+        return dict(manifest, skipped=True, rewritten_buckets=0)
+
+    nbuckets = int(manifest["nbuckets"])
+    seq_tokens = int(manifest["seq_tokens"])
+    key_cols = list(key_cols)
+    spec = load_tokenizer(out_dir)
+    with open(os.path.join(out_dir, "vocab.json")) as fh:
+        vocab_tokens = json.load(fh)["tokens"]
+    tok2id = {t: i for i, t in enumerate(vocab_tokens)}
+    spec_ref = ray.put(spec)
+    tok2id_ref = ray.put(tok2id)
+
+    # ---- dirty buckets from the change feed (driver: ≤ nbuckets ints)
+    def diff_buckets(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"b": pd.Series([], dtype=np.int64)})
+        b = np.unique(_buckets_of(_keys_of(df, key_cols), nbuckets))
+        return pd.DataFrame({"b": b})
+
+    dirty = sorted({int(r["b"]) for r in
+                    lake_diff(lake_dir, g0)
+                    .map_batches(diff_buckets, batch_format="pandas")
+                    .take_all()})
+    if not dirty:
+        manifest = dict(manifest, source_tag=f"lake@{g1}", skipped=False,
+                        rewritten_buckets=0)
+        with open(man_p + ".tmp", "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(man_p + ".tmp", man_p)
+        return manifest
+    dirty_set = frozenset(dirty)
+
+    ds = final_state(lake_dir, columns=[*key_cols, text_col]).materialize()
+
+    def only_dirty(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        b = _buckets_of(_keys_of(df, key_cols), nbuckets)
+        out = df[np.isin(b, dirty)]
+        return out
+
+    dirty_rows = ds.map_batches(only_dirty,
+                                batch_format="pandas").materialize()
+
+    # ---- recount the dirty buckets (same fold as the full export) ----
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"__b": pd.Series([], dtype=np.int64),
+                                 "nt": pd.Series([], dtype=np.int64),
+                                 "nd": pd.Series([], dtype=np.int64)})
+        b = _buckets_of(_keys_of(df, key_cols), nbuckets)
+        seg = _make_segmenter(ray.get(spec_ref))
+
+        from ..functions.text import _flat_lower_tokens
+
+        flat, di, _ = _flat_lower_tokens(
+            df[text_col].reset_index(drop=True))
+        per = np.zeros(len(df), dtype=np.int64)
+        if len(flat):
+            uniq, inv = np.unique(flat.astype(str), return_inverse=True)
+            ul = np.fromiter((len(seg(w)) for w in uniq),
+                             dtype=np.int64, count=len(uniq))
+            np.add.at(per, di, ul[inv])
+        tok = per + 1  # + EOD
+        nt = np.zeros(nbuckets, dtype=np.int64)
+        nd = np.zeros(nbuckets, dtype=np.int64)
+        np.add.at(nt, b, tok)
+        np.add.at(nd, b, 1)
+        present = np.flatnonzero(nd != 0)
+        return pd.DataFrame({"__b": present, "nt": nt[present],
+                             "nd": nd[present]})
+
+    parts = (dirty_rows.map_batches(bucket_counts, batch_format="pandas")
+             .groupby("__b")
+             .aggregate(Sum("nt", alias_name="nt"),
+                        Sum("nd", alias_name="nd"))
+             .to_pandas())
+    n_tok = np.zeros(nbuckets, dtype=np.int64)
+    n_doc = np.zeros(nbuckets, dtype=np.int64)
+    for s in manifest["shards"]:
+        n_tok[int(s["bucket"])] = int(s["n_tokens"])
+        n_doc[int(s["bucket"])] = int(s["n_docs"])
+    n_tok[dirty] = 0
+    n_doc[dirty] = 0
+    if len(parts):
+        n_tok[parts["__b"].to_numpy(np.int64)] = parts["nt"].to_numpy()
+        n_doc[parts["__b"].to_numpy(np.int64)] = parts["nd"].to_numpy()
+    starts = np.cumsum(n_tok) - n_tok
+    total_tokens = int(n_tok.sum())
+
+    # ---- rewrite ONLY the dirty shard files --------------------------
+    wrote_schema = pa.schema([("bucket", pa.int64())])
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["__b"] = _buckets_of(_keys_of(df, key_cols), nbuckets)
+        return out
+
+    def write_bucket(g: pd.DataFrame) -> "pa.Table":
+        from .sample import md5_u64
+
+        if g.empty:
+            return wrote_schema.empty_table()
+        b = int(g["__b"].iloc[0])
+        path = os.path.join(out_dir, f"shard-{b:05d}.bin")
+        keys = _keys_of(g, key_cols)
+        o = np.lexsort((keys, md5_u64(keys)))
+        ids, _ = _encode_ids(
+            g[text_col].iloc[o].reset_index(drop=True),
+            _make_segmenter(ray.get(spec_ref)), ray.get(tok2id_ref))
+        expect = int(n_tok[b]) * _DTYPE.itemsize
+        assert ids.nbytes == expect, (b, ids.nbytes, expect)
+        tmp = path + f".tmp.{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            fh.write(ids.tobytes())
+        os.replace(tmp, path)
+        return pa.table({"bucket": [b]}, schema=wrote_schema)
+
+    wrote = (dirty_rows.map_batches(attach, batch_format="pandas")
+             .groupby("__b")
+             .map_groups(write_bucket, batch_format="pandas")
+             .to_pandas())
+    written = set(wrote["bucket"].tolist()) if len(wrote) else set()
+    # a dirty bucket with NO remaining live rows (all its keys deleted)
+    # never reaches write_bucket: publish its empty shard
+    for b in dirty:
+        if b not in written:
+            p = os.path.join(out_dir, f"shard-{b:05d}.bin")
+            open(p + ".tmp", "wb").close()
+            os.replace(p + ".tmp", p)
+
+    new_tag = f"lake@{g1}"
+    # keep the original-run identity coherent for a later full export
+    run_p = os.path.join(out_dir, "run.json")
+    try:
+        with open(run_p) as fh:
+            run_id = json.load(fh)
+        run_id["source_tag"] = new_tag
+        with open(run_p + ".tmp", "w") as fh:
+            json.dump(run_id, fh)
+        os.replace(run_p + ".tmp", run_p)
+    except (OSError, ValueError):
+        pass
+    manifest = dict(
+        manifest, source_tag=new_tag, total_tokens=total_tokens,
+        total_docs=int(n_doc.sum()),
+        n_sequences=total_tokens // seq_tokens,
+        rewritten_buckets=len(dirty), skipped=False,
+        shards=[{"bucket": int(b), "start_token": int(starts[b]),
+                 "n_tokens": int(n_tok[b]), "n_docs": int(n_doc[b])}
+                for b in range(nbuckets)])
+    with open(man_p + ".tmp", "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(man_p + ".tmp", man_p)
+    return manifest
