@@ -393,3 +393,76 @@ def test_new_bridges_null_rule(bad):
     assert o.is_available or o < OracleScn(0)
     m = MongoTs.parse(bad, bad)
     assert m.is_available or m < MongoTs(0, 0)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (stages/bloom.py + functions/sketch.py): membership NEVER
+# produces a false negative at any sizing — the invariant the cross-corpus
+# dedup's "clean" fast path rests on
+# ---------------------------------------------------------------------------
+
+
+@given(st.lists(st.text(min_size=0, max_size=12), min_size=1, max_size=40),
+       st.integers(64, 1024).map(lambda v: v - v % 8),
+       st.integers(1, 8))
+@settings(max_examples=60, deadline=None)
+def test_bloom_never_false_negative(vals, m_bits, k):
+    from database_delta_plugins_ray.functions.sketch import (
+        bloom_contains, bloom_set)
+    from database_delta_plugins_ray.stages.bloom import (
+        _md5_hex, _probe_hash)
+
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    h = _probe_hash(_md5_hex(vals))
+    bloom_set(bits, h, k)
+    assert bool(bloom_contains(bits, h, k).all())
+
+
+# ---------------------------------------------------------------------------
+# Unigram Viterbi (stages/unigram.py): segmentation always reconstructs the
+# word over a char-complete vocabulary, and unknown chars map to <unk>
+# ---------------------------------------------------------------------------
+
+
+@given(st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=10),
+                min_size=1, max_size=15))
+@settings(max_examples=60, deadline=None)
+def test_unigram_viterbi_roundtrip(words):
+    import math
+
+    from database_delta_plugins_ray.stages.unigram import (
+        UNK, _viterbi_word)
+
+    # vocabulary: all chars of the corpus + a few planted multi-grams
+    chars = sorted({c for w in words for c in w})
+    pieces = chars + [w for w in set(words) if len(w) > 1][:5]
+    logp = [math.log(1.0 / len(pieces))] * len(pieces)
+    vocab = {p: i for i, p in enumerate(pieces)}
+    max_len = max(len(p) for p in pieces)
+    for w in words:
+        toks = _viterbi_word(w, vocab, logp, pieces, max_len)
+        assert "".join(toks) == w
+        assert all(t in vocab for t in toks)
+    # a word of chars outside the vocab: every char -> <unk>
+    toks = _viterbi_word("QQ", vocab, logp, pieces, max_len)
+    assert toks == (UNK, UNK)
+
+
+# ---------------------------------------------------------------------------
+# PageRank fixed-point update (stages/graph.py): total mass is bounded by
+# scale and never negative, for arbitrary edge multisets
+# ---------------------------------------------------------------------------
+
+
+@given(st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)),
+                min_size=1, max_size=60),
+       st.integers(1, 6))
+@settings(max_examples=40, deadline=None)
+def test_pagerank_reference_mass_bounds(edges, iters):
+    from tests.test_pagerank import ref_pagerank
+
+    scale = 1 << 40
+    r = ref_pagerank(edges, iters=iters, scale=scale)
+    total = sum(r.values())
+    assert 0 <= total <= scale
+    assert all(v >= 0 for v in r.values())
