@@ -85,3 +85,37 @@ def test_transform_kernels():
 
     s = _compile_transform("sha256")(pa.array(["x", None]))
     assert s.to_pylist() == [hashlib.sha256(b"x").hexdigest(), None]
+
+
+def test_cli_transform_flag_end_to_end(ray_session, tmp_path):
+    import os
+    import subprocess
+    import sys
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    CLI = [sys.executable, "-m", "database_delta_plugins_ray",
+           "--num-cpus", "4"]
+    env = dict(os.environ, PYTHONPATH=REPO, RAY_ADDRESS="local")
+    log = str(tmp_path / "log")
+    lake = str(tmp_path / "lake")
+    subprocess.run(
+        CLI + ["gen", "--out", log, "--keys", "60", "--events", "300"],
+        check=True, capture_output=True, env=env, cwd=REPO)
+    subprocess.run(
+        CLI + ["replicate", "--log", log, "--lake", lake,
+               "--partitions", "4", "--transform", "language=upper"],
+        check=True, capture_output=True, env=env, cwd=REPO)
+    from database_delta_plugins_ray.pipelines.replicate import final_state
+
+    langs = {r["language"]
+             for r in final_state(lake, columns=["language"]).take_all()}
+    langs.discard(None)
+    assert langs and all(v == v.upper() for v in langs)
+    # a typo'd transform column fails fast with a clear error
+    r = subprocess.run(
+        CLI + ["replicate", "--log", log,
+               "--lake", str(tmp_path / "lake2"),
+               "--partitions", "4", "--transform", "languag=upper"],
+        capture_output=True, text=True, env=env, cwd=REPO)
+    assert r.returncode != 0
+    assert "exists in no known table schema" in (r.stderr + r.stdout)
