@@ -42,7 +42,7 @@ _GATE_PREFIX = [
     "cdc_vector_search_lake", "cdc_scd2_history",
     "cdc_truncate_fence", "cdc_dead_letter_queue", "cdc_incremental_snapshot",
     "cdc_to_training_corpus", "cdc_to_packed_corpus",
-    "cdc_packed_tokens_refresh",
+    "cdc_packed_tokens_refresh", "cdc_drift_report",
     # TPC-H shapes
     "q1_pricing_summary", "q3_shipping_priority", "q10_returned_items",
     "q18_large_volume_customers", "q5_local_supplier_volume",

@@ -870,3 +870,96 @@ def lake_signature(lake_dir: str) -> str:
         for r in parts:
             total = total + np.uint64(r["sig"])
     return f"{int(total):016x}"
+
+
+def lake_drift_report(lake_dir: str, from_lsn: int, *,
+                      cat_cols=("language",),
+                      bin_cols=(("stars", 64, 16),)) -> "pd.DataFrame":
+    """Distribution drift between two lake versions — the population
+    stability index (PSI — a standard, public industry drift metric)
+    per monitored column between the state AS OF ``from_lsn`` and the
+    current state. The continuous-ingestion monitoring op: a follow
+    pipeline alerts when the incoming distribution shifts.
+
+    ``cat_cols`` monitor categorical columns directly; ``bin_cols`` are
+    ``(col, width, nbins)`` — integers bin by ``min(floor(v/width),
+    nbins-1)``. Nulls are their own ``<null>`` category.
+
+    Distributed shape: BOTH versions stream through ONE tagged pipeline
+    of per-batch ``value_counts`` partials folded by a (version, col,
+    category) groupby — the exchange is bounded by categories, never
+    rows; the driver computes PSI over the bounded category set.
+    Laplace(+1) smoothing over the union category set keeps ln finite;
+    per-category contributions quantize to integer micros so the report
+    is engine-exact (the lm_surprise discipline). Returns one row per
+    (col, category): ``count_v0, count_v1, contrib_micros`` sorted by
+    ``(col, category)``."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .replicate import final_state
+
+    cols = list(cat_cols) + [c for c, _, _ in bin_cols]
+    bin_spec = {c: (w, nb) for c, w, nb in bin_cols}
+
+    def cats(df: pd.DataFrame, version: int) -> pd.DataFrame:
+        out = []
+        for c in cols:
+            if c in bin_spec:
+                w, nb = bin_spec[c]
+                v = df[c]
+                b = np.minimum(np.floor(
+                    v.fillna(-1).to_numpy(np.float64) / float(w)),
+                    nb - 1)
+                cat = pd.Series(b.astype(np.int64).astype(str),
+                                dtype=object)
+                cat[v.isna().to_numpy()] = "<null>"
+            else:
+                cat = df[c].astype(object).where(df[c].notna(), "<null>")
+            vc = pd.Series(cat).value_counts()
+            out.append(pd.DataFrame({
+                "col": c, "category": vc.index.to_numpy(dtype=object),
+                "version": np.int8(version),
+                "n": vc.to_numpy(np.int64)}))
+        if not out:
+            return pd.DataFrame({"col": pd.Series([], dtype=object),
+                                 "category": pd.Series([], dtype=object),
+                                 "version": pd.Series([], dtype=np.int8),
+                                 "n": pd.Series([], dtype=np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    v0 = (final_state(lake_dir, columns=cols, as_of_lsn=from_lsn)
+          .map_batches(lambda df: cats(df, 0), batch_format="pandas"))
+    v1 = (final_state(lake_dir, columns=cols)
+          .map_batches(lambda df: cats(df, 1), batch_format="pandas"))
+    folded = (v0.union(v1)
+              .groupby(["col", "category", "version"])
+              .aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+
+    rows = []
+    for c in cols:
+        sub = folded[folded["col"] == c]
+        piv = (sub.pivot_table(index="category", columns="version",
+                               values="n", aggfunc="sum", fill_value=0)
+               .reindex(columns=[0, 1], fill_value=0))
+        n0 = int(piv[0].sum())
+        n1 = int(piv[1].sum())
+        k = len(piv)
+        for cat in sorted(piv.index.astype(str)):
+            c0 = int(piv.loc[cat, 0])
+            c1 = int(piv.loc[cat, 1])
+            p = float(c0 + 1) / float(n0 + k)
+            q = float(c1 + 1) / float(n1 + k)
+            contrib = int(math.floor((p - q) * math.log(p / q) * 1e6
+                                     + 0.5))
+            rows.append({"col": c, "category": cat,
+                         "count_v0": c0, "count_v1": c1,
+                         "contrib_micros": contrib})
+    out = pd.DataFrame(rows)
+    for c in ("count_v0", "count_v1", "contrib_micros"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["col", "category"]).reset_index(drop=True)

@@ -177,6 +177,29 @@ def cdc_packed_tokens_refresh(sf_dir: str):
     return out
 
 
+def cdc_drift_report(sf_dir: str):
+    """Distribution-drift monitoring between two lake versions (PSI —
+    population stability index, the standard public drift metric): two
+    bounded replication legs with history, then
+    ``maintenance.lake_drift_report`` compares the AS-OF-boundary state
+    against the final state per monitored column (categorical
+    ``language``; ``stars`` binned by ``min(floor(v/64), 15)``). Both
+    versions stream through ONE tagged value_counts fold bounded by
+    categories; Laplace(+1) smoothing over the union category set;
+    per-category contributions quantize to integer micros — hash-exact
+    vs the DuckDB oracle computing the same expression over the two
+    LWW-replayed versions."""
+    log = ensure_log(sf_dir)
+    boundary = _time_travel_boundary(log)
+    lake = fresh_lake(sf_dir, "lake_drift")
+    run_replication(log, lake, num_partitions=16, upto_lsn=boundary,
+                    history=True)
+    run_replication(log, lake, num_partitions=16, history=True)
+    from .maintenance import lake_drift_report
+
+    return lake_drift_report(lake, boundary)
+
+
 def cdc_resume_equivalence(sf_dir: str):
     """Replay first half, checkpoint, resume rest -> must equal one-shot
     replay (same oracle SQL as cdc_final_state; F6.1)."""
@@ -1672,6 +1695,69 @@ FROM dd WHERE rn2 = 1
 """
     return {
         "cdc_final_state": final_sql,
+        "cdc_drift_report": f"""
+WITH ev AS (
+  SELECT lsn, op,
+         coalesce(after.repo, before.repo)  AS k_repo,
+         coalesce(after.path, before.path)  AS k_path,
+         coalesce(after.language, after.lang) AS language,
+         after.stars AS stars
+  FROM read_parquet('{glob}') WHERE op <> 'DDL'
+),
+v0 AS (SELECT * FROM (
+         SELECT *, row_number() OVER (PARTITION BY k_repo, k_path
+                                      ORDER BY lsn DESC) AS rn
+         FROM ev WHERE lsn <= {bound})
+       WHERE rn = 1 AND op <> 'D'),
+v1 AS (SELECT * FROM (
+         SELECT *, row_number() OVER (PARTITION BY k_repo, k_path
+                                      ORDER BY lsn DESC) AS rn
+         FROM ev)
+       WHERE rn = 1 AND op <> 'D'),
+cats AS (
+  SELECT 'language' AS col, coalesce(language, '<null>') AS category,
+         0 AS version FROM v0
+  UNION ALL
+  SELECT 'language', coalesce(language, '<null>'), 1 FROM v1
+  UNION ALL
+  SELECT 'stars',
+         CASE WHEN stars IS NULL THEN '<null>'
+              ELSE CAST(CAST(least(floor(CAST(stars AS DOUBLE) / 64.0),
+                                   15) AS BIGINT) AS VARCHAR) END,
+         0 FROM v0
+  UNION ALL
+  SELECT 'stars',
+         CASE WHEN stars IS NULL THEN '<null>'
+              ELSE CAST(CAST(least(floor(CAST(stars AS DOUBLE) / 64.0),
+                                   15) AS BIGINT) AS VARCHAR) END,
+         1 FROM v1
+),
+counts AS (
+  SELECT col, category, version, CAST(count(*) AS BIGINT) AS n
+  FROM cats GROUP BY 1, 2, 3
+),
+cp AS (
+  SELECT col, category,
+         CAST(coalesce(sum(CASE WHEN version = 0 THEN n END), 0)
+              AS BIGINT) AS c0,
+         CAST(coalesce(sum(CASE WHEN version = 1 THEN n END), 0)
+              AS BIGINT) AS c1
+  FROM counts GROUP BY 1, 2
+),
+tot AS (
+  SELECT col, CAST(sum(c0) AS BIGINT) AS n0,
+         CAST(sum(c1) AS BIGINT) AS n1,
+         CAST(count(*) AS BIGINT) AS k
+  FROM cp GROUP BY 1
+)
+SELECT cp.col, cp.category, cp.c0 AS count_v0, cp.c1 AS count_v1,
+       CAST(floor((CAST(cp.c0 + 1 AS DOUBLE) / CAST(tot.n0 + tot.k AS DOUBLE)
+                   - CAST(cp.c1 + 1 AS DOUBLE) / CAST(tot.n1 + tot.k AS DOUBLE))
+                  * ln((CAST(cp.c0 + 1 AS DOUBLE) / CAST(tot.n0 + tot.k AS DOUBLE))
+                       / (CAST(cp.c1 + 1 AS DOUBLE) / CAST(tot.n1 + tot.k AS DOUBLE)))
+                  * 1e6 + 0.5) AS BIGINT) AS contrib_micros
+FROM cp JOIN tot USING (col)
+""",
         "cdc_transformed_apply": (
             lww
             .replace("coalesce(after.language, after.lang) AS language",
@@ -2210,6 +2296,7 @@ CDC_QUERIES = {
     "cdc_final_state": cdc_final_state,
     "cdc_transformed_apply": cdc_transformed_apply,
     "cdc_packed_tokens_refresh": cdc_packed_tokens_refresh,
+    "cdc_drift_report": cdc_drift_report,
     "cdc_to_packed_corpus": cdc_to_packed_corpus,
     "cdc_to_training_corpus": cdc_to_training_corpus,
     "cdc_resume_equivalence": cdc_resume_equivalence,
