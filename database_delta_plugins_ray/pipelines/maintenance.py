@@ -918,7 +918,11 @@ def lake_drift_report(lake_dir: str, from_lsn: int, *,
                                 dtype=object)
                 cat[v.isna().to_numpy()] = "<null>"
             else:
-                cat = df[c].astype(object).where(df[c].notna(), "<null>")
+                # categories are ALWAYS strings (int/float-valued
+                # categorical columns stringify), so the driver fold's
+                # index arithmetic and the SQL VARCHAR cast agree
+                cat = pd.Series(df[c].astype(object)).where(
+                    df[c].notna().to_numpy(), "<null>").astype(str)
             vc = pd.Series(cat).value_counts()
             out.append(pd.DataFrame({
                 "col": c, "category": vc.index.to_numpy(dtype=object),

@@ -126,7 +126,6 @@ def cdc_packed_tokens_refresh(sf_dir: str):
 
     import pandas as pd
 
-    from ..sources.gen import GenConfig  # noqa: F401 (log via ensure_log)
     from ..stages.bpe import train_bpe, word_histogram
     from ..stages.tokexport import (build_token_vocab,
                                     export_packed_tokens,

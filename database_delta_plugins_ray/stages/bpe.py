@@ -220,11 +220,12 @@ def save_merges(merges: pd.DataFrame, path: str) -> None:
     os.replace(tmp, path)
 
 
-def load_merges(path: str) -> pd.DataFrame:
+def load_merges(path: str, obj: dict | None = None) -> pd.DataFrame:
     import json
 
-    with open(path) as fh:
-        obj = json.load(fh)
+    if obj is None:
+        with open(path) as fh:
+            obj = json.load(fh)
     if obj.get("format") != "bpe-merges-v1":
         raise ValueError(f"not a bpe-merges-v1 artifact: {path}")
     m = obj["merges"]

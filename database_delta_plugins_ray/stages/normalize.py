@@ -227,10 +227,15 @@ class Normalizer:
                         f"{col!r} (the sentinel must pass through intact)")
                 if known and col not in known:
                     # a typo'd masking transform that silently never
-                    # fires is a PII incident, not a no-op
+                    # fires is a PII incident, not a no-op. Deliberate
+                    # consequence: a transform may only target a column
+                    # that ALREADY exists in the schema — pre-configuring
+                    # one for a future migration's column is rejected
+                    # (start the transform when the ALTER has landed)
                     raise ValueError(
                         f"transform column {col!r} exists in no known "
-                        f"table schema (known: {sorted(known)})")
+                        f"table schema (known: {sorted(known)}); "
+                        f"transforms must target existing columns")
                 self.transforms[col] = _compile_transform(spec)
         if partition_mode in ("repo", "repo_salted") and len(self.primary_key) < 2:
             raise ValueError(

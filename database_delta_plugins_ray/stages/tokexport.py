@@ -159,6 +159,98 @@ def _buckets_of(keys: np.ndarray, nbuckets: int) -> np.ndarray:
     return (md5_u64(keys) // np.uint64(width)).astype(np.int64)
 
 
+# ---------------------------------------------------------------------------
+# shared count/encode/write machinery — export_packed_tokens AND
+# refresh_packed_tokens build from THESE helpers, so the refresh's
+# byte-parity contract ("refresh == full re-pack") can't drift out of
+# lockstep with the export's counting or sort-and-encode rules
+# ---------------------------------------------------------------------------
+
+
+def _seg_doc_token_counts(texts: pd.Series, seg) -> np.ndarray:
+    """Per-document subword counts under ``seg`` (EOD not included)."""
+    from ..functions.text import _flat_lower_tokens
+
+    flat, di, _ = _flat_lower_tokens(texts.reset_index(drop=True))
+    out = np.zeros(len(texts), dtype=np.int64)
+    if len(flat):
+        uniq, inv = np.unique(flat.astype(str), return_inverse=True)
+        per = np.fromiter((len(seg(w)) for w in uniq),
+                          dtype=np.int64, count=len(uniq))
+        np.add.at(out, di, per[inv])
+    return out
+
+
+def _bucket_count_partial(df: pd.DataFrame, key_cols, text_col: str,
+                          nbuckets: int, spec_ref) -> pd.DataFrame:
+    """Per-batch (bucket, tokens-incl-EOD, docs) partial."""
+    import ray
+
+    if df.empty:
+        return pd.DataFrame({"__b": pd.Series([], dtype=np.int64),
+                             "nt": pd.Series([], dtype=np.int64),
+                             "nd": pd.Series([], dtype=np.int64)})
+    b = _buckets_of(_keys_of(df, key_cols), nbuckets)
+    seg = _make_segmenter(ray.get(spec_ref))
+    tok = _seg_doc_token_counts(
+        df[text_col].reset_index(drop=True), seg) + 1  # + EOD
+    nt = np.zeros(nbuckets, dtype=np.int64)
+    nd = np.zeros(nbuckets, dtype=np.int64)
+    np.add.at(nt, b, tok)
+    np.add.at(nd, b, 1)
+    present = np.flatnonzero(nd != 0)
+    return pd.DataFrame({"__b": present, "nt": nt[present],
+                         "nd": nd[present]})
+
+
+def _attach_buckets(df: pd.DataFrame, key_cols, nbuckets: int
+                    ) -> pd.DataFrame:
+    out = df.copy()
+    out["__b"] = _buckets_of(_keys_of(df, key_cols), nbuckets)
+    return out
+
+
+def _wrote_schema():
+    import pyarrow as pa
+
+    return pa.schema([("bucket", pa.int64()), ("skipped", pa.bool_())])
+
+
+def _write_bucket_shard(g: pd.DataFrame, out_dir: str, key_cols,
+                        text_col: str, n_tok: np.ndarray, spec_ref,
+                        tok2id_ref, skip_if_sized: bool) -> "pa.Table":
+    """Sort one bucket's rows into md5 document order, encode, write
+    tmp+rename. ``skip_if_sized`` enables the export's size-based
+    resume skip (the refresh must always rewrite its dirty buckets —
+    the old file can coincide in size with different content)."""
+    import pyarrow as pa
+    import ray
+
+    from .sample import md5_u64
+
+    schema = _wrote_schema()
+    if g.empty:  # pinned schema for Ray's empty group blocks
+        return schema.empty_table()
+    b = int(g["__b"].iloc[0])
+    path = os.path.join(out_dir, f"shard-{b:05d}.bin")
+    expect = int(n_tok[b]) * _DTYPE.itemsize
+    if (skip_if_sized and os.path.exists(path)
+            and os.path.getsize(path) == expect):
+        return pa.table({"bucket": [b], "skipped": [True]},
+                        schema=schema)
+    keys = _keys_of(g, key_cols)
+    o = np.lexsort((keys, md5_u64(keys)))
+    ids, _ = _encode_ids(
+        g[text_col].iloc[o].reset_index(drop=True),
+        _make_segmenter(ray.get(spec_ref)), ray.get(tok2id_ref))
+    assert ids.nbytes == expect, (b, ids.nbytes, expect)
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        fh.write(ids.tobytes())
+    os.replace(tmp, path)
+    return pa.table({"bucket": [b], "skipped": [False]}, schema=schema)
+
+
 def export_packed_tokens(ds, out_dir: str, merges: pd.DataFrame | None,
                          vocab: pd.DataFrame, *, seq_tokens: int = 2048,
                          nbuckets: int = 64,
@@ -240,31 +332,10 @@ def export_packed_tokens(ds, out_dir: str, merges: pd.DataFrame | None,
     spec_ref = ray.put(spec)
     tok2id_ref = ray.put(tok2id)
 
-    def _doc_token_counts(texts: pd.Series, seg) -> np.ndarray:
-        from ..functions.text import _flat_lower_tokens
-
-        flat, di, _ = _flat_lower_tokens(texts.reset_index(drop=True))
-        out = np.zeros(len(texts), dtype=np.int64)
-        if len(flat):
-            uniq, inv = np.unique(flat.astype(str), return_inverse=True)
-            per = np.fromiter((len(seg(w)) for w in uniq),
-                              dtype=np.int64, count=len(uniq))
-            np.add.at(out, di, per[inv])
-        return out
-
     # ---- pass 1: per-bucket (docs, tokens-incl-EOD) partials --------
     def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
-        b = _buckets_of(_keys_of(df, key_cols), nbuckets)
-        seg = _make_segmenter(ray.get(spec_ref))
-        tok = _doc_token_counts(
-            df[text_col].reset_index(drop=True), seg) + 1  # + EOD
-        nt = np.zeros(nbuckets, dtype=np.int64)
-        nd = np.zeros(nbuckets, dtype=np.int64)
-        np.add.at(nt, b, tok)
-        np.add.at(nd, b, 1)
-        present = np.flatnonzero(nd != 0)
-        return pd.DataFrame({"__b": present, "nt": nt[present],
-                             "nd": nd[present]})
+        return _bucket_count_partial(df, key_cols, text_col, nbuckets,
+                                     spec_ref)
 
     parts = (ds.map_batches(bucket_counts, batch_format="pandas")
              .groupby("__b")
@@ -281,38 +352,12 @@ def export_packed_tokens(ds, out_dir: str, merges: pd.DataFrame | None,
 
     # ---- pass 2: bucket shuffle, sort + encode + write each shard ---
     def attach(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.copy()
-        out["__b"] = _buckets_of(_keys_of(df, key_cols), nbuckets)
-        return out
-
-    import pyarrow as pa
-
-    wrote_schema = pa.schema([("bucket", pa.int64()),
-                              ("skipped", pa.bool_())])
+        return _attach_buckets(df, key_cols, nbuckets)
 
     def write_bucket(g: pd.DataFrame) -> "pa.Table":
-        from .sample import md5_u64
-
-        if g.empty:  # pinned schema for Ray's empty group blocks
-            return wrote_schema.empty_table()
-        b = int(g["__b"].iloc[0])
-        path = os.path.join(out_dir, f"shard-{b:05d}.bin")
-        expect = int(n_tok[b]) * _DTYPE.itemsize
-        if os.path.exists(path) and os.path.getsize(path) == expect:
-            return pa.table({"bucket": [b], "skipped": [True]},
-                            schema=wrote_schema)
-        keys = _keys_of(g, key_cols)
-        o = np.lexsort((keys, md5_u64(keys)))
-        ids, _ = _encode_ids(
-            g[text_col].iloc[o].reset_index(drop=True),
-            _make_segmenter(ray.get(spec_ref)), ray.get(tok2id_ref))
-        assert ids.nbytes == expect, (b, ids.nbytes, expect)
-        tmp = path + f".tmp.{os.getpid()}"
-        with open(tmp, "wb") as fh:
-            fh.write(ids.tobytes())
-        os.replace(tmp, path)
-        return pa.table({"bucket": [b], "skipped": [False]},
-                        schema=wrote_schema)
+        return _write_bucket_shard(g, out_dir, key_cols, text_col,
+                                   n_tok, spec_ref, tok2id_ref,
+                                   skip_if_sized=True)
 
     wrote = (ds.map_batches(attach, batch_format="pandas")
              .groupby("__b")
@@ -467,18 +512,19 @@ def read_packed_dataset(out_dir: str, *,
 
 def load_tokenizer(out_dir: str):
     """(kind, model) spec from a pack's persisted ``tokenizer.json`` —
-    dispatches on the artifact format tag."""
-    with open(os.path.join(out_dir, "tokenizer.json")) as fh:
-        fmt = json.load(fh).get("format")
+    one read, dispatched on the artifact format tag."""
     p = os.path.join(out_dir, "tokenizer.json")
+    with open(p) as fh:
+        obj = json.load(fh)
+    fmt = obj.get("format")
     if fmt == "bpe-merges-v1":
         from .bpe import load_merges
 
-        return ("bpe", load_merges(p))
+        return ("bpe", load_merges(p, obj=obj))
     if fmt == "unigram-vocab-v1":
         from .unigram import load_vocab
 
-        return ("unigram", load_vocab(p))
+        return ("unigram", load_vocab(p, obj=obj))
     raise ValueError(f"unknown tokenizer artifact format {fmt!r}")
 
 
@@ -507,8 +553,6 @@ def refresh_packed_tokens(lake_dir: str, out_dir: str, *,
     import ray
     from ray.data.aggregate import Sum
 
-    import pyarrow as pa
-
     from ..pipelines.replicate import final_state, lake_diff
     from ..state import checkpoint as ckpt
 
@@ -520,6 +564,37 @@ def refresh_packed_tokens(lake_dir: str, out_dir: str, *,
         raise ValueError(
             f"not a lake-tagged pack (source_tag={tag!r}); only packs "
             f"built from a lake can refresh")
+    # the pack's recorded identity is authoritative for key/text
+    # columns: a caller-supplied mismatch would re-bucket dirty shards
+    # under a DIFFERENT rule than the untouched ones — a silently
+    # inconsistent corpus, so it's rejected loudly
+    run_p = os.path.join(out_dir, "run.json")
+    run_id = None
+    try:
+        with open(run_p) as fh:
+            run_id = json.load(fh)
+    except (OSError, ValueError):
+        pass
+    if run_id is not None:
+        rec_keys = tuple(run_id.get("key_cols", ()))
+        rec_text = run_id.get("text_col")
+        if rec_keys and tuple(key_cols) != rec_keys:
+            raise ValueError(
+                f"key_cols {tuple(key_cols)!r} do not match the pack's "
+                f"recorded identity {rec_keys!r}")
+        if rec_text and text_col != rec_text:
+            raise ValueError(
+                f"text_col {text_col!r} does not match the pack's "
+                f"recorded identity {rec_text!r}")
+
+    def _sync_run_tag(new_tag: str) -> None:
+        if run_id is None:
+            return
+        run_id["source_tag"] = new_tag
+        with open(run_p + ".tmp", "w") as fh:
+            json.dump(run_id, fh)
+        os.replace(run_p + ".tmp", run_p)
+
     g0 = int(tag.split("@", 1)[1])
     g1 = int(ckpt.read_global_watermark(lake_dir))
     if g1 <= g0:
@@ -547,53 +622,32 @@ def refresh_packed_tokens(lake_dir: str, out_dir: str, *,
                     .map_batches(diff_buckets, batch_format="pandas")
                     .take_all()})
     if not dirty:
-        manifest = dict(manifest, source_tag=f"lake@{g1}", skipped=False,
+        new_tag = f"lake@{g1}"
+        _sync_run_tag(new_tag)  # keep both identities coherent
+        manifest = dict(manifest, source_tag=new_tag, skipped=False,
                         rewritten_buckets=0)
         with open(man_p + ".tmp", "w") as fh:
             json.dump(manifest, fh)
         os.replace(man_p + ".tmp", man_p)
         return manifest
-    dirty_set = frozenset(dirty)
 
-    ds = final_state(lake_dir, columns=[*key_cols, text_col]).materialize()
+    # one streaming pass over the live rows; only the (small) dirty
+    # subset materializes for its two consumers (count + write)
+    ds = final_state(lake_dir, columns=[*key_cols, text_col])
 
     def only_dirty(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return df
         b = _buckets_of(_keys_of(df, key_cols), nbuckets)
-        out = df[np.isin(b, dirty)]
-        return out
+        return df[np.isin(b, dirty)]
 
     dirty_rows = ds.map_batches(only_dirty,
                                 batch_format="pandas").materialize()
 
-    # ---- recount the dirty buckets (same fold as the full export) ----
+    # ---- recount the dirty buckets (the export's own count partial) --
     def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame({"__b": pd.Series([], dtype=np.int64),
-                                 "nt": pd.Series([], dtype=np.int64),
-                                 "nd": pd.Series([], dtype=np.int64)})
-        b = _buckets_of(_keys_of(df, key_cols), nbuckets)
-        seg = _make_segmenter(ray.get(spec_ref))
-
-        from ..functions.text import _flat_lower_tokens
-
-        flat, di, _ = _flat_lower_tokens(
-            df[text_col].reset_index(drop=True))
-        per = np.zeros(len(df), dtype=np.int64)
-        if len(flat):
-            uniq, inv = np.unique(flat.astype(str), return_inverse=True)
-            ul = np.fromiter((len(seg(w)) for w in uniq),
-                             dtype=np.int64, count=len(uniq))
-            np.add.at(per, di, ul[inv])
-        tok = per + 1  # + EOD
-        nt = np.zeros(nbuckets, dtype=np.int64)
-        nd = np.zeros(nbuckets, dtype=np.int64)
-        np.add.at(nt, b, tok)
-        np.add.at(nd, b, 1)
-        present = np.flatnonzero(nd != 0)
-        return pd.DataFrame({"__b": present, "nt": nt[present],
-                             "nd": nd[present]})
+        return _bucket_count_partial(df, key_cols, text_col, nbuckets,
+                                     spec_ref)
 
     parts = (dirty_rows.map_batches(bucket_counts, batch_format="pandas")
              .groupby("__b")
@@ -613,33 +667,16 @@ def refresh_packed_tokens(lake_dir: str, out_dir: str, *,
     starts = np.cumsum(n_tok) - n_tok
     total_tokens = int(n_tok.sum())
 
-    # ---- rewrite ONLY the dirty shard files --------------------------
-    wrote_schema = pa.schema([("bucket", pa.int64())])
-
+    # ---- rewrite ONLY the dirty shard files (same machinery as the
+    # export; skip_if_sized=False — a dirty bucket must rewrite even if
+    # the old file coincides in size with different content) ----------
     def attach(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.copy()
-        out["__b"] = _buckets_of(_keys_of(df, key_cols), nbuckets)
-        return out
+        return _attach_buckets(df, key_cols, nbuckets)
 
     def write_bucket(g: pd.DataFrame) -> "pa.Table":
-        from .sample import md5_u64
-
-        if g.empty:
-            return wrote_schema.empty_table()
-        b = int(g["__b"].iloc[0])
-        path = os.path.join(out_dir, f"shard-{b:05d}.bin")
-        keys = _keys_of(g, key_cols)
-        o = np.lexsort((keys, md5_u64(keys)))
-        ids, _ = _encode_ids(
-            g[text_col].iloc[o].reset_index(drop=True),
-            _make_segmenter(ray.get(spec_ref)), ray.get(tok2id_ref))
-        expect = int(n_tok[b]) * _DTYPE.itemsize
-        assert ids.nbytes == expect, (b, ids.nbytes, expect)
-        tmp = path + f".tmp.{os.getpid()}"
-        with open(tmp, "wb") as fh:
-            fh.write(ids.tobytes())
-        os.replace(tmp, path)
-        return pa.table({"bucket": [b]}, schema=wrote_schema)
+        return _write_bucket_shard(g, out_dir, key_cols, text_col,
+                                   n_tok, spec_ref, tok2id_ref,
+                                   skip_if_sized=False)
 
     wrote = (dirty_rows.map_batches(attach, batch_format="pandas")
              .groupby("__b")
@@ -647,25 +684,20 @@ def refresh_packed_tokens(lake_dir: str, out_dir: str, *,
              .to_pandas())
     written = set(wrote["bucket"].tolist()) if len(wrote) else set()
     # a dirty bucket with NO remaining live rows (all its keys deleted)
-    # never reaches write_bucket: publish its empty shard
-    for b in dirty:
-        if b not in written:
-            p = os.path.join(out_dir, f"shard-{b:05d}.bin")
-            open(p + ".tmp", "wb").close()
-            os.replace(p + ".tmp", p)
+    # never reaches write_bucket: publish its empty shard — but ONLY
+    # when the recount agrees it is empty; a non-empty dirty bucket
+    # missing from the write pass is a fault, never a truncation
+    missing = [b for b in dirty if b not in written]
+    bad = [b for b in missing if n_tok[b] > 0]
+    if bad:
+        raise RuntimeError(f"dirty buckets never materialized: {bad}")
+    for b in missing:
+        p = os.path.join(out_dir, f"shard-{b:05d}.bin")
+        open(p + ".tmp", "wb").close()
+        os.replace(p + ".tmp", p)
 
     new_tag = f"lake@{g1}"
-    # keep the original-run identity coherent for a later full export
-    run_p = os.path.join(out_dir, "run.json")
-    try:
-        with open(run_p) as fh:
-            run_id = json.load(fh)
-        run_id["source_tag"] = new_tag
-        with open(run_p + ".tmp", "w") as fh:
-            json.dump(run_id, fh)
-        os.replace(run_p + ".tmp", run_p)
-    except (OSError, ValueError):
-        pass
+    _sync_run_tag(new_tag)  # keep the run identity coherent
     manifest = dict(
         manifest, source_tag=new_tag, total_tokens=total_tokens,
         total_docs=int(n_doc.sum()),

@@ -433,14 +433,15 @@ def save_vocab(vocab_df: pd.DataFrame, path: str) -> None:
     os.replace(tmp, path)
 
 
-def load_vocab(path: str) -> pd.DataFrame:
+def load_vocab(path: str, obj: dict | None = None) -> pd.DataFrame:
     """Load a unigram vocabulary artifact; logprob re-derives from the
     stored exact integer counts (the same pure function of q used at
     train time)."""
     import json
 
-    with open(path) as fh:
-        obj = json.load(fh)
+    if obj is None:
+        with open(path) as fh:
+            obj = json.load(fh)
     if obj.get("format") != "unigram-vocab-v1":
         raise ValueError(f"not a unigram-vocab-v1 artifact: {path}")
     pieces = [x[0] for x in obj["pieces"]]

@@ -181,3 +181,19 @@ def test_follow_refresh_tokens_keeps_pack_current(ray_session, tmp_path):
                          text_col="content",
                          source_tag=f"lake@{ckpt.read_global_watermark(lake)}")
     assert _shard_bytes(pack) == _shard_bytes(ref)
+
+
+def test_refresh_rejects_identity_mismatch(ray_session, lake_and_pack):
+    from database_delta_plugins_ray.stages.tokexport import (
+        refresh_packed_tokens)
+
+    _, lake, pack, _, _ = lake_and_pack
+    # the pack records key_cols=(repo,path)/content; a different
+    # bucketing rule would silently interleave rewritten shards under a
+    # different document order than the untouched ones
+    with pytest.raises(ValueError, match="key_cols"):
+        refresh_packed_tokens(lake, pack, key_cols=("doc_id",),
+                              text_col="content")
+    with pytest.raises(ValueError, match="text_col"):
+        refresh_packed_tokens(lake, pack, key_cols=("repo", "path"),
+                              text_col="text")
