@@ -202,19 +202,22 @@ def cross_corpus_dedup(ds_b, ds_a, *, col: str = "text",
 
     # within a partition a candidate survives iff its md5 never appears
     # on the A side (exact anti-semantics; every md5 lands in one part).
-    # Output re-casts to B's Arrow schema: the A side's null-padded rows
-    # make pandas float64-ify B's int columns inside the group frame.
+    # The fold stays in Arrow end-to-end: a pandas group frame would
+    # float64-ify B's int64 columns under the A side's null padding and
+    # silently corrupt values above 2^53 (snowflake-style ids).
+    import pyarrow.compute as pc
+
     b_schema = pa.schema(b_fields)
 
-    def fold(g: pd.DataFrame) -> "pa.Table":
-        a_set = set(g.loc[~g["_is_b"], "_md5"])
-        b = g[g["_is_b"]]
-        keep = b.loc[~b["_md5"].isin(a_set), b_names]
-        cols = [pa.Array.from_pandas(keep[f.name]).cast(f.type)
-                for f in b_fields]
-        return pa.table(cols, schema=b_schema)
+    def fold(g: pa.Table) -> pa.Table:
+        is_b = pc.fill_null(g["_is_b"], False)
+        a_md5 = pc.filter(g["_md5"], pc.invert(is_b)).combine_chunks()
+        b = g.filter(is_b)
+        keep = b.filter(pc.invert(
+            pc.is_in(b["_md5"], value_set=a_md5)))
+        return keep.select(b_names).cast(b_schema)
 
     survivors = (a_side.union(b_side)
                  .groupby("_part")
-                 .map_groups(fold, batch_format="pandas"))
+                 .map_groups(fold, batch_format="pyarrow"))
     return clean.union(survivors)

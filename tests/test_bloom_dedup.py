@@ -114,3 +114,25 @@ def test_null_text_never_a_duplicate(ray_session):
     # SQL semantics: md5(NULL) matches nothing -> the null B row stays;
     # the literal string 'None' IS a real duplicate of A's 'None'
     assert set(out["doc_id"]) == {10, 12}
+
+
+def test_int64_above_2p53_survives_verify_exchange(ray_session):
+    """Snowflake-style ids (> 2^53) must come back bit-exact: a pandas
+    group frame would float64-ify the null-padded int64 column in the
+    verify fold and round these ids before the cast back."""
+    import ray
+
+    from database_delta_plugins_ray.stages.bloom import cross_corpus_dedup
+
+    big = 2**62 + 1  # not representable in float64 (rounds to 2^62)
+    A = pd.DataFrame({"doc_id": np.array([1, 2], dtype=np.int64),
+                      "text": ["shared one", "shared two"]})
+    B = pd.DataFrame({
+        "doc_id": np.array([big, big + 2, big + 4], dtype=np.int64),
+        "text": ["shared one", "fresh b", "shared two"]})
+    # tiny filter: force every B row through the verify exchange
+    out = cross_corpus_dedup(_mk(ray, B, 2), _mk(ray, A, 2),
+                             m_bits=256, k=3).to_pandas()
+    assert out["doc_id"].dtype == np.int64
+    assert set(out["doc_id"]) == {big + 2}
+    assert int(out["doc_id"].iloc[0]) == big + 2  # exact, not rounded
