@@ -396,16 +396,16 @@ def lake_vector_index_refresh(lake_dir: str, index_dir: str) -> dict:
     """Advance the index from its stamped watermark to the lake's
     current one using the change data feed: upserts for created/updated
     keys (re-embedded, one pass over the CHANGE SET), tombstones for
-    deletes — never re-embedding the corpus. The change set lives on
-    the driver exactly like the text-index refresh's (documented
-    churn-bounded)."""
+    deletes — never re-embedding the corpus. The change set stays in
+    the object store (materialized, spillable); the driver receives
+    only (key, change) rows — the churn bound the tombstone list needs
+    anyway, never the content column (same shape as the text-index
+    refresh)."""
     import json
-
-    import ray.data
 
     from ..stages.similarity import IVFDiskIndex
     from ..state import checkpoint as ckpt
-    from .replicate import lake_diff, lookup_keys
+    from .replicate import lake_diff
 
     wm_p = os.path.join(index_dir, "lake_watermark.json")
     with open(wm_p) as fh:
@@ -413,19 +413,21 @@ def lake_vector_index_refresh(lake_dir: str, index_dir: str) -> dict:
     g1 = int(ckpt.read_global_watermark(lake_dir))
     if g1 <= g0:
         return {"changed": 0, "watermark": g0}
-    diff = lake_diff(lake_dir, g0).take_all()
+    diff_ds = (lake_diff(lake_dir, g0, to_lsn=g1)
+               .select_columns(["table", "repo", "path", "change",
+                                "content"])
+               .materialize())
+    meta_rows = diff_ds.drop_columns(["content"]).take_all()
     dels = [VEC_KEY_SEP.join(map(str, (r["table"], r["repo"], r["path"])))
-            for r in diff if r["change"] == "d"]
-    ups = [(r["table"], r["repo"], r["path"])
-           for r in diff if r["change"] in ("c", "u")]
+            for r in meta_rows if r["change"] == "d"]
+    n_ups = sum(r["change"] in ("c", "u") for r in meta_rows)
     idx = IVFDiskIndex(index_dir)
     add_ds = None
-    if ups:
-        live = lookup_keys(lake_dir, ups,
-                           columns=["table", "repo", "path", "content"])
-        add_ds = (ray.data.from_arrow(live)
+    if n_ups:
+        add_ds = (diff_ds.filter(expr="change != 'd'")
+                  .drop_columns(["change"])
                   .map_batches(_vec_rows, batch_format="pyarrow"))
-    out = {"changed": len(diff), "watermark": g1}
+    out = {"changed": len(meta_rows), "watermark": g1}
     if add_ds is not None or dels:
         out.update(idx.refresh(add_ds, delete_ids=dels))
     with open(wm_p, "w") as fh:

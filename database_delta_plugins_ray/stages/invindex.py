@@ -266,14 +266,15 @@ class LakeTextIndex:
       generation, -1 -> deleted). Bounded by churn since the last
       compaction; a compaction (rebuild) resets it.
 
-    ``refresh`` cost is O(changed keys), never O(corpus): one
-    ``lake_diff`` (partition-local, history lakes), a pruned
-    ``lookup_keys`` for the changed keys' live content, tokenization of
-    ONLY those docs (materialized — they are the change set, not the
-    corpus), appended posting/sidecar files, and exact integer
-    maintenance of (n_docs, total_tokens) so BM25 after a refresh is
-    bit-identical to BM25 after a full rebuild — proven by the parity
-    tests.
+    ``refresh`` cost is O(changed keys), never O(corpus), and the change
+    set never rides the driver: one ``lake_diff`` (partition-local,
+    history lakes) materialized as object-store blocks carries the new
+    content straight into the distributed tokenize/scatter pass; the
+    driver receives only (key, change, seq) and per-doc (doc_key, dl)
+    rows — the same O(churn) bound as the overlay they feed — plus
+    exact integer maintenance of (n_docs, total_tokens) so BM25 after a
+    refresh is bit-identical to BM25 after a full rebuild — proven by
+    the parity tests.
     """
 
     KEY_COLS = ("table", "repo", "path")
@@ -429,21 +430,27 @@ class LakeTextIndex:
         ``history=True`` lake whose horizon still covers the index
         watermark; a vacuumed horizon means compact —
         ``LakeTextIndex.build`` again). O(changed keys) end to end."""
-        from ..pipelines.replicate import lake_diff, lookup_keys
+        from ..pipelines.replicate import lake_diff
         from ..state import checkpoint as ckpt
 
         g0 = int(self.meta["watermark"])
         g1 = int(ckpt.read_global_watermark(lake_dir))
         if g1 <= g0:
             return {"changed": 0, "watermark": g0}
-        # the change set is O(churn between watermarks) — it lives on the
-        # driver exactly like the overlay it feeds (documented bound)
-        diff = lake_diff(lake_dir, g0).take_all()
-        if not diff:
+        # the change set stays DISTRIBUTED (materialized blocks in the
+        # object store, spillable); the driver receives only
+        # (key, change, seq) rows — the same O(churn) bound as the
+        # overlay those rows feed, never the content column
+        diff_ds = (lake_diff(lake_dir, g0, to_lsn=g1)
+                   .select_columns([*self.KEY_COLS, "change", "content",
+                                    "_sequence_num"])
+                   .materialize())
+        meta_rows = diff_ds.drop_columns(["content"]).take_all()
+        if not meta_rows:
             self._commit_meta(watermark=g1)
             return {"changed": 0, "watermark": g1}
-        keys = [tuple(r[c] for c in self.KEY_COLS) for r in diff]
-        doc_keys = [_SEP.join(map(str, k)) for k in keys]
+        doc_keys = [_SEP.join(str(r[c]) for c in self.KEY_COLS)
+                    for r in meta_rows]
 
         # superseded generations' exact doc lengths from the sidecar,
         # bounded to the COMMITTED watermark g0 so a crashed attempt's
@@ -452,15 +459,16 @@ class LakeTextIndex:
         old = old[old["alive"]]
         old_alive, old_tokens = len(old), int(old["dl"].sum())
 
-        # live content for created/updated keys (deleted -> no row),
-        # tokenized DISTRIBUTED over just the change set
-        live = lookup_keys(lake_dir, keys,
-                           columns=[*self.KEY_COLS, "content",
-                                    "_sequence_num"])
+        # live generation per created/updated doc comes straight from the
+        # diff's new-side seq — the postings pass below never has to
+        # round-trip it through the driver
+        live_seq: dict[str, int] = {
+            dk: int(r["_sequence_num"])
+            for dk, r in zip(doc_keys, meta_rows) if r["change"] != "d"}
         n_buckets = self.meta["n_buckets"]
         n_shards = self.meta["n_shards"]
-        new_alive = new_tokens = 0
-        live_seq: dict[str, int] = {}
+        new_alive = len(live_seq)
+        new_tokens = 0
         # all refresh files carry the TARGET watermark in a deterministic
         # name and are written tmp+rename: a crashed refresh re-run (meta
         # still at g0) overwrites the same files byte-identically instead
@@ -482,8 +490,10 @@ class LakeTextIndex:
 
             return write
 
-        if live.num_rows:
-            posts = (ray.data.from_arrow(live)
+        per_doc: dict[str, int] = {}
+        if live_seq:
+            posts = (diff_ds.filter(expr="change != 'd'")
+                     .drop_columns(["change"])
                      .map_batches(self._scatter_fn(n_buckets),
                                   batch_format="pandas")
                      .materialize())
@@ -499,24 +509,12 @@ class LakeTextIndex:
                              batch_format="pyarrow")
                  .take_all())
             seen = (posts.map_batches(
-                        lambda df: df[["doc_key", "dl", "seq"]]
+                        lambda df: df[["doc_key", "dl"]]
                         .drop_duplicates("doc_key"),
                         batch_format="pandas")
-                    .take_all())  # ~one row per changed doc
-            per_doc = {}
-            for r in seen:
-                per_doc[r["doc_key"]] = (int(r["dl"]), int(r["seq"]))
-            new_alive = len(per_doc)
-            new_tokens = sum(d for d, _ in per_doc.values())
-            live_seq = {k: s for k, (_, s) in per_doc.items()}
-            # empty-content live docs never produce postings rows: count
-            # them via the lookup result so n_docs stays exact
-            lk = live.to_pydict()
-            for i in range(live.num_rows):
-                dk = _SEP.join(str(lk[c][i]) for c in self.KEY_COLS)
-                if dk not in live_seq:
-                    live_seq[dk] = int(lk["_sequence_num"][i])
-                    new_alive += 1
+                    .take_all())  # ~one (doc_key, dl) row per changed doc
+            per_doc = {r["doc_key"]: int(r["dl"]) for r in seen}
+            new_tokens = sum(per_doc.values())
 
         # deleted docs: tombstone sidecar rows at a seq past every
         # retained generation (the new watermark is monotone); tiny,
@@ -524,8 +522,7 @@ class LakeTextIndex:
         # whose new content tokenizes to NOTHING also get a (dl=0,
         # alive) row here — they produce no postings to derive one from
         dead = [dk for dk in doc_keys if dk not in live_seq]
-        empty_alive = [dk for dk in live_seq
-                       if dk not in per_doc] if live.num_rows else []
+        empty_alive = [dk for dk in live_seq if dk not in per_doc]
         if dead or empty_alive:
             import pyarrow.parquet as pq
 
