@@ -20,13 +20,70 @@ def entry() -> Any:
     return cdc_final_state("/root/testdata/sf0.001")
 
 
-#: gated-prefix order: the driver checks a PREFIX of this catalog, so the
-#: first ~50 names round-robin across every operator family (CDC core,
-#: exports, TPC-H shapes, joins, windows, dedup, ANN, text, sampling,
-#: sketches, search, multimodal, clustering, pivots, DQ) — no family is
-#: left entirely unsampled by the correctness gate
+#: gated-prefix order: the driver checks a PREFIX of this catalog. Round 5
+#: ROTATES the gate (round-4 verdict #2): the paths changed THIS round
+#: lead, then ~70 queries the round-4 driver gate never sampled (spanning
+#: every operator family), and the 50 rows already driver-green in r04
+#: follow behind — so r05 produces driver rows for the families that so
+#: far were only builder-claimed green
 _GATE_PREFIX = [
-    # CDC core + the paths that changed most recently
+    # paths changed this round — re-gate first
+    "cdc_search_lake_content", "cdc_search_lake_compacted",
+    "cdc_vector_search_lake", "dedup_cross_corpus_documents",
+    "kn_bigram_surprise_documents", "decontaminate_documents",
+    "vocab_document_frequency", "tfidf_top_terms_documents",
+    "token_pmi_pairs", "lm_surprise_documents",
+    # CDC rows r04 never sampled
+    "cdc_reshard_continuation", "cdc_commit_lookup",
+    "cdc_repo_skew_report", "cdc_from_debezium_jsonl",
+    "cdc_tx_consistent", "cdc_multi_table_final", "cdc_table_filter",
+    "cdc_ddl_blacklist", "cdc_dml_blacklist", "cdc_first_seen_synthesis",
+    "cdc_projection", "cdc_tombstones", "cdc_changelog_prev_commit",
+    "cdc_final_state_optimized", "cdc_dlq_contents", "cdc_view_repo_join",
+    "cdc_view_repo_stats", "cdc_op_counts", "cdc_events_per_repo",
+    "cdc_language_slice",
+    # search / dedup / decontamination (never driver-seen)
+    "search_documents_bm25", "search_documents_hybrid",
+    "search_documents_terms",
+    "dedup_exact_documents", "dedup_exact_keep_best",
+    "dedup_minhash_documents", "dedup_ngram_documents",
+    "dedup_cluster_documents", "dedup_passages_documents",
+    "dedup_crawl_loop_documents", "dedup_incremental_documents",
+    "dedup_substring_documents", "decontaminate_semantic_embeddings",
+    # tokenizer training / graph / clustering (never driver-seen)
+    "bpe_train_documents", "unigram_train_documents",
+    "pagerank_customer_supplier", "kmeans_embeddings", "pca_embeddings",
+    # windows / sessions / late data (never driver-seen)
+    "events_latest_per_user", "events_tumbling_window",
+    "events_session_windows", "events_running_revenue",
+    "events_trailing_hour_revenue", "events_hopping_window",
+    "events_late_data_windows", "cohort_retention_weekly",
+    "events_value_outliers", "funnel_view_purchase",
+    # joins + set ops (never driver-seen)
+    "purchases_asof_last_view", "orders_with_events_in_week",
+    "customers_without_events", "customer_order_stats_right",
+    "events_user_setops",
+    # TPC-H rows r04 skipped
+    "q20_prefix_part_shippers", "q6_forecast_revenue",
+    "q19_disjunctive_revenue",
+    # ANN / sampling / sketches (never driver-seen)
+    "ann_topk_cosine", "ann_topk_ivf", "ann_topk_pq",
+    "ann_topk_ivf_incremental",
+    "sample_documents_deterministic", "split_documents_train_val_test",
+    "dsir_sample_documents", "mix_token_budget_documents",
+    "pack_sequences_documents",
+    "approx_distinct_users_hll", "heavy_hitters_tokens",
+    "approx_quantiles_event_value", "orders_median_price_by_status",
+    # text analysis / multimodal / exports / pivots / DQ (never seen)
+    "lang_id_documents", "quality_scores_documents",
+    "quality_classifier_documents", "corpus_report_documents",
+    "multimodal_features", "redact_pii_documents",
+    "normalize_text_documents", "repetition_stats_documents",
+    "export_documents_shards", "export_documents_jsonl",
+    "export_documents_sorted", "export_documents_tokens",
+    "events_pivot_type_counts", "events_cube_type_hour",
+    "dq_expectations", "chunk_documents_overlap",
+    # r04 driver-green rows, behind the rotation
     "cdc_final_state", "cdc_export_incremental", "cdc_from_debezium_mysql",
     "cdc_from_debezium_mysql_resume", "cdc_from_debezium_sqlserver",
     "cdc_from_debezium_postgres", "cdc_from_debezium_postgres_resume",
@@ -37,13 +94,10 @@ _GATE_PREFIX = [
     "cdc_transformed_apply",
     "cdc_resume_equivalence", "cdc_full_lifecycle", "cdc_all_datatypes",
     "cdc_snapshot_ddl_sequence", "cdc_time_travel", "cdc_changefeed",
-    "cdc_point_lookup", "cdc_search_lake_content",
-    "cdc_search_lake_compacted",
-    "cdc_vector_search_lake", "cdc_scd2_history",
+    "cdc_point_lookup", "cdc_scd2_history",
     "cdc_truncate_fence", "cdc_dead_letter_queue", "cdc_incremental_snapshot",
     "cdc_to_training_corpus", "cdc_to_packed_corpus",
     "cdc_packed_tokens_refresh", "cdc_drift_report",
-    # TPC-H shapes
     "q1_pricing_summary", "q3_shipping_priority", "q10_returned_items",
     "q18_large_volume_customers", "q5_local_supplier_volume",
     "q4_order_priority", "q12_priority_by_linestatus",
@@ -51,49 +105,7 @@ _GATE_PREFIX = [
     "q15_top_supplier", "q17_small_quantity_revenue", "q8_market_share",
     "q21_sole_supplier_orders", "q2_min_cost_supplier",
     "q9_product_type_profit", "q11_important_parts",
-    "q16_supplier_part_counts", "q20_prefix_part_shippers",
-    # joins (as-of, range, anti, right-outer) + set ops
-    "purchases_asof_last_view", "orders_with_events_in_week",
-    "customers_without_events", "customer_order_stats_right",
-    "events_user_setops",
-    # RAG chunking
-    "chunk_documents_overlap",
-    # windows / scans
-    "events_latest_per_user", "events_tumbling_window",
-    "events_session_windows", "events_running_revenue",
-    "events_trailing_hour_revenue", "cohort_retention_weekly",
-    # dedup / decontamination
-    "dedup_exact_documents", "dedup_exact_keep_best",
-    "dedup_minhash_documents",
-    "dedup_ngram_documents", "dedup_cluster_documents",
-    "dedup_passages_documents", "dedup_incremental_documents",
-    "dedup_semantic_embeddings", "dedup_substring_documents",
-    "dedup_crawl_loop_documents",
-    "dedup_cross_corpus_documents",
-    "decontaminate_documents", "decontaminate_semantic_embeddings",
-    # similarity / clustering
-    "ann_topk_cosine", "ann_topk_ivf", "ann_topk_pq",
-    "ann_topk_ivf_incremental", "kmeans_embeddings",
-    "pca_embeddings", "pagerank_customer_supplier",
-    # text analysis / tokenizer training
-    "lang_id_documents", "quality_scores_documents",
-    "quality_classifier_documents", "bpe_train_documents",
-    "unigram_train_documents", "kn_bigram_surprise_documents",
-    "tfidf_top_terms_documents", "corpus_report_documents",
-    # sampling / packing
-    "sample_documents_deterministic", "split_documents_train_val_test",
-    "mix_token_budget_documents", "dsir_sample_documents",
-    "pack_sequences_documents",
-    # sketches / exact quantiles
-    "approx_distinct_users_hll", "heavy_hitters_tokens",
-    "approx_quantiles_event_value", "orders_median_price_by_status",
-    # search / multimodal / exports / pivots / DQ
-    "search_documents_bm25", "search_documents_hybrid",
-    "multimodal_features",
-    "export_documents_shards", "export_documents_jsonl",
-    "export_documents_sorted",
-    "events_pivot_type_counts", "events_cube_type_hour",
-    "dq_expectations",
+    "q16_supplier_part_counts",
 ]
 
 

@@ -14,14 +14,24 @@ membership with a vectorized ``np.searchsorted`` against the shared
 sorted array — no shuffle, no join; the corpus streams through a single
 ``map_batches``. Gram hashing is the polynomial token-hash combine from
 ``functions/text.py:ngram_hashes`` (no per-gram strings anywhere).
+Batches stay zero-copy Arrow: the eval-split mask is computed on the
+int64 id column and applied with ``Table.filter``; only the text column
+of the surviving rows is handed to the tokenizer.
 """
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 #: membership rule for the synthetic eval split: doc_id % EVAL_MOD == 0
 EVAL_MOD = 97
+
+
+def _eval_mask(t: pa.Table) -> np.ndarray:
+    """Boolean eval-split membership per row, from the id column only."""
+    did = t["doc_id"].to_numpy(zero_copy_only=False)
+    return did % EVAL_MOD == 0
 
 
 def eval_gram_hashes(docs, n: int = 3) -> np.ndarray:
@@ -30,12 +40,12 @@ def eval_gram_hashes(docs, n: int = 3) -> np.ndarray:
     driver reduce at O(unique grams), not O(grams)."""
     from ..functions.text import ngram_hashes
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        ev = df[df["doc_id"] % EVAL_MOD == 0]
-        h, _ = ngram_hashes(ev["text"].reset_index(drop=True), n)
-        return pd.DataFrame({"h": np.unique(h)})
+    def partial(t: pa.Table) -> pa.Table:
+        ev = t.filter(pa.array(_eval_mask(t)))
+        h, _ = ngram_hashes(pd.Series(ev["text"].to_pylist()), n)
+        return pa.table({"h": pa.array(np.unique(h), pa.uint64())})
 
-    parts = docs.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
     return np.unique(parts["h"].to_numpy(dtype=np.uint64))
 
 
@@ -47,17 +57,16 @@ def decontaminate(docs, eval_ref, n: int = 3):
 
     from ..functions.text import ngram_hashes
 
-    def flag(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["doc_id"] % EVAL_MOD != 0]
-        texts = df["text"].reset_index(drop=True)
+    def flag(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.array(~_eval_mask(t)))
         ev = ray.get(eval_ref)
-        hit = np.zeros(len(df), dtype=np.int64)
-        h, di = ngram_hashes(texts, n)
+        hit = np.zeros(t.num_rows, dtype=np.int64)
+        h, di = ngram_hashes(pd.Series(t["text"].to_pylist()), n)
         if len(h) and len(ev):
             idx = np.searchsorted(ev, h)
             ok = (idx < len(ev)) & (ev[np.minimum(idx, len(ev) - 1)] == h)
             np.maximum.at(hit, di[ok], 1)
-        return pd.DataFrame(
-            {"doc_id": df["doc_id"].to_numpy(), "contaminated": hit})
+        return pa.table({"doc_id": t["doc_id"],
+                         "contaminated": pa.array(hit)})
 
-    return docs.map_batches(flag, batch_format="pandas")
+    return docs.map_batches(flag, batch_format="pyarrow")
