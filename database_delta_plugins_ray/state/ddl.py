@@ -114,6 +114,18 @@ def apply_ddl(state: "Registry", lsn: int, ddl_op: str, table: str,
             if not can_widen(cur, new_t):
                 raise DeltaFailure(f"illegal type change {cur} -> {new_t} for {table}.{col}")
             ts.columns = [(c, new_t if c == col else t) for c, t in ts.columns]
+        elif action == "drop":
+            col = doc["column"]
+            if col not in dict(ts.columns):
+                raise DeltaFailure(f"drop of unknown column {col} in {table}")
+            if col in ts.primary_key:
+                # key identity is the replication contract — mirroring
+                # the no-PK rejection
+                raise DeltaFailure(
+                    f"cannot drop primary-key column {table}.{col}")
+            ts.columns = [(c, t) for c, t in ts.columns if c != col]
+            ts.history_names.pop(col, None)
+            ts.converters.pop(col, None)
         else:
             raise DeltaFailure(f"unknown ALTER action {action!r}")
         ts.version += 1
@@ -405,13 +417,14 @@ def build_registry(log_dir: str, upto_lsn: int | None = None,
         if d["op"] == "SQL":
             # raw-SQL DDL route (M11/V14/V15): the payload carries the
             # statement text (the shape Debezium's schema-change topic
-            # emits); parse into structured events and apply each at this
-            # event's position
-            from .sqlddl import parse_ddl_sql
+            # emits — possibly a multi-statement script with comments and
+            # USE switches); parse into structured events and apply each
+            # at this event's position
+            from .sqlddl import parse_ddl_script
 
             stmt = json.loads(d["payload"] or "{}").get("sql", "")
             default_db = t.partition(".")[0] if "." in t else ""
-            for op2, t2, prev2, pay2 in parse_ddl_sql(stmt, default_db):
+            for op2, t2, prev2, pay2 in parse_ddl_script(stmt, default_db):
                 if ddl_blacklist and (t2, op2) in ddl_blacklist:
                     continue
                 reg.apply(row["lsn"], op2, t2, prev2, pay2)

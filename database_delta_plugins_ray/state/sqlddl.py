@@ -22,9 +22,19 @@ specs.
 
 Statements: CREATE/DROP DATABASE, CREATE TABLE (inline + table-level
 PRIMARY KEY), DROP TABLE, TRUNCATE [TABLE], RENAME TABLE a TO b, and
-ALTER TABLE with ADD [COLUMN] / RENAME COLUMN a TO b / MODIFY [COLUMN]
-/ CHANGE [COLUMN] a b type (rename + retype) / RENAME TO. One statement
-may expand to several structured events (CHANGE = rename then widen).
+ALTER TABLE with ADD [COLUMN] (single or parenthesized multi) / DROP
+[COLUMN] / RENAME COLUMN a TO b / MODIFY [COLUMN] / CHANGE [COLUMN]
+a b type (rename + retype) / RENAME TO. One statement may expand to
+several structured events (CHANGE = rename then widen). Clauses with
+no replicated-schema shape (indexes, constraints, DEFAULT tweaks,
+ENGINE/CHARSET/COLLATE/COMMENT table options) parse and drop. Column
+clauses handle CHARACTER SET/COLLATE (non-default charset emits the
+``charset:`` decode converter) and generated columns (declared type
+kept, expression stripped). ``parse_ddl_script`` is the
+schema-change-topic front-end: multi-statement scripts with line/block
+comments, ``USE db`` switches, and session/index/privilege statements
+skipped (optionally skipping unparseable statements, the
+``database.history.skip.unparseable.ddl`` analog).
 """
 
 from __future__ import annotations
@@ -111,21 +121,52 @@ def qualified_table(text: str, default_db: str = "") -> str:
 # ---------------------------------------------------------------------------
 
 _PAREN_ARGS = re.compile(r"^\s*\(([^)]*)\)")
+_GENERATED_AS = re.compile(r"\b(?:GENERATED\s+ALWAYS\s+)?AS\s*\(", re.I)
+
+
+def _strip_generated(rest: str) -> str:
+    """Cut a generated-column expression — ``[GENERATED ALWAYS] AS
+    (expr) [VIRTUAL|STORED]`` — so modifier scans (UNSIGNED, CHARACTER
+    SET) can't match words inside the expression. Generated columns
+    keep their declared data type (the parser treats them as regular
+    columns of that type, MySqlAntlrDdlParser.java column-definition
+    path)."""
+    m = _GENERATED_AS.search(rest)
+    if not m:
+        return rest
+    depth, i = 1, m.end()
+    while i < len(rest) and depth:
+        if rest[i] == "(":
+            depth += 1
+        elif rest[i] == ")":
+            depth -= 1
+        i += 1
+    tail = re.sub(r"^\s*(?:VIRTUAL|STORED)\b", "", rest[i:], flags=re.I)
+    return rest[:m.start()] + " " + tail
 
 
 def map_column_type(type_text: str) -> tuple[str, str | None]:
     """MySQL column type text -> (portable type name, converter spec or
     None). Handles length/precision args, UNSIGNED, ENUM/SET option
-    lists."""
+    lists, CHARACTER SET/COLLATE clauses (a non-default charset on a
+    string column emits the ``charset:<name>`` decode converter —
+    MySqlValueConverters.java:421-474 charsetFor), and generated-column
+    expressions (stripped; the column keeps its declared type)."""
     t = type_text.strip()
     m = re.match(r"^([A-Za-z]+)", t)
     if not m:
         raise ValueError(f"unparseable column type: {type_text!r}")
     base = m.group(1).upper()
-    rest = t[m.end():]
+    rest = _strip_generated(t[m.end():])
     args_m = _PAREN_ARGS.match(rest)
     args = args_m.group(1) if args_m else ""
     unsigned = bool(re.search(r"\bUNSIGNED\b", rest, re.I))
+    cs_m = re.search(r"\b(?:CHARACTER\s+SET|CHARSET)\s+[`'\"]?(\w+)",
+                     rest, re.I)
+    charset = cs_m.group(1).lower() if cs_m else None
+
+    def _string(portable: str) -> tuple[str, str | None]:
+        return portable, (f"charset:{charset}" if charset else None)
 
     if base in ("ENUM", "SET"):
         opts = extract_enum_and_set_options(_split_top_level(args))
@@ -173,9 +214,9 @@ def map_column_type(type_text: str) -> tuple[str, str | None]:
     if base == "YEAR":  # YEAR -> INTEGER with 2-digit adjust (V9)
         return "int32", "year"
     if base in ("CHAR", "VARCHAR", "NCHAR", "NVARCHAR"):
-        return "string", None
+        return _string("string")
     if base in ("TINYTEXT", "TEXT", "MEDIUMTEXT", "LONGTEXT"):
-        return "large_string", None
+        return _string("large_string")
     if base == "BINARY":
         n = int(args) if args else 1
         return f"binary({n})", f"binary_pad:{n}"
@@ -268,9 +309,44 @@ def _ident(tok: str) -> str:
     return without_quotes(tok.strip()).replace("``", "`")
 
 
+#: ALTER clauses that shape no replicated schema: secondary indexes,
+#: constraints, default tweaks, storage/table options
+#: (MySqlAntlrDdlParser handles the full dialect; the replicated schema
+#: only changes through column/table shape — these clauses are parsed
+#: and dropped, not errors)
+_ALTER_IGNORABLE = re.compile(
+    r"^(?:"
+    r"ADD\s+(?:UNIQUE|FULLTEXT|SPATIAL)?\s*(?:INDEX|KEY)\b"
+    r"|ADD\s+(?:CONSTRAINT|PRIMARY\s+KEY|FOREIGN\s+KEY|CHECK|UNIQUE)\b"
+    r"|DROP\s+(?:INDEX|KEY|PRIMARY\s+KEY|FOREIGN\s+KEY|CONSTRAINT|CHECK)\b"
+    r"|ALTER\s+(?:COLUMN\s+)?\S+\s+(?:SET|DROP)\b"
+    r"|(?:DEFAULT\s+)?(?:CHARACTER\s+SET|CHARSET)\b"
+    r"|CONVERT\s+TO\s+CHARACTER\s+SET\b"
+    r"|(?:ENGINE|AUTO_INCREMENT|ROW_FORMAT|COMMENT|COLLATE)\b"
+    r"|(?:ENABLE|DISABLE)\s+KEYS\b"
+    r"|(?:ORDER\s+BY|FORCE|ALGORITHM|LOCK)\b"
+    r")", re.I)
+
+
 def _parse_alter(rest: str, table: str) -> list[Event]:
     events: list[Event] = []
     for clause in _split_top_level(rest):
+        if _ALTER_IGNORABLE.match(clause):
+            continue
+        # parenthesized multi-ADD: ADD [COLUMN] (a INT, b TEXT, ...)
+        m = re.match(r"^ADD\s+(?:COLUMN\s+)?\((.*)\)$", clause, re.I | re.S)
+        if m:
+            for item in _split_top_level(m.group(1)):
+                im = re.match(r"^(\S+)\s+(.*)$", item, re.S)
+                if not im:
+                    raise ValueError(f"unparseable column def: {item!r}")
+                name = _ident(im.group(1))
+                typ, conv = map_column_type(im.group(2))
+                doc = {"action": "add", "column": name, "type": typ}
+                if conv:
+                    doc["converter"] = conv
+                events.append((DDL_ALTER_TABLE, table, "", json.dumps(doc)))
+            continue
         m = re.match(r"^ADD\s+(?:COLUMN\s+)?(\S+)\s+(.*)$", clause, re.I | re.S)
         if m:
             name = _ident(m.group(1))
@@ -312,6 +388,11 @@ def _parse_alter(rest: str, table: str) -> list[Event]:
             events.append((DDL_RENAME_TABLE, new, table, json.dumps(
                 {"new_name": new})))
             continue
+        m = re.match(r"^DROP\s+(?:COLUMN\s+)?(\S+)$", clause, re.I)
+        if m:
+            events.append((DDL_ALTER_TABLE, table, "", json.dumps(
+                {"action": "drop", "column": _ident(m.group(1))})))
+            continue
         raise ValueError(f"unsupported ALTER clause: {clause!r}")
     return events
 
@@ -347,9 +428,104 @@ def parse_ddl_sql(sql: str, default_db: str = "") -> list[Event]:
         old = qualified_table(m.group(1), default_db)
         new = qualified_table(m.group(2), default_db)
         return [(DDL_RENAME_TABLE, new, old, json.dumps({"new_name": new}))]
-    m = re.match(r"^ALTER\s+TABLE\s+(.+?)\s+(ADD|RENAME|MODIFY|CHANGE)\b(.*)$",
-                 s, re.I | re.S)
+    m = re.match(
+        r"^ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?(.+?)\s+"
+        r"(ADD|RENAME|MODIFY|CHANGE|DROP|ALTER|ENGINE|AUTO_INCREMENT"
+        r"|DEFAULT|CHARACTER|CHARSET|COLLATE|COMMENT|ROW_FORMAT|CONVERT"
+        r"|ENABLE|DISABLE|ORDER|FORCE|ALGORITHM|LOCK)\b(.*)$",
+        s, re.I | re.S)
     if m:
         table = qualified_table(m.group(1), default_db)
         return _parse_alter((m.group(2) + m.group(3)).strip(), table)
     raise ValueError(f"unsupported DDL statement: {sql[:120]!r}")
+
+
+# ---------------------------------------------------------------------------
+# multi-statement scripts (the schema-change-topic / mysqldump shape)
+# ---------------------------------------------------------------------------
+
+#: statements with no replicated-schema consequence, skipped by the
+#: script front-end (session/txn control, secondary indexes, privileges)
+_SCRIPT_SKIP = re.compile(
+    r"^(?:SET|BEGIN|COMMIT|ROLLBACK|START\s+TRANSACTION|FLUSH"
+    r"|LOCK\s+TABLES?|UNLOCK\s+TABLES?"
+    r"|CREATE\s+(?:UNIQUE\s+|FULLTEXT\s+|SPATIAL\s+)?INDEX|DROP\s+INDEX"
+    r"|ANALYZE\s+TABLE|OPTIMIZE\s+TABLE"
+    r"|GRANT|REVOKE|CREATE\s+USER|DROP\s+USER)\b", re.I)
+
+
+def split_statements(script: str) -> list[str]:
+    """Quote- and comment-aware statement split: ``;`` at top level ends
+    a statement; ``-- ``/``#`` line comments and ``/* */`` block
+    comments (including MySQL ``/*! */`` version comments, whose guarded
+    content here is session SET noise) are stripped; quoted literals
+    (with backslash and doubled-quote escapes) pass through intact."""
+    out: list[str] = []
+    buf: list[str] = []
+    quote = ""
+    i, n = 0, len(script)
+    while i < n:
+        c = script[i]
+        if quote:
+            buf.append(c)
+            if c == "\\" and i + 1 < n:
+                buf.append(script[i + 1])
+                i += 1
+            elif c == quote:
+                if i + 1 < n and script[i + 1] == quote:
+                    buf.append(quote)
+                    i += 1
+                else:
+                    quote = ""
+        elif c in _QUOTES:
+            quote = c
+            buf.append(c)
+        elif c == "-" and script[i:i + 3] in ("-- ", "--\t", "--\n"):
+            while i < n and script[i] != "\n":
+                i += 1
+            buf.append(" ")
+        elif c == "#":
+            while i < n and script[i] != "\n":
+                i += 1
+            buf.append(" ")
+        elif c == "/" and script[i:i + 2] == "/*":
+            end = script.find("*/", i + 2)
+            i = n if end < 0 else end + 1
+            buf.append(" ")
+        elif c == ";":
+            stmt = "".join(buf).strip()
+            if stmt:
+                out.append(stmt)
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    stmt = "".join(buf).strip()
+    if stmt:
+        out.append(stmt)
+    return out
+
+
+def parse_ddl_script(script: str, default_db: str = "",
+                     skip_unsupported: bool = False) -> list[Event]:
+    """A multi-statement DDL script -> the flat event list, in statement
+    order. ``USE db`` switches the default database for the statements
+    that follow (the mysqldump / schema-change-topic convention);
+    session/index/privilege statements are skipped. An unparseable
+    statement raises unless ``skip_unsupported`` (the analog of
+    Debezium's ``database.history.skip.unparseable.ddl``)."""
+    events: list[Event] = []
+    db = default_db
+    for stmt in split_statements(script):
+        m = re.match(r"^USE\s+(\S+)$", stmt, re.I)
+        if m:
+            db = _ident(m.group(1))
+            continue
+        if _SCRIPT_SKIP.match(stmt):
+            continue
+        try:
+            events.extend(parse_ddl_sql(stmt, db))
+        except ValueError:
+            if not skip_unsupported:
+                raise
+    return events

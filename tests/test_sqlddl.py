@@ -314,3 +314,152 @@ def test_debezium_envelope_with_raw_sql_ddl(tmp_path):
     r = rows[0]
     assert (r["repo"], r["path"], r["content"]) == ("r1", "p1", "world")
     assert r["stars"] == 7  # ALTER-added column flowed through
+
+
+# ---------------------------------------------------------------------------
+# round-5 grammar breadth (MySqlAntlrDdlParser.java:103-258 dialect paths):
+# DROP COLUMN, charset/collate clauses, generated columns, multi-ADD,
+# no-schema-shape clauses, multi-statement scripts
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("text,want", [
+    ("VARCHAR(255) CHARACTER SET utf8mb4 COLLATE utf8mb4_bin",
+     ("string", "charset:utf8mb4")),
+    ("VARCHAR(10) CHARSET latin1", ("string", "charset:latin1")),
+    ("TEXT CHARACTER SET `greek`", ("large_string", "charset:greek")),
+    ("VARCHAR(64) COLLATE utf8_general_ci", ("string", None)),
+    ("CHAR(3)", ("string", None)),
+    # generated columns keep their declared type; the expression (and
+    # any UNSIGNED/CHARSET words inside it) is stripped
+    ("VARCHAR(101) GENERATED ALWAYS AS (CONCAT(a, ' ', b)) VIRTUAL",
+     ("string", None)),
+    ("INT AS (price * qty) STORED", ("int32", None)),
+    ("BIGINT GENERATED ALWAYS AS (CAST(x AS UNSIGNED)) STORED",
+     ("int64", None)),
+])
+def test_type_table_charset_collate_generated(text, want):
+    assert sd.map_column_type(text) == want
+
+
+def _reg_with_t():
+    reg = Registry()
+    for ev in sd.parse_ddl_sql(
+            "CREATE TABLE db.t (id INT PRIMARY KEY, a INT, b TEXT)"):
+        reg.apply(1, *ev)
+    return reg
+
+
+def test_alter_drop_column():
+    reg = _reg_with_t()
+    (ev,) = sd.parse_ddl_sql("ALTER TABLE db.t DROP COLUMN a")
+    reg.apply(2, *ev)
+    assert [c for c, _ in reg.tables["db.t"].columns] == ["id", "b"]
+    # bare DROP (no COLUMN keyword) is the same statement
+    (ev2,) = sd.parse_ddl_sql("ALTER TABLE db.t DROP b")
+    reg.apply(3, *ev2)
+    assert [c for c, _ in reg.tables["db.t"].columns] == ["id"]
+
+
+def test_drop_primary_key_column_rejected():
+    from database_delta_plugins_ray.state.ddl import DeltaFailure
+
+    reg = _reg_with_t()
+    (ev,) = sd.parse_ddl_sql("ALTER TABLE db.t DROP COLUMN id")
+    with pytest.raises(DeltaFailure):
+        reg.apply(2, *ev)
+
+
+def test_alter_multi_add_parenthesized():
+    events = sd.parse_ddl_sql(
+        "ALTER TABLE db.t ADD COLUMN (x INT, y VARCHAR(5) "
+        "CHARACTER SET latin1)")
+    docs = [json.loads(p) for _, _, _, p in events]
+    assert [(d["action"], d["column"], d["type"]) for d in docs] == [
+        ("add", "x", "int32"), ("add", "y", "string")]
+    assert docs[1]["converter"] == "charset:latin1"
+
+
+def test_alter_ignorable_clauses_emit_nothing():
+    for stmt in [
+        "ALTER TABLE db.t ADD INDEX idx_a (a)",
+        "ALTER TABLE db.t ADD UNIQUE KEY uk (a, b)",
+        "ALTER TABLE db.t ADD CONSTRAINT fk FOREIGN KEY (a) REFERENCES o(id)",
+        "ALTER TABLE db.t DROP INDEX idx_a",
+        "ALTER TABLE db.t DROP PRIMARY KEY",
+        "ALTER TABLE db.t ALTER COLUMN a SET DEFAULT 7",
+        "ALTER TABLE db.t ALTER a DROP DEFAULT",
+        "ALTER TABLE db.t ENGINE = InnoDB",
+        "ALTER TABLE db.t AUTO_INCREMENT = 100",
+        "ALTER TABLE db.t DEFAULT CHARACTER SET utf8mb4",
+        "ALTER TABLE db.t CONVERT TO CHARACTER SET utf8mb4",
+        "ALTER TABLE db.t COMMENT = 'hi'",
+    ]:
+        assert sd.parse_ddl_sql(stmt) == [], stmt
+    # mixed clause list: only the schema-shaping clause emits
+    events = sd.parse_ddl_sql(
+        "ALTER TABLE db.t ADD COLUMN z INT, ADD INDEX iz (z), "
+        "ENGINE = InnoDB")
+    assert len(events) == 1
+    assert json.loads(events[0][3])["column"] == "z"
+
+
+def test_split_statements_comments_and_quotes():
+    script = (
+        "CREATE TABLE a (id INT PRIMARY KEY); -- trailing comment; fake\n"
+        "# hash comment; also fake\n"
+        "/* block ; comment */\n"
+        "INSERT_MARKER 'a ; literal ''x'' stays';\n"
+    )
+    stmts = sd.split_statements(script)
+    assert stmts[0].startswith("CREATE TABLE a")
+    assert stmts[1] == "INSERT_MARKER 'a ; literal ''x'' stays'"
+    assert len(stmts) == 2
+
+
+def test_parse_ddl_script_use_and_skips():
+    script = """
+    SET NAMES utf8mb4;
+    USE inventory;
+    CREATE TABLE t (id INT PRIMARY KEY, v VARCHAR(10));
+    CREATE INDEX iv ON t (v);
+    LOCK TABLES t WRITE;
+    ALTER TABLE t ADD COLUMN w TEXT;
+    UNLOCK TABLES;
+    USE other;
+    DROP TABLE t2;
+    """
+    events = sd.parse_ddl_script(script)
+    assert [(op, t) for op, t, _, _ in events] == [
+        ("CREATE_TABLE", "inventory.t"),
+        ("ALTER_TABLE", "inventory.t"),
+        ("DROP_TABLE", "other.t2"),
+    ]
+
+
+def test_parse_ddl_script_skip_unsupported():
+    script = "CREATE TABLE t (id INT PRIMARY KEY); WEIRD STATEMENT 1;"
+    with pytest.raises(ValueError):
+        sd.parse_ddl_script(script, "db")
+    events = sd.parse_ddl_script(script, "db", skip_unsupported=True)
+    assert [op for op, *_ in events] == ["CREATE_TABLE"]
+
+
+def test_script_registry_lifecycle_with_drop_and_charset():
+    reg = Registry()
+    for ev in sd.parse_ddl_script("""
+        USE shop;
+        CREATE TABLE items (
+          id INT PRIMARY KEY,
+          name VARCHAR(40) CHARACTER SET latin1,
+          qty INT,
+          total BIGINT GENERATED ALWAYS AS (qty * 2) STORED,
+          KEY k_name (name)
+        );
+        ALTER TABLE items DROP COLUMN qty, ADD COLUMN price DECIMAL(10,2);
+    """):
+        reg.apply(1, *ev)
+    ts = reg.tables["shop.items"]
+    assert [c for c, _ in ts.columns] == ["id", "name", "total", "price"]
+    assert dict(ts.columns)["price"] == "decimal(10,2)"
+    assert ts.converters["name"] == "charset:latin1"
