@@ -350,6 +350,26 @@ def main(argv: list[str] | None = None) -> int:
             if val and not a.history:
                 p.error(f"{flag} requires --history (the change feed "
                         "needs retained versions to surface deletes)")
+        if a.refresh_tokens:
+            # the hook refreshes an EXISTING pack; with no pack yet the
+            # first post-commit firing would FileNotFoundError on
+            # manifest.json and kill the follow loop mid-stream — fail
+            # at argument time instead (run `export --mode tokens`
+            # first to create the pack)
+            man_p = os.path.join(a.refresh_tokens, "manifest.json")
+            if not os.path.exists(man_p):
+                p.error(f"--refresh-tokens {a.refresh_tokens}: no "
+                        "manifest.json — export a token pack first "
+                        "(export --mode tokens)")
+            try:
+                with open(man_p) as fh:
+                    tag = json.load(fh).get("source_tag", "")
+            except (OSError, ValueError):
+                tag = ""
+            if not tag.startswith("lake@"):
+                p.error(f"--refresh-tokens {a.refresh_tokens}: pack is "
+                        f"not lake-tagged (source_tag={tag!r}); only "
+                        "packs exported from a lake can refresh")
 
     if a.cmd == "gen":
         from .sources.gen import GenConfig, generate_log

@@ -136,6 +136,11 @@ def _compile_transform(spec: str):
             return pa.array(out, pa.string())
         return _sha
     if spec.startswith("truncate:"):
+        # CONTRACT: truncate counts Unicode CODEPOINTS (pyarrow
+        # utf8_slice_codeunits), not grapheme clusters — a combining
+        # sequence may be split at the cut. SQL oracles written with
+        # grapheme-cluster substr (e.g. DuckDB) agree on ASCII and
+        # precomposed text but can differ on combining sequences.
         n = int(spec.split(":", 1)[1])
         if n < 0:
             raise ValueError(f"truncate length must be >= 0: {spec!r}")
@@ -236,6 +241,21 @@ class Normalizer:
                         f"transform column {col!r} exists in no known "
                         f"table schema (known: {sorted(known)}); "
                         f"transforms must target existing columns")
+                # transforms are string kernels: on a non-string column
+                # 'mask'/'sha256' would silently rewrite the lake column
+                # to string (schema drift vs the registry) and
+                # 'upper'/'truncate:N' would fail deep inside the replay
+                # task — fail fast at construction like the
+                # unknown-column case
+                declared = {typ for ts in registry.tables.values()
+                            for name, typ in ts.columns if name == col}
+                non_string = declared - {"string", "large_string"}
+                if non_string:
+                    raise ValueError(
+                        f"transform column {col!r} is declared "
+                        f"{sorted(non_string)} — transforms are string "
+                        f"kernels and may only target string/large_string "
+                        f"columns")
                 self.transforms[col] = _compile_transform(spec)
         if partition_mode in ("repo", "repo_salted") and len(self.primary_key) < 2:
             raise ValueError(

@@ -292,11 +292,17 @@ def export_packed_tokens(ds, out_dir: str, merges: pd.DataFrame | None,
     if os.path.exists(man_p):
         with open(man_p) as fh:
             m = json.load(fh)
+        # key_cols/text_col are part of the run identity too: the same
+        # source and model re-bucketed by different keys is a DIFFERENT
+        # pack (refresh_packed_tokens routes dirty docs by key), so the
+        # fast path must not serve the stale layout
         if (m.get("source_tag") == source_tag
                 and m.get("seq_tokens") == seq_tokens
                 and m.get("nbuckets") == nbuckets
                 and m.get("tokenizer", "bpe") == tok_kind
-                and m.get("model_tag") == model_tag):
+                and m.get("model_tag") == model_tag
+                and m.get("key_cols") == list(key_cols)
+                and m.get("text_col") == text_col):
             return m
 
     # the size-based shard skip below is valid ONLY within one run
@@ -389,6 +395,7 @@ def export_packed_tokens(ds, out_dir: str, merges: pd.DataFrame | None,
     manifest = {
         "format": "packed-tokens-v1", "source_tag": source_tag,
         "tokenizer": tok_kind, "model_tag": model_tag,
+        "key_cols": list(key_cols), "text_col": text_col,
         "dtype": "uint32", "seq_tokens": int(seq_tokens),
         "nbuckets": int(nbuckets), "total_tokens": total_tokens,
         "total_docs": int(n_doc.sum()),

@@ -388,3 +388,30 @@ def test_follow_hooks_require_history(tmp_path, capsys):
                   flag, str(tmp_path / "idx")])
         assert ei.value.code == 2
         assert "requires --history" in capsys.readouterr().err
+
+
+def test_follow_refresh_tokens_requires_existing_pack(tmp_path, capsys):
+    """--refresh-tokens on a directory with no token pack would fire a
+    FileNotFoundError from the first post-commit hook and kill the
+    follow loop mid-stream; the CLI must reject it at argument time
+    (and reject a pack that is not lake-tagged)."""
+    import json as _json
+
+    from database_delta_plugins_ray.__main__ import main
+
+    args = ["replicate", "--log", str(tmp_path / "log"),
+            "--lake", str(tmp_path / "lake"), "--follow", "--history",
+            "--refresh-tokens", str(tmp_path / "pack")]
+    with pytest.raises(SystemExit) as ei:
+        main(args)
+    assert ei.value.code == 2
+    assert "no manifest.json" in capsys.readouterr().err
+
+    # a pack exists but was not exported from a lake: also rejected
+    (tmp_path / "pack").mkdir()
+    (tmp_path / "pack" / "manifest.json").write_text(
+        _json.dumps({"source_tag": "adhoc"}))
+    with pytest.raises(SystemExit) as ei:
+        main(args)
+    assert ei.value.code == 2
+    assert "not lake-tagged" in capsys.readouterr().err

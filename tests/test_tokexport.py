@@ -245,3 +245,44 @@ def test_changed_tag_sweeps_same_size_shards(exported, ray_session):
                                   _shard_stream(OUT, m))
     with open(os.path.join(out, "run.json")) as fh:
         assert json.load(fh)["source_tag"] == "tagB"
+
+
+def test_key_identity_busts_manifest_fast_path(ray_session):
+    """Re-invoking with the same source/model but different bucketing
+    keys or text column must re-pack, not serve the stale manifest —
+    key identity is load-bearing for refresh_packed_tokens."""
+    import ray.data
+
+    from database_delta_plugins_ray.stages.tokexport import (
+        export_packed_tokens)
+
+    out = "/tmp/ddpr_test/tokexport_keyid"
+    shutil.rmtree(out, ignore_errors=True)
+    df = _docs().assign(alt_id=lambda d: d["doc_id"] + 1_000_000,
+                        alt_text=lambda d: d["text"])
+    hist, merges, vocab = _trained(df)
+    ds = ray.data.from_pandas(df).repartition(4)
+    m1 = export_packed_tokens(ds, out, merges, vocab, seq_tokens=64,
+                              nbuckets=8, key_cols=("doc_id",),
+                              text_col="text", source_tag="t1")
+    assert m1["key_cols"] == ["doc_id"] and m1["text_col"] == "text"
+    # same identity -> fast path (manifest file untouched)
+    mt0 = os.path.getmtime(os.path.join(out, "manifest.json"))
+    m2 = export_packed_tokens(ds, out, merges, vocab, seq_tokens=64,
+                              nbuckets=8, key_cols=("doc_id",),
+                              text_col="text", source_tag="t1")
+    assert os.path.getmtime(os.path.join(out, "manifest.json")) == mt0
+    assert m2["shards"] == m1["shards"]
+    # different key_cols -> miss + re-pack under the new identity
+    m3 = export_packed_tokens(ds, out, merges, vocab, seq_tokens=64,
+                              nbuckets=8, key_cols=("alt_id",),
+                              text_col="text", source_tag="t1")
+    assert m3["key_cols"] == ["alt_id"]
+    assert os.path.getmtime(os.path.join(out, "manifest.json")) > mt0
+    # same doc set bucketed by shifted ids: totals equal, layout differs
+    assert m3["total_tokens"] == m1["total_tokens"]
+    # different text_col -> also a miss (recorded in the new manifest)
+    m4 = export_packed_tokens(ds, out, merges, vocab, seq_tokens=64,
+                              nbuckets=8, key_cols=("alt_id",),
+                              text_col="alt_text", source_tag="t1")
+    assert m4["text_col"] == "alt_text"

@@ -119,3 +119,21 @@ def test_cli_transform_flag_end_to_end(ray_session, tmp_path):
         capture_output=True, text=True, env=env, cwd=REPO)
     assert r.returncode != 0
     assert "exists in no known table schema" in (r.stderr + r.stdout)
+
+
+def test_non_string_transform_target_raises(ray_session):
+    """mask/sha256 on an int column would silently rewrite the lake
+    column to string; upper/truncate would fail mid-replay — all must
+    fail fast at Normalizer construction."""
+    from database_delta_plugins_ray.stages.normalize import Normalizer
+    from database_delta_plugins_ray.state.ddl import Registry, TableState
+
+    reg = Registry()
+    reg.tables["t"] = TableState(
+        name="t", columns=[("repo", "string"), ("path", "string"),
+                           ("stars", "int64"), ("content", "large_string")])
+    for spec in ("mask", "sha256", "upper", "truncate:3"):
+        with pytest.raises(ValueError, match="string kernels"):
+            Normalizer(reg, 4, transforms={"stars": spec})
+    # large_string targets are fine
+    Normalizer(reg, 4, transforms={"content": "truncate:3"})
