@@ -272,6 +272,15 @@ def run_bench() -> dict:
         best = min(best, time.time() - t0)
     timings["cdc_wire_relay"] = best
 
+    # sustained-follow steady state (compact sample; the full >=20-poll
+    # protocol is `bench.py --follow`, recorded in BASELINE.md)
+    fol = run_follow(16, init_ray=False)
+    extras["follow"] = {k: fol[k] for k in (
+        "value", "polls", "busy_polls", "first_poll_s",
+        "poll_latency_p50_s", "poll_latency_p95_s", "noop_poll_p50_s",
+        "log_events_drained") if k in fol}
+    timings["cdc_follow_poll_p50"] = fol.get("poll_latency_p50_s") or 0.0
+
     ray.shutdown()
     return {
         "metric": "cdc_replay_sec",
@@ -545,6 +554,129 @@ def run_controls(lo: int, hi: int, rounds: int = 2) -> dict:
     return res
 
 
+def run_follow(n_files: int = 40, init_ray: bool = True) -> dict:
+    """Sustained-follow steady state (round-5 verdict #6): a writer
+    thread drip-feeds a Debezium JSONL stream, file by file, while
+    ``follow_replication`` (with the JSONL tail converter as its
+    ``pre_poll`` ingest hook) keeps the lake current. Reports
+    steady-state apply throughput and per-poll latency percentiles over
+    ≥20 busy polls, plus the caught-up no-op poll latency."""
+    import shutil as _shutil
+    import threading
+
+    import ray
+
+    if init_ray:
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+
+    from database_delta_plugins_ray.pipelines.queries import CACHE_ROOT
+    from database_delta_plugins_ray.pipelines.replicate import (
+        follow_replication)
+    from database_delta_plugins_ray.sources.debezium_json import (
+        tail_jsonl_segments, write_debezium_jsonl)
+    from database_delta_plugins_ray.sources.gen import (
+        GenConfig, generate_log)
+
+    root = os.path.join(CACHE_ROOT, "follow_bench")
+    n_files = int(os.environ.get("RAY_GRAFT_FOLLOW_FILES", n_files))
+    log = os.path.join(root, f"log{n_files}")
+    jdir = os.path.join(root, f"jsonl{n_files}")
+    # cached across runs (deterministic); ~240k events over n_files files
+    generate_log(log, GenConfig(n_keys=24000, n_events=240000, seed=9,
+                                n_segments=n_files))
+    if not os.path.isdir(jdir) or len(os.listdir(jdir)) != n_files:
+        _shutil.rmtree(jdir, ignore_errors=True)
+        write_debezium_jsonl(log, jdir)
+    files = sorted(os.listdir(jdir))
+
+    feed = os.path.join(root, "feed")
+    segs = os.path.join(root, "segs")
+    lake = os.path.join(root, "lake")
+    for d in (feed, segs, lake):
+        _shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(feed)
+
+    drip_interval = float(os.environ.get("RAY_GRAFT_FOLLOW_DRIP", "0.8"))
+
+    # first file lands synchronously so the first poll has a segment
+    _shutil.copy(os.path.join(jdir, files[0]), os.path.join(feed, files[0]))
+
+    def writer():
+        for f in files[1:]:
+            time.sleep(drip_interval)
+            tmp = os.path.join(feed, f + ".tmp")
+            _shutil.copy(os.path.join(jdir, f), tmp)
+            os.rename(tmp, os.path.join(feed, f))
+
+    lat: list[float] = []
+    ingest: list[float] = []
+    applied: list[int] = []
+    drained: list[int] = []
+    t_poll = [0.0]
+    seen_events = [0]
+
+    def pre():
+        t_poll[0] = time.time()
+        m = tail_jsonl_segments(feed, segs)
+        ingest.append(time.time() - t_poll[0])
+        drained.append(m["total_events"] - seen_events[0])
+        seen_events[0] = m["total_events"]
+
+    def on_poll(s):
+        lat.append(time.time() - t_poll[0])
+        applied.append(s["events_applied"])
+
+    th = threading.Thread(target=writer)
+    t0 = time.time()
+    th.start()
+    s = follow_replication(
+        segs, lake, poll_interval_s=0.05, idle_polls_to_stop=8,
+        pre_poll=pre, on_poll=on_poll, num_partitions=NUM_CPUS)
+    wall = time.time() - t0
+    th.join()
+
+    busy_seq = [l for l, a in zip(lat, applied) if a > 0]
+    # the first busy poll pays one-time costs (snapshot bulk + worker/
+    # actor spawn) — report it separately, percentiles over steady state
+    first_busy = busy_seq[0] if busy_seq else None
+    busy = sorted(busy_seq[1:])
+    idle = sorted(l for l, a in zip(lat, applied) if a == 0)
+    busy_ingest = sorted(g for g, a in zip(ingest, applied) if a > 0)
+    q = lambda xs, p: xs[min(len(xs) - 1, int(p * len(xs)))] if xs else None
+    # throughput counts LOG EVENTS drained end-to-end (jsonl -> segment
+    # -> lake) over the busy-poll wall; the per-batch LWW combiner means
+    # events_applied counts post-combine rows, not stream events
+    total_events = int(sum(drained))
+    busy_wall = sum(l for l, a in zip(lat, applied) if a > 0)
+    if init_ray:
+        ray.shutdown()
+    return {
+        "metric": "cdc_follow_events_per_s",
+        "value": round(total_events / busy_wall, 1) if busy_wall else 0.0,
+        "unit": "events/s",
+        "num_cpus": NUM_CPUS,
+        "log_events_drained": total_events,
+        "rows_applied": int(sum(applied)),
+        "polls": s["polls"],
+        "busy_polls": len(busy),
+        "wall_sec": round(wall, 3),
+        "drip_interval_s": drip_interval,
+        "n_files": n_files,
+        "first_poll_s": round(first_busy, 3) if first_busy else None,
+        "poll_latency_p50_s": round(q(busy, 0.50), 3) if busy else None,
+        "poll_latency_p95_s": round(q(busy, 0.95), 3) if busy else None,
+        "ingest_p50_s": (round(q(busy_ingest, 0.50), 3)
+                         if busy_ingest else None),
+        "noop_poll_p50_s": round(q(idle, 0.50), 4) if idle else None,
+        "stopped_by": s["stopped_by"],
+    }
+
+
 if __name__ == "__main__":
     if os.environ.get("RAY_GRAFT_CONTROL"):
         print(json.dumps(run_control(os.environ["RAY_GRAFT_CONTROL"])))
@@ -553,6 +685,8 @@ if __name__ == "__main__":
         lo, hi = (int(x) for x in pair.split(","))
         print(json.dumps(run_controls(
             lo, hi, int(os.environ.get("RAY_GRAFT_SCALING_ROUNDS", "2")))))
+    elif "--follow" in sys.argv:
+        print(json.dumps(run_follow()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:

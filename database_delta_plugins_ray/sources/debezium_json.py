@@ -740,70 +740,113 @@ def tail_jsonl_segments(jsonl_dir: str, seg_dir: str,
 
     feed = sorted(
         f for f in os.listdir(jsonl_dir) if f.endswith(".jsonl"))
-    converted = []
+    todo: list[tuple[str, int]] = []
     for fname in feed:
-        path = os.path.join(jsonl_dir, fname)
-        size = os.path.getsize(path)
+        size = os.path.getsize(os.path.join(jsonl_dir, fname))
         rec = state["files"].get(fname)
         if rec is not None and rec["size"] == size:
             continue
-        tag = _tail_tag(fname)
-        for old in _g.glob(os.path.join(seg_dir, f"seg-j{tag}-*.parquet")):
-            os.remove(old)
-        ds = read_debezium_jsonl(path)
+        todo.append((fname, size))
+    converted = [f for f, _ in todo]
+
+    if todo:
+        # ONE Ray Data job converts every new/grown file (a per-file job
+        # would pay the dataset-launch fixed cost per file — measured to
+        # dominate follow-poll latency); each row carries its source
+        # file (include_paths) so the per-file segment tags, stats and
+        # idempotence contract are unchanged
+        import ray.data as _rd
+        from ray.data import datasource as _rds  # noqa: F401
+
+        def _sweep():
+            for fname, _ in todo:
+                tag = _tail_tag(fname)
+                for old in _g.glob(
+                        os.path.join(seg_dir, f"seg-j{tag}-*.parquet")):
+                    os.remove(old)
+
+        def _read():
+            import pyarrow.json as pajson
+
+            return _rd.read_json(
+                [os.path.join(jsonl_dir, f) for f, _ in todo],
+                parse_options=pajson.ParseOptions(
+                    explicit_schema=envelope_schema()),
+                include_paths=True,
+            )
+
+        def convert(batch: pa.Table) -> pa.Table:
+            src = pc.cast(batch["path"], pa.string())
+            out = _convert_envelopes(batch.drop_columns(["path"]))
+            return out.append_column("__src", src)
 
         def write_seg(tbl: pa.Table) -> pa.Table:
             stats_schema = pa.schema(
-                [("file", pa.string()), ("rows", pa.int64()),
-                 ("max_lsn", pa.int64())])
-            if tbl.num_rows == 0:
+                [("src", pa.string()), ("file", pa.string()),
+                 ("rows", pa.int64()), ("max_lsn", pa.int64())])
+            rows = []
+            for src in pc.unique(tbl["__src"]).to_pylist():
+                sub = (tbl.filter(pc.equal(tbl["__src"], src))
+                       .drop_columns(["__src"]).sort_by("lsn"))
+                if sub.num_rows == 0:
+                    continue
+                fname = os.path.basename(src)
+                tag = _tail_tag(fname)
+                lo = int(sub["lsn"][0].as_py())
+                hi = int(sub["lsn"][-1].as_py())
+                # name by CONTENT DIGEST, not (lo, hi, rows): a snapshot
+                # feed where every event carries one offset yields
+                # blocks with identical lsn range and count — a
+                # count-based name would overwrite one block with
+                # another and silently drop events. The digest is
+                # deterministic, so a retried task still overwrites its
+                # own file (at-least-once safe).
+                import hashlib
+                sink = pa.BufferOutputStream()
+                with pa.ipc.new_stream(sink, sub.schema) as w:
+                    w.write_table(sub)
+                dig = hashlib.md5(
+                    sink.getvalue().to_pybytes()).hexdigest()[:12]
+                out_name = (f"seg-j{tag}-{lo:020d}-{hi:020d}-"
+                            f"{dig}.parquet")
+                out = os.path.join(seg_dir, out_name)
+                tmp = out + f".tmp.{os.getpid()}"
+                pq.write_table(sub, tmp)
+                os.replace(tmp, out)
+                rows.append((fname, out_name, sub.num_rows, hi))
+            if not rows:
                 return stats_schema.empty_table()
-            tbl = tbl.sort_by("lsn")
-            lo = int(tbl["lsn"][0].as_py())
-            hi = int(tbl["lsn"][-1].as_py())
-            # name by CONTENT DIGEST, not (lo, hi, rows): a snapshot
-            # feed where every event carries one offset yields blocks
-            # with identical lsn range and count — a count-based name
-            # would overwrite one block with another and silently drop
-            # events. The digest is deterministic, so a retried task
-            # still overwrites its own file (at-least-once safe).
-            import hashlib
-            sink = pa.BufferOutputStream()
-            with pa.ipc.new_stream(sink, tbl.schema) as w:
-                w.write_table(tbl)
-            dig = hashlib.md5(
-                sink.getvalue().to_pybytes()).hexdigest()[:12]
-            out_name = (f"seg-j{tag}-{lo:020d}-{hi:020d}-"
-                        f"{dig}.parquet")
-            out = os.path.join(seg_dir, out_name)
-            tmp = out + f".tmp.{os.getpid()}"
-            pq.write_table(tbl, tmp)
-            os.replace(tmp, out)
-            return pa.table(
-                {"file": [out_name], "rows": [tbl.num_rows],
-                 "max_lsn": [hi]}, schema=stats_schema)
+            return pa.table({k: [r[i] for r in rows]
+                             for i, k in enumerate(
+                                 ("src", "file", "rows", "max_lsn"))},
+                            schema=stats_schema)
 
-        for attempt in (1, 2):  # same transient-import retry as the batch path
+        _sweep()
+        for attempt in (1, 2):  # same transient-import retry as batch path
             try:
-                stats = ds.map_batches(
-                    write_seg, batch_format="pyarrow", zero_copy_batch=True,
-                    batch_size=rows_per_segment,
-                ).take_all()
+                stats = (_read()
+                         .map_batches(convert, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+                         .map_batches(write_seg, batch_format="pyarrow",
+                                      zero_copy_batch=True,
+                                      batch_size=rows_per_segment)
+                         .take_all())
                 break
             except Exception:
                 if attempt == 2:
                     raise
-                for old in _g.glob(
-                        os.path.join(seg_dir, f"seg-j{tag}-*.parquet")):
-                    os.remove(old)
-                ds = read_debezium_jsonl(path)
-        state["files"][fname] = {
-            "size": size,
-            "rows": int(sum(r["rows"] for r in stats)),
-            "max_lsn": int(max((r["max_lsn"] for r in stats), default=0)),
-            "segments": sorted(r["file"] for r in stats),
-        }
-        converted.append(fname)
+                _sweep()
+        by_src: dict[str, list] = {}
+        for r in stats:
+            by_src.setdefault(r["src"], []).append(r)
+        for fname, size in todo:
+            rs = by_src.get(fname, [])
+            state["files"][fname] = {
+                "size": size,
+                "rows": int(sum(r["rows"] for r in rs)),
+                "max_lsn": int(max((r["max_lsn"] for r in rs), default=0)),
+                "segments": sorted(r["file"] for r in rs),
+            }
 
     meta = {
         "total_events": int(sum(r["rows"]

@@ -33,12 +33,32 @@ def manifest_path(lake_dir: str, part: int) -> str:
     return os.path.join(lake_dir, CHECKPOINT_DIR, f"part-{part:05d}.json")
 
 
+def _rebase(lake_dir: str, m: dict) -> dict:
+    """Multi-node storage contract: a manifest may have been written by a
+    process that mounted the lake at a DIFFERENT path (another node's
+    mountpoint, or the lake directory was moved/renamed). Every data
+    file a lake manifest references lives under the lake's own
+    ``part=NNNNN`` directory, so stored paths are rebased onto THIS
+    reader's ``lake_dir`` at load time — the stored absolute prefix is
+    writer-local and never trusted across loads."""
+    if "part" not in m:
+        return m
+    d = part_dir(lake_dir, int(m["part"]))
+    out = dict(m)
+    if m.get("file"):
+        out["file"] = os.path.join(d, os.path.basename(m["file"]))
+    if m.get("files"):
+        out["files"] = [os.path.join(d, os.path.basename(f))
+                        for f in m["files"]]
+    return out
+
+
 def read_manifest(lake_dir: str, part: int) -> dict | None:
     p = manifest_path(lake_dir, part)
     if not os.path.exists(p):
         return None
     with open(p) as fh:
-        return json.load(fh)
+        return _rebase(lake_dir, json.load(fh))
 
 
 def write_manifest(lake_dir: str, part: int, manifest: dict) -> None:
@@ -55,7 +75,7 @@ def all_manifests(lake_dir: str) -> dict[int, dict]:
     for p in glob.glob(os.path.join(lake_dir, CHECKPOINT_DIR, "part-*.json")):
         with open(p) as fh:
             m = json.load(fh)
-        out[m["part"]] = m
+        out[m["part"]] = _rebase(lake_dir, m)
     return out
 
 
@@ -143,7 +163,7 @@ def version_log(lake_dir: str, part: int) -> list[dict]:
             except json.JSONDecodeError:
                 continue  # torn trailing line from a crash mid-append
             by_lsn[int(m["last_lsn"])] = m
-    return [by_lsn[k] for k in sorted(by_lsn)]
+    return [_rebase(lake_dir, by_lsn[k]) for k in sorted(by_lsn)]
 
 
 def manifest_as_of(lake_dir: str, part: int, as_of_lsn: int) -> dict | None:
