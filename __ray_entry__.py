@@ -28,6 +28,7 @@ def entry() -> Any:
 #: far were only builder-claimed green
 _GATE_PREFIX = [
     # paths changed this round — re-gate first
+    "cdc_apply_duckdb_validate",
     "cdc_search_lake_content", "cdc_search_lake_compacted",
     "cdc_vector_search_lake", "dedup_cross_corpus_documents",
     "kn_bigram_surprise_documents", "decontaminate_documents",

@@ -1696,6 +1696,7 @@ FROM dd WHERE rn2 = 1
 """
     return {
         "cdc_final_state": final_sql,
+        "cdc_apply_duckdb_validate": final_sql,
         "cdc_drift_report": f"""
 WITH ev AS (
   SELECT lsn, op,
@@ -2293,8 +2294,53 @@ def cdc_to_packed_corpus(sf_dir: str, seq_tokens: int = 256):
     return out.sort_values("seq_id").reset_index(drop=True)
 
 
+def cdc_apply_duckdb_validate(sf_dir: str):
+    """FOREIGN-SINK end-to-end (the reference's e2e contract against a
+    live external target — BQValidation.java:55-90): replicate HALF the
+    log (history=True), FULL-LOAD the live state into a DuckDB database
+    file, finish replication, apply the remainder INCREMENTALLY to the
+    DuckDB target from the change data feed (set-based delete+insert
+    per changed-key batch, one transaction, watermark stamped inside
+    the target database), then run the two-sided row validation
+    (counts + symmetric EXCEPT) and RETURN THE TARGET'S ROWS — oracled
+    against the same LWW SQL as cdc_final_state, so the hash gate
+    certifies the FOREIGN store's content, not the lake's."""
+    import json as _json
+
+    import duckdb
+
+    from ..stages.sink_duckdb import (duckdb_apply_changes,
+                                      duckdb_full_load, duckdb_validate)
+
+    log = ensure_log(sf_dir)
+    with open(os.path.join(log, "meta.json")) as fh:
+        half = _json.load(fh)["max_lsn"] // 2
+    lake = fresh_lake(sf_dir, "lake_ducksink")
+    db = os.path.join(CACHE_ROOT, f"sf{sf_tag(sf_dir)}",
+                      "ducksink.duckdb")
+    if os.path.exists(db):
+        os.remove(db)
+    run_replication(log, lake, num_partitions=16, history=True,
+                    upto_lsn=half)
+    duckdb_full_load(lake, db)
+    run_replication(log, lake, num_partitions=16, history=True)
+    duckdb_apply_changes(lake, db)
+    v = duckdb_validate(lake, db)
+    if not v["parity"]:
+        raise AssertionError(f"foreign-sink validation failed: {v}")
+    con = duckdb.connect(db)
+    try:
+        df = con.execute(
+            "SELECT " + ", ".join(f'"{c}"' for c in FINAL_COLS)
+            + ' FROM "lake_target"').df()
+    finally:
+        con.close()
+    return df.sort_values(["repo", "path"]).reset_index(drop=True)
+
+
 CDC_QUERIES = {
     "cdc_final_state": cdc_final_state,
+    "cdc_apply_duckdb_validate": cdc_apply_duckdb_validate,
     "cdc_transformed_apply": cdc_transformed_apply,
     "cdc_packed_tokens_refresh": cdc_packed_tokens_refresh,
     "cdc_drift_report": cdc_drift_report,
