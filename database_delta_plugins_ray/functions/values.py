@@ -353,7 +353,29 @@ _CONVERTERS = {
     "hex_string": lambda a, arg: hex_string(a),
     "base64_string": lambda a, arg: base64_string(a),
     "charset": lambda a, arg: charset_decode(a, arg),
+    "connect_ms": lambda a, arg: connect_ms_truncate(a),
 }
+
+
+def connect_ms_truncate(a) -> pa.Array:
+    """``time.precision.mode=connect``: Debezium's Kafka-Connect mode
+    carries temporal values at MILLISECOND precision (Time/Timestamp
+    logical types) — micros truncate away on the wire. The engine keeps
+    its microsecond column types and truncates the VALUES to ms, which
+    is bit-identical to round-tripping through the connect
+    representation (io.debezium.time.Timestamp vs MicroTimestamp,
+    public Debezium temporal-types contract)."""
+    arr = _arr(a)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if not ((pa.types.is_time64(t) or pa.types.is_timestamp(t))
+            and t.unit == "us"):
+        return arr  # ms/date types already at-or-below connect precision
+    iv = arr.cast(pa.int64())
+    iv = pc.multiply(pc.divide(iv, pa.scalar(1000, pa.int64())),
+                     pa.scalar(1000, pa.int64()))
+    return iv.cast(t)
 
 
 def apply_converter(a, spec: str) -> pa.Array:

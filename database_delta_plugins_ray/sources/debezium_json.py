@@ -284,10 +284,20 @@ def _to_struct(col, struct_type: pa.DataType) -> pa.Array:
 
 
 def _convert_envelopes(batch: pa.Table) -> pa.Table:
-    """One vectorized pass: Debezium envelopes -> canonical event rows."""
+    """One vectorized pass: Debezium envelopes -> canonical event rows.
+
+    Null-payload records are TOMBSTONES (``tombstones.on.delete`` —
+    Debezium emits a null-value record after each delete so log-compacted
+    topics drop the key); consumers discard them, and so does this
+    ingest."""
     pay = batch["payload"]
     if isinstance(pay, pa.ChunkedArray):
         pay = pay.combine_chunks()
+    if pay.null_count:
+        batch = batch.filter(pc.is_valid(pay))
+        pay = batch["payload"]
+        if isinstance(pay, pa.ChunkedArray):
+            pay = pay.combine_chunks()
     src = pc.struct_field(pay, "source")
     have = {pay.type.field(i).name for i in range(pay.type.num_fields)}
 

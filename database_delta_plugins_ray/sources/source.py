@@ -90,29 +90,67 @@ def assess_replication_permissions(config: SourceConfig) -> list["Problem"]:
 
 def apply_connector_args(registry, args: dict[str, str]) -> None:
     """Apply pass-through connector args to the built registry — the analog
-    of Debezium consuming ``binary.handling.mode`` etc.
-    (MySqlEventReader.java:135-138; HEX mode exercised at
-    MySqlEventReaderIntegrationTest.java:286). ``hex``/``base64`` rewrite
-    every binary column to a string column whose converter chain ends in
-    the matching encode, exactly like Debezium emitting STRING schemas for
-    binary columns under those modes."""
+    of Debezium consuming its connector properties
+    (MySqlEventReader.java:135-138 forwards ANY ``source.connector.*``
+    runtime arg; HEX mode exercised at
+    MySqlEventReaderIntegrationTest.java:286). Knobs with semantics:
+
+    * ``binary.handling.mode`` = bytes (default) | hex | base64 —
+      binary columns become string columns whose converter chain ends
+      in the matching encode, exactly like Debezium emitting STRING
+      schemas for binary columns under those modes.
+    * ``decimal.handling.mode`` = precise (default) | double | string —
+      DECIMAL/NUMERIC columns keep exact decimal, or rewrite to
+      float64 / string (the cast happens in the normalize stage's
+      type-conform step, like Debezium's DecimalHandlingMode).
+    * ``time.precision.mode`` = adaptive_time_microseconds (default) |
+      connect — connect mode truncates microsecond temporal VALUES to
+      Kafka-Connect millisecond precision (column types unchanged;
+      io.debezium.time.Timestamp vs MicroTimestamp contract).
+
+    Unknown keys pass through silently (the reference forwards them to
+    Debezium verbatim; a knob the engine lacks semantics for behaves
+    like a Debezium property no code path reads)."""
     mode = args.get("binary.handling.mode", "bytes").lower()
-    if mode == "bytes":
-        return
-    if mode not in ("hex", "base64"):
+    if mode not in ("bytes", "hex", "base64"):
         raise ValueError(f"unknown binary.handling.mode {mode!r}")
-    suffix = "hex_string" if mode == "hex" else "base64_string"
-    for ts in registry.tables.values():
-        new_cols = []
-        for c, t in ts.columns:
-            tl = t.lower()
-            if tl in ("bytes", "binary") or tl.startswith("binary("):
-                prev = ts.converters.get(c)
-                ts.converters[c] = f"{prev}|{suffix}" if prev else suffix
-                new_cols.append((c, "string"))
-            else:
-                new_cols.append((c, t))
-        ts.columns = new_cols
+    if mode != "bytes":
+        suffix = "hex_string" if mode == "hex" else "base64_string"
+        for ts in registry.tables.values():
+            new_cols = []
+            for c, t in ts.columns:
+                tl = t.lower()
+                if tl in ("bytes", "binary") or tl.startswith("binary("):
+                    prev = ts.converters.get(c)
+                    ts.converters[c] = (f"{prev}|{suffix}" if prev
+                                        else suffix)
+                    new_cols.append((c, "string"))
+                else:
+                    new_cols.append((c, t))
+            ts.columns = new_cols
+
+    dmode = args.get("decimal.handling.mode", "precise").lower()
+    if dmode not in ("precise", "double", "string"):
+        raise ValueError(f"unknown decimal.handling.mode {dmode!r}")
+    if dmode != "precise":
+        target = "float64" if dmode == "double" else "string"
+        for ts in registry.tables.values():
+            ts.columns = [
+                (c, target if t.lower().startswith("decimal(") else t)
+                for c, t in ts.columns]
+
+    tmode = args.get("time.precision.mode",
+                     "adaptive_time_microseconds").lower()
+    if tmode not in ("adaptive_time_microseconds", "connect"):
+        raise ValueError(f"unknown time.precision.mode {tmode!r}")
+    if tmode == "connect":
+        for ts in registry.tables.values():
+            for c, t in ts.columns:
+                if t.lower() in ("time_micros", "datetime",
+                                 "timestamp_micros"):
+                    prev = ts.converters.get(c)
+                    ts.converters[c] = (f"{prev}|connect_ms" if prev
+                                        else "connect_ms")
 
 
 @dataclass

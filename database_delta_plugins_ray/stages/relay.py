@@ -455,11 +455,18 @@ def relay_continue(lake_dir: str, out_dir: str, *,
 
 def relay_changes_jsonl(lake_dir: str, out_dir: str, from_lsn: int, *,
                         to_lsn: int | None = None,
-                        dialect: str = "native") -> dict:
+                        dialect: str = "native",
+                        tombstones: bool = False) -> dict:
     """Publish the lake's change data feed between two retained versions
     as ``c``/``u``/``d`` Debezium envelopes (requires ``history=True``
     within the retention horizon). See module docstring for position
-    semantics; idempotent under re-runs (deterministic file names)."""
+    semantics; idempotent under re-runs (deterministic file names).
+
+    ``tombstones=True`` is Debezium's ``tombstones.on.delete``: each
+    delete envelope is followed by a null-payload record so
+    log-compacted topics drop the key; the engine's own ingest (and any
+    Debezium consumer) discards them, so the round-trip stays
+    bit-identical."""
     from ..pipelines.replicate import lake_diff
     from ..state import checkpoint as ckpt
 
@@ -515,6 +522,8 @@ def relay_changes_jsonl(lake_dir: str, out_dir: str, from_lsn: int, *,
                            + hashlib.md5(key.encode()).hexdigest()[:16]),
                     ts_ms=0, snapshot=False, after=None, dialect=dialect,
                     before={k: row[k] for k in keys}))
+                if tombstones:
+                    lines.append('{"payload": null}')
             else:
                 lines.append(_row_env(
                     op=op, pos=int(row[SEQUENCE_NUM]),
@@ -523,8 +532,9 @@ def relay_changes_jsonl(lake_dir: str, out_dir: str, from_lsn: int, *,
                     dialect=dialect,
                     after=_after_image(row, plans[row["table"]])))
         fname = _write_jsonl(out_dir, f"diff-{from_lsn:020d}", lines)
+        n_env = counts["c"] + counts["u"] + counts["d"]
         return pa.table(
-            {"file": [fname], "n": [len(lines)],
+            {"file": [fname], "n": [n_env],
              "c": [counts["c"]], "u": [counts["u"]], "d": [counts["d"]]},
             schema=stats)
 
@@ -538,6 +548,8 @@ def relay_changes_jsonl(lake_dir: str, out_dir: str, from_lsn: int, *,
            "updated": int(sum(r["u"] for r in res)),
            "deleted": int(sum(r["d"] for r in res)),
            "ddl_events": len(ddl_lines),
+           "tombstones": (int(sum(r["d"] for r in res))
+                          if tombstones else 0),
            "files": files}
     _update_manifest(out_dir, f"changes-{from_lsn}-{g1}", out)
     return out

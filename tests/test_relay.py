@@ -323,3 +323,50 @@ def test_cli_relay_verbs(ray_session, small_log, tmp_path):
     dst = str(tmp_path / "dst")
     run_replication(seg, dst, num_partitions=4)
     pd.testing.assert_frame_equal(_frame(src), _frame(dst))
+
+
+def test_tombstones_on_delete_roundtrip(ray_session, tmp_path):
+    """tombstones.on.delete: each delete envelope is followed by a
+    null-payload record; the ingest discards them, so a feed WITH
+    tombstones replicates to the identical lake as one without."""
+    import json as _json
+
+    from database_delta_plugins_ray.pipelines.replicate import (
+        final_state, run_replication)
+    from database_delta_plugins_ray.sources.debezium_json import (
+        jsonl_to_segments)
+    from database_delta_plugins_ray.sources.gen import (
+        GenConfig, generate_log)
+    from database_delta_plugins_ray.stages.relay import (
+        relay_changes_jsonl, relay_snapshot_jsonl)
+
+    log = str(tmp_path / "log")
+    generate_log(log, GenConfig(n_keys=200, n_events=1500, seed=5))
+    with open(os.path.join(log, "meta.json")) as fh:
+        half = _json.load(fh)["max_lsn"] // 2
+    lake = str(tmp_path / "lake")
+    run_replication(log, lake, num_partitions=4, history=True,
+                    upto_lsn=half)
+    run_replication(log, lake, num_partitions=4, history=True)
+
+    def roundtrip(tomb: bool):
+        wire = str(tmp_path / f"wire_{tomb}")
+        relay_snapshot_jsonl(lake, wire, as_of_lsn=half)
+        s = relay_changes_jsonl(lake, wire, half, tombstones=tomb)
+        if tomb:
+            assert s["deleted"] > 0, "fixture must exercise deletes"
+            assert s["tombstones"] == s["deleted"]
+        else:
+            assert s["tombstones"] == 0
+        import glob as _g
+
+        segs = str(tmp_path / f"segs_{tomb}")
+        jsonl_to_segments(sorted(_g.glob(os.path.join(wire, "*.jsonl"))),
+                          segs)
+        lk = str(tmp_path / f"lake_{tomb}")
+        run_replication(segs, lk, num_partitions=4)
+        return sorted(
+            (r["repo"], r["path"], r["content_sha"])
+            for r in final_state(lk).take_all())
+
+    assert roundtrip(True) == roundtrip(False)

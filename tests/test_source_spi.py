@@ -126,3 +126,121 @@ def test_binary_handling_mode_hex(tmp_path):
     for k, r in by.items():
         assert hx[k]["c_binary8"] == r["c_binary8"].hex()
         assert hx[k]["c_varbinary"] == r["c_varbinary"].hex()
+
+
+def test_decimal_handling_mode_double_and_string(tmp_path):
+    """decimal.handling.mode pass-through (Debezium DecimalHandlingMode):
+    'double' replicates DECIMAL columns as float64, 'string' as their
+    canonical decimal string; values must equal casts of the precise
+    run."""
+    from database_delta_plugins_ray.pipelines.replicate import (
+        final_state,
+        run_replication,
+    )
+    from database_delta_plugins_ray.sources.gen_typed import (
+        TypedGenConfig,
+        generate_typed_log,
+    )
+    from database_delta_plugins_ray.sources.source import (
+        CONNECTOR_PREFIX,
+        SourceConfig,
+    )
+
+    log = str(tmp_path / "log")
+    generate_typed_log(log, TypedGenConfig(n_keys=60, n_events=300,
+                                           n_segments=2))
+    lake_p = str(tmp_path / "lake_precise")
+    run_replication(log, lake_p, num_partitions=2, primary_key=("id",),
+                    compute_sha=False)
+    cols = ["id", "c_decimal", "c_numeric"]
+    precise = {r["id"]: r
+               for r in final_state(lake_p, columns=cols).take_all()}
+
+    for mode, check in (
+        ("double", lambda got, ref: got == pytest.approx(float(ref))),
+        ("string", lambda got, ref: got == str(ref)),
+    ):
+        cfg = SourceConfig(runtime_args={
+            CONNECTOR_PREFIX + "decimal.handling.mode": mode})
+        lake = str(tmp_path / f"lake_{mode}")
+        run_replication(log, lake, num_partitions=2, primary_key=("id",),
+                        compute_sha=False,
+                        connector_args=cfg.connector_args())
+        got = {r["id"]: r
+               for r in final_state(lake, columns=cols).take_all()}
+        assert set(got) == set(precise)
+        for k, r in precise.items():
+            for c in ("c_decimal", "c_numeric"):
+                if r[c] is None:
+                    assert got[k][c] is None
+                else:
+                    assert check(got[k][c], r[c]), (mode, c, k)
+
+
+def test_time_precision_mode_connect(tmp_path):
+    """time.precision.mode=connect pass-through: microsecond temporal
+    values truncate to Kafka-Connect millisecond precision; column
+    types stay microsecond (io.debezium.time Timestamp/MicroTimestamp
+    contract)."""
+    from database_delta_plugins_ray.pipelines.replicate import (
+        final_state,
+        run_replication,
+    )
+    from database_delta_plugins_ray.sources.gen_typed import (
+        TypedGenConfig,
+        generate_typed_log,
+    )
+    from database_delta_plugins_ray.sources.source import (
+        CONNECTOR_PREFIX,
+        SourceConfig,
+    )
+
+    log = str(tmp_path / "log")
+    generate_typed_log(log, TypedGenConfig(n_keys=60, n_events=300,
+                                           n_segments=2))
+    lake_a = str(tmp_path / "lake_adaptive")
+    run_replication(log, lake_a, num_partitions=2, primary_key=("id",),
+                    compute_sha=False)
+    cfg = SourceConfig(runtime_args={
+        CONNECTOR_PREFIX + "time.precision.mode": "connect"})
+    lake_c = str(tmp_path / "lake_connect")
+    run_replication(log, lake_c, num_partitions=2, primary_key=("id",),
+                    compute_sha=False, connector_args=cfg.connector_args())
+
+    tcols = [c for c in ("c_time", "c_datetime", "c_timestamp")]
+    avail = [c for c in tcols
+             if c in final_state(lake_a).schema().names]
+    assert avail, "typed log should carry temporal columns"
+    cols = ["id"] + avail
+    ad = {r["id"]: r for r in final_state(lake_a, columns=cols).take_all()}
+    cn = {r["id"]: r for r in final_state(lake_c, columns=cols).take_all()}
+    assert set(ad) == set(cn)
+    saw_truncation = False
+    for k, r in ad.items():
+        for c in avail:
+            if r[c] is None:
+                assert cn[k][c] is None
+                continue
+            us = (r[c].microsecond if hasattr(r[c], "microsecond")
+                  else r[c].microsecond)
+            want_us = (us // 1000) * 1000
+            assert cn[k][c].microsecond == want_us, (c, k, r[c], cn[k][c])
+            if us != want_us:
+                saw_truncation = True
+    assert saw_truncation, "fixture carried no sub-ms values to truncate"
+
+
+def test_unknown_knob_passes_through_silently():
+    """The reference forwards ANY source.connector.* arg verbatim; a knob
+    with no engine semantics must not fail the pipeline."""
+    from database_delta_plugins_ray.sources.source import (
+        apply_connector_args)
+    from database_delta_plugins_ray.state.ddl import Registry
+
+    reg = Registry()
+    apply_connector_args(reg, {"max.batch.size": "2048",
+                               "heartbeat.interval.ms": "5000"})
+    with pytest.raises(ValueError):
+        apply_connector_args(reg, {"decimal.handling.mode": "bogus"})
+    with pytest.raises(ValueError):
+        apply_connector_args(reg, {"time.precision.mode": "bogus"})
