@@ -250,6 +250,10 @@ def main(argv: list[str] | None = None) -> int:
                      help="snapshot positions: true per-row winning "
                           "positions, or the ONE shared snapshot offset "
                           "(reference semantics)")
+    prl.add_argument("--tombstones", action="store_true",
+                     help="tombstones.on.delete: follow each delete "
+                          "envelope with a null-payload record (log-"
+                          "compaction convention; consumers discard them)")
     prl.add_argument("--dialect", default=None,
                      choices=["native", "mysql", "sqlserver", "postgres",
                               "mongo", "oracle"],
@@ -618,7 +622,8 @@ def main(argv: list[str] | None = None) -> int:
                 raise SystemExit("changes needs --from-lsn")
             print(json.dumps(relay_changes_jsonl(
                 a.lake, a.out, a.from_lsn, to_lsn=a.to_lsn,
-                dialect=a.dialect or "native")))
+                dialect=a.dialect or "native",
+                tombstones=a.tombstones)))
         import ray
 
         ray.shutdown()
