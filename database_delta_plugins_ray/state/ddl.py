@@ -73,6 +73,23 @@ def apply_ddl(state: "Registry", lsn: int, ddl_op: str, table: str,
     event taxonomy). Mutates ``state`` in place; raises DeltaFailure on
     contract violations (no-PK create, invalid widen)."""
     doc = json.loads(payload) if payload else {}
+    if ddl_op == DDL_CREATE_TABLE and doc.get("like"):
+        # CREATE TABLE x LIKE y: clone y's current schema (columns, pk,
+        # converters); history starts fresh (a clone has no rename past)
+        src = state.tables.get(state.resolve_table(doc["like"]))
+        if src is None or not src.columns:
+            raise DeltaFailure(
+                f"CREATE TABLE {table} LIKE {doc['like']}: source table "
+                f"unknown")
+        state.tables[table] = TableState(
+            name=table,
+            columns=list(src.columns),
+            primary_key=list(src.primary_key),
+            history_names={c: [c] for c, _ in src.columns},
+            converters=dict(src.converters),
+            version=0,
+        )
+        return
     if ddl_op == DDL_CREATE_TABLE:
         # column entries are [name, type] or [name, type, converter]
         cols = [(c[0], c[1]) for c in doc.get("columns", [])]

@@ -275,6 +275,35 @@ def _split_top_level(s: str) -> list[str]:
 #: event tuple: (ddl_op, table, prev_table, payload_json)
 Event = tuple[str, str, str, str]
 
+
+def _balanced_group(s: str, open_idx: int) -> tuple[str, str]:
+    """(content, remainder) of the paren group opening at ``open_idx``,
+    quote-aware (quotes may contain unbalanced parens)."""
+    assert s[open_idx] == "("
+    depth = 0
+    quote = ""
+    i = open_idx
+    while i < len(s):
+        c = s[i]
+        if quote:
+            if c == "\\" and i + 1 < len(s):
+                i += 1
+            elif c == quote:
+                if i + 1 < len(s) and s[i + 1] == quote:
+                    i += 1
+                else:
+                    quote = ""
+        elif c in _QUOTES:
+            quote = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return s[open_idx + 1:i], s[i + 1:]
+        i += 1
+    raise ValueError(f"unbalanced parentheses in DDL: {s[:120]!r}")
+
 _TABLE_LEVEL_KEYS = re.compile(
     r"^(PRIMARY\s+KEY|UNIQUE|KEY|INDEX|CONSTRAINT|FOREIGN\s+KEY|CHECK)\b",
     re.I)
@@ -410,11 +439,23 @@ def parse_ddl_sql(sql: str, default_db: str = "") -> list[Event]:
                  s, re.I)
     if m:
         return [(DDL_DROP_DATABASE, _ident(m.group(1)), "", "{}")]
-    m = re.match(r"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(.+?)\s*\((.*)\)[^)]*$",
+    m = re.match(r"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(.+?)\s+"
+                 r"LIKE\s+(\S+)$", s, re.I)
+    if m:
+        # CREATE TABLE x LIKE y: copy y's schema (MySQL table-clone DDL)
+        table = qualified_table(m.group(1), default_db)
+        src = qualified_table(m.group(2), default_db)
+        return [(DDL_CREATE_TABLE, table, "",
+                 json.dumps({"like": src}))]
+    m = re.match(r"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(.+?)\s*\(",
                  s, re.I | re.S)
     if m:
         table = qualified_table(m.group(1), default_db)
-        return [_parse_create_table(m.group(2), table)]
+        # balanced, quote-aware body extraction: trailing table options
+        # (ENGINE=..., PARTITION BY HASH(id) PARTITIONS 4, ...) may
+        # themselves contain parens, so a greedy regex mis-captures
+        body, _rest = _balanced_group(s, m.end() - 1)
+        return [_parse_create_table(body, table)]
     m = re.match(r"^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(.+)$", s, re.I)
     if m:
         return [(DDL_DROP_TABLE, qualified_table(m.group(1), default_db),

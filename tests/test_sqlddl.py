@@ -463,3 +463,35 @@ def test_script_registry_lifecycle_with_drop_and_charset():
     assert [c for c, _ in ts.columns] == ["id", "name", "total", "price"]
     assert dict(ts.columns)["price"] == "decimal(10,2)"
     assert ts.converters["name"] == "charset:latin1"
+
+
+def test_create_table_partition_options_and_like():
+    """Balanced body extraction: trailing table options with parens
+    (PARTITION BY RANGE COLUMNS(...) (...)) must not leak into the
+    column list; CREATE TABLE ... LIKE clones the source schema."""
+    reg = Registry()
+    for ev in sd.parse_ddl_script("""
+      CREATE TABLE db.t (id INT PRIMARY KEY, v TEXT)
+        PARTITION BY RANGE COLUMNS(id, v)
+        (PARTITION p0 VALUES LESS THAN (10, 'mm'));
+      CREATE TABLE db.t2 LIKE db.t;
+      CREATE TABLE db.t3 (a INT PRIMARY KEY, note VARCHAR(20)
+        DEFAULT 'a(b');
+    """):
+        reg.apply(1, *ev)
+    assert reg.tables["db.t"].columns == [("id", "int32"),
+                                          ("v", "large_string")]
+    assert reg.tables["db.t2"].columns == reg.tables["db.t"].columns
+    assert reg.tables["db.t2"].primary_key == ["id"]
+    # quoted default containing an unbalanced paren parses intact
+    assert reg.tables["db.t3"].columns == [("a", "int32"),
+                                           ("note", "string")]
+
+
+def test_create_like_unknown_source_rejected():
+    from database_delta_plugins_ray.state.ddl import DeltaFailure
+
+    reg = Registry()
+    (ev,) = sd.parse_ddl_sql("CREATE TABLE db.x LIKE db.nope")
+    with pytest.raises(DeltaFailure):
+        reg.apply(1, *ev)
