@@ -71,6 +71,14 @@ def main(argv: list[str] | None = None) -> int:
                          "Debezium's TOAST placeholder "
                          "(__debezium_unavailable_value); enables "
                          "postgres carry-forward semantics")
+    pr.add_argument("--source-arg", action="append", default=[],
+                    metavar="KEY=VALUE",
+                    help="pass-through connector property (Debezium "
+                         "convention), repeatable: e.g. "
+                         "binary.handling.mode=hex, "
+                         "decimal.handling.mode=double, "
+                         "time.precision.mode=connect; unknown keys "
+                         "forward silently like the reference")
     pr.add_argument("--transform", action="append", default=[],
                     metavar="COL=OP",
                     help="apply-time column transform (Debezium-SMT "
@@ -403,6 +411,27 @@ def main(argv: list[str] | None = None) -> int:
                     raise SystemExit(f"--transform wants COL=OP: {spec!r}")
                 tf[col] = op
             kw["transforms"] = tf
+        if a.source_arg:
+            from .sources.source import CONNECTOR_PREFIX, SourceConfig
+
+            ra = {}
+            for spec in a.source_arg:
+                k, _, v = spec.partition("=")
+                if not v:
+                    raise SystemExit(
+                        f"--source-arg wants KEY=VALUE: {spec!r}")
+                ra[CONNECTOR_PREFIX + k] = v
+            cfg = SourceConfig(runtime_args=ra)
+            ca = cfg.connector_args()
+            # fail fast on known-key bogus values before ray starts
+            from .sources.source import apply_connector_args
+            from .state.ddl import Registry
+
+            try:
+                apply_connector_args(Registry(), ca)
+            except ValueError as e:
+                raise SystemExit(f"--source-arg: {e}")
+            kw["connector_args"] = ca
         if a.follow:
             import signal
             import threading

@@ -244,3 +244,35 @@ def test_unknown_knob_passes_through_silently():
         apply_connector_args(reg, {"decimal.handling.mode": "bogus"})
     with pytest.raises(ValueError):
         apply_connector_args(reg, {"time.precision.mode": "bogus"})
+
+
+def test_cli_source_arg_end_to_end(ray_session, tmp_path):
+    """replicate --source-arg passes connector properties through the
+    CLI: decimal.handling.mode=string replicates DECIMAL columns as
+    strings; a bogus value for a known key fails before ray work."""
+    from database_delta_plugins_ray.__main__ import main
+    from database_delta_plugins_ray.pipelines.replicate import final_state
+    from database_delta_plugins_ray.sources.gen_typed import (
+        TypedGenConfig,
+        generate_typed_log,
+    )
+
+    log = str(tmp_path / "log")
+    generate_typed_log(log, TypedGenConfig(n_keys=40, n_events=200,
+                                           n_segments=2))
+    lake = str(tmp_path / "lake")
+    rc = main(["replicate", "--log", log, "--lake", lake,
+               "--partitions", "2", "--primary-key", "id",
+               "--source-arg", "decimal.handling.mode=string",
+               "--source-arg", "max.batch.size=2048"])
+    assert rc in (0, None)
+    rows = final_state(lake, columns=["id", "c_decimal"]).take_all()
+    assert rows and all(r["c_decimal"] is None
+                        or isinstance(r["c_decimal"], str) for r in rows)
+
+    with pytest.raises(SystemExit):
+        main(["replicate", "--log", log, "--lake", str(tmp_path / "l2"),
+              "--source-arg", "decimal.handling.mode=bogus"])
+    with pytest.raises(SystemExit):
+        main(["replicate", "--log", log, "--lake", str(tmp_path / "l3"),
+              "--source-arg", "novalue"])
