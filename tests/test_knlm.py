@@ -116,3 +116,15 @@ def test_common_bigrams_less_surprising(ray_session):
     per_c = common["kn_surprise_sum_micros"] / common["n_bigrams"]
     per_r = rare["kn_surprise_sum_micros"] / rare["n_bigrams"]
     assert per_c < per_r
+
+
+def test_vocab_fold_tree_equals_shuffle(ray_session):
+    """_vocab_tf_df's AggregateFn tree fold (default) must be
+    row-identical to the distributed groupby shuffle path, including
+    the (df desc, tok) cap tie-break."""
+    from database_delta_plugins_ray.pipelines import analytics as A
+
+    ds = A._t(SF_DIR, "documents", ["doc_id", "text"])
+    tree = A._vocab_tf_df(ds, 500).reset_index(drop=True)
+    shuf = A._vocab_tf_df(ds, 500, fold="shuffle").reset_index(drop=True)
+    pd.testing.assert_frame_equal(tree, shuf, check_dtype=True)
