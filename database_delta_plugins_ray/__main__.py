@@ -412,17 +412,13 @@ def main(argv: list[str] | None = None) -> int:
                 tf[col] = op
             kw["transforms"] = tf
         if a.source_arg:
-            from .sources.source import CONNECTOR_PREFIX, SourceConfig
-
-            ra = {}
+            ca = {}
             for spec in a.source_arg:
                 k, _, v = spec.partition("=")
                 if not v:
                     raise SystemExit(
                         f"--source-arg wants KEY=VALUE: {spec!r}")
-                ra[CONNECTOR_PREFIX + k] = v
-            cfg = SourceConfig(runtime_args=ra)
-            ca = cfg.connector_args()
+                ca[k] = v
             # fail fast on known-key bogus values before ray starts
             from .sources.source import apply_connector_args
             from .state.ddl import Registry

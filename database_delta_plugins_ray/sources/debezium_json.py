@@ -766,7 +766,6 @@ def tail_jsonl_segments(jsonl_dir: str, seg_dir: str,
         # file (include_paths) so the per-file segment tags, stats and
         # idempotence contract are unchanged
         import ray.data as _rd
-        from ray.data import datasource as _rds  # noqa: F401
 
         def _sweep():
             for fname, _ in todo:
@@ -786,6 +785,15 @@ def tail_jsonl_segments(jsonl_dir: str, seg_dir: str,
             )
 
         def convert(batch: pa.Table) -> pa.Table:
+            # drop tombstones (null payload) BEFORE extracting the
+            # per-row source column: _convert_envelopes filters them
+            # internally, and an unfiltered __src would no longer align
+            # with the converted rows
+            pay = batch["payload"]
+            if isinstance(pay, pa.ChunkedArray):
+                pay = pay.combine_chunks()
+            if pay.null_count:
+                batch = batch.filter(pc.is_valid(pay))
             src = pc.cast(batch["path"], pa.string())
             out = _convert_envelopes(batch.drop_columns(["path"]))
             return out.append_column("__src", src)

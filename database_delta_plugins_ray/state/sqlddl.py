@@ -120,29 +120,63 @@ def qualified_table(text: str, default_db: str = "") -> str:
 # type mapping (MySqlAntlrDdlParser.java:134-258 + assessor §1.2b)
 # ---------------------------------------------------------------------------
 
-_PAREN_ARGS = re.compile(r"^\s*\(([^)]*)\)")
 _GENERATED_AS = re.compile(r"\b(?:GENERATED\s+ALWAYS\s+)?AS\s*\(", re.I)
 
 
-def _strip_generated(rest: str) -> str:
+def _mask_quoted(s: str) -> str:
+    """Same-length copy of ``s`` with every quoted-literal CONTENT
+    blanked to spaces (quote chars kept, escapes honored) — modifier
+    scans run on the mask so words inside DEFAULT/COMMENT/option
+    literals can never match, while index-based slicing of the
+    original stays valid."""
+    out = list(s)
+    quote = ""
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if quote:
+            if c == "\\" and i + 1 < len(s):
+                out[i] = " "
+                out[i + 1] = " "
+                i += 1
+            elif c == quote:
+                if i + 1 < len(s) and s[i + 1] == quote:
+                    out[i] = " "
+                    out[i + 1] = " "
+                    i += 1
+                else:
+                    quote = ""
+            else:
+                out[i] = " "
+        elif is_quote(c):
+            quote = c
+        i += 1
+    return "".join(out)
+
+
+def _strip_generated(rest: str, masked: str) -> tuple[str, str]:
     """Cut a generated-column expression — ``[GENERATED ALWAYS] AS
     (expr) [VIRTUAL|STORED]`` — so modifier scans (UNSIGNED, CHARACTER
     SET) can't match words inside the expression. Generated columns
     keep their declared data type (the parser treats them as regular
     columns of that type, MySqlAntlrDdlParser.java column-definition
-    path)."""
-    m = _GENERATED_AS.search(rest)
+    path). Operates on the quote-mask so an ``AS (`` inside a quoted
+    literal (e.g. an ENUM option) is never treated as a generated
+    clause; returns (rest, masked) with the same cut applied to both."""
+    m = _GENERATED_AS.search(masked)
     if not m:
-        return rest
+        return rest, masked
     depth, i = 1, m.end()
-    while i < len(rest) and depth:
-        if rest[i] == "(":
+    while i < len(masked) and depth:
+        if masked[i] == "(":
             depth += 1
-        elif rest[i] == ")":
+        elif masked[i] == ")":
             depth -= 1
         i += 1
-    tail = re.sub(r"^\s*(?:VIRTUAL|STORED)\b", "", rest[i:], flags=re.I)
-    return rest[:m.start()] + " " + tail
+    tm = re.match(r"^\s*(?:VIRTUAL|STORED)\b", masked[i:], flags=re.I)
+    cut = i + (tm.end() if tm else 0)
+    return (rest[:m.start()] + " " + rest[cut:],
+            masked[:m.start()] + " " + masked[cut:])
 
 
 def map_column_type(type_text: str) -> tuple[str, str | None]:
@@ -157,13 +191,24 @@ def map_column_type(type_text: str) -> tuple[str, str | None]:
     if not m:
         raise ValueError(f"unparseable column type: {type_text!r}")
     base = m.group(1).upper()
-    rest = _strip_generated(t[m.end():])
-    args_m = _PAREN_ARGS.match(rest)
-    args = args_m.group(1) if args_m else ""
-    unsigned = bool(re.search(r"\bUNSIGNED\b", rest, re.I))
-    cs_m = re.search(r"\b(?:CHARACTER\s+SET|CHARSET)\s+[`'\"]?(\w+)",
-                     rest, re.I)
-    charset = cs_m.group(1).lower() if cs_m else None
+    rest, masked = _strip_generated(t[m.end():], _mask_quoted(t[m.end():]))
+    args = ""
+    lead = len(rest) - len(rest.lstrip())
+    if rest[lead:lead + 1] == "(":
+        # quote-aware balanced extraction: ENUM/SET options may contain
+        # ')' inside their quoted literals
+        args, _ = _balanced_group(rest, lead)
+    # modifier scans run on the QUOTE-MASKED text: a DEFAULT/COMMENT
+    # literal mentioning 'unsigned' or 'character set x' must not match.
+    # The charset NAME itself reads from the original at the matched
+    # position — it may be a backtick-quoted identifier the mask blanks
+    unsigned = bool(re.search(r"\bUNSIGNED\b", masked, re.I))
+    charset = None
+    cs_m = re.search(r"\b(?:CHARACTER\s+SET|CHARSET)\s+", masked, re.I)
+    if cs_m:
+        nm = re.match(r"[`'\"]?(\w+)", rest[cs_m.end():])
+        if nm:
+            charset = nm.group(1).lower()
 
     def _string(portable: str) -> tuple[str, str | None]:
         return portable, (f"charset:{charset}" if charset else None)
@@ -346,8 +391,8 @@ def _ident(tok: str) -> str:
 _ALTER_IGNORABLE = re.compile(
     r"^(?:"
     r"ADD\s+(?:UNIQUE|FULLTEXT|SPATIAL)?\s*(?:INDEX|KEY)\b"
-    r"|ADD\s+(?:CONSTRAINT|PRIMARY\s+KEY|FOREIGN\s+KEY|CHECK|UNIQUE)\b"
-    r"|DROP\s+(?:INDEX|KEY|PRIMARY\s+KEY|FOREIGN\s+KEY|CONSTRAINT|CHECK)\b"
+    r"|ADD\s+(?:CONSTRAINT|FOREIGN\s+KEY|CHECK|UNIQUE)\b"
+    r"|DROP\s+(?:INDEX|KEY|FOREIGN\s+KEY|CONSTRAINT|CHECK)\b"
     r"|ALTER\s+(?:COLUMN\s+)?\S+\s+(?:SET|DROP)\b"
     r"|(?:DEFAULT\s+)?(?:CHARACTER\s+SET|CHARSET)\b"
     r"|CONVERT\s+TO\s+CHARACTER\s+SET\b"
@@ -356,10 +401,22 @@ _ALTER_IGNORABLE = re.compile(
     r"|(?:ORDER\s+BY|FORCE|ALGORITHM|LOCK)\b"
     r")", re.I)
 
+#: ADD/DROP PRIMARY KEY (directly or via ADD CONSTRAINT ... PRIMARY
+#: KEY) changes the row-identity rule every fence, partition route and
+#: LWW merge keys on — silently dropping it would let the replicated
+#: state diverge from the source. Loud failure, like the DROP-COLUMN-
+#: of-a-PK path.
+_PK_CHANGE = re.compile(
+    r"^(?:ADD|DROP)\b.*\bPRIMARY\s+KEY\b", re.I | re.S)
+
 
 def _parse_alter(rest: str, table: str) -> list[Event]:
     events: list[Event] = []
     for clause in _split_top_level(rest):
+        if _PK_CHANGE.match(_mask_quoted(clause)):
+            raise ValueError(
+                f"primary-key change is unsupported ({clause!r}): key "
+                "identity is the replication contract")
         if _ALTER_IGNORABLE.match(clause):
             continue
         # parenthesized multi-ADD: ADD [COLUMN] (a INT, b TEXT, ...)

@@ -227,3 +227,36 @@ def test_tail_snapshot_blocks_sharing_one_offset_all_survive(
     on_disk = sum(pq.read_metadata(f).num_rows for f in files)
     assert on_disk == n
     assert meta["total_events"] == n
+
+
+def test_tail_discards_tombstones(ray_session, tmp_path):
+    """A feed carrying Debezium tombstones (null-payload records after
+    deletes — tombstones.on.delete defaults to true in real Debezium)
+    must convert cleanly through the tail path: tombstone rows are
+    discarded BEFORE the per-row source column attaches, or the column
+    lengths desynchronize and the follow loop dies."""
+    from database_delta_plugins_ray.pipelines.oracle import replay
+    from database_delta_plugins_ray.sources.debezium_json import (
+        tail_jsonl_segments)
+
+    log, jdir = _make_jsonl(tmp_path)
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    # copy the real feed, injecting a tombstone after every delete line
+    n_tomb = 0
+    for f in sorted(os.listdir(jdir)):
+        with open(os.path.join(jdir, f)) as src, \
+                open(os.path.join(feed, f), "w") as dst:
+            for line in src:
+                dst.write(line)
+                if '"op": "d"' in line or '"op":"d"' in line:
+                    dst.write('{"payload": null}\n')
+                    n_tomb += 1
+    assert n_tomb > 0, "fixture must exercise deletes"
+
+    sdir = str(tmp_path / "segs")
+    meta = tail_jsonl_segments(feed, sdir)
+    exp_events = sum(1 for fn in os.listdir(jdir)
+                     for _ in open(os.path.join(jdir, fn)))
+    assert meta["total_events"] == exp_events  # tombstones not counted
+    _seg_replay_parity(log, sdir, str(tmp_path / "lake"))

@@ -386,7 +386,6 @@ def test_alter_ignorable_clauses_emit_nothing():
         "ALTER TABLE db.t ADD UNIQUE KEY uk (a, b)",
         "ALTER TABLE db.t ADD CONSTRAINT fk FOREIGN KEY (a) REFERENCES o(id)",
         "ALTER TABLE db.t DROP INDEX idx_a",
-        "ALTER TABLE db.t DROP PRIMARY KEY",
         "ALTER TABLE db.t ALTER COLUMN a SET DEFAULT 7",
         "ALTER TABLE db.t ALTER a DROP DEFAULT",
         "ALTER TABLE db.t ENGINE = InnoDB",
@@ -495,3 +494,39 @@ def test_create_like_unknown_source_rejected():
     (ev,) = sd.parse_ddl_sql("CREATE TABLE db.x LIKE db.nope")
     with pytest.raises(DeltaFailure):
         reg.apply(1, *ev)
+
+
+def test_primary_key_change_raises_loudly():
+    """ADD/DROP PRIMARY KEY changes the row-identity rule every fence
+    and LWW merge keys on — it must fail fast, never be silently
+    swallowed as an ignorable index clause."""
+    for stmt in [
+        "ALTER TABLE db.t DROP PRIMARY KEY",
+        "ALTER TABLE db.t DROP PRIMARY KEY, ADD PRIMARY KEY (uid)",
+        "ALTER TABLE db.t ADD CONSTRAINT pk PRIMARY KEY (uid)",
+        "ALTER TABLE db.t ADD COLUMN id2 INT PRIMARY KEY",
+    ]:
+        with pytest.raises(ValueError, match="primary-key change"):
+            sd.parse_ddl_sql(stmt)
+    # a quoted literal mentioning the phrase is NOT a key change
+    events = sd.parse_ddl_sql(
+        "ALTER TABLE db.t ADD COLUMN note VARCHAR(30) "
+        "DEFAULT 'primary key'")
+    assert len(events) == 1
+
+
+def test_quoted_literals_do_not_confuse_modifier_scans():
+    """'AS (', 'CHARACTER SET x', 'UNSIGNED' inside quoted literals
+    (ENUM options, DEFAULTs, COMMENTs) must not alter the parsed type."""
+    typ, conv = sd.map_column_type("ENUM('x','as (b)')")
+    assert (typ, conv) == ("string", "enum:x,as (b)")
+    typ, conv = sd.map_column_type("ENUM('a)','b')")
+    assert (typ, conv) == ("string", "enum:a),b")
+    typ, conv = sd.map_column_type(
+        "VARCHAR(10) DEFAULT 'character set foo'")
+    assert (typ, conv) == ("string", None)
+    typ, conv = sd.map_column_type("INT COMMENT 'unsigned'")
+    assert (typ, conv) == ("int32", None)
+    typ, conv = sd.map_column_type(
+        "VARCHAR(10) CHARACTER SET latin1 COMMENT 'charset utf8'")
+    assert (typ, conv) == ("string", "charset:latin1")
