@@ -44,6 +44,7 @@ cited to the public papers only.
 """
 from __future__ import annotations
 
+import os
 import math
 
 import numpy as np
@@ -145,15 +146,7 @@ def _seed_pieces(hist_ds, *, max_piece_len: int, seed_size: int) -> pd.DataFrame
     schema = pa.schema([("piece", pa.string()), ("score", pa.int64())])
 
     def partial(df: pd.DataFrame) -> "pa.Table":
-        acc: dict[str, int] = {}
-        for w, c in zip(df["word"], df["cnt"]):
-            c = int(c)
-            n = len(w)
-            for i in range(n):
-                top = min(max_piece_len, n - i)
-                for ln in range(1, top + 1):
-                    p = w[i:i + ln]
-                    acc[p] = acc.get(p, 0) + c
+        acc = _seed_acc(df["word"], df["cnt"], max_piece_len)
         if not acc:
             return schema.empty_table()
         return pa.table({"piece": list(acc), "score": list(acc.values())},
@@ -180,6 +173,64 @@ def _seed_pieces(hist_ds, *, max_piece_len: int, seed_size: int) -> pd.DataFrame
     return out[["piece", "score"]]
 
 
+def _seed_acc(words, cnts, max_piece_len: int) -> dict:
+    """Shared substring-count kernel of the seeding pass."""
+    acc: dict[str, int] = {}
+    for w, c in zip(words, cnts):
+        c = int(c)
+        n = len(w)
+        for i in range(n):
+            top = min(max_piece_len, n - i)
+            for ln in range(1, top + 1):
+                p = w[i:i + ln]
+                acc[p] = acc.get(p, 0) + c
+    return acc
+
+
+def _seed_pieces_local(hist: pd.DataFrame, *, max_piece_len: int,
+                       seed_size: int) -> pd.DataFrame:
+    """Driver-local seeding over a small histogram — same kernel and
+    the same (-score, piece) cap + forced-chars rule as the
+    distributed path (the per-block top-k there is only a pruning
+    optimization), so results are identical."""
+    acc = _seed_acc(hist["word"], hist["cnt"], max_piece_len)
+    cand = pd.DataFrame({
+        "piece": np.array(list(acc), dtype=object),
+        "score": np.fromiter(acc.values(), np.int64, len(acc))})
+    cand = cand.sort_values(["score", "piece"], ascending=[False, True],
+                            kind="mergesort").reset_index(drop=True)
+    is_char = cand["piece"].str.len() == 1
+    out = (pd.concat([cand.head(seed_size), cand[is_char]])
+           .drop_duplicates("piece").reset_index(drop=True))
+    return out[["piece", "score"]]
+
+
+def _e_acc(words, cnts, vocab: dict, logp: list[float],
+           max_piece_len: int) -> dict:
+    """Shared E-step kernel: fixed-point expected counts per piece id."""
+    acc: dict[int, int] = {}
+    for w, c in zip(words, cnts):
+        ec, _ = _word_expected(w, vocab, logp, max_piece_len)
+        c = int(c)
+        for pid, e in ec.items():
+            q = int(math.floor(e * c * SCALE + 0.5))
+            if q:
+                acc[pid] = acc.get(pid, 0) + q
+    return acc
+
+
+def _e_step_local(hist: pd.DataFrame, pieces: list[str],
+                  logp: list[float], max_piece_len: int) -> np.ndarray:
+    """Driver-local E-step over a small histogram — identical int64
+    sums as the distributed fold (integer addition is order-free)."""
+    vocab = {p: i for i, p in enumerate(pieces)}
+    acc = _e_acc(hist["word"], hist["cnt"], vocab, logp, max_piece_len)
+    out = np.zeros(len(pieces), dtype=np.int64)
+    for pid, q in acc.items():
+        out[pid] = q
+    return out
+
+
 def _e_step(hist_ds, pieces: list[str], logp: list[float],
             max_piece_len: int) -> np.ndarray:
     """One distributed E-step: fixed-point int64 expected counts per
@@ -194,14 +245,7 @@ def _e_step(hist_ds, pieces: list[str], logp: list[float],
 
     def partial(df: pd.DataFrame) -> "pa.Table":
         vb, lp = ray.get(model_ref)
-        acc: dict[int, int] = {}
-        for w, c in zip(df["word"], df["cnt"]):
-            ec, _ = _word_expected(w, vb, lp, max_piece_len)
-            c = int(c)
-            for pid, e in ec.items():
-                q = int(math.floor(e * c * SCALE + 0.5))
-                if q:
-                    acc[pid] = acc.get(pid, 0) + q
+        acc = _e_acc(df["word"], df["cnt"], vb, lp, max_piece_len)
         if not acc:
             return schema.empty_table()
         return pa.table({"pid": np.fromiter(acc, dtype=np.int32,
@@ -274,9 +318,26 @@ def train_unigram(ds, *, text_col: str = "text", vocab_size: int = 256,
     cpus = int(ray.cluster_resources().get("CPU", 4))
     hist_ds = hist_ds.repartition(max(1, cpus)).materialize()
 
+    # small-histogram fast path: when the distinct-word histogram fits
+    # comfortably on the driver, the seeding pass and every EM round
+    # run locally with the SAME integer kernels — int64 sums are
+    # order-free, so results are bit-identical to the distributed fold
+    # (parity-tested), while each of the ~10 EM/prune rounds stops
+    # paying a full Ray Data job launch. Large corpora keep the
+    # distributed path (the histogram is bounded by distinct words,
+    # which CAN exceed driver memory at web scale).
+    local_cap = int(os.environ.get("RAY_GRAFT_UNIGRAM_LOCAL_WORDS",
+                                   "200000"))
+    hist_local = (hist_ds.to_pandas()
+                  if hist_ds.count() <= local_cap else None)
+
     # 2) seed vocabulary (substring frequencies; chars force-included)
-    seeds = _seed_pieces(hist_ds, max_piece_len=max_piece_len,
-                         seed_size=seed_size)
+    if hist_local is not None:
+        seeds = _seed_pieces_local(hist_local, max_piece_len=max_piece_len,
+                                   seed_size=seed_size)
+    else:
+        seeds = _seed_pieces(hist_ds, max_piece_len=max_piece_len,
+                             seed_size=seed_size)
     pieces = seeds["piece"].tolist()
     score = seeds["score"].to_numpy(dtype=np.float64)
     tot = float(score.sum()) or 1.0
@@ -286,7 +347,9 @@ def train_unigram(ds, *, text_col: str = "text", vocab_size: int = 256,
     q = np.zeros(len(pieces), dtype=np.int64)
     while True:
         for _ in range(em_iters):
-            q = _e_step(hist_ds, pieces, logp, max_piece_len)
+            q = (_e_step_local(hist_local, pieces, logp, max_piece_len)
+                 if hist_local is not None
+                 else _e_step(hist_ds, pieces, logp, max_piece_len))
             tot_q = int(q.sum()) or 1
             logp = [math.log(v / tot_q) if v > 0 else -1e9 for v in q]
         n = len(pieces)

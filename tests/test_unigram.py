@@ -232,3 +232,21 @@ def test_vocab_size_below_char_count_terminates(ray_session):
                       max_piece_len=4)
     assert (v["piece"].str.len() == 1).all()
     assert len(v) >= 28
+
+
+def test_local_fast_path_bit_equals_distributed(ray_session, monkeypatch):
+    """The small-histogram driver-local EM path must produce the
+    bit-identical vocabulary as the distributed fold (int64 sums are
+    order-free; the kernels are shared)."""
+    import ray.data
+
+    from database_delta_plugins_ray.stages.unigram import train_unigram
+
+    df = pd.DataFrame({"text": [
+        "the cat sat on the mat", "the bat and the cat",
+        "mats and bats and cats", "a cat a mat a bat"] * 5})
+    ds = ray.data.from_pandas(df).repartition(3)
+    local = train_unigram(ds, vocab_size=32, max_piece_len=4)
+    monkeypatch.setenv("RAY_GRAFT_UNIGRAM_LOCAL_WORDS", "0")
+    dist = train_unigram(ds, vocab_size=32, max_piece_len=4)
+    pd.testing.assert_frame_equal(local, dist)
