@@ -22,6 +22,13 @@ from ..model import IS_DELETED, SEQUENCE_NUM
 from ..state import checkpoint as ckpt
 
 
+def _lake_rel(f: str) -> str:
+    """Lake-relative identity of a data file (``part=NNNNN/<name>``) —
+    stable across lake moves and per-node mountpoints."""
+    return os.path.join(os.path.basename(os.path.dirname(f)),
+                        os.path.basename(f))
+
+
 @ray.remote
 def _compact_partition(lake_dir: str, part: int, prune_below: int) -> dict:
     import pyarrow as pa
@@ -518,8 +525,11 @@ def build_skip_index(lake_dir: str, column: str,
     res = (ray.data.from_items([{"file": f} for f in files])
            .map_batches(per_file, batch_format="pyarrow", batch_size=1)
            .take_all())
+    # keys are LAKE-RELATIVE (part=NNNNN/name): the index must survive
+    # the lake moving / being mounted at another path, exactly like the
+    # manifests it derives from (checkpoint._rebase)
     idx = {"column": column, "nhash": nhash,
-           "files": {r["file"]: r["bloom"] for r in res}}
+           "files": {_lake_rel(r["file"]): r["bloom"] for r in res}}
     p = _skip_index_path(lake_dir, column)
     import json as _json
     tmp = p + f".tmp.{os.getpid()}"
@@ -568,7 +578,9 @@ def skip_scan_eq(lake_dir: str, column: str, value,
         files = m.get("files") or [m["file"]]
         may = False
         for f in files:
-            b64 = blooms.get(f)
+            # lake-relative key; absolute fallback reads pre-move
+            # indexes built before the relative-key convention
+            b64 = blooms.get(_lake_rel(f), blooms.get(f))
             if b64 is None:
                 may = True  # not indexed -> must read
                 break

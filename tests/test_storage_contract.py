@@ -161,3 +161,33 @@ def test_sf01_replay_under_2gib_object_store(tmp_path):
                       b["content_sha"].to_pylist()], dtype=np.int64)
         acc = (acc + int(h.sum())) % (1 << 62)
     assert got["agg"] == [n, acc] or tuple(got["agg"]) == (n, acc)
+
+
+def test_moved_lake_skip_index_still_prunes(ray_session, tmp_path):
+    """The Bloom file-skipping index keys blooms by LAKE-RELATIVE file
+    identity, so it survives the lake moving: after a move, lookups
+    must still prune (an absolute-path key would silently degrade every
+    partition to 'not indexed -> must read')."""
+    from database_delta_plugins_ray.pipelines.maintenance import (
+        _lake_rel, build_skip_index, optimize_lake, skip_scan_eq)
+    from database_delta_plugins_ray.pipelines.replicate import (
+        final_state, run_replication)
+
+    log = _mk_log(tmp_path)
+    lake_a = str(tmp_path / "slake_a")
+    run_replication(log, lake_a, num_partitions=4)
+    optimize_lake(lake_a)
+    build_skip_index(lake_a, "commit")
+    target = final_state(lake_a, columns=["commit"]).min("commit")
+
+    lake_b = str(tmp_path / "slake_b")
+    shutil.move(lake_a, lake_b)
+    # index keys are relative -> still resolvable against the new path
+    import json as _json
+
+    idx = _json.load(open(os.path.join(
+        lake_b, "_checkpoints", "skipindex-commit.json")))
+    assert all(not os.path.isabs(k) for k in idx["files"])
+    rows = skip_scan_eq(lake_b, "commit", target,
+                        columns=["repo", "path", "commit"]).take_all()
+    assert rows and all(r["commit"] == target for r in rows)
