@@ -315,9 +315,6 @@ def train_unigram(ds, *, text_col: str = "text", vocab_size: int = 256,
                                      kind="mergesort")
                   .head(max_words).reset_index(drop=True))
         hist_ds = ray.data.from_pandas(capped)
-    cpus = int(ray.cluster_resources().get("CPU", 4))
-    hist_ds = hist_ds.repartition(max(1, cpus)).materialize()
-
     # small-histogram fast path: when the distinct-word histogram fits
     # comfortably on the driver, the seeding pass and every EM round
     # run locally with the SAME integer kernels — int64 sums are
@@ -325,11 +322,17 @@ def train_unigram(ds, *, text_col: str = "text", vocab_size: int = 256,
     # (parity-tested), while each of the ~10 EM/prune rounds stops
     # paying a full Ray Data job launch. Large corpora keep the
     # distributed path (the histogram is bounded by distinct words,
-    # which CAN exceed driver memory at web scale).
+    # which CAN exceed driver memory at web scale) and only THEY pay
+    # the EM-oriented repartition.
+    hist_ds = hist_ds.materialize()
     local_cap = int(os.environ.get("RAY_GRAFT_UNIGRAM_LOCAL_WORDS",
                                    "200000"))
-    hist_local = (hist_ds.to_pandas()
-                  if hist_ds.count() <= local_cap else None)
+    if hist_ds.count() <= local_cap:
+        hist_local = hist_ds.to_pandas()
+    else:
+        hist_local = None
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        hist_ds = hist_ds.repartition(max(1, cpus)).materialize()
 
     # 2) seed vocabulary (substring frequencies; chars force-included)
     if hist_local is not None:

@@ -401,22 +401,46 @@ _ALTER_IGNORABLE = re.compile(
     r"|(?:ORDER\s+BY|FORCE|ALGORITHM|LOCK)\b"
     r")", re.I)
 
-#: ADD/DROP PRIMARY KEY (directly or via ADD CONSTRAINT ... PRIMARY
-#: KEY) changes the row-identity rule every fence, partition route and
-#: LWW merge keys on — silently dropping it would let the replicated
-#: state diverge from the source. Loud failure, like the DROP-COLUMN-
-#: of-a-PK path.
+#: A primary-key change — via ADD/DROP/MODIFY/CHANGE ... PRIMARY KEY,
+#: ADD CONSTRAINT ... PRIMARY KEY, or MySQL's index-name spelling
+#: DROP INDEX/KEY `PRIMARY` — changes the row-identity rule every
+#: fence, partition route and LWW merge keys on; silently dropping it
+#: would let the replicated state diverge from the source. Loud
+#: failure, like the DROP-COLUMN-of-a-PK path.
 _PK_CHANGE = re.compile(
-    r"^(?:ADD|DROP)\b.*\bPRIMARY\s+KEY\b", re.I | re.S)
+    r"^(?:ADD|DROP|MODIFY|CHANGE)\b.*\bPRIMARY\s+KEY\b", re.I | re.S)
+_PK_INDEX_DROP = re.compile(
+    r"^DROP\s+(?:INDEX|KEY)\s+(\S+)", re.I)
+
+
+def _pk_error(clause: str) -> ValueError:
+    return ValueError(
+        f"primary-key change is unsupported ({clause!r}): key "
+        "identity is the replication contract")
+
+
+def _reject_pk_column_attr(clause: str, type_text: str) -> None:
+    """A COLUMN clause whose modifiers declare the column a key —
+    ``PRIMARY KEY`` or MySQL's bare ``KEY`` attribute (but not
+    ``UNIQUE KEY``/``FOREIGN KEY``) — is a primary-key change."""
+    masked = _mask_quoted(type_text)
+    _, masked = _strip_generated(type_text, masked)
+    masked = re.sub(r"\b(?:UNIQUE|FOREIGN)\s+KEY\b", " ", masked,
+                    flags=re.I)
+    if re.search(r"\bPRIMARY\s+KEY\b|\bKEY\b", masked, re.I):
+        raise _pk_error(clause)
 
 
 def _parse_alter(rest: str, table: str) -> list[Event]:
     events: list[Event] = []
     for clause in _split_top_level(rest):
         if _PK_CHANGE.match(_mask_quoted(clause)):
-            raise ValueError(
-                f"primary-key change is unsupported ({clause!r}): key "
-                "identity is the replication contract")
+            raise _pk_error(clause)
+        pm = _PK_INDEX_DROP.match(clause)
+        if pm and _ident(pm.group(1)).upper() == "PRIMARY":
+            # DROP INDEX `PRIMARY`: MySQL's index-name spelling of a
+            # primary-key drop (the PK index is literally named PRIMARY)
+            raise _pk_error(clause)
         if _ALTER_IGNORABLE.match(clause):
             continue
         # parenthesized multi-ADD: ADD [COLUMN] (a INT, b TEXT, ...)
@@ -427,6 +451,7 @@ def _parse_alter(rest: str, table: str) -> list[Event]:
                 if not im:
                     raise ValueError(f"unparseable column def: {item!r}")
                 name = _ident(im.group(1))
+                _reject_pk_column_attr(clause, im.group(2))
                 typ, conv = map_column_type(im.group(2))
                 doc = {"action": "add", "column": name, "type": typ}
                 if conv:
@@ -436,6 +461,7 @@ def _parse_alter(rest: str, table: str) -> list[Event]:
         m = re.match(r"^ADD\s+(?:COLUMN\s+)?(\S+)\s+(.*)$", clause, re.I | re.S)
         if m:
             name = _ident(m.group(1))
+            _reject_pk_column_attr(clause, m.group(2))
             typ, conv = map_column_type(m.group(2))
             doc = {"action": "add", "column": name, "type": typ}
             if conv:
@@ -451,6 +477,7 @@ def _parse_alter(rest: str, table: str) -> list[Event]:
         m = re.match(r"^MODIFY\s+(?:COLUMN\s+)?(\S+)\s+(.*)$", clause,
                      re.I | re.S)
         if m:
+            _reject_pk_column_attr(clause, m.group(2))
             typ, _conv = map_column_type(m.group(2))
             events.append((DDL_ALTER_TABLE, table, "", json.dumps(
                 {"action": "widen", "column": _ident(m.group(1)),
@@ -460,6 +487,7 @@ def _parse_alter(rest: str, table: str) -> list[Event]:
                      clause, re.I | re.S)
         if m:
             old, new = _ident(m.group(1)), _ident(m.group(2))
+            _reject_pk_column_attr(clause, m.group(3))
             typ, _conv = map_column_type(m.group(3))
             if old != new:
                 events.append((DDL_ALTER_TABLE, table, "", json.dumps(
@@ -619,6 +647,10 @@ def parse_ddl_script(script: str, default_db: str = "",
         if m:
             db = _ident(m.group(1))
             continue
+        m = re.match(r"^DROP\s+(?:INDEX|KEY)\s+(\S+)\s+ON\b", stmt, re.I)
+        if m and _ident(m.group(1)).upper() == "PRIMARY":
+            # standalone index-name spelling of a primary-key drop
+            raise _pk_error(stmt)
         if _SCRIPT_SKIP.match(stmt):
             continue
         try:

@@ -530,3 +530,27 @@ def test_quoted_literals_do_not_confuse_modifier_scans():
     typ, conv = sd.map_column_type(
         "VARCHAR(10) CHARACTER SET latin1 COMMENT 'charset utf8'")
     assert (typ, conv) == ("string", "charset:latin1")
+
+
+def test_pk_change_alternative_spellings_raise():
+    """MODIFY/CHANGE ... PRIMARY KEY, the bare KEY column attribute, and
+    MySQL's index-name spelling DROP INDEX `PRIMARY` are all primary-key
+    changes and must raise — while UNIQUE KEY stays an ignorable index
+    clause and key-ish column NAMES stay legal."""
+    for stmt in [
+        "ALTER TABLE db.t MODIFY COLUMN id INT PRIMARY KEY",
+        "ALTER TABLE db.t CHANGE id uid BIGINT PRIMARY KEY",
+        "ALTER TABLE db.t ADD COLUMN id2 INT KEY",
+        "ALTER TABLE db.t DROP INDEX `PRIMARY`",
+        "ALTER TABLE db.t DROP KEY `PRIMARY`",
+    ]:
+        with pytest.raises(ValueError, match="primary-key change"):
+            sd.parse_ddl_sql(stmt)
+    with pytest.raises(ValueError, match="primary-key change"):
+        sd.parse_ddl_script("DROP INDEX `PRIMARY` ON db.t;")
+    # NOT key changes: unique-key clause, plain index drop, key-ish names
+    assert sd.parse_ddl_sql("ALTER TABLE db.t ADD UNIQUE KEY uk (a)") == []
+    assert sd.parse_ddl_sql("ALTER TABLE db.t DROP INDEX idx_key") == []
+    (ev,) = sd.parse_ddl_sql(
+        "ALTER TABLE db.t ADD COLUMN key_col INT UNIQUE KEY")
+    assert json.loads(ev[3])["column"] == "key_col"

@@ -169,7 +169,7 @@ def test_moved_lake_skip_index_still_prunes(ray_session, tmp_path):
     must still prune (an absolute-path key would silently degrade every
     partition to 'not indexed -> must read')."""
     from database_delta_plugins_ray.pipelines.maintenance import (
-        _lake_rel, build_skip_index, optimize_lake, skip_scan_eq)
+        build_skip_index, optimize_lake, skip_scan_eq)
     from database_delta_plugins_ray.pipelines.replicate import (
         final_state, run_replication)
 
