@@ -110,6 +110,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="(follow) text-index dir to refresh after every "
                          "applying poll — derived search stays current "
                          "with the lake")
+    pr.add_argument("--index-compact-overlay", type=int, default=100_000,
+                    help="(follow, with --refresh-index) auto-compact the "
+                         "text index once its live-docs overlay exceeds "
+                         "this many changed docs (the segment-merge "
+                         "trigger); 0 disables")
     pr.add_argument("--maintain-view", default=None,
                     help="(follow) IVM view dir to increment after every "
                          "applying poll (requires --maintain-view-log "
@@ -443,10 +448,13 @@ def main(argv: list[str] | None = None) -> int:
             signal.signal(signal.SIGTERM, _graceful)
             hooks = []
             if a.refresh_index:
-                from .stages.invindex import LakeTextIndex
+                from .stages.invindex import refresh_lake_index
 
+                limit = a.index_compact_overlay or None
                 hooks.append(
-                    lambda lk: LakeTextIndex(a.refresh_index).refresh(lk))
+                    lambda lk: refresh_lake_index(
+                        a.refresh_index, lk,
+                        compact_overlay_limit=limit))
             if a.refresh_vecindex:
                 from .pipelines.queries import lake_vector_index_refresh
 

@@ -788,3 +788,23 @@ class LakeTextIndex:
             agg = agg.sort(["score_micros", "doc_key"],
                            descending=[True, False]).limit(k)
         return agg
+
+
+def refresh_lake_index(index_dir: str, lake_dir: str, *,
+                       compact_overlay_limit: int | None = 100_000) -> dict:
+    """Follow-mode maintenance step: refresh the lake text index from
+    the change feed, then COMPACT when the live-docs overlay has grown
+    past ``compact_overlay_limit`` changed docs — the Lucene
+    auto-segment-merge analog. The overlay is a per-lookup fence cost
+    and a per-refresh superseded-sidecar re-read cost; compaction
+    resets both and is itself O(index bytes), never O(corpus). ``None``
+    disables the trigger (manual ``compact()`` only)."""
+    idx = LakeTextIndex(index_dir)
+    out = idx.refresh(lake_dir)
+    if (compact_overlay_limit is not None
+            and len(idx.overlay) >= compact_overlay_limit):
+        c = idx.compact()
+        out = dict(out, compacted=True,
+                   compacted_docs=c.get("n_docs"),
+                   overlay_before=c.get("overlay_cleared"))
+    return out

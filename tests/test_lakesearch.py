@@ -400,3 +400,33 @@ def test_vecindex_compact_preserves_watermark(ray_session, small_log,
     order = sorted(range(len(ids)),
                    key=lambda i: (-scores[i], ids[i]))[:10]
     assert list(got["vec_id"]) == [ids[i] for i in order]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_refresh_lake_index_autocompacts(half_built, tmp_path):
+    """The follow-mode maintenance step (refresh_lake_index, the CLI's
+    --refresh-index hook): past the overlay limit the refresh is
+    followed by a compaction — overlay resets, counters stay exact, and
+    lookups equal a full rebuild."""
+    from database_delta_plugins_ray.stages.invindex import (
+        refresh_lake_index)
+
+    log_dir, lake, idx, meta = half_built
+    run_replication(log_dir, lake, num_partitions=8, history=True)
+    out = refresh_lake_index(idx.index_dir, lake, compact_overlay_limit=1)
+    assert out["changed"] > 0 and out.get("compacted") is True
+    assert out["overlay_before"] >= 1
+
+    fresh = LakeTextIndex(idx.index_dir)
+    assert fresh.overlay == {}  # the segment merge reset the overlay
+    rebuilt = LakeTextIndex.build(lake, str(tmp_path / "idx_rb2"))
+    assert fresh.meta["n_docs"] == rebuilt.meta["n_docs"]
+    assert fresh.meta["total_tokens"] == rebuilt.meta["total_tokens"]
+    for terms in TERMS:
+        assert _res(fresh.lookup(terms, mode="or")) == \
+            _res(rebuilt.lookup(terms, mode="or")), terms
+
+    # below the limit: no compaction, overlay persists
+    out2 = refresh_lake_index(idx.index_dir, lake,
+                              compact_overlay_limit=10**9)
+    assert out2["changed"] == 0 and "compacted" not in out2
