@@ -6550,6 +6550,109 @@ def dedup_substring_documents(sf_dir: str, n: int = SUBSTR_N,
     return res.sort_values("doc_id").reset_index(drop=True)
 
 
+def dedup_substring_rewrite_documents(sf_dir: str, n: int = SUBSTR_N):
+    """ExactSubstr REMOVAL (the second half of Lee et al. 2021,
+    arXiv:2107.06499 — their tool cuts every duplicated span out of the
+    corpus, all occurrences): same two passes as
+    ``dedup_substring_documents`` (duplicated-gram set broadcast once,
+    diff+cumsum cover sweep per batch), but the second pass REWRITES
+    each covered document — covered tokens drop, the text rebuilds from
+    the surviving ORIGINAL-CASE tokens (single-space joined; the
+    rewrite is token-level by contract — duplicated spans are detected
+    case-folded, exactly like the flag pipeline). Untouched documents
+    pass through byte-identical. Returns
+    ``(doc_id, text, n_tokens, removed_tokens)`` for every document.
+    Rows-only (sliding-window hashing has no SQL shape); pytest gates a
+    planted shared span removed from all its occurrences, byte identity
+    for clean docs, agreement with the flag pipeline's coverage counts,
+    and parallelism invariance."""
+    import re as _re
+
+    import ray
+
+    from ..functions.text import _GRAM_HASH_KEY, _GRAM_P  # noqa: F401
+    from ..functions.text import _flat_lower_tokens  # noqa: F401
+
+    # reuse the flag pipeline's pass 1 verbatim (same gram convention)
+    def gram_hashes_pos(texts: pd.Series, nn: int):
+        flat, doc_idx, lens = _flat_lower_tokens(texts)
+        m = len(flat) - nn + 1
+        if len(flat) == 0 or m <= 0:
+            return (np.empty(0, np.uint64), np.empty(0, np.int64),
+                    doc_idx, lens)
+        th = pd.util.hash_array(flat, hash_key=_GRAM_HASH_KEY)
+        valid = doc_idx[:m] == doc_idx[nn - 1:]
+        h = th[:m].copy()
+        for k in range(1, nn):
+            h = h * _GRAM_P + th[k:k + m]
+        idx = np.arange(m, dtype=np.int64)
+        return h[valid], idx[valid], doc_idx, lens
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    cnt_schema = pa.schema([("h", pa.int64()), ("c", pa.int64())])
+
+    def count_partial(df: pd.DataFrame) -> pa.Table:
+        h, _, _, _ = gram_hashes_pos(df["text"].reset_index(drop=True), n)
+        if not len(h):
+            return cnt_schema.empty_table()
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"h": u.view(np.int64), "c": c.astype(np.int64)},
+                        schema=cnt_schema)
+
+    parts = ds.map_batches(count_partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        dup_arr = np.empty(0, np.int64)
+    else:
+        g = parts.groupby("h", sort=False)["c"].sum()
+        dup_arr = g.index.to_numpy(dtype=np.int64)[g.to_numpy() >= 2]
+    dup_ref = ray.put(np.sort(dup_arr))
+    tok_re = _re.compile(r"[A-Za-z0-9_]+")
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.large_string()),
+        ("n_tokens", pa.int64()), ("removed_tokens", pa.int64())])
+
+    def rewrite(df: pd.DataFrame) -> pa.Table:
+        texts = df["text"].reset_index(drop=True)
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        h, starts, doc_idx, lens = gram_hashes_pos(texts, n)
+        lens = np.asarray(lens, dtype=np.int64)
+        total = int(lens.sum())
+        dupset = ray.get(dup_ref)
+        covered = np.zeros(total, dtype=bool)
+        if len(h) and len(dupset):
+            hv = h.view(np.int64)
+            pos = np.searchsorted(dupset, hv)
+            isdup = (pos < len(dupset)) & (dupset[np.minimum(
+                pos, len(dupset) - 1)] == hv)
+            dstarts = starts[isdup]
+            if len(dstarts):
+                delta = np.zeros(total + 1, dtype=np.int64)
+                np.add.at(delta, dstarts, 1)
+                np.add.at(delta, dstarts + n, -1)
+                covered = np.cumsum(delta[:total]) > 0
+        removed = np.zeros(len(df), dtype=np.int64)
+        if covered.any():
+            np.add.at(removed, doc_idx, covered.astype(np.int64))
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        out_text = []
+        for i, t in enumerate(texts):
+            if removed[i] == 0:
+                out_text.append(t if t is not None else None)
+                continue
+            cov = covered[offs[i]:offs[i + 1]]
+            toks = tok_re.findall(t)
+            out_text.append(" ".join(
+                tok for tok, c in zip(toks, cov) if not c))
+        return pa.table({
+            "doc_id": ids,
+            "text": pa.array(out_text, pa.large_string()),
+            "n_tokens": lens,
+            "removed_tokens": removed}, schema=out_schema)
+
+    return ds.map_batches(rewrite, batch_format="pandas")
+
+
 def dsir_sample_documents(sf_dir: str, k: int = 50):
     """DSIR importance resampling toward a target domain (Xie et al.
     2023, arXiv:2302.03169): target = the corpus's English documents,
@@ -6695,6 +6798,7 @@ ANALYTICS_QUERIES = {
     "bpe_corpus_compression": bpe_corpus_compression,
     "export_documents_tokens": export_documents_tokens,
     "dedup_substring_documents": dedup_substring_documents,
+    "dedup_substring_rewrite_documents": dedup_substring_rewrite_documents,
     "dsir_sample_documents": dsir_sample_documents,
     "unigram_train_documents": unigram_train_documents,
     "unigram_corpus_compression": unigram_corpus_compression,

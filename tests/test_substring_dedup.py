@@ -120,3 +120,54 @@ def test_short_and_null_docs(ray_session, tmp_path):
     assert res.empty
     assert list(res.columns) == ["doc_id", "n_tokens", "dup_grams",
                                  "dup_tokens"]
+
+
+def test_rewrite_removes_planted_span_everywhere(ray_session, tmp_path):
+    """ExactSubstr removal: a span shared by two documents is cut from
+    BOTH occurrences; clean documents pass through byte-identical; the
+    rewrite's removal counts agree with the flag pipeline's coverage."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database_delta_plugins_ray.pipelines.analytics import (
+        SUBSTR_N, dedup_substring_documents,
+        dedup_substring_rewrite_documents)
+
+    span = " ".join(f"planted{i}" for i in range(SUBSTR_N + 5))
+    uniq = lambda tag, m: " ".join(f"{tag}tok{j}" for j in range(m))
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [uniq("a", 30) + " " + span + " " + uniq("b", 30),
+                 uniq("c", 25) + " " + span,
+                 uniq("clean", 40)],
+    })
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   os.path.join(sf, "documents.parquet"))
+
+    out = (dedup_substring_rewrite_documents(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == 3
+    # every planted token is gone from both covered docs
+    for i in (0, 1):
+        for w in span.split():
+            assert w not in out.loc[i, "text"].split(), (i, w)
+        # the docs' unique tokens survive
+    assert out.loc[0, "text"].split()[:30] == uniq("a", 30).split()
+    assert out.loc[1, "text"].split() == uniq("c", 25).split()
+    # clean doc is BYTE-identical (not re-joined)
+    assert out.loc[2, "text"] == docs.loc[2, "text"]
+    assert out.loc[2, "removed_tokens"] == 0
+    # agreement with the flag pipeline's coverage counts
+    flags = dedup_substring_documents(sf).set_index("doc_id")
+    for did in (1, 2):
+        assert (out.set_index("doc_id").loc[did, "removed_tokens"]
+                == flags.loc[did, "dup_tokens"])
+
+    # parallelism invariance
+    out2 = (dedup_substring_rewrite_documents(sf).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, out2)
